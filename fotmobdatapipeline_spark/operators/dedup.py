@@ -1,0 +1,188 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, cheapest first — the standard LLM-training-data pipeline:
+1. exact         — hash-groupBy on the raw text (one shuffle on a hash).
+2. fingerprint   — md5 over a normalized sorted bag-of-words; catches
+                   reorderings/whitespace variants.  Still one shuffle.
+3. minhash LSH   — per-row signatures (no shuffle) → band buckets →
+                   candidate pairs via bucket equi-join.  Sub-quadratic.
+4. ngram Jaccard — exact set overlap on shingles; the verifier for LSH
+                   candidates (quadratic only within candidates).
+
+Portability/determinism: every hash is md5 over an explicit string —
+identical hex in Spark and DuckDB — and min-hash signatures take the
+lexicographic MIN of hex strings, so the DuckDB oracle can reproduce
+signatures exactly.  All shingle/signature construction is per-row
+higher-order-function work (JVM codegen, no UDF, no shuffle).
+
+At 100 TB: stages shuffle only on (hash) / (band key) / (shingle), all
+fine-grained keys with bounded group sizes; skewed shingles (very common
+n-grams) should be frequency-capped upstream — see ``shingle_df``'s
+``max_doc_freq`` note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text, as an
+    array<string>.  Per-row, codegen-only."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tier 1: one canonical row (min id) per identical text."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    ).select(id_col, "n_copies")
+
+
+def fingerprint(text: Column) -> Column:
+    """Tier 2: md5 of the sorted distinct bag of words — order- and
+    duplicate-word-insensitive content fingerprint."""
+    words = F.array_sort(F.array_distinct(F.split(text, " ")))
+    return F.md5(F.array_join(words, " "))
+
+
+def fingerprint_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_docs"))
+        .select(id_col, "fp", "n_docs")
+    )
+
+
+def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
+    """k portable min-hash values: for hash j, MIN over shingles of
+    md5('<j>:' || shingle), as lexicographic-min hex strings.  Per-row
+    array_min — no explode, no shuffle."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    return df.select(F.col(id_col), *minhash_signature_cols(sh, num_hashes))
+
+
+def lsh_band_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Tier 3: band the signature matrix; docs sharing any band key are
+    candidate near-duplicates.  Output (doc_a, doc_b) distinct pairs.
+
+    Shuffle is keyed on (band_id, band_key) — fine-grained; at scale the
+    band join dominates and benefits from AQE skew splitting.
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tier 4: exact n-gram Jaccard for every shingle-sharing pair.
+    Output (doc_a, doc_b, common, jaccard); only pairs with ≥1 shared
+    shingle appear (others have jaccard 0 by definition)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(text: Column, n_bits: int = 16) -> Column:
+    """SimHash over whitespace tokens using the first ``n_bits`` bits of
+    each token's md5.  Per-row, portable (md5 hex nibbles → bits).
+
+    bit_b(token) = nibble(md5(token))[b]; the simhash bit is the sign of
+    sum over tokens of (2*bit - 1).  Returned as a bit-string column so
+    the oracle can reproduce it with string ops.
+    """
+    toks = F.split(text, " ")
+    bit_cols = []
+    for b in range(n_bits):
+        nibble_idx = b // 4 + 1  # 1-based position in the hex string
+        bit_in_nibble = 3 - (b % 4)  # hex nibble is big-endian bits
+        # conv(nibble,16,10) → value 0..15; extract the bit arithmetically
+        def tok_bit(t, ni=nibble_idx, bi=bit_in_nibble):
+            val = F.conv(F.substring(F.md5(t), ni, 1), 16, 10).cast("int")
+            return F.when(F.floor(val / (2 ** bi)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        total = F.aggregate(
+            F.transform(toks, tok_bit), F.lit(0), lambda acc, v: acc + v
+        )
+        bit_cols.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)

@@ -1,0 +1,132 @@
+"""Vector similarity operators over an ``array<float>`` embedding column.
+
+Design for 100 TB:
+* All element math stays JVM-side — ``zip_with``/``aggregate`` higher-order
+  functions inside whole-stage codegen; no Python UDF in the hot path.
+* The dot product is an explicit sequential left-to-right fold in DOUBLE,
+  so results are bit-deterministic and reproducible across engines and
+  partitionings (each per-row fold sees the same operand order).
+* Brute-force top-k is the correctness baseline: |Q| x |C| pairs.  The
+  scale path is ``sign_lsh_bucket`` — axis-aligned random-hyperplane LSH:
+  candidates only meet within a bucket, turning the cross join into a
+  bucket-keyed equi-join (shuffle on bucket, linear in bucket sizes).
+  Skewed buckets are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in DOUBLE (bit-deterministic)."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    na = l2_norm(a) if norm_a is None else norm_a
+    nb = l2_norm(b) if norm_b is None else norm_b
+    return dot(a, b) / (na * nb)
+
+
+def sign_lsh_bucket(a: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned hyperplane LSH: the sign pattern of the first
+    ``n_bits`` dimensions as a bucket id string.  Two vectors with high
+    cosine similarity agree on most signs, so near-neighbors collide with
+    high probability; at scale this is the pre-filter before exact
+    re-scoring."""
+    bits = [F.when(a[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_bits)]
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: every query scored against every candidate.
+
+    Output: (query_id, neighbor_id, cos_sim, rk).  Deterministic: rank
+    orders by (cos_sim DESC, neighbor_id ASC).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = q.crossJoin(F.broadcast(c)).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def lsh_bucket_histogram(
+    vectors: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Bucket occupancy of the sign-LSH partitioning — the planning view
+    for the bucketed ANN join (bucket sizes bound the join cost)."""
+    return (
+        vectors.select(
+            F.col(id_col), sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min(id_col).alias("min_vec_id"),
+            F.max(id_col).alias("max_vec_id"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    n_bits: int = 8,
+    min_cosine: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN candidate pairs: bucket-keyed self-join + exact cosine
+    re-score.  Output (id_a, id_b, cos_sim), id_a < id_b."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    )
+    return pairs.select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        (
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= min_cosine)

@@ -1,0 +1,73 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named pair of
+(PySpark builder, DuckDB oracle SQL).
+
+The driver contract (__spark_entry__.py) runs each builder and its oracle
+side-by-side at sf0.01 and compares row count + schema + order-insensitive
+value hash.  Determinism rules every query here follows:
+
+* Money/aggregate sums go through exact DECIMAL arithmetic, then a final
+  CAST to DOUBLE — bit-identical across engines regardless of
+  partitioning/summation order.
+* Averages are computed as exact-decimal-sum / count in both engines.
+* Floating point folds over arrays (dot products) use an explicit
+  sequential left-to-right double accumulation in both engines.
+* Every LIMIT is preceded by a total ORDER BY with a unique tiebreak.
+* Raw timestamps are bucketed (date_trunc) or cast to string/epoch; the
+  events table is µs-precision so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""
+) -> Callable:
+    """Decorator: add a (builder, oracle) pair to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.builder for name, spec in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import fotmobdatapipeline_spark.plans.core  # noqa: F401
+    import fotmobdatapipeline_spark.plans.events  # noqa: F401
+    import fotmobdatapipeline_spark.plans.llmdata  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,695 @@
+"""Reference-surface queries (SURVEY.md §2) expressed over the driver's
+TPC-H-ish testdata, each with its DuckDB oracle.
+
+Operator coverage map (reference operator → query name):
+  P1 rename/projection        → star_denorm_wide (aliased wide projection)
+  P2 conditional update       → conditional_update
+  D1 distinct dim             → dim_distinct
+  D2 surrogate keys           → dim_surrogate_keys (engine build_dim)
+  D3 union + distinct         → dim_union_distinct
+  D6 compound dim             → dim_compound
+  J1 fact key-swap joins      → fact_key_swap (engine build_fact)
+  Q1 denormalizing join       → star_denorm_wide
+  M1 aggregate metrics        → flagship_revenue_topk, agg_pricing_summary
+  filter/predicate            → filter_pushdown_scan
+  outer/semi/anti joins       → join_outer_agg, join_semi, join_anti
+  set ops                     → setop_except
+  rollup/cube                 → rollup_sales, cube_sales
+  window functions            → topk_per_group, window_running
+  string functions            → string_functions
+  date/time functions         → datetime_agg
+  math/case functions         → math_case_functions
+  multi-way join aggregates   → shipping_priority (TPC-H Q3 shape),
+                                nation_revenue (TPC-H Q5 shape)
+
+Determinism: see plans/catalog.py module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.functions.cleaning import canonicalize_values
+from fotmobdatapipeline_spark.operators.star import build_dim, build_fact
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> Column:
+    """Exact decimal view of a 2-dp money/rate column (determinism rule)."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _dsum(expr: Column) -> Column:
+    return F.sum(expr).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Flagship: revenue per customer, top 10 (J1 + M1 + top-k).
+# Scale shape: lineitem⋈orders is the one real shuffle (both large, keyed
+# on orderkey); customer is broadcast so the agg side never reshuffles.
+# --------------------------------------------------------------------------
+@register(
+    "flagship_revenue_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "flagship"),
+)
+def flagship_revenue_topk(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1/P1/P3: the denormalizing reporting join — looker_data's shape on
+# TPC-H: fact ⋈ 4 dims, renamed wide projection (sql:1-26).
+# --------------------------------------------------------------------------
+@register(
+    "star_denorm_wide",
+    oracle="""
+    SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
+           c.c_custkey AS customer_key, c.c_name AS customer_name,
+           n.n_name AS nation_name, r.r_name AS region_name,
+           o.o_orderstatus AS order_status,
+           l.l_quantity AS quantity, l.l_extendedprice AS extended_price,
+           l.l_returnflag AS return_flag
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join", "projection", "rename"),
+)
+def star_denorm_wide(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extended_price"),
+            F.col("l_returnflag").alias("return_flag"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P2: conditional value canonicalization (fotmob-dag.py:121) via the
+# engine's canonicalize_values.
+# --------------------------------------------------------------------------
+@register(
+    "conditional_update",
+    oracle="""
+    SELECT c.c_custkey,
+           CASE WHEN n.n_name = 'FRANCE' THEN 'FRENCH REPUBLIC'
+                WHEN n.n_name = 'GERMANY' THEN 'FEDERAL REPUBLIC OF GERMANY'
+                ELSE n.n_name END AS nation_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("projection", "case"),
+)
+def conditional_update(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation_name")
+    )
+    canon = canonicalize_values(
+        joined,
+        ["nation_name"],
+        {"FRANCE": "FRENCH REPUBLIC", "GERMANY": "FEDERAL REPUBLIC OF GERMANY"},
+    )
+    return canon.select("c_custkey", "nation_name")
+
+
+# --------------------------------------------------------------------------
+# D1: distinct projection dim (fotmob-dag.py:124).
+# --------------------------------------------------------------------------
+@register(
+    "dim_distinct",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+    tags=("distinct",),
+)
+def dim_distinct(spark: SparkSession, sf_dir: str):
+    return read_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# D2: deterministic surrogate keys via the engine's build_dim
+# (fotmob-dag.py:125; SURVEY.md §4.3-1).
+# --------------------------------------------------------------------------
+@register(
+    "dim_surrogate_keys",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority ASC NULLS FIRST) - 1 AS BIGINT)
+             AS priority_id,
+           o_orderpriority
+    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+    tags=("distinct", "window", "surrogate-key"),
+)
+def dim_surrogate_keys(spark: SparkSession, sf_dir: str):
+    return build_dim(read_table(spark, sf_dir, "orders"), ["o_orderpriority"], "priority_id")
+
+
+# --------------------------------------------------------------------------
+# D3: vertical union + distinct (fotmob-dag.py:128).
+# --------------------------------------------------------------------------
+@register(
+    "dim_union_distinct",
+    oracle="""
+    SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("union", "distinct"),
+)
+def dim_union_distinct(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .unionByName(supp.select(F.col("s_nationkey").cast("long").alias("nationkey")))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: compound (2-column) dim (fotmob-dag.py:140).
+# --------------------------------------------------------------------------
+@register(
+    "dim_compound",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def dim_compound(spark: SparkSession, sf_dir: str):
+    return read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# J1: natural-key → surrogate-key swap via engine build_dim + build_fact
+# (fotmob-dag.py:144-153).  Dim is broadcast; the fact never shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "fact_key_swap",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_returnflag ASC NULLS FIRST,
+                                              l_linestatus ASC NULLS FIRST) - 1 AS BIGINT)
+               AS rf_ls_id,
+             l_returnflag, l_linestatus
+      FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    )
+    SELECT l.l_orderkey, l.l_linenumber, d.rf_ls_id, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN dim d ON l.l_returnflag = d.l_returnflag AND l.l_linestatus = d.l_linestatus
+    """,
+    tags=("join", "surrogate-key", "star"),
+)
+def fact_key_swap(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = build_dim(li, ["l_returnflag", "l_linestatus"], "rf_ls_id")
+    return build_fact(
+        li,
+        dims=[(dim, ["l_returnflag", "l_linestatus"], "rf_ls_id")],
+        measures=["l_quantity", "l_extendedprice"],
+        extra_keys=["l_orderkey", "l_linenumber"],
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape: big scan + partial/final agg; the canonical pricing
+# summary.  All money math in exact decimals.
+# --------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dsum(_dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(_dec("l_discount", 4, 2)) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter + narrow projection — the plan must show PushedFilters and a
+# 3-column ReadSchema at the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-03-01 00:00:00'
+      AND l_quantity <= 5
+    """,
+    tags=("filter", "pushdown"),
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") <= 5)
+        )
+        .select("l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_date"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group via ranked window (SURVEY §2 "sort/limit/top-k").
+# --------------------------------------------------------------------------
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+      FROM part
+    )
+    WHERE rk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: ROLLUP and CUBE (SURVEY §2 "grouping sets").
+# --------------------------------------------------------------------------
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "cube_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_sales(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operation: EXCEPT (distinct) — customers who never ordered.
+# --------------------------------------------------------------------------
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.select("c_custkey").exceptAll(orders.select("o_custkey")).distinct()
+
+
+# --------------------------------------------------------------------------
+# Anti / semi joins (engine-exposed for dedup & data-quality checks).
+# --------------------------------------------------------------------------
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Left-outer join + aggregate with zero-fill.
+# --------------------------------------------------------------------------
+@register(
+    "join_outer_agg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+             AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer", "agg"),
+)
+def join_outer_agg(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum(_dec("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# String function battery (SURVEY §2 "string functions").
+# --------------------------------------------------------------------------
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+           SUBSTR(p_name, 1, 3) AS name_prefix
+    FROM part
+    """,
+    tags=("string",),
+)
+def string_functions(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time battery + monthly aggregate (SURVEY §2 "date/time").
+# --------------------------------------------------------------------------
+@register(
+    "datetime_agg",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    tags=("datetime", "agg"),
+)
+def datetime_agg(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Math + CASE battery.  Only IEEE-deterministic functions (sqrt is
+# correctly rounded; floor/ceil/abs/mod exact).
+# --------------------------------------------------------------------------
+@register(
+    "math_case_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_bucket,
+           SQRT(l_quantity) AS sqrt_qty,
+           ABS(l_extendedprice - 1000.0) AS abs_dev,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+    tags=("math", "case"),
+)
+def math_case_functions(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_bucket"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.abs(F.col("l_extendedprice") - F.lit(1000.0)).alias("abs_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window battery: row_number, running decimal sum, lag.
+# --------------------------------------------------------------------------
+@register(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS cum_spend,
+           LAG(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_running(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.sum(_dec("o_totalprice")).over(w_run).cast("double").alias("cum_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: selective filters on two tables + join + grouped
+# revenue + top-k.
+# --------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "filter"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way join with a co-location condition, grouped
+# revenue per nation.
+# --------------------------------------------------------------------------
+@register(
+    "nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(_dsum(revenue).alias("revenue"))
+    )

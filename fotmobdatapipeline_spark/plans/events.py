@@ -1,0 +1,225 @@
+"""Event-stream queries (batch semantics over the ``events`` table).
+
+These are the batch twins of the Structured Streaming operators in
+``streaming/`` — same windowing semantics (epoch-aligned tumbling/sliding
+windows, 30-min-gap sessionization), expressed so the DuckDB oracle can
+verify values.  The streaming module reuses the same column logic with
+``readStream`` + watermarks; SURVEY.md §2 "Streaming".
+
+Determinism: the events timestamps are µs precision; all window math is
+integer µs arithmetic (``unix_micros`` / ``epoch_us``), and window starts
+are emitted as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_DEC = "decimal(12,2)"
+
+
+# --------------------------------------------------------------------------
+# Tumbling 1-hour windows per event type.
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_hour",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows: 1 hour long, every 30 minutes (each event lands in 2).
+# Oracle derives the two member windows with integer µs arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "events_sliding_hour",
+    oracle="""
+    WITH member AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - 1800000000) AS w, value
+      FROM events
+    )
+    SELECT CAST(w AS VARCHAR) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM member
+    GROUP BY 1
+    """,
+    tags=("events", "window-agg", "sliding"),
+)
+def events_sliding_hour(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.cast("string").alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-min inactivity gap, gaps-and-islands.
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), numbered AS (
+      SELECT user_id, event_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_ev,
+             MAX(tus) - MIN(tus) AS dur_us
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(dur_us) AS BIGINT) AS max_session_us
+    FROM sess GROUP BY user_id
+    """,
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull() | ((F.col("tus") - F.col("prev")) > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("tus") - F.min("tus")).alias("dur_us"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("dur_us").alias("max_session_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest event per user (streaming dedup-to-latest; row_number DESC).
+# --------------------------------------------------------------------------
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+    tags=("events", "window", "dedup"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured JSON props extraction (SURVEY §2 "JSON functions").
+# --------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: daily event-type count matrix (SURVEY §2 "grouping/pivot").
+# --------------------------------------------------------------------------
+@register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "pivot"),
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )

@@ -1,0 +1,398 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — each with a value-exact DuckDB oracle.
+
+These are first-class engine operators (BASELINE.json north star), not
+reference ports.  The Spark implementations live in operators/dedup.py,
+operators/similarity.py, functions/text.py; this module binds them to the
+``documents`` / ``embeddings`` testdata and supplies oracle SQL that
+reproduces the exact same values (portable md5 hashing, sequential
+double folds, integer-ratio doubles — see plans/catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.functions import text as T
+from fotmobdatapipeline_spark.operators import dedup as D
+from fotmobdatapipeline_spark.operators import similarity as S
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+# Shared oracle fragments -------------------------------------------------
+
+# DuckDB twin of operators/dedup.py::word_shingles (3-gram, distinct).
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))"
+)
+_SQL_TOK = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+
+# DuckDB twin of operators/similarity.py::dot (sequential L→R fold; the
+# missing initial element is exact because 0.0 + x == x).
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, q) -> p + q)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 1: exact (hash-groupBy on text).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str):
+    return D.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 2: normalized bag-of-words fingerprint.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS n_docs
+    FROM fp GROUP BY fp
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str):
+    return D.fingerprint_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 3a: portable MinHash signature matrix (8 hashes, 3-gram).
+# --------------------------------------------------------------------------
+_N_HASHES = 8
+_sig_exprs = ",\n           ".join(
+    f"list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5('{j}:' || s)), 'min') AS sig_{j}"
+    for j in range(_N_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK})
+    SELECT doc_id,
+           {_sig_exprs}
+    FROM tok
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str):
+    return D.minhash_signatures(
+        read_table(spark, sf_dir, "documents"), num_hashes=_N_HASHES
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 3b: LSH banding (4 bands x 1 row) → candidate pairs.
+# --------------------------------------------------------------------------
+_LSH_HASHES = 4
+_lsh_sigs = ",\n             ".join(
+    f"list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5('{j}:' || s)), 'min') AS sig_{j}"
+    for j in range(_LSH_HASHES)
+)
+_lsh_bands = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, sig_{j} AS band_key FROM sig" for j in range(_LSH_HASHES)
+)
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str):
+    sigs = D.minhash_signatures(
+        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+    )
+    return D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 4: exact n-gram Jaccard, top-20 most similar pairs.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           CAST(common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard", "topk"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    pairs = D.jaccard_pairs(read_table(spark, sf_dir, "documents"))
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Text analysis: quality scoring.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+      FROM documents
+    )
+    SELECT doc_id, n_words, stop_ratio, diversity, avg_word_len,
+           CASE WHEN stop_ratio >= 0.05 AND diversity >= 0.5 THEN 'high'
+                WHEN stop_ratio > 0.0 OR diversity >= 0.3 THEN 'medium'
+                ELSE 'low' END AS band
+    FROM q
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(t, " ")
+    stop = T.stopword_ratio(t)
+    div = T.distinct_word_ratio(t)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        stop.alias("stop_ratio"),
+        div.alias("diversity"),
+        T.avg_word_len(t).alias("avg_word_len"),
+        T.quality_band(stop, div).alias("band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID heuristic.
+# --------------------------------------------------------------------------
+@register(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS s_en,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('el', 'la', 'de', 'los', 'y'))) AS INT) AS s_es,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('der', 'die', 'das', 'und', 'zu'))) AS INT) AS s_de
+      FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_es, s_de,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS pred_lang
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = T.langid_scores(t)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+    )
+    return out.withColumn(
+        "pred_lang", T.langid_pred(F.col("s_en"), F.col("s_es"), F.col("s_de"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token counting (whitespace + regex token classes).
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split_regex(text, '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS num_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.n_tokens(t).cast("int").alias("ws_tokens"),
+        T.n_alpha_tokens(t).cast("int").alias("alpha_tokens"),
+        T.n_numeric_tokens(t).cast("int").alias("num_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-5 for 10 query vectors.
+# --------------------------------------------------------------------------
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_sim
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+    tags=("similarity", "topk"),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Similarity search: sign-LSH bucket histogram (the ANN partitioning).
+# --------------------------------------------------------------------------
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
+)
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM b GROUP BY bucket
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str):
+    return S.lsh_bucket_histogram(read_table(spark, sf_dir, "embeddings"), n_bits=8)
+
+
+# --------------------------------------------------------------------------
+# Embedding column stats per label (rounded-decimal sums for determinism).
+# --------------------------------------------------------------------------
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM v GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    nrm = S.l2_norm(F.col("embedding"))
+    return (
+        emb.select(F.col("label").cast("int").alias("label"), nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary column + typed metadata features.
+# The heavy decode path (images/audio) is the mapInPandas stub in
+# multimodal/binary_ops.py; this query verifies the schema/metadata side.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           hex(encode(substr(text, 1, 4))) AS header_hex,
+           CAST(octet_length(encode(text)) % 64 AS INT) AS shard,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload)
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.hex(F.encode(F.substring("text", 1, 4), "UTF-8")).alias("header_hex"),
+        (n_bytes % 64).alias("shard"),
+        F.lit("text/plain").alias("mime"),
+    )

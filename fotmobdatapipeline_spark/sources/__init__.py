@@ -1,0 +1,8 @@
+from fotmobdatapipeline_spark.sources.registry import (
+    TABLES,
+    load_tables,
+    read_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_tables", "read_table", "register_views"]

@@ -1,0 +1,59 @@
+"""Parquet table registry over the driver testdata.
+
+The reference's only sources are a Selenium scrape and a REST fetch
+(fotmob-dag.py:25-44) — browser/network I/O that belongs outside a query
+engine.  The engine's source layer reads columnar files: each logical
+table is one parquet dataset, read lazily so Catalyst can push filters
+and prune columns down to the scan (verify with
+``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB these would be partitioned/bucketed Delta tables; the API is
+the same — ``spark.read.parquet`` on a directory, partition pruning free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily bind one table.  The ``events`` table stores ``ts`` as
+    parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL); read it as raw nanos and convert to a
+    microsecond timestamp (the data is µs-precision, so lossless)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        # Integer division: epoch-ns values (~1.7e18) exceed double's
+        # 2^53 exact range, so `/ 1000` would be off by ±1 µs.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lazily bind every testdata table under ``sf_dir``."""
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Bind tables and register them as temp views so ``spark.sql`` works
+    with the same names the DuckDB oracle uses."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
