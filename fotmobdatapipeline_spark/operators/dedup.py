@@ -61,18 +61,6 @@ def fingerprint_dedup_groups(
     )
 
 
-def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
-    """k portable min-hash values: for hash j, MIN over shingles of
-    md5('<j>:' || shingle), as lexicographic-min hex strings.  Per-row
-    array_min — no explode, no shuffle."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"sig_{j}")
-        for j in range(num_hashes)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -80,8 +68,41 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), shingle_n)
-    return df.select(F.col(id_col), *minhash_signature_cols(sh, num_hashes))
+    """k portable min-hash values per document.
+
+    Hash family: one md5 per salt ``m`` ('<m>:' || shingle), split into
+    four 32-bit hex chunks — hash j uses chunk j%4 of salt j//4, and the
+    signature is the lexicographic MIN of that chunk over the document's
+    distinct shingles.  This costs ceil(k/4) md5 calls per shingle
+    instead of k (md5's 128 bits are independent, so chunks are
+    independent hash functions; 32 bits keeps chance collisions
+    negligible below ~50k shingles per doc).
+
+    Plan shape: explode(shingles) → one projection computing each salt's
+    md5 once → groupBy(doc) with k MIN aggregates.  Partial (map-side)
+    aggregation reduces the shuffle to one row per (doc, partition) —
+    at 100 TB this is the scalable form; per-row array_min variants
+    recompute md5 k times inside interpreted lambdas.
+
+    Documents with fewer than ``shingle_n`` words produce no shingles
+    and are dropped (explode of an empty array).
+    """
+    n_salts = (num_hashes + 3) // 4
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{m}:"), F.col("s"))).alias(f"h{m}")
+            for m in range(n_salts)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"h{j // 4}"), (j % 4) * 8 + 1, 8)).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_pairs(

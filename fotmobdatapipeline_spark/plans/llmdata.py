@@ -78,10 +78,19 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str):
 # Dedup tier 3a: portable MinHash signature matrix (8 hashes, 3-gram).
 # --------------------------------------------------------------------------
 _N_HASHES = 8
-_sig_exprs = ",\n           ".join(
-    f"list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5('{j}:' || s)), 'min') AS sig_{j}"
-    for j in range(_N_HASHES)
-)
+
+
+def _sql_sig(j: int) -> str:
+    """DuckDB twin of operators/dedup.py::minhash_signatures' hash j:
+    chunk j%4 (8 hex chars = 32 bits) of md5 salted with j//4."""
+    salt, start = j // 4, (j % 4) * 8 + 1
+    return (
+        f"list_aggregate(list_transform({_SQL_SHINGLES}, "
+        f"s -> substr(md5('{salt}:' || s), {start}, 8)), 'min') AS sig_{j}"
+    )
+
+
+_sig_exprs = ",\n           ".join(_sql_sig(j) for j in range(_N_HASHES))
 
 
 @register(
@@ -104,10 +113,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str):
 # Dedup tier 3b: LSH banding (4 bands x 1 row) → candidate pairs.
 # --------------------------------------------------------------------------
 _LSH_HASHES = 4
-_lsh_sigs = ",\n             ".join(
-    f"list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5('{j}:' || s)), 'min') AS sig_{j}"
-    for j in range(_LSH_HASHES)
-)
+_lsh_sigs = ",\n             ".join(_sql_sig(j) for j in range(_LSH_HASHES))
 _lsh_bands = "\n      UNION ALL ".join(
     f"SELECT doc_id, {j} AS band_id, sig_{j} AS band_key FROM sig" for j in range(_LSH_HASHES)
 )
