@@ -147,6 +147,50 @@ def events_sessionize(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Native session windows (the streaming operator run in batch mode);
+# oracle reproduces Spark's session semantics: [min_ts, max_ts + gap).
+# Emitted as epoch-µs integers (string formats differ between engines).
+# --------------------------------------------------------------------------
+@register(
+    "events_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), numbered AS (
+      SELECT user_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS session_start_us,
+           CAST(MAX(tus) + 1800000000 AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("events", "session", "streaming-twin"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.streaming.events import session_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_aggregate(ev).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
 # Latest event per user (streaming dedup-to-latest; row_number DESC).
 # --------------------------------------------------------------------------
 @register(

@@ -402,3 +402,21 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str):
         (n_bytes % 64).alias("shard"),
         F.lit("text/plain").alias("mime"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal decode path: Arrow-batched mapInPandas feature extraction
+# (deterministic stand-in decoder).  Python-side → no SQL oracle; the
+# driver records a rows-only check, and tests/test_multimodal.py checks
+# values.
+# --------------------------------------------------------------------------
+@register("multimodal_feature_extract", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        fake_decoder,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return extract_features(media, decoder=fake_decoder)

@@ -45,6 +45,37 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/sys.path: zip it and addPyFile it.  Required for any
+    operator that crosses into Python workers (mapInPandas,
+    applyInPandasWithState) — cloudpickle serializes module-level
+    functions by reference, so workers must be able to import us.
+    Idempotent per session."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_fotmob_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="fotmob_pkg_"), "fotmobdatapipeline_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "fotmobdatapipeline_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._fotmob_pkg_shipped = True
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine settings to an externally-created session (the driver
     hands us one in ``entry(spark)``); only runtime-settable confs."""

@@ -1,0 +1,127 @@
+"""Structured Streaming operators over the events table.
+
+The reference is pure batch (`@once`, fotmob-dag.py:188) but names
+scheduled incremental processing as its next step (README.md:158); this
+module is that step done Spark-natively: the SAME column logic as the
+batch queries in plans/events.py, lifted onto an unbounded stream with
+watermarks for late data.
+
+Scale notes:
+* Windowed aggregations keep state per (window, key); the watermark
+  bounds state size — without it a 100 TB stream accretes state forever.
+* ``session_window`` is Spark's native gap-session operator (merges
+  windows within the gap); state per active session.
+* ``running_user_counts`` shows the arbitrary-stateful path
+  (``applyInPandasWithState``) for operators windows can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
+# file-stream source must read as long (nanosAsLong) and convert.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events directory (new files appear as
+    micro-batches; at scale this would be Kafka — same downstream code)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts + value sums per event type.
+    Works identically on batch and streaming frames (the batch twin is
+    plans/events.py::events_tumbling_hour)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return events.groupBy(win.alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native gap-based session windows per user (Spark merges windows
+    closer than ``gap``).  Streaming state is one row per open session."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("count", LongType())])
+_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("n_events", LongType())]
+)
+
+
+def running_user_counts(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Arbitrary stateful processing: a per-user running event counter
+    via ``applyInPandasWithState`` — the template for custom operators
+    (fraud counters, CDC merge, feature windows) that windowed aggs
+    can't express.  Emits the updated total per user per micro-batch."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def update(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming correctness: each streaming operator's final
+answer must equal its batch twin on the same data (stream = file source
+fed the events parquet, drained with processAllAvailable)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    return read_table(spark, SF_SMALL, "events")
+
+
+def _drain(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir, events_batch):
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain(windowed_event_counts(stream), "win_counts", "complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events_batch).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark, events_dir, events_batch):
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        session_aggregate,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain(session_aggregate(stream), "sessions", "complete")
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    )
+    want = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in session_aggregate(events_batch).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_session_window_matches_gaps_and_islands(spark, events_batch):
+    """Native session_window must agree with the manual gaps-and-islands
+    sessionization (plans/events.py::events_sessionize) on session
+    counts per user."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.streaming.events import session_aggregate
+
+    native = (
+        session_aggregate(events_batch)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    manual = query_map()["events_sessionize"](spark, SF_SMALL).select(
+        "user_id", "n_sessions", "n_events"
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in native.collect()}
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in manual.collect()}
+    assert got == want
+
+
+def test_stateful_running_counts(spark, events_dir, events_batch):
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        running_user_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain(running_user_counts(stream), "running_counts", "update")
+    # final state per user (last emitted row) == batch group counts
+    rows = spark.sql(
+        """SELECT user_id, max(n_events) AS n FROM running_counts GROUP BY user_id"""
+    ).collect()
+    got = {r["user_id"]: r["n"] for r in rows}
+    want = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
