@@ -54,6 +54,19 @@ def main() -> int:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # BASELINE.md target #5: the full star-schema build incl. all writes.
+    import tempfile
+
+    from fotmobdatapipeline_spark.plans.star_build import run_star_build
+
+    with tempfile.TemporaryDirectory(prefix="fotmob_bench_star_") as out:
+        t0 = time.perf_counter()
+        run_star_build(spark, sf_dir, out)
+        dt = round(time.perf_counter() - t0, 3)
+    timings["star_build_write"] = dt
+    total += dt
+    print(f"# star_build_write: {dt:.3f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {

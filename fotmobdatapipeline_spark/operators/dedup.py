@@ -184,26 +184,31 @@ def jaccard_pairs(
     )
 
 
-def simhash64(text: Column, n_bits: int = 16) -> Column:
-    """SimHash over whitespace tokens using the first ``n_bits`` bits of
-    each token's md5.  Per-row, portable (md5 hex nibbles → bits).
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16
+) -> DataFrame:
+    """SimHash over whitespace tokens (frequency-weighted): bit b of the
+    signature is the sign of sum over tokens of (2*md5_bit_b(token) - 1).
+    Portable: bits come from md5 hex nibbles, reproducible in SQL.
 
-    bit_b(token) = nibble(md5(token))[b]; the simhash bit is the sign of
-    sum over tokens of (2*bit - 1).  Returned as a bit-string column so
-    the oracle can reproduce it with string ops.
-    """
-    toks = F.split(text, " ")
-    bit_cols = []
+    Same scalable shape as minhash_signatures: explode tokens → ONE md5
+    per token occurrence → groupBy(doc) with n_bits signed-sum aggregates
+    (map-side combine shrinks the shuffle to one row per doc per
+    partition).  Output: (id, simhash bit-string)."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+    aggs = []
     for b in range(n_bits):
         nibble_idx = b // 4 + 1  # 1-based position in the hex string
-        bit_in_nibble = 3 - (b % 4)  # hex nibble is big-endian bits
-        # conv(nibble,16,10) → value 0..15; extract the bit arithmetically
-        def tok_bit(t, ni=nibble_idx, bi=bit_in_nibble):
-            val = F.conv(F.substring(F.md5(t), ni, 1), 16, 10).cast("int")
-            return F.when(F.floor(val / (2 ** bi)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        total = F.aggregate(
-            F.transform(toks, tok_bit), F.lit(0), lambda acc, v: acc + v
-        )
-        bit_cols.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
+        bit_div = 2 ** (3 - (b % 4))  # hex nibble is big-endian bits
+        val = F.conv(F.substring("h", nibble_idx, 1), 16, 10).cast("int")
+        bit = F.floor(val / bit_div) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
+    sums = hashed.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(n_bits)
+        ]
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))

@@ -693,3 +693,197 @@ def nation_revenue(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(_dsum(revenue).alias("revenue"))
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# SQL surface (EP3): the same string runs through Spark SQL's parser and
+# the oracle — GROUPING SETS beyond rollup/cube.
+# --------------------------------------------------------------------------
+@register(
+    "sql_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("sql", "grouping-sets"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.sources.registry import read_table as _rt
+
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT 1.5 * (CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*))
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (orders 1.5x above their customer's mean) —
+# Catalyst decorrelates this into an aggregate + join.
+# --------------------------------------------------------------------------
+@register(
+    "correlated_subquery",
+    oracle=_CORRELATED_SQL,
+    tags=("sql", "subquery"),
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.sources.registry import read_table as _rt
+
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregates (FILTER / count_if / bool_or).
+# --------------------------------------------------------------------------
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           SUM(l_quantity) FILTER (WHERE l_quantity > 25) AS big_qty,
+           BOOL_OR(l_quantity >= 50) AS has_max_qty,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS DOUBLE)
+             / COUNT(*) AS frac_big
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    big = F.col("l_quantity") > 25
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count_if(big).alias("n_big"),
+        F.sum(F.when(big, F.col("l_quantity"))).alias("big_qty"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("has_max_qty"),
+        (F.count_if(big).cast("double") / F.count("*")).alias("frac_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames: moving average (explicit ROWS frame), first/last value,
+# ntile quartiles.
+# --------------------------------------------------------------------------
+@register(
+    "window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w3 AS DOUBLE)
+             / COUNT(*) OVER w3 AS moving_avg_3,
+           FIRST_VALUE(o_orderkey) OVER wfull AS first_key,
+           LAST_VALUE(o_orderkey) OVER wcur AS last_key_so_far,
+           CAST(NTILE(4) OVER wo AS INT) AS quartile
+    FROM orders
+    WINDOW
+      wo AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wcur AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "frames"),
+)
+def window_frames(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    wcur = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(_dec("o_totalprice")).over(w3).cast("double") / F.count("*").over(w3)
+        ).alias("moving_avg_3"),
+        F.first("o_orderkey").over(wfull).alias("first_key"),
+        F.last("o_orderkey").over(wcur).alias("last_key_so_far"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time arithmetic battery.
+# --------------------------------------------------------------------------
+@register(
+    "datetime_arithmetic",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS ship_delay_days,
+           CAST(o.o_orderdate AS DATE) + 30 AS due_date,
+           last_day(o.o_orderdate) AS month_end,
+           CAST(EXTRACT(QUARTER FROM o.o_orderdate) AS INT) AS order_quarter,
+           CAST(EXTRACT(DOY FROM l.l_shipdate) AS INT) AS ship_doy
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("datetime",),
+)
+def datetime_arithmetic(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofyear("l_shipdate").alias("ship_doy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (SURVEY §2 set ops & reshaping).
+# --------------------------------------------------------------------------
+@register(
+    "part_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+    tags=("unpivot",),
+)
+def part_unpivot(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (HLL sketch).  Engine-specific sketch values →
+# no SQL oracle; the driver records rows-only, and the exact column lets
+# tests bound the error.
+# --------------------------------------------------------------------------
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+

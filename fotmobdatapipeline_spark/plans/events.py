@@ -243,6 +243,64 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# As-of join: each purchase matched to the latest prior click of the
+# same user.  Spark lacks a native as-of join; the scalable pattern is
+# union + last_value(ignoreNulls) over a per-key time-ordered window —
+# one shuffle on user_id, no range explosion.  (DuckDB has native
+# ASOF JOIN, but its tie-breaking is unspecified; the oracle uses a
+# deterministic correlated top-1 instead.)
+# --------------------------------------------------------------------------
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id,
+           (SELECT CAST(epoch_us(MAX(c.ts)) AS BIGINT) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS click_ts_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "tus", "event_id", F.lit(0).alias("is_purchase")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tus", "event_id", F.lit(1).alias("is_purchase")
+    )
+    both = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (inclusive <= semantics);
+    # among equal-ts clicks the larger event_id wins, matching the oracle.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("tus"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("tus"))
+    click_id = F.when(F.col("is_purchase") == 0, F.col("event_id"))
+    matched = both.select(
+        "user_id",
+        "tus",
+        "event_id",
+        "is_purchase",
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+    )
+    return matched.filter(F.col("is_purchase") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("tus").alias("purchase_ts_us"),
+        "click_event_id",
+        "click_ts_us",
+    )
+
+
+# --------------------------------------------------------------------------
 # Pivot: daily event-type count matrix (SURVEY §2 "grouping/pivot").
 # --------------------------------------------------------------------------
 @register(

@@ -177,6 +177,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Dedup tier 2b: SimHash signatures (frequency-weighted md5-bit votes).
+# Oracle reproduces the nibble→bit arithmetic with strpos math.
+# --------------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+def _sql_simhash_bit(b: int) -> str:
+    ni, div = b // 4 + 1, 2 ** (3 - (b % 4))
+    return (
+        f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, {ni}, 1)) - 1)"
+        f" // {div} % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    )
+
+
+_simhash_sums = ",\n             ".join(_sql_simhash_bit(b) for b in range(_SIMHASH_BITS))
+_simhash_concat = " || ".join(
+    f"(CASE WHEN b{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+    s AS (SELECT doc_id,
+             {_simhash_sums}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, {_simhash_concat} AS simhash FROM s
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str):
+    return D.simhash_signatures(
+        read_table(spark, sf_dir, "documents"), n_bits=_SIMHASH_BITS
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: corpus word counts (explode + top-k with document freq).
+# --------------------------------------------------------------------------
+@register(
+    "text_word_counts",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    tags=("text", "explode", "topk"),
+)
+def text_word_counts(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis: quality scoring.
 # --------------------------------------------------------------------------
 @register(
@@ -371,6 +435,33 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str):
             F.min("nrm").alias("min_norm"),
             F.max("nrm").alias("max_norm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Array ops: posexplode normalized vector components (unit vectors).
+# --------------------------------------------------------------------------
+@register(
+    "embedding_unit_components",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings WHERE vec_id < 5
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           CAST(embedding[i] AS DOUBLE) / nrm AS unit_val
+    FROM v, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    """,
+    tags=("similarity", "explode"),
+)
+def embedding_unit_components(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    nrm = S.l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id", nrm.alias("nrm"), F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "pos", (F.col("val").cast("double") / F.col("nrm")).alias("unit_val")
     )
 
 

@@ -1,0 +1,71 @@
+"""Sink layer — the engine's replacement for the reference's BigQuery
+loads (L1, fotmob-dag.py:179-183) and SQL CTAS (Q1, sql:1).
+
+The reference uploads six pandas tables with ``pandas_gbq.to_gbq``
+(default errors if the table exists) and rebuilds the reporting table
+with ``CREATE OR REPLACE``.  Engine policy (SURVEY.md §4.3-3): all
+writes are idempotent ``overwrite`` so reruns converge.
+
+Scale design:
+* ``write_parquet(partition_by=...)`` → partition pruning for readers;
+  pick low-cardinality columns (date, region), never high-cardinality
+  keys (small-files explosion).
+* ``write_bucketed`` → pre-shuffled co-location on the join key; two
+  tables bucketed on the same key join WITHOUT a shuffle — the 100 TB
+  answer to repeated fact⋈fact joins.
+* ``create_or_replace_table`` → the Q1 CTAS equivalent in the session
+  catalog.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def create_or_replace_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """CREATE OR REPLACE TABLE <name> AS <df> in the session catalog."""
+    df.write.mode("overwrite").saveAsTable(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) so
+    same-bucketed joins skip the shuffle entirely."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def write_star(tables: dict[str, DataFrame], base_path: str, mode: str = "overwrite") -> dict[str, str]:
+    """Write every star-schema table under ``base_path/<name>`` — the
+    engine's whole 'load stage' (each write is one Spark job over the
+    shared lazy lineage)."""
+    paths = {}
+    for name, df in tables.items():
+        path = f"{base_path}/{name}"
+        write_parquet(df, path, mode=mode)
+        paths[name] = path
+    return paths
