@@ -416,6 +416,66 @@ def setop_except(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Full outer join: customer x supplier account balances per nation.
+# --------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_bal
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_bal
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.cust_bal, s.supp_bal
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str):
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(_dsum(_dec("c_acctbal")).alias("cust_bal"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(_dsum(_dec("s_acctbal")).alias("supp_bal"))
+    )
+    c, s = cust.alias("c"), supp.alias("s")
+    return c.join(s, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer").select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        "cust_bal",
+        "supp_bal",
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operation: INTERSECT — nations present among both customers and
+# suppliers.
+# --------------------------------------------------------------------------
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").cast("long").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Anti / semi joins (engine-exposed for dedup & data-quality checks).
 # --------------------------------------------------------------------------
 @register(

@@ -404,6 +404,33 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine
+# re-score — the scale path for embedding-cosine dedup (the cross join
+# never happens; candidates only meet inside a bucket).
+# --------------------------------------------------------------------------
+@register(
+    "sim_lsh_candidate_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.0
+    """,
+    tags=("similarity", "lsh", "dedup"),
+)
+def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str):
+    return S.lsh_candidate_pairs(
+        read_table(spark, sf_dir, "embeddings"), n_bits=8, min_cosine=0.0
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding column stats per label (rounded-decimal sums for determinism).
 # --------------------------------------------------------------------------
 @register(
