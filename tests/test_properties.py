@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the dedup/similarity/text
+operators — invariants no oracle run can pin down (SURVEY.md §5.3).
+
+Strategy sizes are kept small: each example round-trips through Spark,
+so we cap examples and reuse the session-scoped SparkSession.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "agg", "row"]
+
+texts = st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _docs_df(spark, texts_list):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_list)], "doc_id long, text string"
+    )
+
+
+@given(st.lists(texts, min_size=2, max_size=5))
+@_settings
+def test_fingerprint_invariant_under_word_shuffle(spark, texts_list):
+    """fingerprint = md5(sorted distinct words) must not change when the
+    words of a doc are permuted."""
+    from fotmobdatapipeline_spark.operators.dedup import fingerprint
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0)
+    shuffled = []
+    for t in texts_list:
+        ws = t.split(" ")
+        rng.shuffle(ws)
+        shuffled.append(" ".join(ws))
+    a = _docs_df(spark, texts_list).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    b = _docs_df(spark, shuffled).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    assert {(r["doc_id"], r["fp"]) for r in a.collect()} == {
+        (r["doc_id"], r["fp"]) for r in b.collect()
+    }
+
+
+@given(st.lists(texts, min_size=2, max_size=4))
+@_settings
+def test_jaccard_bounds_and_identity(spark, texts_list):
+    """0 < jaccard <= 1 for reported pairs; a doc duplicated verbatim
+    yields jaccard == 1 with its copy."""
+    from fotmobdatapipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = texts_list + [texts_list[0]]  # exact duplicate of doc 0
+    df = _docs_df(spark, docs)
+    rows = jaccard_pairs(df).collect()
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+    dup_pair = [r for r in rows if r["doc_a"] == 0 and r["doc_b"] == len(docs) - 1]
+    if len(texts_list[0].split()) >= 3:  # doc 0 has shingles at all
+        assert dup_pair and dup_pair[0]["jaccard"] == 1.0
+
+
+@given(st.lists(texts, min_size=2, max_size=4))
+@_settings
+def test_minhash_identical_docs_identical_signatures(spark, texts_list):
+    from fotmobdatapipeline_spark.operators.dedup import minhash_signatures
+
+    docs = texts_list + [texts_list[0]]
+    df = _docs_df(spark, docs)
+    sigs = {r["doc_id"]: tuple(r[f"sig_{j}"] for j in range(8)) for r in
+            minhash_signatures(df).collect()}
+    if 0 in sigs and len(docs) - 1 in sigs:
+        assert sigs[0] == sigs[len(docs) - 1]
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """Near-identical docs must collide in at least one LSH band (r=1
+    banding: candidate iff ANY signature matches)."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variant = base + " tail"  # one extra shingle
+    df = _docs_df(spark, [base, variant, "totally different words entirely here now"])
+    sigs = minhash_signatures(df, num_hashes=4)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_band_pairs(sigs, num_hashes=4).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_self_similarity(spark):
+    """A vector duplicated exactly must be its copy's top neighbor with
+    cos_sim == 1.0 (bit-exact by the sequential-fold determinism)."""
+    from fotmobdatapipeline_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(1)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    vecs.append(list(vecs[0]))  # id 6 == id 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    top = brute_force_topk(df.filter("vec_id = 0"), df, k=1).collect()
+    assert top[0]["neighbor_id"] == 6
+    assert top[0]["cos_sim"] == 1.0
