@@ -1,0 +1,33 @@
+"""Deterministic sampling operators.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — a re-run
+with different file splits samples a different row set, which poisons
+oracle checks and makes 100 TB pipeline stages non-reproducible.  These
+operators sample on a *content hash* of a key column instead: the same
+row is in or out of the sample regardless of partitioning, cluster size,
+file layout, or engine — the property an incremental training-data
+pipeline needs (a document keeps its sample fate across re-crawls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Two-hex-digit md5 prefixes are uniform over 256 values; keeping
+# prefixes < this bound samples bound/256 of the keyspace.
+_HEX2 = 256
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep rows whose md5(key) falls in the first ``fraction`` of the
+    hash space (granularity 1/256).  Map-side only — no shuffle, no RNG,
+    no seed; portable across engines (md5 of the decimal string form).
+    """
+    bound = max(1, round(fraction * _HEX2))
+    return df.filter(hash_bucket_256(F.col(key)) < bound)
+
+
+def hash_bucket_256(key: Column) -> Column:
+    """Uniform bucket in [0, 256) from the md5 of the key's string form."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10).cast("int")

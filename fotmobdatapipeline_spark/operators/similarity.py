@@ -103,6 +103,133 @@ def lsh_bucket_histogram(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (highest cosine; ties -> lowest centroid id).
+
+    The centroid set is tiny (k ~ sqrt(N) cells, kept well under the
+    broadcast threshold), so assignment is a broadcast nested-loop over k
+    candidates per row followed by a per-vector argmax — a map-side-only
+    stage, no shuffle until someone aggregates by cell.  Output:
+    (id, vec, norm, cell).
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(centroid_id_col).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vid",
+        "vec",
+        "nrm",
+        "cell",
+        (dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))).alias(
+            "c_sim"
+        ),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vid", "vec", "nrm", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe only their own centroid cell
+    (nprobe=1), scoring exact cosine against that cell's inverted list.
+
+    vs. brute force: the |Q| x |C| cross join becomes a (cell)-keyed
+    equi-join — per-query work drops from N to N/k on balanced cells, and
+    the shuffle key (cell) is the partitioning a 100 TB vector table would
+    be *stored* in (one parquet partition per cell), so at scale the probe
+    is a partition-pruned scan, not a shuffle.  Recall is traded for
+    speed; raise nprobe (probe the p nearest cells) to buy recall back.
+
+    Output: (query_id, cell, neighbor_id, cos_sim, rk).
+    """
+    from pyspark.sql import Window
+
+    qa = ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    ca = ivf_assign(candidates, centroids, id_col, vec_col, centroid_id_col).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    pairs = qa.join(ca, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cell", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def quantized_dedup_groups(
+    vectors: DataFrame,
+    scale: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup groups by quantization: round each component to
+    the nearest 1/``scale`` and group on the integer-grid key.  Vectors
+    whose components all round to the same grid cell are near-duplicates.
+
+    This is the cheap tier of embedding dedup — one map + one hash
+    aggregate, no pairwise work at all; the LSH pair path
+    (``lsh_candidate_pairs``) is the finer tier.  Output:
+    (vec_id = group representative, qkey, n_dups).
+    """
+    qkey = F.array_join(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return (
+        vectors.select(F.col(id_col), qkey.alias("qkey"))
+        .groupBy("qkey")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "qkey", "n_dups")
+    )
+
+
 def lsh_candidate_pairs(
     vectors: DataFrame,
     n_bits: int = 8,

@@ -1,0 +1,424 @@
+"""Scale-path operators: range/interval/salted joins, deterministic
+sampling, exact statistical aggregates, histograms, distribution windows,
+and IVF similarity search — each with a value-exact DuckDB oracle.
+
+None of these exist in the reference (its only join shape is a
+broadcast-sized inner equi-join, fotmob-dag.py:144-148); they are the
+operators a 100 TB training-data pipeline needs, written as the plan
+shape that survives scale (see operators/joins.py, operators/sampling.py,
+operators/similarity.py docstrings) and proven row/value-identical to the
+naive relational form by the oracle.
+
+Determinism notes follow plans/catalog.py: decimal sums for
+order-insensitive money/measure math, integer-µs time arithmetic,
+sequential-fold dot products, unique tiebreaks before every rank/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators import joins as J
+from fotmobdatapipeline_spark.operators import sampling as SA
+from fotmobdatapipeline_spark.operators import similarity as S
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.plans.llmdata import _sql_dot
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+# Exact decimal sum of a 2-dp money column, surfaced as DOUBLE — the
+# stored doubles are exactly 2-dp, so the decimal cast recovers the exact
+# value in both engines and the sum is order-insensitive (catalog.py
+# rules; same pattern as plans/core.py).
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def _spark_dsum(col):
+    return F.sum(col.cast("decimal(12,2)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Range join, scale path: uniform price bands via arithmetic band ids.
+# The oracle is the *inequality join* form — proving the O(1)-per-row
+# rewrite produces exactly the rows a nested-loop range join would.
+# --------------------------------------------------------------------------
+_BAND_W = 50_000.0
+_N_BANDS = 10
+
+
+@register(
+    "join_range_banded",
+    oracle=f"""
+    WITH bands AS (
+      SELECT CAST(i AS INT) AS band_id,
+             i * {_BAND_W} AS band_lo, (i + 1) * {_BAND_W} AS band_hi
+      FROM range(0, {_N_BANDS}) AS t(i)
+    )
+    SELECT band_id, band_lo, band_hi, COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    JOIN bands ON o_totalprice >= band_lo
+              AND (o_totalprice < band_hi OR band_id = {_N_BANDS - 1})
+    GROUP BY band_id, band_lo, band_hi
+    """,
+    tags=("join", "range"),
+    doc="Uniform-band range join rewritten as arithmetic banding (no join).",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    banded = J.range_band_join(orders, "o_totalprice", _BAND_W, _N_BANDS)
+    return banded.groupBy("band_id", "band_lo", "band_hi").agg(
+        F.count("*").alias("n_orders"),
+        _spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join: row-identical to the plain equi-join (the oracle), but
+# physically spread over n_salts shuffle partitions per key.
+# --------------------------------------------------------------------------
+@register(
+    "join_salted_agg",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+    doc="Salted equi-join (skew splinter); result equals the plain join.",
+)
+def join_salted_agg(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = J.salted_join(
+        li, orders, key="l_orderkey", probe_salt=F.col("l_linenumber") % 8, n_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval self-join: purchases paired with same-user views in the
+# preceding 10 minutes.  Oracle is the naive inequality join; the engine
+# runs the bucketed equi-join (operators/joins.py::interval_bucket_join).
+# --------------------------------------------------------------------------
+_IVAL_S = 600
+
+
+@register(
+    "events_interval_join",
+    oracle=f"""
+    SELECT a.user_id AS user, a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts) - {_IVAL_S * 1_000_000}
+     AND epoch_us(b.ts) <= epoch_us(a.ts)
+    WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+    """,
+    tags=("join", "interval", "events"),
+    doc="Time-bounded self-join via 2-bucket equi-join (no nested loop).",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    pairs = J.interval_bucket_join(
+        ev,
+        left_filter=F.col("event_type") == "purchase",
+        right_filter=F.col("event_type") == "view",
+        window_seconds=_IVAL_S,
+    )
+    return pairs.select(
+        "user",
+        "a_id",
+        "b_id",
+        (F.unix_micros("a_ts") - F.unix_micros("b_ts")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic content-hash sampling (~10%): same rows in or out of the
+# sample regardless of partitioning, cluster size, or engine.
+# --------------------------------------------------------------------------
+_SAMPLE_BOUND = 26  # round(0.1 * 256)
+
+# DuckDB twin of operators/sampling.py::hash_bucket_256 (no conv() there:
+# two hex nibbles decoded by strpos arithmetic).
+_SQL_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "sample_hash_agg",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE {_SQL_BUCKET} < {_SAMPLE_BOUND}
+    GROUP BY o_orderstatus
+    """,
+    tags=("sampling",),
+    doc="Partitioning-independent md5 sampling; map-side only.",
+)
+def sample_hash_agg(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        SA.hash_sample(orders, "o_orderkey", 0.1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            _spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates with order-insensitive math: mean / stddev / corr
+# derived from exact decimal power sums, final formulas in DOUBLE.  Naive
+# stddev_samp/corr over doubles is partitioning-dependent (float sum
+# order); this is the reproducible form a data-quality layer should use.
+# --------------------------------------------------------------------------
+# Exact power sums: the stored doubles are 2-dp, so DECIMAL(12,2) casts
+# are exact and decimal products/sums are exact in both engines.
+_DQ = "CAST(l_quantity AS DECIMAL(12,2))"
+_DP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SX = f"CAST(SUM({_DQ}) AS DOUBLE)"
+_SY = f"CAST(SUM({_DP}) AS DOUBLE)"
+_SXX = f"CAST(SUM({_DQ} * {_DQ}) AS DOUBLE)"
+_SYY = f"CAST(SUM({_DP} * {_DP}) AS DOUBLE)"
+_SXY = f"CAST(SUM({_DQ} * {_DP}) AS DOUBLE)"
+
+
+@register(
+    "agg_stats_exact",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {_SX} AS sx, {_SY} AS sy, {_SXX} AS sxx, {_SYY} AS syy, {_SXY} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+    doc="Deterministic mean/stddev/corr from exact decimal power sums.",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram: one map + one hash aggregate (the 100 TB-safe way
+# to histogram — no sort, no global pass to find bounds).
+# --------------------------------------------------------------------------
+@register(
+    "histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS INT) AS bucket,
+           COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist per
+# market segment, ordered by a unique (acctbal, custkey) tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: trailing 1-hour sum of `value` per user over event
+# time (integer-µs range frame; decimal sum -> frame-order-insensitive).
+# --------------------------------------------------------------------------
+@register(
+    "window_trailing_range",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h
+    FROM events
+    """,
+    tags=("window", "range-frame", "events"),
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF similarity search (nprobe=1): centroids = vectors 0..7, every vector
+# assigned to its nearest centroid cell, queries scored only against their
+# own cell's inverted list.  The cell key is the storage partitioning a
+# 100 TB vector table would use -> probe = partition-pruned scan.
+# --------------------------------------------------------------------------
+_N_CELLS = 8
+_N_QUERIES = 10
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_norm
+      FROM v WHERE vec_id < {_N_CELLS}
+    ),
+    assign AS (
+      SELECT vid, cell FROM (
+        SELECT v.vec_id AS vid, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_sql_dot('v.embedding', 'c.c_vec')} / (v.nrm * c.c_norm) DESC,
+                          c.cell ASC
+               ) AS rk
+        FROM v, c
+      ) WHERE rk = 1
+    ),
+    av AS (
+      SELECT a.vid, a.cell, v.embedding, v.nrm
+      FROM assign a JOIN v ON v.vec_id = a.vid
+    ),
+    pairs AS (
+      SELECT q.vid AS query_id, q.cell,
+             s.vid AS neighbor_id,
+             {_sql_dot('q.embedding', 's.embedding')} / (q.nrm * s.nrm) AS cos_sim
+      FROM av q JOIN av s ON q.cell = s.cell AND q.vid != s.vid
+      WHERE q.vid < {_N_QUERIES}
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+    tags=("similarity", "ivf", "topk"),
+    doc="IVF ANN: cell-partitioned search replaces the |Q|x|C| cross join.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < _N_QUERIES), emb, centroids, k=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via quantization: grid-cell grouping, no pairwise
+# work at all (tier below LSH pairs).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_quantized",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10, 0) AS INT) AS VARCHAR)),
+               ',') AS qkey
+      FROM embeddings
+    )
+    SELECT MIN(vec_id) AS vec_id, qkey, COUNT(*) AS n_dups
+    FROM q GROUP BY qkey
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_quantized(spark: SparkSession, sf_dir: str):
+    return S.quantized_dedup_groups(read_table(spark, sf_dir, "embeddings"), scale=10)

@@ -66,6 +66,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import fotmobdatapipeline_spark.plans.advanced  # noqa: F401
     import fotmobdatapipeline_spark.plans.core  # noqa: F401
     import fotmobdatapipeline_spark.plans.events  # noqa: F401
     import fotmobdatapipeline_spark.plans.llmdata  # noqa: F401

@@ -1,0 +1,110 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness says the answer is right; these tests pin the *plan* so a
+future edit can't silently regress scale behavior: broadcasts stay
+broadcasts, pushed filters stay pushed, rewritten joins stay joins-free,
+and nothing ever degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _q(name):
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    return QUERIES[name].builder
+
+
+def test_flagship_joins_are_broadcast(spark):
+    """Dim tables are far below the broadcast threshold; the fact-side
+    join must be a BroadcastHashJoin, never a shuffle join."""
+    df = _q("flagship_revenue_topk")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    """Predicate pushdown + column pruning must reach the parquet reader:
+    the scan advertises PushedFilters and reads only needed columns."""
+    df = _q("filter_pushdown_scan")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # Not the degenerate empty list.
+    assert "PushedFilters: []" not in plan
+
+
+def test_range_band_join_has_no_join(spark):
+    """The uniform-band range join is rewritten to arithmetic banding —
+    the physical plan must contain no join operator at all."""
+    df = _q("join_range_banded")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The time-bounded self-join must run as a hash/sort-merge equi-join
+    on (user, bucket); a nested loop or cartesian product means the
+    bucketing rewrite regressed."""
+    df = _q("events_interval_join")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_ivf_never_cartesian(spark):
+    """IVF probes an equi-joined cell; only the tiny centroid broadcast
+    may be a nested loop. A CartesianProduct anywhere is a regression to
+    brute force."""
+    df = _q("sim_ivf_topk")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_map_side_only(spark):
+    """Content-hash sampling adds no shuffle: the only Exchange in the
+    aggregate query is the groupBy's own."""
+    df = _q("sample_hash_agg")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2  # partial/final agg pair at most
+    assert "Join" not in plan
+
+
+def test_salted_join_spreads_keys(spark):
+    """The salted join must join on the composite (key, salt) so a hot
+    key hashes to n_salts different partitions."""
+    from fotmobdatapipeline_spark.operators.joins import salted_join
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    orders = read_table(spark, SF_ORACLE, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", probe_salt=F.col("l_linenumber") % 8, n_salts=8
+    )
+    assert "__salt" in _optimized(joined), "join key must include the salt"
+    assert "__salt" not in joined.columns, "salt must not leak into the result"
+
+
+def test_dedup_scan_prunes_columns(spark):
+    """Exact dedup on `text` must not drag the other document columns
+    through the shuffle — ReadSchema is pruned to what the query needs."""
+    df = _q("dedup_exact")(spark, SF_ORACLE)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "source" not in scan and "lang" not in scan, scan
