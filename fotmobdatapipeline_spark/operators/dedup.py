@@ -153,20 +153,39 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Tier 4: exact n-gram Jaccard for every shingle-sharing pair.
     Output (doc_a, doc_b, common, jaccard); only pairs with ≥1 shared
-    shingle appear (others have jaccard 0 by definition)."""
+    shingle appear (others have jaccard 0 by definition).
+
+    Plan shape: ONE shuffle of the exploded shingles (groupBy shingle →
+    sorted posting list) + in-group pair generation + one pair-keyed
+    aggregate.  A shingle self-join would shuffle the shingle strings
+    twice (both join sides) and hash-probe long keys; the posting-list
+    form moves each shingle once and emits pairs map-side.  Very common
+    shingles make quadratic postings — at corpus scale cap document
+    frequency upstream (drop shingles with df > ~1000: they carry no
+    dedup signal and are the skew tail).
+    """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    postings = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # All ordered pairs (ids[i], ids[j]), i < j, from each posting list.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     return (

@@ -22,23 +22,31 @@ from fotmobdatapipeline_spark.sources.registry import read_table
 from fotmobdatapipeline_spark.sources.sinks import write_parquet, write_star
 
 
-def build_star_tables(spark: SparkSession, sf_dir: str) -> dict:
+def build_dims(spark: SparkSession, sf_dir: str) -> dict:
     li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     part = read_table(spark, sf_dir, "part")
     supplier = read_table(spark, sf_dir, "supplier")
+    return {
+        "customer_dim": build_dim(
+            customer, ["c_custkey", "c_name", "c_mktsegment"], "customer_sk"
+        ),
+        "part_dim": build_dim(part, ["p_partkey", "p_name", "p_brand", "p_type"], "part_sk"),
+        "supplier_dim": build_dim(supplier, ["s_suppkey", "s_name"], "supplier_sk"),
+        "status_dim": build_dim(li, ["l_returnflag", "l_linestatus"], "status_sk"),
+    }
 
-    cust_dim = build_dim(customer, ["c_custkey", "c_name", "c_mktsegment"], "customer_sk")
-    part_dim = build_dim(part, ["p_partkey", "p_name", "p_brand", "p_type"], "part_sk")
-    supp_dim = build_dim(supplier, ["s_suppkey", "s_name"], "supplier_sk")
-    status_dim = build_dim(li, ["l_returnflag", "l_linestatus"], "status_sk")
 
+def build_fact_df(spark: SparkSession, sf_dir: str, dims: dict):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust_dim, part_dim = dims["customer_dim"], dims["part_dim"]
+    supp_dim, status_dim = dims["supplier_dim"], dims["status_dim"]
     enriched = li.join(
         F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
         li.l_orderkey == F.col("o_orderkey"),
     )
-    fact = build_fact(
+    return build_fact(
         enriched.withColumnsRenamed(
             {"o_custkey": "c_custkey", "l_partkey": "p_partkey", "l_suppkey": "s_suppkey"}
         ),
@@ -51,34 +59,50 @@ def build_star_tables(spark: SparkSession, sf_dir: str) -> dict:
         measures=["l_quantity", "l_extendedprice", "l_discount", "o_orderdate"],
         extra_keys=["l_orderkey", "l_linenumber"],
     )
-    reporting = denormalize(
+
+
+def build_reporting(fact, dims: dict):
+    return denormalize(
         fact,
         dims=[
-            (cust_dim, "customer_sk", ["c_name", "c_mktsegment"]),
-            (part_dim, "part_sk", ["p_name", "p_brand"]),
-            (supp_dim, "supplier_sk", ["s_name"]),
-            (status_dim, "status_sk", ["l_returnflag", "l_linestatus"]),
+            (dims["customer_dim"], "customer_sk", ["c_name", "c_mktsegment"]),
+            (dims["part_dim"], "part_sk", ["p_name", "p_brand"]),
+            (dims["supplier_dim"], "supplier_sk", ["s_name"]),
+            (dims["status_dim"], "status_sk", ["l_returnflag", "l_linestatus"]),
         ],
         measures=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "o_orderdate"],
     ).withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
-    return {
-        "customer_dim": cust_dim,
-        "part_dim": part_dim,
-        "supplier_dim": supp_dim,
-        "status_dim": status_dim,
-        "sales_fact": fact,
-        "sales_reporting": reporting,
-    }
+
+
+def build_star_tables(spark: SparkSession, sf_dir: str) -> dict:
+    dims = build_dims(spark, sf_dir)
+    fact = build_fact_df(spark, sf_dir, dims)
+    return {**dims, "sales_fact": fact, "sales_reporting": build_reporting(fact, dims)}
 
 
 def run_star_build(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """Build + load everything; returns written paths.  One Spark job
-    per table write, reporting table partitioned by month."""
-    tables = build_star_tables(spark, sf_dir)
-    reporting = tables.pop("sales_reporting")
-    paths = write_star(tables, out_dir)
-    write_parquet(
-        reporting, f"{out_dir}/sales_reporting", partition_by=["order_month"]
-    )
+    per table write, reporting table partitioned by month.
+
+    Staged to never recompute lineage: dims are cached (small — the only
+    state worth keeping), the fact is written once and read back for the
+    reporting join.  A naive single-lineage version recomputes every dim
+    for the fact write and the whole fact for the reporting write; the
+    write-then-read-back stage boundary is also the 100 TB shape, where
+    the fact cannot be cached and the reporting layer must not re-run
+    the fact build.
+    """
+    dims = {name: df.cache() for name, df in build_dims(spark, sf_dir).items()}
+    paths = write_star(dims, out_dir)
+
+    fact = build_fact_df(spark, sf_dir, dims)
+    paths["sales_fact"] = f"{out_dir}/sales_fact"
+    write_parquet(fact, paths["sales_fact"])
+
+    fact_back = spark.read.parquet(paths["sales_fact"])
+    reporting = build_reporting(fact_back, dims)
+    write_parquet(reporting, f"{out_dir}/sales_reporting", partition_by=["order_month"])
     paths["sales_reporting"] = f"{out_dir}/sales_reporting"
+    for df in dims.values():
+        df.unpersist()
     return paths
