@@ -26,8 +26,15 @@ HEADLINE = [
     "events_sessionize",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
+    "dedup_lsh_candidates",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "text_quality",
+    "join_range_banded",
+    "join_salted_agg",
+    "events_interval_join",
+    "window_trailing_range",
+    "sample_hash_agg",
 ]
 
 

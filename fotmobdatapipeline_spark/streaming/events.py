@@ -96,6 +96,66 @@ def session_aggregate(
     )
 
 
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event paired with same-user
+    right events in the trailing ``window_seconds`` — the streaming twin
+    of plans/advanced.py::events_interval_join (same µs semantics).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can expire join state: a right row is held
+    only until the watermark passes ``b_ts + window`` — bounded state on
+    an unbounded stream.  Batch frames take the same code path (minus
+    watermarks), so the oracle-checked batch query validates this logic.
+    """
+    a = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+    )
+    return a.join(b, cond).select(
+        F.col("a_user").alias("user"),
+        "a_id",
+        "b_id",
+        (F.unix_micros("a_ts") - F.unix_micros("b_ts")).alias("gap_us"),
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    repair layer for at-least-once sources (replayed Kafka offsets,
+    re-delivered files).  State holds one entry per key and is expired by
+    the watermark, so memory is bounded; a batch frame degrades to plain
+    ``dropDuplicates`` (exact, unbounded horizon)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 _STATE_SCHEMA = StructType([StructField("count", LongType())])
 _OUT_SCHEMA = StructType(
     [StructField("user_id", LongType()), StructField("n_events", LongType())]

@@ -98,6 +98,52 @@ def test_session_window_matches_gaps_and_islands(spark, events_batch):
     assert got == want
 
 
+def test_interval_join_stream_equals_batch_oracle(spark, events_dir, events_batch):
+    """Stream-stream interval join drained to completion must produce
+    exactly the pairs of the oracle-checked batch query
+    (events_interval_join)."""
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.streaming.events import (
+        interval_join_stream,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain(interval_join_stream(stream), "ival_join", "append")
+    got = sorted(
+        (r["user"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in spark.sql("SELECT * FROM ival_join").collect()
+    )
+    want = sorted(
+        (r["user"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in query_map()["events_interval_join"](spark, SF_SMALL).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_dedup_stream_repairs_replayed_input(spark, tmp_path, events_batch):
+    """Feed the same file twice (at-least-once replay); the watermarked
+    streaming dedup must emit each event exactly once."""
+    import shutil as _sh
+
+    from fotmobdatapipeline_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path / "replayed"
+    d.mkdir()
+    _sh.copy(f"{SF_SMALL}/events.parquet", d / "part-0.parquet")
+    _sh.copy(f"{SF_SMALL}/events.parquet", d / "part-1.parquet")
+
+    stream = read_events_stream(spark, str(d))
+    _drain(dedup_stream(stream), "deduped", "append")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) AS d, COUNT(*) AS n FROM deduped").collect()[0]
+    assert n["n"] == events_batch.count(), "each replayed event must appear exactly once"
+    assert n["d"] == n["n"]
+
+
 def test_stateful_running_counts(spark, events_dir, events_batch):
     from fotmobdatapipeline_spark.streaming.events import (
         read_events_stream,
