@@ -248,6 +248,43 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Exact quantiles (PERCENTILE_CONT) per group, from one per-group sort;
+# interpolation formula mirrored verbatim in the oracle (see
+# operators/stats.py for the at-scale guidance vs approx sketches).
+# --------------------------------------------------------------------------
+def _sql_pct(p: float) -> str:
+    pos = f"(n - 1) * {p}"
+    flo, frac = f"FLOOR({pos})", f"({pos} - FLOOR({pos}))"
+    return (
+        f"SUM(CASE WHEN rn = {flo} THEN v * (1 - {frac}) "
+        f"WHEN {frac} > 0 AND rn = {flo} + 1 THEN v * {frac} "
+        f"ELSE 0.0 END)"
+    )
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag, l_quantity AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, {_sql_pct(0.5)} AS p50, {_sql_pct(0.9)} AS p90
+    FROM r GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantiles"),
+    doc="Exact PERCENTILE_CONT per group via rank arithmetic.",
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_group_quantiles(li, "l_quantity", ["l_returnflag"], ps=(0.5, 0.9))
+
+
+# --------------------------------------------------------------------------
 # Fixed-width histogram: one map + one hash aggregate (the 100 TB-safe way
 # to histogram — no sort, no global pass to find bounds).
 # --------------------------------------------------------------------------

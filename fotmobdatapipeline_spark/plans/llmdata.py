@@ -216,6 +216,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Dedup tier 2c: winnowing fingerprints (rolling-hash sketch, MOSS
+# scheme).  Exact integer Rabin-Karp arithmetic — bit-identical in SQL.
+# --------------------------------------------------------------------------
+_RK_K = 8
+_RK_W = 4
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents
+    ),
+    rh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(codes) - {_RK_K - 1}, 0) + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT), codes[i:i+{_RK_K - 1}]),
+                      (x, y) -> (x * 257 + y) % 2147483647)) AS hs
+      FROM c
+    ),
+    m AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {_RK_W - 1}, 0) + 1),
+               i -> list_aggregate(hs[i:i+{_RK_W - 1}], 'min'))) AS fps
+      FROM rh
+    )
+    SELECT doc_id, UNNEST(fps) AS fp FROM m
+    """,
+    tags=("dedup", "winnowing", "rolling-hash"),
+    doc="Rolling-hash winnowing fingerprints (copy-detection sketch).",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str):
+    return D.winnowing_fingerprints(
+        read_table(spark, sf_dir, "documents"), k=_RK_K, window=_RK_W
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis: corpus word counts (explode + top-k with document freq).
 # --------------------------------------------------------------------------
 @register(
