@@ -100,6 +100,147 @@ def fake_decoder(payload: bytes, dim: int = 8) -> list[float]:
     return [float(v) for v in acc]
 
 
+def _ship_for_workers(df: DataFrame, *callables) -> None:
+    """Make mapInPandas closures importable on Python workers: ship the
+    package zip and register the defining modules for pickle-by-value
+    (workers spawned by a driver that only sys.path-inserted the repo
+    have no import path to this package).  Best effort — no-op if the
+    workers already have the package installed."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        from fotmobdatapipeline_spark.session import ship_package
+
+        ship_package(df.sparkSession)
+        mods = {__name__} | {c.__module__ for c in callables if c is not None}
+        for mod_name in mods:
+            if mod_name in sys.modules and not mod_name.startswith("pyspark"):
+                cloudpickle.register_pickle_by_value(sys.modules[mod_name])
+    except Exception:
+        pass
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("n_bytes", IntegerType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize (real path: PIL/opencv
+    inside the same mapInPandas stage): truncate/zero-pad to width*height
+    bytes.  Shape-correct so downstream code sees real resized sizes."""
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """Per-row media resize: (id, payload, meta) -> same layout with the
+    payload transformed and meta carrying the new dimensions.  1-in-1-out
+    Arrow batches; no shuffle; payload column pruned to what's needed.
+    Swap ``resizer`` for a real decoder+scaler in production — the plan
+    shape, schema, and batching are identical."""
+    import pandas as pd
+
+    _ship_for_workers(media, resizer)
+    mime = "image/raw"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: resizer(bytes(b), width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": mime,
+                            "n_bytes": len(b),
+                            "width": width,
+                            "height": height,
+                        }
+                        for b in resized
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def fake_frame_splitter(payload: bytes, frame_bytes: int = 64) -> list[bytes]:
+    """Deterministic stand-in for a video demuxer (real path: ffmpeg):
+    fixed-size byte chunks as 'frames'."""
+    return [payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    max_frames: int = 8,
+    splitter: Callable[[bytes], list[bytes]] = fake_frame_splitter,
+) -> DataFrame:
+    """Frame sampling: one video row fans out to <= max_frames rows of
+    (doc_id, frame_idx, frame).  The 1-to-N expansion happens inside the
+    Arrow batch (a pandas explode), so Spark sees an ordinary mapInPandas
+    — no join, no shuffle; downstream per-frame feature extraction is
+    another map stage.  ``frame_idx`` is the index in the ORIGINAL frame
+    sequence (stride every_n), so provenance survives sampling."""
+    import pandas as pd
+
+    _ship_for_workers(media, splitter)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sampled = splitter(bytes(payload))[::every_n][:max_frames]
+                for k, fr in enumerate(sampled):
+                    ids.append(did)
+                    idxs.append(k * every_n)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": pd.array([len(f) for f in frames], dtype="int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] = stub_decoder,
@@ -111,23 +252,7 @@ def extract_features(
     (doc_id, payload) are read (column pruning drops meta)."""
     import pandas as pd
 
-    # The decoder and this closure cross into Python workers; serialize
-    # their defining modules by value so workers need no import path to
-    # this package (belt: ship_package adds the zip as suspenders).
-    try:
-        import sys
-
-        from pyspark import cloudpickle
-
-        from fotmobdatapipeline_spark.session import ship_package
-
-        ship_package(media.sparkSession)
-        for mod_name in {__name__, decoder.__module__}:
-            if mod_name in sys.modules and not mod_name.startswith("pyspark"):
-                cloudpickle.register_pickle_by_value(sys.modules[mod_name])
-    except Exception:
-        pass  # best effort; workers may already have the package
-
+    _ship_for_workers(media, decoder)
     pruned = media.select("doc_id", "payload")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

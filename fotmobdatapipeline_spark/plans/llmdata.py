@@ -581,3 +581,33 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str):
 
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
     return extract_features(media, decoder=fake_decoder)
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling: 1 video row -> N frame rows inside the Arrow
+# batch (no join/shuffle).  Splitter is the deterministic demuxer stub;
+# per-frame byte counts are SQL-reproducible, so this one has an oracle.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             UNNEST(range(0, least(
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 32), 4)) AS idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+           CAST(least(64, n - idx * 64) AS INT) AS n_bytes
+    FROM f
+    """,
+    tags=("multimodal", "pandas-udf", "frames"),
+    doc="Video-style frame sampling via in-batch fan-out (mapInPandas).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import attach_binary_payload, sample_frames
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=4, max_frames=8).select(
+        "doc_id", "frame_idx", "n_bytes"
+    )

@@ -47,3 +47,37 @@ def test_stub_decoder_gates_clearly(media):
     feats = extract_features(media)  # default stub decoder
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         feats.collect()
+
+
+def test_resize_media_shape_and_meta(media):
+    from fotmobdatapipeline_spark.multimodal import resize_media
+
+    out = resize_media(media, width=16, height=4)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "meta"]
+    rows = out.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert len(r["payload"]) == 16 * 4
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 4
+        assert r["meta"]["n_bytes"] == 64
+        assert r["meta"]["mime"] == "image/raw"
+
+
+def test_sample_frames_fanout_and_provenance(spark, media):
+    from fotmobdatapipeline_spark.multimodal import fake_frame_splitter, sample_frames
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    frames = sample_frames(media, every_n=4, max_frames=8)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    docs = {
+        r["doc_id"]: r["text"].encode()
+        for r in read_table(spark, SF_SMALL, "documents").collect()
+    }
+    assert set(got) <= set(docs)
+    for did, text in list(docs.items())[:20]:
+        want = fake_frame_splitter(text)[::4][:8]
+        have = sorted(got.get(did, []))
+        assert [f for _, f in have] == want
+        assert [i for i, _ in have] == [k * 4 for k in range(len(want))]
