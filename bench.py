@@ -50,6 +50,13 @@ def main() -> int:
     spark = get_spark(app_name="fotmob-bench", shuffle_partitions=int(cpus))
     qmap = query_map()
 
+    # Warm up parquet footers + the session (JVM/codegen/catalog), so the
+    # per-query numbers measure the engine, not first-touch setup.
+    from fotmobdatapipeline_spark.sources.registry import TABLES, read_table
+
+    for t in TABLES:
+        read_table(spark, sf_dir, t).limit(1).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

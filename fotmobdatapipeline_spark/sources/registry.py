@@ -45,6 +45,52 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_file_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching file source (parquet/json/csv/text).
+
+    Text formats REQUIRE an explicit schema in production: schema
+    inference reads the data twice and infers per-run (a 100 TB JSON
+    landing zone must not be re-scanned just to guess types, and a type
+    that flips between runs breaks downstream plans).  Inference is
+    allowed here only when ``schema=None`` for ad-hoc exploration.
+    CSV defaults to header=true; JSON reads one object per line
+    (``multiLine`` available via options for whole-file payloads like
+    the reference's per-match REST responses).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_file_sink(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    """Format-dispatching file sink (idempotent overwrite default).
+    Parquet for anything analytic; json/csv only as interchange exports —
+    they are row-oriented, uncompressed-by-default, and unpruned (every
+    query pays full-file reads), so at scale they are edge formats, not
+    storage formats."""
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Lazily bind every testdata table under ``sf_dir``."""
     return {t: read_table(spark, sf_dir, t) for t in TABLES}

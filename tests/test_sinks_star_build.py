@@ -68,3 +68,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_file_source_sink_roundtrip_formats(spark, tmp_path):
+    """nation survives a write→read round trip in every interchange
+    format, with explicit schemas on the text formats (no inference)."""
+    from fotmobdatapipeline_spark.sources.registry import (
+        read_file_source,
+        read_table,
+        write_file_sink,
+    )
+    from tests.conftest import SF_SMALL
+
+    nation = read_table(spark, SF_SMALL, "nation")
+    want = sorted(map(tuple, nation.collect()))
+    for fmt in ("parquet", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_file_sink(nation, path, fmt=fmt)
+        back = read_file_source(spark, path, fmt=fmt, schema=nation.schema)
+        assert sorted(map(tuple, back.collect())) == want, fmt
+        assert back.schema == nation.schema, fmt
