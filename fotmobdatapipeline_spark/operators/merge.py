@@ -1,0 +1,86 @@
+"""Keyed upsert (MERGE) into a partitioned parquet table — no Delta/
+Iceberg required.
+
+The reference's stated evolution is scheduled incremental batches
+(README.md:158); incremental loads need "insert new, replace changed"
+semantics.  Without a transactional table format, the scalable pattern
+is partition-scoped rewrite:
+
+1. compute the set of partitions the source batch touches (distinct of
+   the partition column — small);
+2. read ONLY those target partitions (partition pruning keeps this
+   proportional to the batch, not the table);
+3. anti-join the old rows on the merge key (drop rows being replaced),
+   union the new rows;
+4. write back with dynamic partition overwrite — untouched partitions
+   are never read or written.
+
+Cost is O(size of touched partitions), independent of total table size —
+the property that makes daily upserts into a 100 TB table feasible.
+Atomicity is per-partition (parquet has no multi-partition transaction);
+a production deployment layers Delta/Iceberg on top for snapshot
+isolation, with this exact same logical MERGE underneath.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> None:
+    """MERGE ``source`` into the parquet table at ``path``: rows whose
+    ``keys`` match an existing row replace it; others are appended.
+    ``source`` must contain ``partition_col``, and a key's partition must
+    be stable (a moved row would leave its old copy behind — same
+    contract Hive-style partitioned MERGE has).
+
+    ``source`` is evaluated three times (touched partitions, key set,
+    final write), so it is pinned with ``cache()`` — a nondeterministic
+    source lineage (sampled/limited/shuffled input) would otherwise
+    delete one key set and insert another."""
+    source = source.cache()
+    touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+
+    try:
+        target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+        existing = True
+    except Exception:
+        existing = False
+
+    if existing:
+        kept = target.join(
+            F.broadcast(source.select(*keys).distinct()), list(keys), "left_anti"
+        )
+        out = kept.unionByName(source.select(*kept.columns))
+    else:
+        out = source
+
+    # Stage the merged partitions to a scratch dir first: the merge reads
+    # the same files the final write replaces, and overwriting a path
+    # mid-read is undefined for file sources.  Cost: touched partitions
+    # are written twice — still O(batch), never O(table).
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="fotmob_merge_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        staged = spark.read.parquet(staging)
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        source.unpersist()
+        shutil.rmtree(staging, ignore_errors=True)

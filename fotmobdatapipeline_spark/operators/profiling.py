@@ -1,0 +1,44 @@
+"""Key-distribution profiling — measure before salting.
+
+Skew is the dominant large-cluster failure mode (one hot key = one
+straggler task = the stage's wall time).  ``key_distribution`` is the
+cheap diagnostic to run before choosing a join/agg strategy: heavy
+hitters, their share of all rows, and how many multiples of the average
+key they are.  One shuffle (the groupBy); the stats side is a 1-row
+broadcast.  Read it as: ``skew_vs_avg`` ≳ number of shuffle partitions →
+that key alone fills a partition → salt it (operators/joins.salted_join)
+or rely on AQE skew split for joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_distribution(df: DataFrame, key_cols: Sequence[str], top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` heaviest keys with global context: (keys..., n,
+    n_keys, share, skew_vs_avg), ordered heaviest first with a unique
+    key tiebreak."""
+    kcols = list(key_cols)
+    counts = df.groupBy(*kcols).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("n").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *kcols,
+            "n",
+            "n_keys",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            (
+                F.col("n").cast("double")
+                / (F.col("total").cast("double") / F.col("n_keys").cast("double"))
+            ).alias("skew_vs_avg"),
+        )
+        .orderBy(F.desc("n"), *[F.asc(c) for c in kcols])
+        .limit(top_k)
+    )

@@ -375,6 +375,34 @@ def window_trailing_range(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Key-skew profiler: the measure-before-salting diagnostic
+# (operators/profiling.py).  Heavy hitters + share + multiples-of-average.
+# --------------------------------------------------------------------------
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.l_suppkey, c.n, s.n_keys,
+           CAST(c.n AS DOUBLE) / CAST(s.total AS DOUBLE) AS share,
+           CAST(c.n AS DOUBLE)
+             / (CAST(s.total AS DOUBLE) / CAST(s.n_keys AS DOUBLE)) AS skew_vs_avg
+    FROM c, s
+    ORDER BY c.n DESC, c.l_suppkey ASC
+    LIMIT 10
+    """,
+    tags=("profiling", "skew"),
+    doc="Heavy-hitter key profile: the input to salting decisions.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.profiling import key_distribution
+
+    return key_distribution(read_table(spark, sf_dir, "lineitem"), ["l_suppkey"], top_k=10)
+
+
+# --------------------------------------------------------------------------
 # IVF similarity search (nprobe=1): centroids = vectors 0..7, every vector
 # assigned to its nearest centroid cell, queries scored only against their
 # own cell's inverted list.  The cell key is the storage partitioning a

@@ -39,3 +39,59 @@ def test_incremental_sink_lands_all_events_partitioned(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_upsert_partitioned_merge(spark, tmp_path):
+    """MERGE semantics on plain parquet: matched keys replaced, new keys
+    appended, untouched partitions byte-identical (never rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import upsert_partitioned
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "orders_merge")
+    orders = read_table(spark, SF_SMALL, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("order_month").parquet(path)
+    by_month = {
+        r["order_month"]: r["count"]
+        for r in orders.groupBy("order_month").count().collect()
+    }
+    touched_month = max(by_month, key=lambda m: (by_month[m], m))
+    untouched_month = min(m for m in by_month if m != touched_month)
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(path, f"order_month={untouched_month}", f))
+        for f in os.listdir(os.path.join(path, f"order_month={untouched_month}"))
+        if f.endswith(".parquet")
+    }
+
+    victims = (
+        orders.filter(F.col("order_month") == touched_month)
+        .orderBy("o_orderkey")
+        .limit(5)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    new_keys = victims.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority", "order_month",
+    )
+    batch = victims.unionByName(new_keys)
+    upsert_partitioned(spark, batch, path, keys=["o_orderkey"], partition_col="order_month")
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == orders.count() + 5
+    assert merged.filter(F.col("o_orderstatus") == "X").count() == 10
+    # replaced keys exist exactly once
+    dupes = merged.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    assert dupes == 0
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(path, f"order_month={untouched_month}", f))
+        for f in os.listdir(os.path.join(path, f"order_month={untouched_month}"))
+        if f.endswith(".parquet")
+    }
+    assert mtimes_after == mtimes_before, "untouched partition must not be rewritten"

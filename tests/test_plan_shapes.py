@@ -108,3 +108,32 @@ def test_dedup_scan_prunes_columns(spark):
     plan = _plan(df)
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "source" not in scan and "lang" not in scan, scan
+
+
+def test_minhash_has_map_side_partial_agg(spark):
+    """MinHash signatures must use the partial/final HashAggregate pair —
+    map-side combine is what shrinks the shuffle to one row per
+    (doc, partition) at corpus scale."""
+    df = _q("dedup_minhash_signatures")(spark, SF_ORACLE)
+    plan = _plan(df)
+    # String MINs use SortAggregate; the partial/final pair is what matters.
+    assert plan.count("Aggregate(") >= 2
+    assert "partial_min" in plan, plan[:2000]
+
+
+def test_merge_upsert_prunes_untouched_partitions(spark, tmp_path):
+    """The MERGE's target read must carry a partition filter — cost is
+    O(touched partitions), never a full-table scan."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    path = str(tmp_path / "t")
+    orders = read_table(spark, SF_ORACLE, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("order_month").parquet(path)
+    target = spark.read.parquet(path).filter(F.col("order_month") == "1995-03")
+    scan = _plan(target.groupBy().count())
+    assert "PartitionFilters" in scan
+    assert "1995-03" in scan
