@@ -112,3 +112,110 @@ def test_cosine_topk_self_similarity(spark):
     top = brute_force_topk(df.filter("vec_id = 0"), df, k=1).collect()
     assert top[0]["neighbor_id"] == 6
     assert top[0]["cos_sim"] == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 6), st.floats(1.0, 100.0)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join must be row-identical to the plain equi-join for any
+    key distribution (including heavy duplication)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.joins import salted_join
+
+    probe = spark.createDataFrame(
+        [(k, s, v) for k, s, v in rows], "k long, salt_src int, v double"
+    )
+    build = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(0, 21, 2)], "k long, attr string"
+    )
+    plain = probe.join(build, "k").select("k", "v", "attr")
+    salted = salted_join(
+        probe, build, "k", probe_salt=F.col("salt_src") % 4, n_salts=4
+    ).select("k", "v", "attr")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True))
+@_settings
+def test_hash_sample_is_partitioning_invariant(spark, keys):
+    """The content-hash sample must select the same keys regardless of
+    how the input is partitioned — the reproducibility property
+    df.sample() lacks."""
+    from fotmobdatapipeline_spark.operators.sampling import hash_sample
+
+    df1 = spark.createDataFrame([(k,) for k in keys], "k long").repartition(1)
+    df8 = spark.createDataFrame([(k,) for k in sorted(keys, reverse=True)], "k long").repartition(8)
+    s1 = sorted(r["k"] for r in hash_sample(df1, "k", 0.3).collect())
+    s8 = sorted(r["k"] for r in hash_sample(df8, "k", 0.3).collect())
+    assert s1 == s8
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000), st.booleans()),
+        min_size=2,
+        max_size=30,
+    )
+)
+@_settings
+def test_interval_bucket_join_equals_naive(spark, rows):
+    """The 2-bucket equi-join rewrite must produce exactly the naive
+    inequality join's pairs for arbitrary user/time layouts."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.joins import interval_bucket_join
+
+    data = [
+        (i, u, sec, "purchase" if is_a else "view")
+        for i, (u, sec, is_a) in enumerate(rows)
+    ]
+    ev = (
+        spark.createDataFrame(data, "event_id long, user_id long, sec long, event_type string")
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        .drop("sec")
+    )
+    got = interval_bucket_join(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+        window_seconds=600,
+    ).select("a_id", "b_id")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("u2"), F.col("ts").alias("b_ts")
+    )
+    naive = a.join(
+        b,
+        (F.col("u") == F.col("u2"))
+        & (F.unix_micros("b_ts") > F.unix_micros("a_ts") - 600_000_000)
+        & (F.unix_micros("b_ts") <= F.unix_micros("a_ts")),
+    ).select("a_id", "b_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@given(st.lists(st.floats(0.0, 1000.0), min_size=2, max_size=40))
+@_settings
+def test_exact_quantiles_match_numpy(spark, values):
+    """exact_group_quantiles must equal numpy's linear-interpolation
+    percentile (the PERCENTILE_CONT definition) to float tolerance."""
+    import math
+
+    import numpy as np
+
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v double")
+    row = exact_group_quantiles(df, "v", ["g"], ps=(0.5, 0.9)).collect()[0]
+    want50 = float(np.percentile(np.array(values), 50))
+    want90 = float(np.percentile(np.array(values), 90))
+    assert math.isclose(row["p50"], want50, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row["p90"], want90, rel_tol=1e-9, abs_tol=1e-9)
