@@ -271,6 +271,78 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInPandas(fingerprint_batches, out_schema)
 
 
+def connected_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: connected components by
+    iterative min-label propagation — every doc ends up labeled with the
+    smallest doc id reachable through the pair graph, which is the
+    canonical representative to keep.
+
+    Algorithm: start with label(v) = min(v, min neighbor); each round,
+    every vertex takes (a) the min of its neighbors' labels and (b) its
+    label's own label (pointer jumping).  Neighbor propagation alone
+    needs diameter rounds — LSH collision graphs grow long thin chains,
+    so that's unbounded; the jumping step halves every chain per round,
+    giving O(log n) convergence (the same doubling trick as
+    large-star/small-star in the Google connected-components paper).
+    Each round is two joins + an aggregate; ``localCheckpoint`` truncates
+    the lineage so the plan doesn't grow with iterations — standard
+    Spark iterative-algo hygiene.
+
+    Output: (doc_id, cluster_id) for every doc that appears in a pair.
+    Iterative + loop-terminated -> no SQL oracle; rows-only checked, with
+    invariants pinned in tests.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).select(F.col("src").alias("v"), "label")
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.v == neighbor_min.src, "left"
+        ).select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # Pointer jumping: follow my label to ITS label (labels are vertex
+        # ids, so every label resolves) — halves chain lengths per round.
+        x, y = propagated.alias("x"), propagated.alias("y")
+        new_labels = (
+            x.join(y, F.col("x.label") == F.col("y.v"))
+            .select(
+                F.col("x.v").alias("v"),
+                F.least(F.col("x.label"), F.col("y.label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16
 ) -> DataFrame:

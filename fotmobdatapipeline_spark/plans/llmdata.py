@@ -216,6 +216,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Dedup tier 3c: LSH candidate pairs -> duplicate clusters (iterative
+# connected components; loop-terminated -> rows-only check, invariants in
+# tests/test_properties.py).
+# --------------------------------------------------------------------------
+@register("dedup_lsh_clusters", oracle=None, tags=("dedup", "lsh", "iterative"))
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str):
+    sigs = D.minhash_signatures(
+        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+    )
+    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    return D.connected_dup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
 # Dedup tier 2c: winnowing fingerprints (rolling-hash sketch, MOSS
 # scheme).  Exact integer Rabin-Karp arithmetic — bit-identical in SQL.
 # --------------------------------------------------------------------------

@@ -219,3 +219,60 @@ def test_exact_quantiles_match_numpy(spark, values):
     want90 = float(np.percentile(np.array(values), 90))
     assert math.isclose(row["p50"], want50, rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(row["p90"], want90, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_connected_dup_clusters_chain_and_islands(spark):
+    """Min-label propagation must assign every member of a connected
+    component its smallest id — including across multi-hop chains."""
+    from fotmobdatapipeline_spark.operators.dedup import connected_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_connected_dup_clusters_match_union_find(spark, edge_list):
+    """Spark connected components must agree with a driver-side
+    union-find on arbitrary small graphs."""
+    from fotmobdatapipeline_spark.operators.dedup import connected_dup_clusters
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edge_list], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_dup_clusters(pairs).collect()
+    }
+    assert got == want
