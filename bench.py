@@ -81,6 +81,18 @@ def main() -> int:
     total += dt
     print(f"# star_build_write: {dt:.3f}s", file=sys.stderr)
 
+    # Reference-engine comparison: the reference's transform stage is
+    # single-threaded pandas (fotmob-dag.py:95-165).  Run the equivalent
+    # star build (dims + key-swap merges + denormalize + parquet writes)
+    # in pandas on the same data — the apples-to-apples single-node
+    # throughput number the reference would achieve at this sf.
+    baselines = {}
+    try:
+        baselines["pandas_star_build"] = _pandas_star_build(sf_dir)
+        print(f"# pandas_star_build (reference engine): {baselines['pandas_star_build']:.3f}s", file=sys.stderr)
+    except Exception as e:  # never fail the bench over the baseline
+        print(f"# pandas baseline skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -88,12 +100,61 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "baselines": baselines,
                 "sf": sf,
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _pandas_star_build(sf_dir: str) -> float:
+    """The reference's pandas star-build pattern (drop_duplicates dims,
+    RangeIndex surrogate keys, chained merges, denormalizing joins,
+    per-table writes) on the same testdata — single-threaded, like
+    fotmob-dag.py."""
+    import tempfile
+
+    import pandas as pd
+
+    t0 = time.perf_counter()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    supplier = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+
+    cust_dim = customer[["c_custkey", "c_name", "c_mktsegment"]].drop_duplicates().reset_index(drop=True)
+    cust_dim["customer_sk"] = cust_dim.index
+    part_dim = part[["p_partkey", "p_name", "p_brand", "p_type"]].drop_duplicates().reset_index(drop=True)
+    part_dim["part_sk"] = part_dim.index
+    supp_dim = supplier[["s_suppkey", "s_name"]].drop_duplicates().reset_index(drop=True)
+    supp_dim["supplier_sk"] = supp_dim.index
+    status_dim = li[["l_returnflag", "l_linestatus"]].drop_duplicates().reset_index(drop=True)
+    status_dim["status_sk"] = status_dim.index
+
+    enriched = li.merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                        left_on="l_orderkey", right_on="o_orderkey")
+    fact = (
+        enriched.merge(cust_dim[["c_custkey", "customer_sk"]], left_on="o_custkey", right_on="c_custkey")
+        .merge(part_dim[["p_partkey", "part_sk"]], left_on="l_partkey", right_on="p_partkey")
+        .merge(supp_dim[["s_suppkey", "supplier_sk"]], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(status_dim, on=["l_returnflag", "l_linestatus"])
+    )[["l_orderkey", "l_linenumber", "customer_sk", "part_sk", "supplier_sk", "status_sk",
+       "l_quantity", "l_extendedprice", "l_discount", "o_orderdate"]]
+    reporting = (
+        fact.merge(cust_dim, on="customer_sk")
+        .merge(part_dim, on="part_sk")
+        .merge(supp_dim, on="supplier_sk")
+        .merge(status_dim, on="status_sk")
+    )
+    with tempfile.TemporaryDirectory(prefix="pandas_star_") as out:
+        for name, df in [("customer_dim", cust_dim), ("part_dim", part_dim),
+                         ("supplier_dim", supp_dim), ("status_dim", status_dim),
+                         ("sales_fact", fact), ("sales_reporting", reporting)]:
+            df.to_parquet(f"{out}/{name}.parquet")
+    return round(time.perf_counter() - t0, 3)
 
 
 if __name__ == "__main__":
