@@ -375,6 +375,68 @@ def window_trailing_range(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Null-semantics battery: the SQL-surface corner cases every engine must
+# agree on — NULLIF-manufactured nulls, null-safe equality, COALESCE,
+# COUNT(col) vs COUNT(*), and explicit NULLS FIRST ordering.
+# --------------------------------------------------------------------------
+@register(
+    "null_semantics",
+    oracle="""
+    WITH n AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS status_n,
+             CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT COALESCE(status_n, '?') AS status,
+           COUNT(*) AS n_rows,
+           COUNT(price_n) AS n_priced,
+           COUNT(*) - COUNT(price_n) AS n_null_price,
+           COUNT(*) FILTER (WHERE status_n IS NOT DISTINCT FROM NULL) AS n_null_safe_eq,
+           MIN(price_n) AS min_price,
+           CAST(SUM(CAST(COALESCE(price_n, 0) AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM n
+    GROUP BY status_n
+    ORDER BY status_n ASC NULLS FIRST
+    """,
+    tags=("sql", "nulls"),
+    doc="Null semantics: NULLIF/COALESCE/null-safe equality/count/ordering.",
+)
+def null_semantics(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    price_n = F.when(F.col("o_totalprice") < 5000, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    n = orders.select(status_n.alias("status_n"), price_n.alias("price_n"))
+    return (
+        n.groupBy("status_n")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("price_n").alias("n_priced"),
+            (F.count("*") - F.count("price_n")).alias("n_null_price"),
+            F.count_if(F.col("status_n").eqNullSafe(F.lit(None))).alias(
+                "n_null_safe_eq"
+            ),
+            F.min("price_n").alias("min_price"),
+            F.sum(F.coalesce(F.col("price_n"), F.lit(0)).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy(F.col("status_n").asc_nulls_first())
+        .select(
+            F.coalesce(F.col("status_n"), F.lit("?")).alias("status"),
+            "n_rows",
+            "n_priced",
+            "n_null_price",
+            "n_null_safe_eq",
+            "min_price",
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Key-skew profiler: the measure-before-salting diagnostic
 # (operators/profiling.py).  Heavy hitters + share + multiples-of-average.
 # --------------------------------------------------------------------------
