@@ -30,6 +30,8 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "text_quality",
+    "market_share",
+    "late_sole_supplier",
     "join_range_banded",
     "join_salted_agg",
     "events_interval_join",

@@ -375,6 +375,207 @@ def window_trailing_range(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Market share (TPC-H Q8 shape): revenue share of one region's suppliers
+# within a part segment, per order year — a 6-table join tree + pivoted
+# conditional aggregate, the optimizer-stress flagship.
+# --------------------------------------------------------------------------
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "market_share",
+    oracle=f"""
+    WITH sales AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV_DEC} AS rev,
+             r.r_name AS region
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN region = 'ASIA' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS asia_rev,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(SUM(CASE WHEN region = 'ASIA' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+    tags=("join", "flagship", "tpch"),
+    doc="Q8-shape market share: 6-way join + conditional decimal agg.",
+)
+def market_share(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    sales = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    asia = F.sum(F.when(F.col("region") == "ASIA", F.col("rev")).otherwise(zero)).cast(
+        "double"
+    )
+    total = F.sum("rev").cast("double")
+    return sales.groupBy("o_year").agg(
+        asia.alias("asia_rev"),
+        total.alias("total_rev"),
+        (asia / total).alias("mkt_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sole-late-supplier (TPC-H Q21 shape, date-adapted): in multi-supplier
+# orders, find the supplier who alone shipped late (> 90 days after the
+# order date) — nested quantified predicates expressed as one grouped
+# aggregation instead of correlated EXISTS/NOT EXISTS re-scans.
+# --------------------------------------------------------------------------
+@register(
+    "late_sole_supplier",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    flagged AS (
+      SELECT l_orderkey, l_suppkey, is_late,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+             SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM per_supp
+    )
+    SELECT f.l_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.n_supps > 1 AND f.n_late = 1 AND f.is_late = 1
+    GROUP BY f.l_suppkey, s.s_name
+    ORDER BY numwait DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "window", "tpch"),
+    doc="Q21-shape sole-late-supplier via grouped flags, no correlated re-scan.",
+)
+def late_sole_supplier(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    per_supp = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "*",
+        F.count("*").over(w).alias("n_supps"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supps") > 1) & (F.col("n_late") == 1) & (F.col("is_late") == 1)
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality: FK integrity audit across the star — orphan counts per
+# relationship via anti-join (the operational check before any fact load).
+# --------------------------------------------------------------------------
+@register(
+    "dq_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+    tags=("dq", "anti-join"),
+    doc="FK-integrity audit: orphan counts via anti-joins.",
+)
+def dq_fk_integrity(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+
+    def orphans(child, parent, left_key, right_key, name):
+        return (
+            child.join(
+                F.broadcast(parent),
+                child[left_key] == parent[right_key],
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(orders, customer.select("c_custkey"), "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(orphans(li, part.select("p_partkey"), "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(orphans(li, supplier.select("s_suppkey"), "l_suppkey", "s_suppkey", "lineitem->supplier"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Null-semantics battery: the SQL-surface corner cases every engine must
 # agree on — NULLIF-manufactured nulls, null-safe equality, COALESCE,
 # COUNT(col) vs COUNT(*), and explicit NULLS FIRST ordering.
