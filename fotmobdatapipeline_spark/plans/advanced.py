@@ -420,10 +420,13 @@ def market_share(spark: SparkSession, sf_dir: str):
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
+    # part/supplier/nation/region are true dims -> explicit broadcast;
+    # orders scales with the fact -> no hint (auto-threshold/AQE decides:
+    # broadcast at bench SFs, shuffle join at cluster scale).
     sales = (
         li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
@@ -501,9 +504,10 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str):
             F.lit(1),
         ).otherwise(F.lit(0))
     )
+    # orders is fact-sized — no broadcast hint (see market_share note).
     per_supp = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "l_suppkey")
