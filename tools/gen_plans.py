@@ -1,0 +1,60 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries whose shapes SCALE.md argues about and tests/test_plan_shapes.py
+pins.  Run: python tools/gen_plans.py"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = [
+    ("flagship_revenue_topk", "Broadcast dims, single shuffle for the aggregate"),
+    ("filter_pushdown_scan", "PushedFilters + pruned ReadSchema at the parquet scan"),
+    ("join_range_banded", "Range join rewritten to arithmetic banding: zero Join operators"),
+    ("events_interval_join", "Interval self-join as a (user, bucket) equi-join"),
+    ("sim_ivf_topk", "IVF: cell-keyed equi-join, no cartesian"),
+    ("dedup_minhash_signatures", "Map-side partial aggregation (partial_min) before the doc shuffle"),
+]
+
+HEADER = """# PLANS — physical-plan evidence for the scale claims
+
+Generated from `df.explain('formatted')` on sf0.01 (regenerate with
+`python tools/gen_plans.py`).  These are the plans the shape tests in
+`tests/test_plan_shapes.py` pin; SCALE.md explains why each shape is
+the one that survives 100 TB.
+"""
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    _load_all()
+    sections = [HEADER]
+    for name, why in PICKS:
+        df = QUERIES[name].builder(spark, "/root/testdata/sf0.01")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        plan = re.sub(r"#\d+L?", "", plan)  # strip expr ids for readability
+        sections.append(f"## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```\n")
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(sections))
+    print(f"wrote {out_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
