@@ -29,11 +29,19 @@ from pyspark.sql import functions as F
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a whitespace-tokenized text, as an
-    array<string>.  Per-row, codegen-only."""
+    array<string>.  Per-row, codegen-only.
+
+    Guarded for short docs: ``sequence(1, stop)`` with ``stop < 1``
+    DESCENDS in Spark (1, 0, -1, ...) rather than returning empty, which
+    would feed ``slice`` an illegal start of 0 — documents with fewer
+    than ``n`` words must produce an empty shingle set instead."""
     toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    n_shingles = F.size(toks) - F.lit(n - 1)
     gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    shingles = F.transform(F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1))), gram)
+    return F.array_distinct(
+        F.when(n_shingles >= 1, shingles).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
