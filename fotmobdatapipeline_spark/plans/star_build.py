@@ -42,8 +42,13 @@ def build_fact_df(spark: SparkSession, sf_dir: str, dims: dict):
     orders = read_table(spark, sf_dir, "orders")
     cust_dim, part_dim = dims["customer_dim"], dims["part_dim"]
     supp_dim, status_dim = dims["supplier_dim"], dims["status_dim"]
+    # orders is fact-sized (scales with lineitem) — no broadcast hint: the
+    # auto-threshold broadcasts it at bench SFs, and at cluster scale this
+    # becomes a sort-merge join (or a zero-shuffle bucketed join when both
+    # tables are bucketed on orderkey — sinks.write_bucketed).  Only the
+    # true dims below get explicit broadcast hints.
     enriched = li.join(
-        F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return build_fact(
