@@ -162,3 +162,62 @@ def test_stateful_running_counts(spark, events_dir, events_batch):
         for r in events_batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving after the watermark closed its window must be
+    dropped: the emitted window count reflects only on-time rows (the
+    batch twin would count the late row — that asymmetry IS the
+    watermark contract)."""
+    import time as _time
+
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    ns = lambda h, m=0: (h * 3600 + m * 60) * 1_000_000_000  # noqa: E731
+
+    def write_file(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.array(rows, dtype="int64"),
+                "user_id": pd.array([1] * len(rows), dtype="int64"),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(str(d / name), index=False)
+
+    # File A: one event in hour 5, steady events through hour 12 ->
+    # after this batch the watermark advances to 12:00 - 2h = 10:00.
+    write_file("a.parquet", [ns(5, 30)] + [ns(h) for h in range(8, 13)])
+    _time.sleep(1.1)  # file-source orders by modification time
+    # File B: on-time filler; during its batch the hour-5 window (end
+    # 06:00 < wm 10:00) is emitted with the on-time count and evicted.
+    write_file("b.parquet", [ns(13)])
+    _time.sleep(1.1)
+    # File C: a LATE hour-5 event, arriving after its window was emitted
+    # — the watermark filter must drop it (no resurrected duplicate
+    # window, no count change).
+    write_file("c.parquet", [ns(5, 45)])
+
+    stream = read_events_stream(spark, str(d))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_win")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_win").collect()
+    hour5 = [r for r in rows if str(r["window_start"]).endswith("05:00:00")]
+    assert len(hour5) == 1, f"hour-5 window must be emitted exactly once: {rows}"
+    assert hour5[0]["n_events"] == 1, "late row must NOT be counted"
