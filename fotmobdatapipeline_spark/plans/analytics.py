@@ -1,0 +1,192 @@
+"""Product-analytics operators over the events/documents tables: array
+function battery, time-series resample with gap fill, funnel analysis,
+cohort retention — the query patterns a dashboard layer (the reference's
+Looker role, readme:151) issues constantly, each with a value-exact
+DuckDB oracle.
+
+Determinism notes (plans/catalog.py rules): array outputs are reduced to
+order-safe scalars (sizes, joins of sorted slices) because engines order
+set-operation results differently; all time math is integer microseconds;
+funnel/cohort counts are pure integer aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+_STOP = ("the", "a", "of", "and", "to")
+_STOP_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+# --------------------------------------------------------------------------
+# Array-function battery: distinct/sort/slice/intersect/contains/max over
+# the tokenized documents — reduced to order-safe scalars.
+# --------------------------------------------------------------------------
+@register(
+    "array_functions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+           list_has_any(w, {_STOP_SQL}) AS has_stop,
+           CAST(len(list_intersect(list_distinct(w), {_STOP_SQL})) AS INT)
+             AS n_stop_kinds,
+           array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3,
+           list_aggregate(w, 'max') AS max_word
+    FROM t
+    """,
+    tags=("array",),
+)
+def array_functions(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOP])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.arrays_overlap(w, stop).alias("has_stop"),
+        F.size(F.array_intersect(F.array_distinct(w), stop)).alias("n_stop_kinds"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(w)), 1, 3), " ").alias(
+            "first3"
+        ),
+        F.array_max(w).alias("max_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + gap fill: per-user daily event counts with
+# zero-filled missing days (sequence/generate_series + left join) — the
+# feature-window prep step every training pipeline on event data needs.
+# --------------------------------------------------------------------------
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    days AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ),
+    counts AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, day
+    )
+    SELECT d.user_id, CAST(epoch_us(d.day) AS BIGINT) AS day_us,
+           COALESCE(c.n, 0) AS n_events
+    FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+    """,
+    tags=("events", "timeseries", "gapfill"),
+    doc="Daily resample with zero-filled gaps via sequence + left join.",
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    span = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    days = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    counts = ev.groupBy("user_id", day.alias("day")).agg(F.count("*").alias("n"))
+    return (
+        days.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("day").alias("day_us"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: strictly-ordered first-touch funnel
+# signup -> view -> click -> purchase, one aggregate pass (no per-stage
+# self-joins — the 100 TB-safe funnel shape).
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t1,
+             MIN(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t2,
+             MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t3,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t4
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t1 IS NOT NULL) AS n_signup,
+           COUNT(*) FILTER (WHERE t1 < t2) AS n_view,
+           COUNT(*) FILTER (WHERE t1 < t2 AND t2 < t3) AS n_click,
+           COUNT(*) FILTER (WHERE t1 < t2 AND t2 < t3 AND t3 < t4) AS n_purchase
+    FROM f
+    """,
+    tags=("events", "funnel"),
+    doc="First-touch ordered funnel in one aggregate pass.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_touch(et):
+        return F.min(
+            F.when(F.col("event_type") == et, F.unix_micros("ts"))
+        )
+
+    f = ev.groupBy("user_id").agg(
+        first_touch("signup").alias("t1"),
+        first_touch("view").alias("t2"),
+        first_touch("click").alias("t3"),
+        first_touch("purchase").alias("t4"),
+    )
+    t1, t2, t3, t4 = F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4")
+    return f.agg(
+        F.count_if(t1.isNotNull()).alias("n_signup"),
+        F.count_if(t1 < t2).alias("n_view"),
+        F.count_if((t1 < t2) & (t2 < t3)).alias("n_click"),
+        F.count_if((t1 < t2) & (t2 < t3) & (t3 < t4)).alias("n_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted in each
+# subsequent activity week (distinct-user weekly activity x first-touch
+# cohort join).
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH fe AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    base AS (
+      SELECT a.user_id, date_trunc('week', f.first_ts) AS cohort, a.wk
+      FROM act a JOIN fe f ON a.user_id = f.user_id
+    )
+    SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_week_us,
+           CAST((epoch_us(wk) - epoch_us(cohort)) / 604800000000 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM base GROUP BY cohort, wk
+    """,
+    tags=("events", "cohort"),
+    doc="Weekly cohort retention matrix.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    fe = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    base = act.join(F.broadcast(fe), "user_id").select(
+        "user_id", F.date_trunc("week", F.col("first_ts")).alias("cohort"), "wk"
+    )
+    week_us = 604_800_000_000
+    return base.groupBy("cohort", "wk").agg(F.count("*").alias("n_users")).select(
+        F.unix_micros("cohort").alias("cohort_week_us"),
+        ((F.unix_micros("wk") - F.unix_micros("cohort")) / week_us)
+        .cast("int")
+        .alias("week_offset"),
+        "n_users",
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     import fotmobdatapipeline_spark.plans.advanced  # noqa: F401
+    import fotmobdatapipeline_spark.plans.analytics  # noqa: F401
     import fotmobdatapipeline_spark.plans.core  # noqa: F401
     import fotmobdatapipeline_spark.plans.events  # noqa: F401
     import fotmobdatapipeline_spark.plans.llmdata  # noqa: F401
