@@ -200,6 +200,96 @@ def ivf_topk(
     )
 
 
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the coarse-quantizer
+    trainer for IVF (``ivf_topk``): returns (centroid_id, embedding)
+    with centroid_id densely 0..k-1.
+
+    Deterministic by construction: seeds are the first k vectors by id
+    (no RNG), assignment ties break on lowest centroid id, and each
+    update is an exact per-dimension mean computed distributed
+    (posexplode → per-(cell, dim) avg → re-assembled array).  Per
+    iteration: one broadcast assignment pass + one aggregation whose
+    output is k×dim rows — the centroids themselves live on the driver
+    between iterations (k*dim floats, trivially small), which is the
+    standard Spark k-means shape (same as MLlib's): the DATA never
+    leaves executors, only centroids move.
+
+    Empty cells keep their previous centroid (no respawn), so the cell
+    count is stable for downstream storage partitioning.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
+    ]
+    schema = StructType(
+        [
+            StructField("centroid_id", LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+    v = vectors.select(id_col, vec_col)
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(centroids, schema)
+        assigned = ivf_assign(v, cdf, id_col=id_col, vec_col=vec_col)
+        new_means = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        updated = dict(centroids)
+        for row in new_means:
+            updated[row["cell"]] = [float(x) for x in row["mean_vec"]]
+        centroids = sorted(updated.items())
+    return spark.createDataFrame(centroids, schema)
+
+
+def inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum over vectors of (1 - cosine to assigned centroid) — the
+    objective Lloyd minimizes here (cosine form).  Diagnostic for tests
+    and convergence monitoring."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    c = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = assigned.join(F.broadcast(c), "cell").select(
+        (
+            1
+            - dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
+        ).alias("d")
+    )
+    return scored.agg(F.sum("d")).first()[0]
+
+
 def quantized_dedup_groups(
     vectors: DataFrame,
     scale: int = 10,

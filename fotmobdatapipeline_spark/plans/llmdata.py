@@ -461,6 +461,19 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# IVF with TRAINED centroids: k-means (Lloyd, deterministic seeds/ties)
+# coarse quantizer -> cell assignment -> in-cell top-k.  Float means are
+# not portably reproducible in SQL -> rows-only; invariants (inertia
+# non-increasing, cells stable) are pinned in tests/test_properties.py.
+# --------------------------------------------------------------------------
+@register("sim_ivf_kmeans_topk", oracle=None, tags=("similarity", "ivf", "kmeans"))
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    return S.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, centroids, k=5)
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine
 # re-score — the scale path for embedding-cosine dedup (the cross join
 # never happens; candidates only meet inside a bucket).

@@ -323,3 +323,25 @@ def test_quality_scoring_handles_degenerate_text(spark):
     for r in out:
         for v in (r["stop"], r["div"], r["awl"]):
             assert v is not None and not math.isnan(v) and v >= 0.0
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Lloyd iterations must not increase the (cosine) inertia, must keep
+    k stable cells, and must assign every vector."""
+    from fotmobdatapipeline_spark.operators.similarity import (
+        inertia,
+        ivf_assign,
+        kmeans_lloyd,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    c0 = kmeans_lloyd(emb, k=4, iterations=0)  # seeds only
+    c2 = kmeans_lloyd(emb, k=4, iterations=2)
+    assert c2.count() == 4
+    i0, i2 = inertia(emb, c0), inertia(emb, c2)
+    assert i2 <= i0 + 1e-9, f"inertia must not increase: {i0} -> {i2}"
+    assigned = ivf_assign(emb, c2)
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 4
