@@ -154,6 +154,53 @@ def events_funnel(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# SCD2 validity intervals: change events -> [valid_from, valid_to) rows
+# per user via lead() — the slowly-changing-dimension build every
+# warehouse load needs (one window pass, no self-join).
+# --------------------------------------------------------------------------
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS attr,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+           (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    tags=("events", "scd2", "window"),
+    doc="SCD type-2 interval build from a change stream via lead().",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    valid_to = F.lead(F.unix_micros("ts")).over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approx quantiles (KLL-style sketch) — the 100 TB default the exact
+# agg_exact_quantiles is the ground truth for.  Sketch internals are not
+# SQL-portable -> rows-only; accuracy vs exact pinned in the test below
+# via the relative-error contract.
+# --------------------------------------------------------------------------
+@register("agg_approx_quantiles", oracle=None, tags=("agg", "quantiles", "sketch"))
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9], 10_000).alias("approx_q")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cohort retention: users grouped by first-activity week, counted in each
 # subsequent activity week (distinct-user weekly activity x first-touch
 # cohort join).

@@ -345,3 +345,27 @@ def test_kmeans_lloyd_invariants(spark):
     assigned = ivf_assign(emb, c2)
     assert assigned.count() == emb.count()
     assert assigned.select("cell").distinct().count() <= 4
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """percentile_approx with accuracy 10k must land within 1% relative
+    error of the exact rank-arithmetic quantiles on sf0.001."""
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in exact_group_quantiles(li, "l_quantity", ["l_returnflag"]).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_q"]
+        for r in query_map()["agg_approx_quantiles"](spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (e50, e90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - e50) <= 0.01 * max(e50, 1)
+        assert abs(a90 - e90) <= 0.01 * max(e90, 1)
