@@ -201,6 +201,29 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-user z-score normalization of event
+# values — the grouped Arrow UDF surface (vs mapInPandas's per-batch and
+# applyInPandasWithState's stateful-streaming surfaces).  Float std is
+# not SQL-portable -> rows-only; equivalence to the native window
+# expression is pinned in tests/test_properties.py.  Scale shape: one
+# shuffle on the group key, then pure vectorized per-group numpy.
+# --------------------------------------------------------------------------
+@register("events_user_zscore", oracle=None, tags=("events", "pandas-udf", "grouped-map"))
+def events_user_zscore(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf):
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        return pdf.assign(z_value=z)[["event_id", "user_id", "z_value"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, z_value double"
+    )
+
+
+# --------------------------------------------------------------------------
 # Cohort retention: users grouped by first-activity week, counted in each
 # subsequent activity week (distinct-user weekly activity x first-touch
 # cohort join).

@@ -369,3 +369,33 @@ def test_approx_quantiles_close_to_exact(spark):
         a50, a90 = approx[flag]
         assert abs(a50 - e50) <= 0.01 * max(e50, 1)
         assert abs(a90 - e90) <= 0.01 * max(e90, 1)
+
+
+def test_grouped_map_zscore_matches_window_expression(spark):
+    """applyInPandas z-score must match the native window-expression
+    z-score to float tolerance on every event."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["event_id"]: r["z_value"]
+        for r in query_map()["events_user_zscore"](spark, SF_SMALL).collect()
+    }
+    ev = read_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id")
+    native = ev.select(
+        "event_id",
+        (
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+        ).alias("z"),
+    )
+    want = {r["event_id"]: r["z"] for r in native.collect()}
+    assert set(got) == set(want)
+    for eid, z in want.items():
+        assert math.isclose(got[eid], z, rel_tol=1e-9, abs_tol=1e-9), eid
