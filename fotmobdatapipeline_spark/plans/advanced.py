@@ -580,6 +580,38 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Dual-dialect SQL (EP3 surface proof): ONE ANSI SQL string executed
+# verbatim by BOTH engines — the builder runs the oracle text itself
+# through spark.sql over registered views, so any drift between our SQL
+# surface and the oracle's dialect assumptions fails loudly.
+# --------------------------------------------------------------------------
+_DUAL_SQL = """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                    THEN CAST(o.o_totalprice AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS building_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY year(o.o_orderdate), o.o_orderpriority
+"""
+
+
+@register(
+    "sql_dual_dialect",
+    oracle=_DUAL_SQL,
+    tags=("sql",),
+    doc="One ANSI SQL string run verbatim by Spark AND DuckDB.",
+)
+def sql_dual_dialect(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DUAL_SQL)
+
+
+# --------------------------------------------------------------------------
 # Null-semantics battery: the SQL-surface corner cases every engine must
 # agree on — NULLIF-manufactured nulls, null-safe equality, COALESCE,
 # COUNT(col) vs COUNT(*), and explicit NULLS FIRST ordering.
