@@ -408,6 +408,101 @@ def text_token_stats(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Text analysis: lexicon sentiment scoring (the corpus vocabulary is
+# database-performance-themed, so the lexicon is too).
+# --------------------------------------------------------------------------
+_POS = ("fast", "small")
+_NEG = ("slow", "big")
+
+
+def _sql_lex_count(words: tuple) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({lst}))) AS INT)"
+
+
+@register(
+    "text_sentiment",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_sql_lex_count(_POS)} AS n_pos,
+             {_sql_lex_count(_NEG)} AS n_neg,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_neg > n_pos THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM s
+    """,
+    tags=("text", "sentiment"),
+    doc="Lexicon sentiment: signed lexicon hits over token count.",
+)
+def text_sentiment(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def hits(words):
+        lex = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(lex, x)))
+
+    n_pos, n_neg = hits(_POS), hits(_NEG)
+    score = (n_pos - n_neg).cast("double") / F.size(toks).cast("double")
+    label = (
+        F.when(n_pos > n_neg, F.lit("positive"))
+        .when(n_neg > n_pos, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    return docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        score.alias("score"),
+        label.alias("label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: fuzzy name matching — blocked self-join on the head
+# noun + Levenshtein edit distance.  Blocking turns the all-pairs edit
+# distance (quadratic in distinct names) into per-block work — the
+# standard entity-dedup shape at scale.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution"),
+    doc="Blocked Levenshtein name matching (entity dedup).",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.select(
+        "name_a", "name_b", dist.cast("int").alias("dist")
+    ).filter(F.col("dist") <= 3)
+
+
+# --------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-5 for 10 query vectors.
 # --------------------------------------------------------------------------
 @register(
