@@ -658,6 +658,161 @@ def embedding_unit_components(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Training-data prep: deterministic train/val/test split — content-hash
+# bucket assignment (not RNG), so a document keeps its split across
+# re-crawls, repartitions, and engines (leakage-proof by construction).
+# --------------------------------------------------------------------------
+_SQL_DOC_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "split_assignment",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN {_SQL_DOC_BUCKET} < 205 THEN 'train'
+                  WHEN {_SQL_DOC_BUCKET} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs FROM b GROUP BY lang, split
+    """,
+    tags=("training-data", "split"),
+    doc="Hash-bucket train/val/test assignment (80/10/10), per-language counts.",
+)
+def split_assignment(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_256(F.col("doc_id"))
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data prep: weighted dataset mixture — per-source sampling
+# rates applied via the same content-hash buckets (deterministic
+# up/down-weighting of sources when composing a training mix).
+# --------------------------------------------------------------------------
+_HI = tuple(f"src{i}" for i in range(4))       # keep 100%
+_MID = tuple(f"src{i}" for i in range(4, 10))  # keep 50%
+
+
+def _sql_rate() -> str:
+    hi = ", ".join(f"'{s}'" for s in _HI)
+    mid = ", ".join(f"'{s}'" for s in _MID)
+    return f"CASE WHEN source IN ({hi}) THEN 256 WHEN source IN ({mid}) THEN 128 ELSE 64 END"
+
+
+@register(
+    "dataset_mixture",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE {_SQL_DOC_BUCKET} < {_sql_rate()}) AS n_kept
+    FROM documents GROUP BY source
+    """,
+    tags=("training-data", "mixture"),
+    doc="Per-source sampling rates (100/50/25%) via content-hash buckets.",
+)
+def dataset_mixture(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin(*_HI), F.lit(256))
+        .when(F.col("source").isin(*_MID), F.lit(128))
+        .otherwise(F.lit(64))
+    )
+    kept = hash_bucket_256(F.col("doc_id")) < rate
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"), F.count_if(kept).alias("n_kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data prep: vocabulary build + token-id encoding — top-K vocab
+# by (count DESC, word ASC), documents encoded to id sequences with
+# OOV = -1.  The explode -> broadcast-join -> ordered re-aggregation is
+# the distributed tokenizer-encode shape (vocab broadcast, corpus never
+# shuffled except the per-doc regroup).
+# --------------------------------------------------------------------------
+_VOCAB_K = 50
+
+
+@register(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) - 1 AS INT) AS vid
+      FROM tok GROUP BY w
+      ORDER BY COUNT(*) DESC, w ASC LIMIT {_VOCAB_K}
+    ),
+    enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.vid, -1) AS vid
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE vid = -1) AS INT) AS n_oov,
+           array_to_string(list_sort(list_zip(list(pos), list(vid)))[1:8],
+                           ',') AS head_pairs
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("training-data", "tokenize", "vocab"),
+    doc="Top-K vocab build + OOV-aware token-id encoding.",
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    from pyspark.sql import Window
+
+    counts = tok.groupBy("w").agg(F.count("*").alias("n"))
+    wv = Window.orderBy(F.desc("n"), F.asc("w"))
+    vocab = (
+        counts.withColumn("vid", (F.row_number().over(wv) - 1).cast("int"))
+        .filter(F.col("vid") < _VOCAB_K)
+        .select("w", "vid")
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce("vid", F.lit(-1)).alias("vid")
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("pos", "vid")))
+    head = F.array_join(
+        F.transform(
+            F.slice(pairs, 1, 8),
+            lambda s: F.concat(
+                F.lit("("), s["pos"].cast("string"), F.lit(", "),
+                s["vid"].cast("string"), F.lit(")"),
+            ),
+        ),
+        ",",
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.count_if(F.col("vid") == -1).cast("int").alias("n_oov"),
+        head.alias("head_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing: opaque binary column + typed metadata features.
 # The heavy decode path (images/audio) is the mapInPandas stub in
 # multimodal/binary_ops.py; this query verifies the schema/metadata side.
