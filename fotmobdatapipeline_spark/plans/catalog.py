@@ -73,3 +73,22 @@ def _load_all() -> None:
     import fotmobdatapipeline_spark.plans.llmdata  # noqa: F401
 
     _LOADED = True
+
+
+if __name__ == "__main__":
+    # Catalog listing: python -m fotmobdatapipeline_spark.plans.catalog
+    # (under -m this file runs as __main__, so use the canonical module
+    # instance the plan modules actually register into)
+    from fotmobdatapipeline_spark.plans import catalog as _canonical
+
+    _canonical._load_all()
+    queries = _canonical.QUERIES
+    rows_only = [n for n, s in queries.items() if s.oracle is None]
+    print(f"{len(queries)} queries ({len(queries) - len(rows_only)} oracle-exact, "
+          f"{len(rows_only)} rows-only)\n")
+    for name in sorted(queries):
+        spec = queries[name]
+        mark = " " if spec.oracle is not None else "R"
+        tags = ",".join(spec.tags)
+        doc = f"  — {spec.doc}" if spec.doc else ""
+        print(f"{mark} {name:32s} [{tags}]{doc}")

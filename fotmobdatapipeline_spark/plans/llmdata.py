@@ -658,6 +658,42 @@ def embedding_unit_components(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Text normalization -> dedup: lowercase, strip non-alphanumerics,
+# collapse whitespace, then group — the canonicalization tier that runs
+# before every exact/fuzzy dedup pass (catches case/punctuation
+# variants tier-1 exact dedup misses).
+# --------------------------------------------------------------------------
+@register(
+    "text_normalize_dedup",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, md5(norm) AS norm_hash, COUNT(*) AS n_docs
+    FROM n GROUP BY norm
+    """,
+    tags=("text", "dedup", "normalize"),
+    doc="Canonicalize (case/punct/whitespace) then group — pre-dedup tier.",
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+        .select("doc_id", F.md5("norm").alias("norm_hash"), "n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data prep: deterministic train/val/test split — content-hash
 # bucket assignment (not RNG), so a document keeps its split across
 # re-crawls, repartitions, and engines (leakage-proof by construction).

@@ -69,6 +69,37 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(rows / target)`` files.  Streaming/incremental sinks accrete
+    small files (one+ per micro-batch/task); on an object store every
+    file is a listing + open + footer round-trip, and at 100 TB a
+    million 1 MB files makes scans metadata-bound.  Periodic compaction
+    is the operational fix (what Delta's OPTIMIZE does); staging through
+    a scratch dir avoids overwriting the files mid-read.  Returns the
+    new file count."""
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    staging = tempfile.mkdtemp(prefix="fotmob_compact_")
+    try:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_files
+
+
 def write_star(tables: dict[str, DataFrame], base_path: str, mode: str = "overwrite") -> dict[str, str]:
     """Write every star-schema table under ``base_path/<name>`` — the
     engine's whole 'load stage'.  Writes run as CONCURRENT Spark jobs

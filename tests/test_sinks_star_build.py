@@ -88,3 +88,26 @@ def test_file_source_sink_roundtrip_formats(spark, tmp_path):
         back = read_file_source(spark, path, fmt=fmt, schema=nation.schema)
         assert sorted(map(tuple, back.collect())) == want, fmt
         assert back.schema == nation.schema, fmt
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction must rewrite a fragmented dataset into the computed
+    file count without losing or duplicating rows."""
+    import glob
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.sources.sinks import compact_parquet
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "frag")
+    orders = read_table(spark, SF_SMALL, "orders")
+    orders.repartition(40).write.parquet(path)  # fragment: 40 small files
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 30
+    want = sorted(map(tuple, orders.collect()))
+
+    n_files = compact_parquet(spark, path, target_rows_per_file=1_000)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n_files < before
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
