@@ -17,6 +17,8 @@ PICKS = [
     ("events_interval_join", "Interval self-join as a (user, bucket) equi-join"),
     ("sim_ivf_topk", "IVF: cell-keyed equi-join, no cartesian"),
     ("dedup_minhash_signatures", "Map-side partial aggregation (partial_min) before the doc shuffle"),
+    ("market_share", "Q8-shape join tree: dims broadcast, fact-sized orders left to AQE"),
+    ("join_salted_agg", "Skew-salted join: composite (key, salt) spreads hot keys"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
