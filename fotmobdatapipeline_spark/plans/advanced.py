@@ -786,3 +786,195 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str):
 )
 def dedup_embedding_quantized(spark: SparkSession, sf_dir: str):
     return S.quantized_dedup_groups(read_table(spark, sf_dir, "embeddings"), scale=10)
+
+
+# --------------------------------------------------------------------------
+# Minimum-cost supplier per part (TPC-H Q2 shape, adapted: no partsupp
+# table in the testdata, so lineitem serves as the part<->supplier offer
+# relation).  The reference has no quantified-predicate queries at all;
+# this is the classic correlated-MIN argmin shape.
+#
+# Scale shape: the oracle's nested correlated MIN subqueries would re-scan
+# offers per row; the Spark plan computes the argmin in ONE extra
+# aggregation via lexicographic struct-min (cost, then suppkey tiebreak).
+# Min-over-struct is not hash-aggregable, so Spark plans a SortAggregate
+# -- but it KEEPS the map-side partial, so at most one row per part
+# crosses the wire; measured 1.6x faster warm than the row_number-window
+# argmin at sf0.1 (the window form ships every offer row unsorted).
+# Dims join broadcast; no join-back, no correlated re-scan.
+# --------------------------------------------------------------------------
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_size >= 40
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(o.cost AS DOUBLE) AS min_cost
+    FROM offers o
+    JOIN part p     ON o.partkey = p.p_partkey
+    JOIN supplier s ON o.suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE o.cost = (SELECT MIN(o2.cost) FROM offers o2
+                    WHERE o2.partkey = o.partkey)
+      AND o.suppkey = (SELECT MIN(o3.suppkey) FROM offers o3
+                       WHERE o3.partkey = o.partkey
+                         AND o3.cost = (SELECT MIN(o4.cost) FROM offers o4
+                                        WHERE o4.partkey = o.partkey))
+    """,
+    tags=("join", "tpch", "subquery"),
+    doc="Q2-shape argmin: struct-min replaces nested correlated MINs.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    offers = (
+        li.join(
+            F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    )
+    # Lexicographic struct-min = min cost with min-suppkey tiebreak, in a
+    # single aggregation with map-side partial combine.
+    winner = (
+        offers.groupBy("l_partkey")
+        .agg(F.min(F.struct(F.col("cost"), F.col("l_suppkey"))).alias("m"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("m.cost").alias("cost"),
+            F.col("m.l_suppkey").alias("suppkey"),
+        )
+    )
+    return (
+        winner.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            winner.partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            winner.suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Above-average-value parts (TPC-H Q11 shape): parts whose revenue exceeds
+# a fixed fraction (1/2000) of GLOBAL revenue -- the global-scalar-
+# subquery threshold shape.
+#
+# Scale shape: the global total is a one-row aggregate, broadcast into a
+# map-side cross join against the per-part rollup; the threshold compare
+# is integer-scaled decimal (val*2000 > total), exact in both engines --
+# no double rounding at the predicate boundary.
+# --------------------------------------------------------------------------
+@register(
+    "important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey AS partkey, SUM({_REV_DEC}) AS val
+      FROM lineitem GROUP BY 1
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE val * 2000 > (SELECT SUM(val) FROM pv)
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="Q11-shape global-threshold filter via broadcast scalar.",
+)
+def important_parts(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(F.sum(rev).alias("val"))
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 2000 > F.col("total"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dominant promo-part suppliers (TPC-H Q20 shape): suppliers that shipped
+# more than 15% of the total shipped quantity of at least one PROMO part
+# -- nested IN-subquery with a correlated per-group threshold.
+#
+# Scale shape: the correlated per-part total becomes an unordered window
+# sum over the (part, supp) rollup -- one shuffle on partkey, no sort
+# (whole-partition frame), no join-back, no re-scan.  The surviving
+# supplier set is tiny -> broadcast semi-join into supplier.
+# --------------------------------------------------------------------------
+@register(
+    "dominant_promo_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT suppkey FROM sq
+      WHERE qty * 20 > 3 * (SELECT SUM(q2.qty) FROM sq q2
+                            WHERE q2.partkey = sq.partkey)
+    )
+    """,
+    tags=("join", "tpch", "subquery"),
+    doc="Q20-shape nested IN + correlated threshold via window sum.",
+)
+def dominant_promo_suppliers(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    sq = (
+        li.join(
+            F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    # Unordered window -> whole-partition frame: the per-part total without
+    # a sort or a join-back.  Integer-scaled decimal threshold is exact.
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sq.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 20 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(dominant), supplier.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
