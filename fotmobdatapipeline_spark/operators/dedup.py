@@ -158,6 +158,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Tier 4: exact n-gram Jaccard for every shingle-sharing pair.
     Output (doc_a, doc_b, common, jaccard); only pairs with ≥1 shared
@@ -167,20 +168,41 @@ def jaccard_pairs(
     sorted posting list) + in-group pair generation + one pair-keyed
     aggregate.  A shingle self-join would shuffle the shingle strings
     twice (both join sides) and hash-probe long keys; the posting-list
-    form moves each shingle once and emits pairs map-side.  Very common
-    shingles make quadratic postings — at corpus scale cap document
-    frequency upstream (drop shingles with df > ~1000: they carry no
-    dedup signal and are the skew tail).
+    form moves each shingle once and emits pairs map-side.
+
+    Very common shingles make quadratic postings — the skew tail that
+    dominates at corpus scale.  ``max_df`` caps shingle document
+    frequency: posting lists longer than ``max_df`` are dropped BEFORE
+    pair generation, and per-doc sizes are recomputed over the surviving
+    shingle universe, so the result is the exact Jaccard in the
+    df-capped universe (stop-shingles carry no dedup signal; ~1000 is a
+    sane cap at corpus scale).  This bounds per-shingle pair fan-out at
+    max_df^2/2 regardless of corpus growth.  The capped-postings stage
+    feeds both sizes and pairs; at 100 TB persist or stage-write it
+    (operators/star.py pattern) instead of recomputing the lineage.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    postings = (
-        sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    if max_df is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        postings = (
+            sh.groupBy("s")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+    else:
+        kept = (
+            sh.groupBy("s")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") <= max_df)
+        )
+        sizes = (
+            kept.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
+        )
+        postings = kept.filter(F.size("ids") > 1)
     # All ordered pairs (ids[i], ids[j]), i < j, from each posting list.
     pair_structs = F.flatten(
         F.transform(

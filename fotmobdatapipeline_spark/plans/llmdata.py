@@ -177,6 +177,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Dedup tier 4b: df-capped Jaccard — the 100 TB form of the above.  Hot
+# "stop shingles" (df > cap) are dropped before pair generation, which
+# bounds per-shingle fan-out at cap^2/2; Jaccard is then exact in the
+# reduced universe (sizes recomputed over surviving shingles).  The
+# oracle reproduces the same universe with a df CTE.
+# --------------------------------------------------------------------------
+_JACCARD_CAP = 3
+
+
+@register(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s)
+             WHERE df <= {_JACCARD_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           CAST(common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard", "topk", "scale"),
+    doc="df-capped Jaccard: bounded pair fan-out, exact in reduced universe.",
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str):
+    pairs = D.jaccard_pairs(read_table(spark, sf_dir, "documents"), max_df=_JACCARD_CAP)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+# --------------------------------------------------------------------------
 # Dedup tier 2b: SimHash signatures (frequency-weighted md5-bit votes).
 # Oracle reproduces the nibble→bit arithmetic with strpos math.
 # --------------------------------------------------------------------------
