@@ -978,3 +978,47 @@ def dominant_promo_suppliers(spark: SparkSession, sf_dir: str):
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Python DataSource API round-trip (Spark 4 extension point): stage the
+# documents table as JSONL shards, read them back through the custom
+# `jsonl_docs` source (one task per shard, Arrow-batched), and aggregate.
+# The oracle runs the same aggregate on the original table, so the gate
+# proves the source is lossless end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "pyds_jsonl_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("source", "python-datasource"),
+    doc="Custom Python data source (JSONL shards) proven lossless.",
+)
+def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str):
+    import os
+
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+
+    staged = f"/tmp/spark_graft_pyds/{os.path.basename(os.path.normpath(sf_dir))}"
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    docs.repartition(8).write.mode("overwrite").json(staged)
+    register_python_sources(spark)
+    return (
+        spark.read.format("jsonl_docs")
+        .load(staged)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
