@@ -185,3 +185,51 @@ def running_user_counts(events: DataFrame, timeout_minutes: int | None = None) -
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --------------------------------------------------------------------------
+# State-store scale path: RocksDB provider.
+# --------------------------------------------------------------------------
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Run streaming queries with the RocksDB state store provider.
+
+    The default HDFS-backed provider keeps every state key on the JVM
+    heap — at 100 TB stream scale (billions of live sessions / dedup
+    keys) that is an executor OOM, and full-snapshot checkpoints grow
+    with TOTAL state size.  RocksDB keeps state off-heap with disk
+    spill, and changelog checkpointing uploads only the per-batch DELTA,
+    so commit latency tracks batch size, not accumulated state.
+
+    Provider choice is per-query-START session conf, so this context
+    manager sets it, yields, and restores — queries started inside run
+    on RocksDB for their lifetime.
+    """
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -221,3 +221,43 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hour5 = [r for r in rows if str(r["window_start"]).endswith("05:00:00")]
     assert len(hour5) == 1, f"hour-5 window must be emitted exactly once: {rows}"
     assert hour5[0]["n_events"] == 1, "late row must NOT be counted"
+
+
+def test_windowed_counts_on_rocksdb_state(spark, events_dir, events_batch):
+    """Same stream==batch contract, but on the RocksDB state store (the
+    100 TB state-scale provider) — and prove via the query's state
+    operator metrics that RocksDB was actually engaged."""
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        rocksdb_state,
+        windowed_event_counts,
+    )
+
+    with rocksdb_state(spark):
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("win_counts_rocks")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+
+    metrics = progress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts_rocks").collect()
+    }
+    from fotmobdatapipeline_spark.streaming.events import (
+        windowed_event_counts as batch_twin,
+    )
+
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_twin(events_batch).collect()
+    }
+    assert got == want and len(want) > 0
