@@ -966,3 +966,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str):
     return sample_frames(media, every_n=4, max_frames=8).select(
         "doc_id", "frame_idx", "n_bytes"
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (functions/chunking.py): corpus -> overlapping
+# training windows, aggregated per (source, lang) so the gate checks
+# every chunk's text via the hash without a million-row compare.
+# --------------------------------------------------------------------------
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // 48 AS INT) AS chunk_idx,
+             CAST(LEAST(64, len(t) - s) AS INT) AS n_tokens,
+             array_to_string(list_slice(t, s + 1, s + LEAST(64, len(t) - s)), ' ')
+               AS chunk_text
+      FROM tok, UNNEST(range(0, len(t), 48)) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM chunks
+    """,
+    tags=("text", "llmdata", "chunking"),
+    doc="Overlapping context-window chunking, native HOF path.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions.chunking import chunk_windows
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(chunk_windows(F.col("text"))).alias("c")
+        )
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+    )
