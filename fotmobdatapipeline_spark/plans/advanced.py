@@ -1022,3 +1022,94 @@ def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Small-quantity revenue (TPC-H Q17 shape): lineitems below 20% of their
+# part's average quantity.  The oracle keeps the correlated per-part AVG
+# subquery; the Spark plan decorrelates it into an unordered window —
+# and the avg compare is integer-scaled (q*5*cnt < sum, all decimal), so
+# there is NO cross-engine float division at the predicate boundary.
+# --------------------------------------------------------------------------
+@register(
+    "small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey AND p_brand = 'Brand#4'
+    WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5
+            * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(12,2))) FROM lineitem l3
+             WHERE l3.l_partkey = l.l_partkey)
+    """,
+    tags=("tpch", "subquery", "window"),
+    doc="Q17-shape correlated AVG, decorrelated to a window; exact compare.",
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+
+    # The correlated subqueries range over ALL lineitem rows of the part,
+    # which (post part-join) is exactly the joined subset — so one
+    # unordered window computes both per-part scalars in a single pass.
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .withColumn("part_cnt", F.count("*").over(w))
+        .withColumn("part_qty_sum", F.sum(qty).over(w))
+    )
+    return joined.filter(qty * 5 * F.col("part_cnt") < F.col("part_qty_sum")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape): IN over a grouped HAVING.  The
+# Spark plan turns the IN into a join against the pre-aggregated order
+# quantities (map-side combine on the fact, tiny survivor set), then
+# broadcasts the survivors into orders and customer.
+# --------------------------------------------------------------------------
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(q.order_qty AS DOUBLE) AS order_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS order_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    ) q ON o.o_orderkey = q.l_orderkey
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="Q18-shape IN-over-HAVING as pre-agg + broadcast survivor join.",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("order_qty_dec"))
+        .filter(F.col("order_qty_dec") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("order_qty_dec").cast("double").alias("order_qty"),
+        )
+    )
