@@ -1113,3 +1113,47 @@ def large_volume_orders(spark: SparkSession, sf_dir: str):
             F.col("order_qty_dec").cast("double").alias("order_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered scan (operators/zorder.py): stage the events table
+# z-ordered on (user_id, ts), then answer a user-slab box query from the
+# clustered copy.  The oracle computes the same answer from the original
+# table, proving the layout rewrite is lossless; the file-skipping win
+# itself is measured in tests/test_zorder.py (footer min/max audit).
+# --------------------------------------------------------------------------
+@register(
+    "zorder_box_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           MIN(event_id) AS min_event, MAX(event_id) AS max_event
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40
+    GROUP BY event_type
+    """,
+    tags=("events", "layout", "scale"),
+    doc="Z-order clustered copy answers a box query losslessly.",
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str):
+    import os
+
+    from fotmobdatapipeline_spark.operators.zorder import write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "value",
+    )
+    staged = f"/tmp/spark_graft_zorder/{os.path.basename(os.path.normpath(sf_dir))}"
+    write_zordered(ev, staged, "user_id", "ts_us", n_files=16)
+    return (
+        spark.read.parquet(staged)
+        .filter(F.col("user_id").between(10, 40))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
