@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: on selective fact<->dim
+        # shuffle joins, build a bloom of the filtered side's keys and
+        # push might_contain() into the fact scan.  Size thresholds mean
+        # it only fires at real scale (creation side >= 10 MB), which is
+        # exactly when it pays; tests/test_plan_shapes.py pins the
+        # injection with thresholds overridden.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

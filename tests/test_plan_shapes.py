@@ -137,3 +137,41 @@ def test_merge_upsert_prunes_untouched_partitions(spark, tmp_path):
     scan = _plan(target.groupBy().count())
     assert "PartitionFilters" in scan
     assert "1995-03" in scan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At cluster scale, a selective filter on one shuffle-join side
+    injects a bloom-filter semi-filter into the fact scan (rows that
+    can't join die before the exchange).  Size thresholds keep it off
+    for our tiny local data, so pin the behavior with thresholds
+    overridden: the optimized plan must contain the bloom_filter_agg /
+    might_contain pair."""
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_ORACLE, "lineitem")
+        orders = read_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _optimized(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -111,3 +111,28 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert after == n_files < before
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Landing zones evolve: later shards carry new columns.  A
+    mergeSchema read unifies the footers — old rows surface NULL for the
+    new column, and no rewrite of historical files is needed."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("source")
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2 = spark.range(100, 150).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("source"),
+        F.lit("en").alias("lang"),
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "source", "lang"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("lang").isNull()).count() == 100
+    assert merged.filter((F.col("source") == "v2") & (F.col("lang") == "en")).count() == 50
