@@ -37,6 +37,10 @@ HEADLINE = [
     "events_interval_join",
     "window_trailing_range",
     "sample_hash_agg",
+    "min_cost_supplier",
+    "large_volume_orders",
+    "dedup_jaccard_capped",
+    "text_chunk_windows",
 ]
 
 

@@ -1000,3 +1000,102 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str):
         )
         .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
     )
+
+
+# --------------------------------------------------------------------------
+# END-TO-END training-data prep pipeline: normalize -> dedup (canonical
+# doc per normalized text) -> quality filter -> context-window chunking
+# -> leakage-proof hash split -> per-(split, band) corpus accounting.
+# Every stage is a component proven exact on its own elsewhere in this
+# catalog (text_normalize_dedup, text_quality, text_chunk_windows,
+# split_assignment); this entry proves the COMPOSITION stays exact.
+#
+# Scale shape: one shuffle for the normalize-dedup groupBy, one explode
+# (map-side) for chunking, one final aggregate.  The hash split and
+# quality scoring are pure map-side expressions; nothing re-sorts or
+# re-shuffles the corpus between stages.
+# --------------------------------------------------------------------------
+@register(
+    "llm_prep_pipeline",
+    oracle=rf"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id, norm FROM n GROUP BY norm),
+    scored AS (
+      SELECT doc_id, norm,
+             CAST(len(list_filter(string_split(norm, ' '),
+                       x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS stop_ratio,
+             CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+               / CAST(len(string_split(norm, ' ')) AS DOUBLE) AS diversity
+      FROM canon
+    ),
+    kept AS (
+      SELECT doc_id, norm,
+             CASE WHEN stop_ratio >= 0.05 AND diversity >= 0.5 THEN 'high'
+                  WHEN stop_ratio > 0.0 OR diversity >= 0.3 THEN 'medium'
+                  ELSE 'low' END AS band
+      FROM scored
+      WHERE NOT (stop_ratio < 0.05 AND (stop_ratio <= 0.0 AND diversity < 0.3))
+    ),
+    ck AS (SELECT doc_id, band, string_split(norm, ' ') AS t FROM kept),
+    chunks AS (
+      SELECT doc_id, band, CAST(LEAST(64, len(t) - s) AS INT) AS n_tokens
+      FROM ck, UNNEST(range(0, len(t), 48)) AS u(s)
+    )
+    SELECT CASE WHEN {_SQL_DOC_BUCKET} < 205 THEN 'train'
+                WHEN {_SQL_DOC_BUCKET} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           band,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM chunks GROUP BY 1, 2
+    """,
+    tags=("llmdata", "pipeline", "flagship"),
+    doc="Full prep pipeline composed of individually-proven stages.",
+)
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions.chunking import chunk_windows
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    canon = (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    stop = T.stopword_ratio(F.col("norm"))
+    div = T.distinct_word_ratio(F.col("norm"))
+    kept = canon.select(
+        "doc_id", "norm", T.quality_band(stop, div).alias("band")
+    ).filter(F.col("band") != "low")
+    chunks = kept.select(
+        "doc_id", "band", F.explode(chunk_windows(F.col("norm"))).alias("c")
+    )
+    bucket = hash_bucket_256(F.col("doc_id"))
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        chunks.select(
+            split.alias("split"), "band", "doc_id", F.col("c.n_tokens").alias("n_tokens")
+        )
+        .groupBy("split", "band")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

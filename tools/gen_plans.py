@@ -19,6 +19,8 @@ PICKS = [
     ("dedup_minhash_signatures", "Map-side partial aggregation (partial_min) before the doc shuffle"),
     ("market_share", "Q8-shape join tree: dims broadcast, fact-sized orders left to AQE"),
     ("join_salted_agg", "Skew-salted join: composite (key, salt) spreads hot keys"),
+    ("min_cost_supplier", "Argmin via struct-min: SortAggregate fallback keeps map-side partial"),
+    ("dedup_jaccard_capped", "df-capped postings: skew tail dropped before pair fan-out"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
