@@ -1099,3 +1099,41 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pretokenization: the GPT-2-ish run classes (letter runs,
+# digit runs, punctuation runs, whitespace runs) — the unit a BPE merge
+# table operates on.  One alternation regex, identical in both engines
+# (simple enough to behave the same under Java regex and RE2).
+# --------------------------------------------------------------------------
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9 ]+| +"
+
+
+@register(
+    "text_bpe_pretokenize",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_pretokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]+')) AS INT) AS n_other_runs
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+    doc="BPE pretokenizer run counts (letter/digit/punct/space classes).",
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("int")
+
+    return docs.select(
+        "doc_id",
+        n_matches(_BPE_PAT).alias("n_pretokens"),
+        n_matches("[a-z]+").alias("n_word_runs"),
+        n_matches("[0-9]+").alias("n_digit_runs"),
+        n_matches("[^a-z0-9 ]+").alias("n_other_runs"),
+    )
