@@ -401,3 +401,37 @@ def simhash_signatures(
         ]
     )
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def minhash_signature_cols(
+    text: Column, num_hashes: int = 8, shingle_n: int = 3
+) -> list[Column]:
+    """Per-ROW minhash signature: the same hash family as
+    :func:`minhash_signatures` (md5('<salt>:'||shingle) split into 32-bit
+    hex chunks), but computed with HOFs inside one stateless projection.
+
+    This is the STREAMING form — no explode, no shuffle, no state — for
+    per-document signatures on an unbounded stream.  It recomputes the
+    md5 per chunk (k calls vs k/4 in the batch form) inside interpreted
+    lambdas, so for bulk batch signing prefer :func:`minhash_signatures`;
+    per-microbatch document volumes amortize fine.
+
+    Documents with fewer than ``shingle_n`` words have no shingles: every
+    signature column is NULL (callers must route them around any
+    signature-keyed dedup or all short docs would collide).
+    """
+    sh = word_shingles(text, shingle_n)
+
+    # PySpark maps the lambda's own parameter list onto HOF arguments,
+    # so bind loop variables via a factory, not default args.
+    def chunk_of(salt: str, lo: int):
+        return lambda s: F.substring(F.md5(F.concat(F.lit(salt), s)), lo, 8)
+
+    cols = []
+    for j in range(num_hashes):
+        cols.append(
+            F.array_min(F.transform(sh, chunk_of(f"{j // 4}:", (j % 4) * 8 + 1))).alias(
+                f"sig_{j}"
+            )
+        )
+    return cols

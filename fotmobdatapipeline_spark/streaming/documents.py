@@ -1,0 +1,62 @@
+"""Structured Streaming over the documents corpus: online near-duplicate
+suppression for an ingest feed.
+
+Batch dedup (operators/dedup.py) assumes the corpus is at rest; a
+training-data INGEST pipeline sees documents arrive continuously and
+must drop near-duplicates online, with bounded state.  This module keys
+streaming dedup on the per-row minhash signature
+(operators/dedup.py::minhash_signature_cols): documents whose k minhash
+chunks all match are near-duplicates (signature equality is the
+rows_per_band=k LSH band — high precision, catches exact and
+near-exact duplicates); state holds one signature per horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.dedup import minhash_signature_cols
+
+
+def with_minhash_sig(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append a single `minhash_sig` string column (concatenated chunks;
+    empty string for sub-shingle docs — NOT a valid dedup key)."""
+    sigs = minhash_signature_cols(F.col(text_col), num_hashes, shingle_n)
+    return docs.withColumn("minhash_sig", F.concat_ws("", *sigs))
+
+
+def neardup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Keep the first-seen document per minhash signature; pass
+    sub-shingle (unsignable) documents through untouched.
+
+    With ``ts_col``, state is expired by the watermark
+    (``dropDuplicatesWithinWatermark``) — bounded memory, at the cost of
+    re-admitting a duplicate that re-appears after the horizon; without
+    it, state is exact and unbounded (fine for bounded replays/backfills,
+    not for a forever-stream).  A batch frame degrades to plain
+    ``dropDuplicates`` on the signature — the batch twin the tests pin
+    against.
+    """
+    signed = with_minhash_sig(docs, text_col, num_hashes, shingle_n)
+    short = signed.filter(F.col("minhash_sig") == "")
+    dedupable = signed.filter(F.col("minhash_sig") != "")
+    if docs.isStreaming and ts_col is not None:
+        deduped = dedupable.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["minhash_sig"]
+        )
+    else:
+        deduped = dedupable.dropDuplicates(["minhash_sig"])
+    return deduped.unionByName(short)

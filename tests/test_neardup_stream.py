@@ -1,0 +1,95 @@
+"""Streaming near-duplicate suppression (streaming/documents.py):
+stream == batch, duplicates injected across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _feed_with_dups(spark, out_dir: str):
+    """documents + a re-ingested copy (new doc_ids, same text) — the
+    crawler-re-crawl scenario; written as JSONL shards for the feed."""
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs.unionByName(recrawl).repartition(6).write.mode("overwrite").json(out_dir)
+
+
+def test_neardup_stream_equals_batch(spark, tmp_path):
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+    from fotmobdatapipeline_spark.streaming.documents import neardup_stream
+
+    feed = str(tmp_path / "feed")
+    _feed_with_dups(spark, feed)
+    register_python_sources(spark)
+
+    batch = neardup_stream(spark.read.format("jsonl_docs").load(feed))
+    stream = neardup_stream(
+        spark.readStream.format("jsonl_docs")
+        .option("maxrowsperbatch", "300")
+        .load(feed)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        want_n = batch.count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM neardup_out").count() >= want_n:
+                break
+            time.sleep(1)
+        got = spark.sql("SELECT * FROM neardup_out")
+        # Which representative survives is arrival-order/partition
+        # dependent; the SIGNATURE multiset is the contract.
+        got_sigs = sorted(r["minhash_sig"] for r in got.collect())
+        want_sigs = sorted(r["minhash_sig"] for r in batch.collect())
+        assert got_sigs == want_sigs
+    finally:
+        q.stop()
+
+
+def test_neardup_suppresses_recrawl_and_keeps_short_docs(spark, tmp_path):
+    from fotmobdatapipeline_spark.streaming.documents import neardup_stream
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # near-dup of 1
+        (3, "totally different content words here"),
+        (4, "hi"),  # sub-shingle: unsignable, must pass through
+        (5, "hi"),  # also passes through (no false collapse)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup_stream(df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert len(ids) == 4  # one of {1,2} suppressed
+    assert 3 in ids and 4 in ids and 5 in ids
+
+
+def test_perrow_signature_matches_batch_minhash(spark):
+    """The stateless per-row signature must equal the shuffle-based
+    batch signature column-for-column (same hash family)."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        minhash_signature_cols,
+        minhash_signatures,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(200)
+    per_row = docs.select("doc_id", *minhash_signature_cols(F.col("text"))).filter(
+        F.col("sig_0").isNotNull()
+    )
+    batch = minhash_signatures(docs)
+    assert sorted(per_row.collect()) == sorted(batch.collect())
