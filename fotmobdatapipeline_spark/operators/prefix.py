@@ -1,0 +1,74 @@
+"""Distributed prefix sums — the scale-correct form of
+``SUM(x) OVER (ORDER BY ...)``.
+
+A global running total expressed as one Spark window collapses the whole
+table into a single partition (Window.orderBy with no partitionBy); at
+100 TB that is one executor sorting everything.  The classic fix is the
+two-phase scan: range-partition by the global order, compute each
+partition's LOCAL running sum, then add the (tiny, driver-collected)
+exclusive prefix of per-partition totals.  Work stays fully distributed;
+the only serial step is the per-partition totals array (#partitions
+values).
+
+Used by plans/llmdata.py::pack_sequences to pack context-window chunks
+into fixed token-budget training sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = sum of ``value_col`` over all rows up to and
+    including this one in ``order_cols`` order (ties broken by the full
+    order key, which must be unique for a deterministic result).
+
+    Plan: repartitionByRange(order) -> in-partition sort + running sum
+    (window partitioned BY Spark partition id, so no single-partition
+    collapse) -> broadcast-join the exclusive per-partition offsets.
+    """
+    if n_parts is None:
+        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        n_parts = int(n_parts)
+    order = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_local_run", F.sum(F.col(value_col)).over(w_local))
+
+    # Tiny: one row per partition; its exclusive prefix is the offset.
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_part_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_part_total").over(w_off), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_run") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_run")
+    )
+
+
+def pack_by_budget(running: Column, value: Column, budget: int) -> Column:
+    """Sequence id for contiguous token packing: a chunk whose EXCLUSIVE
+    running total is t goes to bin floor(t / budget).  Chunks never
+    split; a bin may overflow by at most one chunk's tokens — the
+    standard contiguous-packing tradeoff."""
+    return F.floor((running - value) / budget).cast("int")

@@ -1137,3 +1137,60 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str):
         n_matches("[0-9]+").alias("n_digit_runs"),
         n_matches("[^a-z0-9 ]+").alias("n_other_runs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: context-window chunks -> fixed token-budget training
+# sequences (contiguous packing in deterministic (doc_id, chunk_idx)
+# order).  The running token total comes from the distributed two-phase
+# prefix sum (operators/prefix.py) — NOT a single-partition global
+# window; the oracle's SUM() OVER (ORDER BY) is what that operator
+# replaces at scale.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+             CAST(LEAST(64, len(t) - s) AS INT) AS n_tokens
+      FROM tok, UNNEST(range(0, len(t), 48)) AS u(s)
+    ),
+    run AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM chunks
+    )
+    SELECT CAST((running - n_tokens) // {_PACK_BUDGET} AS INT) AS seq_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM run GROUP BY 1
+    """,
+    tags=("llmdata", "packing", "scale"),
+    doc="Token-budget sequence packing via distributed prefix sum.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions.chunking import chunk_windows
+    from fotmobdatapipeline_spark.operators.prefix import pack_by_budget, running_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_windows(F.col("text"))).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.n_tokens")
+    run = running_sum(chunks, ["doc_id", "chunk_idx"], "n_tokens")
+    return (
+        run.withColumn(
+            "seq_id", pack_by_budget(F.col("running"), F.col("n_tokens"), _PACK_BUDGET)
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -399,3 +399,58 @@ def test_grouped_map_zscore_matches_window_expression(spark):
     assert set(got) == set(want)
     for eid, z in want.items():
         assert math.isclose(got[eid], z, rel_tol=1e-9, abs_tol=1e-9), eid
+
+
+def test_distributed_running_sum_is_partition_invariant(spark):
+    """The two-phase prefix sum must equal the single-partition global
+    window exactly, at any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    rows = [(i * 7919 % 1000, i % 13 + 1) for i in range(5000)]
+    df = (
+        spark.createDataFrame(rows, "k long, v long")
+        .withColumn("rid", F.monotonically_increasing_id())
+    )
+    for n_parts in (1, 5, 32):
+        got = running_sum(df, ["k", "rid"], "v", n_parts=n_parts)
+        w = Window.orderBy("k", "rid").rowsBetween(Window.unboundedPreceding, 0)
+        want = df.withColumn("running", F.sum("v").over(w))
+        assert sorted(got.select("k", "rid", "running").collect()) == sorted(
+            want.select("k", "rid", "running").collect()
+        ), n_parts
+
+
+def test_pack_sequences_invariants(spark):
+    """No sequence exceeds budget + max_chunk - 1 tokens; all sequences
+    except the last are at least budget-full when the next chunk exists;
+    token totals are conserved."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.plans.llmdata import _PACK_BUDGET
+
+    _load_all()
+    from tests.conftest import SF_SMALL
+
+    out = QUERIES["pack_sequences"].builder(spark, SF_SMALL)
+    rows = sorted(out.collect(), key=lambda r: r["seq_id"])
+    assert rows, "no sequences packed"
+    max_chunk = 64
+    for r in rows[:-1]:
+        assert r["seq_tokens"] < _PACK_BUDGET + max_chunk
+        # every non-final sequence crossed the budget boundary
+        assert r["seq_tokens"] > _PACK_BUDGET - max_chunk
+    total = sum(r["seq_tokens"] for r in rows)
+    from fotmobdatapipeline_spark.functions.chunking import chunk_windows
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    want_total = (
+        docs.select(F.explode(chunk_windows(F.col("text"))).alias("c"))
+        .agg(F.sum("c.n_tokens"))
+        .first()[0]
+    )
+    assert total == want_total
