@@ -17,8 +17,8 @@ higher-order-function work (JVM codegen, no UDF, no shuffle).
 
 At 100 TB: stages shuffle only on (hash) / (band key) / (shingle), all
 fine-grained keys with bounded group sizes; skewed shingles (very common
-n-grams) should be frequency-capped upstream — see ``shingle_df``'s
-``max_doc_freq`` note.
+n-grams) are the exception — cap them with ``jaccard_pairs``'s
+``max_df`` (drops stop-shingles before pair fan-out).
 """
 
 from __future__ import annotations
@@ -435,3 +435,33 @@ def minhash_signature_cols(
             )
         )
     return cols
+
+
+def verified_lsh_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Tier 3c: the candidate->verify pipeline — LSH band candidates,
+    then EXACT n-gram Jaccard computed only over documents that appear
+    in some candidate pair.
+
+    This is the standard two-stage near-dup design at corpus scale: the
+    quadratic exact-Jaccard work is confined to the (tiny) candidate doc
+    set; the full corpus is touched only by the linear signature pass.
+    Candidate pairs that share no shingle at all (32-bit band-key
+    collisions) drop out in the verify join — LSH false positives cost
+    a lookup, never a wrong answer.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
+    cands = lsh_band_pairs(sigs, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band)
+    in_play = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(in_play, id_col, "left_semi")
+    scored = jaccard_pairs(sub, text_col, id_col)
+    return scored.join(cands, ["doc_a", "doc_b"])

@@ -1194,3 +1194,91 @@ def pack_sequences(spark: SparkSession, sf_dir: str):
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 3c: LSH candidates verified with exact Jaccard — the
+# two-stage shape that makes exact near-dup affordable at corpus scale
+# (operators/dedup.py::verified_lsh_dups).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    in_play AS (
+      SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM in_play)),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, m.common,
+           CAST(m.common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - m.common AS DOUBLE) AS jaccard
+    FROM cands c
+    JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+    tags=("dedup", "lsh", "jaccard"),
+    doc="Candidate->verify two-stage near-dup: exact scores, bounded work.",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str):
+    return D.verified_lsh_dups(
+        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-SIZE per-stratum sample: the k documents with the
+# smallest content hash per source.  This is also the bottom-k sketch —
+# union/intersection of bottom-k sets estimates corpus overlap, and the
+# sample is stable across engines, partitionings, and re-runs.
+# --------------------------------------------------------------------------
+_BOTTOMK = 10
+
+
+@register(
+    "sample_bottomk",
+    oracle=f"""
+    SELECT source, doc_id, h
+    FROM (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_BOTTOMK}
+    """,
+    tags=("sampling", "sketch"),
+    doc="Bottom-k content-hash sample: fixed-size, deterministic, mergeable.",
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", h.alias("h"), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _BOTTOMK)
+        .drop("rk")
+    )
