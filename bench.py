@@ -63,6 +63,31 @@ def main() -> int:
     for t in TABLES:
         read_table(spark, sf_dir, t).limit(1).collect()
 
+    # Codegen/JIT warm-up on the TINY dims only (nation x region x
+    # supplier: a few hundred rows): exercises the hash-join, hash-agg,
+    # window and sort codepaths once so the first timed query doesn't
+    # pay the one-off whole-stage-codegen + JIT cost that a long-lived
+    # cluster session never sees.  No fact-table data is touched or
+    # cached, so per-query numbers still include all real I/O and work.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    supplier = read_table(spark, sf_dir, "supplier")
+    (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .withColumn(
+            "rk",
+            _F.row_number().over(_W.partitionBy("r_name").orderBy("s_acctbal", "s_suppkey")),
+        )
+        .groupBy("r_name")
+        .agg(_F.sum(_F.col("s_acctbal").cast("decimal(12,2)")).alias("x"), _F.max("rk"))
+        .orderBy("r_name")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -31,3 +31,22 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
 def hash_bucket_256(key: Column) -> Column:
     """Uniform bucket in [0, 256) from the md5 of the key's string form."""
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
+
+def shuffle_key(key: Column, salt: str = "0") -> Column:
+    """Deterministic pseudo-random total order for training-data
+    shuffling: md5 of the salted key string.  A different salt is a
+    fresh, reproducible epoch-level reshuffle — no RNG state, identical
+    across engines, partitionings, and re-runs."""
+    return F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+
+
+def shuffle_shard(key: Column, n_shards: int, salt: str = "0") -> Column:
+    """Shard in [0, n_shards) from the first byte of the shuffle key
+    (n_shards <= 256).  Rows land in a shard uniformly and independently
+    of their natural order — the global-shuffle property training reads
+    need (any prefix of shards is an unbiased subsample)."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in [1, 256]")
+    b = F.conv(F.substring(shuffle_key(key, salt), 1, 2), 16, 10).cast("int")
+    return (b % n_shards).cast("int")

@@ -1282,3 +1282,56 @@ def sample_bottomk(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") <= _BOTTOMK)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data global shuffle (operators/sampling.py::shuffle_shard,
+# sinks.write_shuffled_shards): deterministic md5-salted permutation ->
+# uniform shards.  Any shard subset is an unbiased subsample; a new salt
+# is a fresh epoch reshuffle with zero RNG state.
+# --------------------------------------------------------------------------
+_SHUFFLE_SALT = "7"
+_N_SHUFFLE_SHARDS = 8
+
+
+def _sql_salted_md5() -> str:
+    return f"md5('{_SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, {_sql_salted_md5()} AS skey,
+             ((strpos('0123456789abcdef', substr({_sql_salted_md5()}, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr({_sql_salted_md5()}, 2, 1)) - 1)
+               % {_N_SHUFFLE_SHARDS} AS shard_big
+      FROM documents
+    )
+    SELECT CAST(shard_big AS INT) AS shard, COUNT(*) AS n_docs,
+           MIN(skey) AS min_key, MAX(skey) AS max_key,
+           COUNT(DISTINCT source) AS n_sources
+    FROM s GROUP BY 1
+    """,
+    tags=("training-data", "shuffle"),
+    doc="Deterministic global-shuffle shard assignment + balance stats.",
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import shuffle_key, shuffle_shard
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    return (
+        docs.select(
+            shuffle_shard(key, _N_SHUFFLE_SHARDS, _SHUFFLE_SALT).alias("shard"),
+            shuffle_key(key, _SHUFFLE_SALT).alias("skey"),
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("skey").alias("min_key"),
+            F.max("skey").alias("max_key"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

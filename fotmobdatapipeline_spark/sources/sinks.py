@@ -117,3 +117,38 @@ def write_star(tables: dict[str, DataFrame], base_path: str, mode: str = "overwr
         for f in futures:
             f.result()
     return paths
+
+
+def write_shuffled_shards(
+    df,
+    path: str,
+    key_col: str,
+    n_shards: int = 64,
+    salt: str = "0",
+) -> None:
+    """Training-data global shuffle, as a layout: assign each row a
+    deterministic shuffle shard (md5-salted key) and write one partition
+    directory per shard, rows sorted by the shuffle key inside each
+    file.  A training reader that streams shard directories in order
+    (or any subset) sees a reproducible pseudo-random permutation —
+    with NO driver-side shuffling and no RNG.
+
+    Epoch reshuffles are a new ``salt``, not a new copy of the data
+    pipeline; at 100 TB each shard write is an independent task and the
+    only movement is one hash repartition.
+    """
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sampling import shuffle_key, shuffle_shard
+
+    key = F.col(key_col)
+    (
+        df.withColumn("_shard", shuffle_shard(key, n_shards, salt))
+        .withColumn("_skey", shuffle_key(key, salt))
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_skey")
+        .drop("_skey")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(path)
+    )

@@ -136,3 +136,46 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert merged.count() == 150
     assert merged.filter(F.col("lang").isNull()).count() == 100
     assert merged.filter((F.col("source") == "v2") & (F.col("lang") == "en")).count() == 50
+
+
+def test_write_shuffled_shards_is_a_reproducible_permutation(spark, tmp_path):
+    """Shard files hold a deterministic pseudo-random permutation: rows
+    sorted by the salted md5 key inside each shard, union lossless,
+    shard assignment reproducible from the key alone."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.sources.sinks import write_shuffled_shards
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    out = str(tmp_path / "shuffled")
+    n_shards, salt = 16, "3"
+    write_shuffled_shards(docs, out, "doc_id", n_shards=n_shards, salt=salt)
+
+    def py_key(doc_id: int) -> str:
+        return hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+
+    shard_dirs = sorted(glob.glob(f"{out}/_shard=*"))
+    assert len(shard_dirs) == n_shards
+    seen = []
+    for d in shard_dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            keys = [py_key(i) for i in ids]
+            assert keys == sorted(keys), f"unsorted shard file {f}"
+            for i in ids:
+                assert int(py_key(i)[:2], 16) % n_shards == shard
+            seen.extend(ids)
+    want = [r["doc_id"] for r in docs.collect()]
+    assert sorted(seen) == sorted(want)
+
+    # Balance: no shard is pathologically hot (uniform hash property).
+    back = spark.read.parquet(out)
+    sizes = [r["n"] for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 4 * max(1, min(sizes))
