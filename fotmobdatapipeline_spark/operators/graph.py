@@ -1,0 +1,79 @@
+"""Iterative graph computation: PageRank over a DataFrame edge list.
+
+Together with operators/dedup.py::connected_dup_clusters this covers the
+iterative-algorithm surface: fixed-round message passing with bounded
+per-round cost.  Rank centrality over the near-duplicate candidate
+graph ranks the "hub" documents a dedup pass should keep (or audit)
+first.
+
+Determinism: ranks are exact DECIMAL(38, 18) throughout — decimal sums
+are order-insensitive, so results are bit-identical across partitionings
+and re-runs (a double-based rank would drift with shuffle order).
+Decimal division truncates at scale 18; that truncation is itself
+deterministic.
+
+Scale notes:
+* Each round is one join (edges x ranks, both partitioned on src) and
+  one aggregation (contributions by dst) — the same bounded shuffle
+  pair every round; AQE handles skewed hub nodes.
+* ``localCheckpoint`` truncates lineage each round: without it the plan
+  doubles per iteration and the driver OOMs on plan serialization long
+  before the data is the problem (same hygiene as
+  connected_dup_clusters).
+* Dangling nodes (no out-edges) leak their mass — the standard
+  simplified formulation; total rank is then <= n and monotonically
+  decreasing in the leak, which the tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ONE = "CAST(1 AS DECIMAL(38,18))"
+_DAMP = "CAST(0.85 AS DECIMAL(3,2))"
+_BASE = "CAST(0.15 AS DECIMAL(3,2))"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of rank = 0.15 + 0.85 * sum of
+    rank/deg over in-neighbors, starting from rank 1."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Edges pre-joined with out-degree once; every round reuses this.
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.expr(_ONE))
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(_BASE)
+                    + F.expr(_DAMP)
+                    * F.coalesce(F.col("in_sum"), F.expr("CAST(0 AS DECIMAL(38,18))"))
+                )
+                .cast("decimal(38,18)")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

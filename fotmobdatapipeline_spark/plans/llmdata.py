@@ -1335,3 +1335,31 @@ def shuffle_shards(spark: SparkSession, sf_dir: str):
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph op: PageRank centrality over the near-dup candidate
+# graph (operators/graph.py) — ranks hub documents in duplicate
+# neighborhoods.  Rows-only (iterative decimal division has no portable
+# SQL twin); closed-form/determinism contracts live in tests/test_graph.
+# --------------------------------------------------------------------------
+@register(
+    "graph_pagerank",
+    oracle=None,
+    tags=("graph", "iterative"),
+    doc="PageRank over LSH candidate pairs; exact-decimal determinism.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.lsh_band_pairs(
+        D.minhash_signatures(docs, num_hashes=_LSH_HASHES), num_hashes=_LSH_HASHES
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranked = pagerank(edges, iters=5)
+    return ranked.select("node", F.col("rank").cast("double").alias("rank_approx"))
