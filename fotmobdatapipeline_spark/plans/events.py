@@ -325,3 +325,36 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(EVENT_TYPES))
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4): parse props once into the binary variant encoding,
+# then extract typed fields.  Same answer as events_json_extract, but at
+# scale the variant path parses each JSON document ONCE into a
+# navigable binary form instead of re-parsing the string per
+# get_json_object call — the difference between O(fields x parse) and
+# O(parse + fields) per row.  The oracle uses DuckDB's JSON reader.
+# --------------------------------------------------------------------------
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+             AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json", "variant"),
+    doc="Spark 4 VARIANT field extraction; parse once, navigate binary.",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.max("k").alias("max_k"),
+        F.min("k").alias("min_k"),
+        F.count_if(F.col("k") >= 50).alias("n_high"),
+    )

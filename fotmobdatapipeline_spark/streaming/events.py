@@ -233,3 +233,49 @@ def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor stateful API.
+# --------------------------------------------------------------------------
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running counter as :func:`running_user_counts`,
+    on Spark 4's ``transformWithStateInPandas`` — the successor API with
+    composable typed state (value/list/map), timers, and TTL.  Requires
+    the RocksDB state store provider (use :func:`rocksdb_state`) AND the
+    ``protobuf`` Python package (the state-server protocol; present on
+    real clusters, absent in this container, so the test gates on it).
+    The processor class ships with the package zip so external drivers
+    can unpickle it on workers.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from fotmobdatapipeline_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
