@@ -268,3 +268,34 @@ def extract_features(
             )
 
     return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def extract_features_arrow(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] = stub_decoder,
+) -> DataFrame:
+    """:func:`extract_features` on ``mapInArrow``: RecordBatches flow
+    straight from the JVM into pyarrow with no pandas materialization —
+    no object-dtype Series for the binary column, no index bookkeeping.
+    For wide binary payloads the pandas hop is pure overhead, which is
+    why this is the preferred form at scale; tests pin it row-identical
+    to the pandas path."""
+    import pyarrow as pa
+
+    _ship_for_workers(media, decoder)
+    pruned = media.select("doc_id", "payload")
+
+    def run(batches):
+        for batch in batches:
+            payloads = [b.as_py() for b in batch.column("payload")]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([len(p) for p in payloads], pa.int32()),
+                    pa.array([p[:4].hex().upper() for p in payloads], pa.string()),
+                    pa.array([decoder(p) for p in payloads], pa.list_(pa.float32())),
+                ],
+                names=["doc_id", "n_bytes", "header_hex", "feature"],
+            )
+
+    return pruned.mapInArrow(run, schema=FEATURE_SCHEMA)

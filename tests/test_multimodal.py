@@ -81,3 +81,22 @@ def test_sample_frames_fanout_and_provenance(spark, media):
         have = sorted(got.get(did, []))
         assert [f for _, f in have] == want
         assert [i for i, _ in have] == [k * 4 for k in range(len(want))]
+
+
+def test_arrow_feature_extraction_matches_pandas_path(spark):
+    """mapInArrow and mapInPandas feature extraction must be
+    row-identical — same decoder, no pandas conversion in the former."""
+    from fotmobdatapipeline_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        extract_features,
+        extract_features_arrow,
+        fake_decoder,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(100)
+    media = attach_binary_payload(docs)
+    a = sorted(extract_features_arrow(media, fake_decoder).collect())
+    p = sorted(extract_features(media, fake_decoder).collect())
+    assert a == p and len(a) == 100
