@@ -175,3 +175,38 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old)
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """The reference's S4/S5 surface is nested-struct navigation; at
+    scale the scan must read ONLY the selected leaf fields
+    (spark.sql.optimizer.nestedSchemaPruning, on by default).  Selecting
+    general.homeTeam.name from a wide nested file must leave the shots
+    array and every other leaf out of ReadSchema."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    payload = {
+        "general": {
+            "homeTeam": {"name": "A", "id": 1},
+            "awayTeam": {"name": "B", "id": 2},
+        },
+        "content": {"shotmap": {"shots": [{"x": 1.0, "xG": 0.3}] * 5}},
+    }
+    src = str(tmp_path / "nested.jsonl")
+    with open(src, "w") as fh:
+        for _ in range(20):
+            fh.write(json.dumps(payload) + "\n")
+    out = str(tmp_path / "nested_parquet")
+    spark.read.json(src).write.parquet(out)
+
+    df = spark.read.parquet(out).select(
+        F.col("general.homeTeam.name").alias("home_name")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema, plan
+    s = scan_schema[0]
+    assert "homeTeam" in s and "name" in s
+    assert "shots" not in s and "awayTeam" not in s and "id" not in s, s
