@@ -152,3 +152,46 @@ def write_shuffled_shards(
         .partitionBy("_shard")
         .parquet(path)
     )
+
+
+def describe_parquet_layout(spark: SparkSession, path: str, small_file_bytes: int = 32 * 1024 * 1024):
+    """Layout audit for a parquet dataset — the input to the
+    compact-or-not decision (:func:`compact_parquet`), as
+    :func:`~fotmobdatapipeline_spark.operators.profiling` is to salting.
+
+    Row counts come from a DISTRIBUTED pass (`input_file_name` groupBy —
+    footers are read by executors, never the driver); sizes come from
+    the filesystem listing the driver already has.  Returns a one-row
+    summary DataFrame: file counts, byte/row spread, small-file count,
+    and `needs_compaction` (>50% of files under ``small_file_bytes``).
+    """
+    import os
+    from glob import glob
+
+    from pyspark.sql import functions as F
+
+    sizes = {
+        os.path.basename(f): os.path.getsize(f)
+        for f in glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    size_df = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "file string, n_bytes long"
+    )
+    joined = per_file.join(F.broadcast(size_df), "file")
+    return joined.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.min("n_bytes").alias("min_file_bytes"),
+        F.max("n_bytes").alias("max_file_bytes"),
+        F.count_if(F.col("n_bytes") < small_file_bytes).alias("n_small_files"),
+        (
+            (F.count_if(F.col("n_bytes") < small_file_bytes) * 2 > F.count("*"))
+            & (F.count("*") > 1)  # one file is already as compact as it gets
+        ).alias("needs_compaction"),
+    )

@@ -179,3 +179,28 @@ def test_write_shuffled_shards_is_a_reproducible_permutation(spark, tmp_path):
     back = spark.read.parquet(out)
     sizes = [r["n"] for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()]
     assert max(sizes) <= 4 * max(1, min(sizes))
+
+
+def test_layout_audit_drives_compaction(spark, tmp_path):
+    """The audit flags a fragmented dataset; after compact_parquet the
+    same audit shows the consolidated layout and no flag — and no rows
+    were lost in between."""
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.sources.sinks import (
+        compact_parquet,
+        describe_parquet_layout,
+    )
+
+    out = str(tmp_path / "fragmented")
+    docs = read_table(spark, SF_SMALL, "documents")
+    docs.repartition(40).write.mode("overwrite").parquet(out)
+
+    before = describe_parquet_layout(spark, out).first()
+    assert before["n_files"] == 40
+    assert before["needs_compaction"]
+
+    n_after = compact_parquet(spark, out, target_rows_per_file=10_000_000)
+    after = describe_parquet_layout(spark, out).first()
+    assert after["n_files"] == n_after < 40
+    assert after["n_rows"] == before["n_rows"]
+    assert not after["needs_compaction"]
