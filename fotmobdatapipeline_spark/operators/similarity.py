@@ -109,15 +109,18 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid
-    (highest cosine; ties -> lowest centroid id).
+    """IVF coarse quantizer: assign every vector to its ``n_probes``
+    nearest centroids (highest cosine; ties -> lowest centroid id).
+    Storage uses n_probes=1 (a vector lives in ONE cell); queries may
+    use n_probes>1 to widen the search — the recall lever.
 
     The centroid set is tiny (k ~ sqrt(N) cells, kept well under the
     broadcast threshold), so assignment is a broadcast nested-loop over k
-    candidates per row followed by a per-vector argmax — a map-side-only
+    candidates per row followed by a per-vector top-p — a map-side-only
     stage, no shuffle until someone aggregates by cell.  Output:
-    (id, vec, norm, cell).
+    (id, vec, norm, cell), one row per probed cell.
     """
     from pyspark.sql import Window
 
@@ -143,7 +146,7 @@ def ivf_assign(
     w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("cell"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        .filter(F.col("__rk") <= n_probes)
         .select("vid", "vec", "nrm", "cell")
     )
 
@@ -156,9 +159,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: queries probe only their own centroid cell
-    (nprobe=1), scoring exact cosine against that cell's inverted list.
+    """IVF approximate top-k: each query probes its ``n_probes`` nearest
+    centroid cells (default 1), scoring exact cosine against those
+    cells' inverted lists.  Probed cells are disjoint, so no neighbor
+    dedup is needed; raising n_probes multiplies probe cost by p and
+    buys recall (tests pin the recall@k monotonicity).
 
     vs. brute force: the |Q| x |C| cross join becomes a (cell)-keyed
     equi-join — per-query work drops from N to N/k on balanced cells, and
@@ -171,7 +178,9 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    qa = ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col).select(
+    qa = ivf_assign(
+        queries, centroids, id_col, vec_col, centroid_id_col, n_probes=n_probes
+    ).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.col("nrm").alias("q_norm"),

@@ -1157,3 +1157,62 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str):
             F.max("event_id").alias("max_event"),
         )
     )
+
+
+
+# --------------------------------------------------------------------------
+# Multi-probe IVF: each query searches its 2 nearest cells — the recall
+# lever (probe cost x2, recall up; tests/test_properties.py pins the
+# recall@k monotonicity against brute force).  Candidates stay stored in
+# exactly one cell; only the query-side assignment widens.
+# --------------------------------------------------------------------------
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_norm
+      FROM v WHERE vec_id < {_N_CELLS}
+    ),
+    ranked AS (
+      SELECT v.vec_id AS vid, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_sql_dot('v.embedding', 'c.c_vec')} / (v.nrm * c.c_norm) DESC,
+                        c.cell ASC
+             ) AS rk
+      FROM v, c
+    ),
+    qassign AS (SELECT vid, cell FROM ranked WHERE rk <= 2),
+    sassign AS (SELECT vid, cell FROM ranked WHERE rk = 1),
+    qv AS (SELECT a.vid, a.cell, v.embedding, v.nrm FROM qassign a
+           JOIN v ON v.vec_id = a.vid WHERE a.vid < {_N_QUERIES}),
+    sv AS (SELECT a.vid, a.cell, v.embedding, v.nrm FROM sassign a
+           JOIN v ON v.vec_id = a.vid),
+    pairs AS (
+      SELECT q.vid AS query_id, s.cell,
+             s.vid AS neighbor_id,
+             {_sql_dot('q.embedding', 's.embedding')} / (q.nrm * s.nrm) AS cos_sim
+      FROM qv q JOIN sv s ON q.cell = s.cell AND q.vid != s.vid
+    )
+    SELECT query_id, cell, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    ) WHERE rk <= 5
+    """,
+    tags=("similarity", "ivf", "topk"),
+    doc="Multi-probe IVF (nprobe=2): the recall lever, still cell-joined.",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(queries, emb, centroids, k=5, n_probes=2)
