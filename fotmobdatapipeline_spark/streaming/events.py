@@ -279,3 +279,12 @@ def running_user_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream against a slowly-changing
+    dimension snapshot.  The static side is re-read per micro-batch (so
+    dim updates are picked up between batches) and broadcast when small
+    — no state, no watermark needed; this is the streaming twin of the
+    star build's fact-dim lookups."""
+    return events.join(F.broadcast(dim), on, "left")

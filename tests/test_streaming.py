@@ -304,3 +304,29 @@ def test_transform_with_state_running_counts(spark, events_dir, events_batch):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_dim_enrichment(spark, events_dir, events_batch):
+    """Stream-static join == batch join: every event enriched with its
+    user dim row; no state operator involved."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.streaming.events import (
+        enrich_with_dim,
+        read_events_stream,
+    )
+
+    dim = events_batch.select("user_id").distinct().withColumn(
+        "user_band", (F.col("user_id") % 5).cast("int")
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = enrich_with_dim(
+        stream.select("event_id", "user_id"), dim, "user_id"
+    )
+    _drain(enriched, "enriched_events", "append")
+    got = spark.sql("SELECT * FROM enriched_events")
+    want = events_batch.select("event_id", "user_id").join(
+        F.broadcast(dim), "user_id", "left"
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert got.filter(F.col("user_band").isNull()).count() == 0

@@ -21,6 +21,8 @@ PICKS = [
     ("join_salted_agg", "Skew-salted join: composite (key, salt) spreads hot keys"),
     ("min_cost_supplier", "Argmin via struct-min: SortAggregate fallback keeps map-side partial"),
     ("dedup_jaccard_capped", "df-capped postings: skew tail dropped before pair fan-out"),
+    ("pack_sequences", "Two-phase prefix sum: no single-partition global window"),
+    ("llm_prep_pipeline", "Five-stage prep pipeline in 2 shuffles: map-side stages fused"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
