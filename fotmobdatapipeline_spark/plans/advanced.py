@@ -1216,3 +1216,117 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str):
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.ivf_topk(queries, emb, centroids, k=5, n_probes=2)
+
+
+# --------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape): LEFT join with an
+# extra join-side predicate, then a distribution-of-counts double
+# aggregate — the "histogram of group sizes" shape.
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="Q13-shape: outer join + group-size histogram (double aggregate).",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str):
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Disjunctive-predicate join (TPC-H Q19 shape): OR of (brand, quantity
+# band) conjuncts.  Catalyst extracts the common quantity envelope
+# [1, 30] as a pushable conjunct and evaluates the disjunction post-join
+# — the shape that breaks naive predicate-pushdown implementations.
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_promo_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines, {_dsum("l_extendedprice")} AS gross
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "join", "pushdown"),
+    doc="Q19-shape OR-of-ANDs predicate over a join.",
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            _spark_dsum(F.col("l_extendedprice")).alias("gross"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Wealthy quiet customers (TPC-H Q22 shape, adapted: every customer here
+# has SOME order, so "no orders" becomes "no large orders"): global
+# scalar average + NOT EXISTS anti join.  The average compare is
+# integer-scaled exact decimal (bal * cnt > sum) — no float AVG at the
+# predicate boundary.
+# --------------------------------------------------------------------------
+@register(
+    "wealthy_quiet_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer
+      WHERE c_acctbal > 0
+    ),
+    stats AS (SELECT SUM(bal) AS s, COUNT(*) AS n FROM pos)
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM customer c, stats
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * stats.n > stats.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    tags=("tpch", "subquery", "anti-join"),
+    doc="Q22-shape: scalar-average threshold + anti join, exact compare.",
+)
+def wealthy_quiet_customers(spark: SparkSession, sf_dir: str):
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("s"), F.count("*").alias("n")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(big_orders, customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", bal.cast("double").alias("acctbal"))
+    )
