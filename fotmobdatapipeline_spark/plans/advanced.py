@@ -1330,3 +1330,81 @@ def wealthy_quiet_customers(spark: SparkSession, sf_dir: str):
         .join(big_orders, customer.c_custkey == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", bal.cast("double").alias("acctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Returned-item customer ranking (TPC-H Q10 shape): revenue lost to
+# returns per customer, top 20 — selective fact filter + join tree +
+# ranked output with a unique tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS lost_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+    doc="Q10-shape: returns-filtered join tree, ranked with unique tiebreak.",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier diversity per part class (TPC-H Q16 shape): NOT IN exclusion
+# subquery + COUNT(DISTINCT) per group.  The NOT IN becomes a broadcast
+# anti join; the distinct count is the two-level aggregate Spark plans
+# with partial distinct-expansion.
+# --------------------------------------------------------------------------
+@register(
+    "supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="Q16-shape: NOT IN exclusion + per-class distinct supplier count.",
+)
+def supplier_diversity(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
