@@ -1408,3 +1408,35 @@ def supplier_diversity(spark: SparkSession, sf_dir: str):
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+# --------------------------------------------------------------------------
+# Late-line order priority counts (TPC-H Q4 shape): correlated EXISTS
+# with a date-arithmetic inequality (any line shipped > 60 days after
+# the order date).  The EXISTS decorrelates to a left-semi join; the
+# date compare is integer-µs timestamp + exact interval in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "late_order_priorities",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "semi-join"),
+    doc="Q4-shape correlated EXISTS with date inequality, as a semi join.",
+)
+def late_order_priorities(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
