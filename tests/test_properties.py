@@ -489,3 +489,33 @@ def test_ivf_recall_rises_with_nprobe(spark):
         recalls.append(hits / total)
     assert recalls[0] <= recalls[1] <= recalls[2], recalls
     assert recalls[0] >= 0.3 and recalls[1] >= 0.5 and recalls[2] >= 0.6, recalls
+
+
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=1, max_size=150).map(" ".join), min_size=1, max_size=4))
+@_settings
+def test_chunk_windows_tile_any_document(spark, texts_list):
+    """For ANY document: chunks reconstruct the token stream exactly —
+    concatenating each chunk's first `step` tokens (all of the last
+    chunk) yields the original text; chunk indices are contiguous."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.functions.chunking import chunk_windows
+
+    size, step = 7, 5
+    df = _docs_df(spark, texts_list).select(
+        "doc_id", "text", F.explode(chunk_windows(F.col("text"), size, step)).alias("c")
+    )
+    rows = df.select("doc_id", "text", "c.chunk_idx", "c.chunk_text").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["text"]), []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    for (doc_id, text), chunks in by_doc.items():
+        chunks.sort()
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for i, ctext in chunks[:-1]:
+            rebuilt.extend(ctext.split(" ")[:step])
+        rebuilt.extend(chunks[-1][1].split(" "))
+        assert " ".join(rebuilt) == text
