@@ -165,11 +165,35 @@ def build_star(clean: DataFrame) -> dict[str, DataFrame]:
     # J1: the shot joins team_dim on its own teamId (the shooting team,
     # dag:146) — join on teamId only, so the dim lookup must be unique per
     # teamId; team_name rides along from the dim at denormalize time.
+    # Uniqueness is enforced IN the lazy plan: if an un-canonicalized name
+    # variant ever gives one teamId two surrogate keys, the lookup raises
+    # at execution instead of silently fanning out fact rows.
+    team_lookup = (
+        team_dim.groupBy("teamId")
+        .agg(F.min("team_id").alias("team_id"), F.count("*").alias("__n_names"))
+        .select(
+            "teamId",
+            F.when(F.col("__n_names") == 1, F.col("team_id"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("teamId "),
+                        F.col("teamId").cast("string"),
+                        F.lit(
+                            " maps to multiple team_dim rows — extend "
+                            "TEAM_NAME_CANON for the new name variant"
+                        ),
+                    )
+                )
+            )
+            .alias("team_id"),
+        )
+    )
     fact = build_fact(
         clean,
         dims=[
             (match_dim, ["matchId"], "match_id"),
-            (team_dim.select("teamId", "team_id").distinct(), ["teamId"], "team_id"),
+            (team_lookup, ["teamId"], "team_id"),
             (player_dim, ["player_name"], "player_id"),
             (shot_type_dim, ["shot_type"], "shot_type_id"),
             (event_type_dim, ["event_type", "situation"], "event_type_id"),

@@ -73,12 +73,23 @@ def salted_join(
     a salt column, give each ``probe`` row a deterministic salt in
     [0, n_salts), and join on (key, salt).
 
-    Result is row-identical to ``probe.join(build, key, how)``; the salt
+    Result is row-identical to ``probe.join(build, key, how)`` for
+    ``inner`` / ``left`` / ``left_semi`` / ``left_anti`` joins; the salt
     only changes the *physical* distribution, splitting any hot key's rows
-    across ``n_salts`` shuffle partitions.  ``probe_salt`` must be
+    across ``n_salts`` shuffle partitions.  Right/full-outer ``how`` is
+    rejected: ``build`` is replicated before the join, so each unmatched
+    build row would be emitted ``n_salts`` times.  ``probe_salt`` must be
     deterministic (e.g. ``pmod(hash(other_col), n_salts)``) so re-runs and
     retried tasks produce identical placement.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} — "
+            "build-side replication would duplicate unmatched build rows "
+            "in right/full outer joins"
+        )
     salted_build = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -52,11 +52,26 @@ def upsert_partitioned(
     if not touched:
         return
 
-    try:
-        target = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
-        existing = True
-    except Exception:
-        existing = False
+    # Only a genuinely-absent table may fall through to insert-only mode.
+    # Any other read failure (permissions, corrupt footer, transient FS
+    # error) must abort: proceeding would dynamic-partition-overwrite the
+    # touched partitions with source-only rows, silently dropping every
+    # pre-existing row in them.
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    existing = os.path.exists(path)
+    if existing:
+        try:
+            target = spark.read.parquet(path).filter(
+                F.col(partition_col).isin(touched)
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                existing = False
+            else:
+                raise
 
     if existing:
         kept = target.join(

@@ -860,14 +860,18 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str):
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    from pyspark.sql import Window
 
+    # Distributed top-K vocab: orderBy().limit(K) compiles to
+    # TakeOrderedAndProject (per-partition top-K, merged on the driver) —
+    # never a single-partition global window over ALL distinct words,
+    # which would serialize a billion-row word table at corpus scale.
+    # The K survivors (a vocab-sized list, like k-means centroids) are
+    # ranked driver-side and broadcast back.
     counts = tok.groupBy("w").agg(F.count("*").alias("n"))
-    wv = Window.orderBy(F.desc("n"), F.asc("w"))
-    vocab = (
-        counts.withColumn("vid", (F.row_number().over(wv) - 1).cast("int"))
-        .filter(F.col("vid") < _VOCAB_K)
-        .select("w", "vid")
+    topk = counts.orderBy(F.desc("n"), F.asc("w")).limit(_VOCAB_K).collect()
+    topk.sort(key=lambda r: (-r["n"], r["w"]))  # defensive re-sort
+    vocab = spark.createDataFrame(
+        [(r["w"], i) for i, r in enumerate(topk)], schema="w string, vid int"
     )
     enc = tok.join(F.broadcast(vocab), "w", "left").select(
         "doc_id", "pos", F.coalesce("vid", F.lit(-1)).alias("vid")
@@ -922,11 +926,47 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str):
 
 # --------------------------------------------------------------------------
 # Multimodal decode path: Arrow-batched mapInPandas feature extraction
-# (deterministic stand-in decoder).  Python-side → no SQL oracle; the
-# driver records a rows-only check, and tests/test_multimodal.py checks
-# values.
+# (deterministic stand-in decoder).  The float feature vector is exact
+# integer byte math (sum of bytes per slot mod 997), so it serializes to
+# an int CSV that a DuckDB oracle reproduces byte-for-byte: the blob is
+# hexed once and byte i recovered from hex chars 2i+1..2i+2 via strpos
+# arithmetic (DuckDB substr does not accept BLOB).
 # --------------------------------------------------------------------------
-@register("multimodal_feature_extract", oracle=None, tags=("multimodal", "pandas-udf"))
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             (strpos('0123456789abcdef', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS bv
+      FROM b, UNNEST(range(0, n)) AS u(i)
+    ),
+    slot AS (
+      SELECT doc_id, i % 8 AS j, SUM(bv) % 997 AS v
+      FROM bytes GROUP BY doc_id, i % 8
+    ),
+    grid AS (
+      SELECT doc_id, CAST(g AS INT) AS j FROM b, UNNEST(range(0, 8)) AS u(g)
+    ),
+    feat AS (
+      SELECT grid.doc_id, grid.j, COALESCE(slot.v, 0) AS v
+      FROM grid LEFT JOIN slot ON grid.doc_id = slot.doc_id AND grid.j = slot.j
+    )
+    SELECT b.doc_id, b.n AS n_bytes, upper(substr(b.hx, 1, 8)) AS header_hex,
+           fs.feature_csv
+    FROM b JOIN (
+      SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS feature_csv
+      FROM feat GROUP BY doc_id
+    ) fs USING (doc_id)
+    """,
+    tags=("multimodal", "pandas-udf"),
+    doc="Arrow-batched feature extraction with an exact byte-math oracle.",
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.multimodal import (
         attach_binary_payload,
@@ -935,7 +975,18 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str):
     )
 
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
-    return extract_features(media, decoder=fake_decoder)
+    feats = extract_features(media, decoder=fake_decoder)
+    # Serialize the (exactly-integer) float vector so the result is
+    # canonicalizable and hash-comparable; the array form stays available
+    # via extract_features directly.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("int").cast("string")), ","
+        ).alias("feature_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1298,15 +1349,25 @@ def _sql_salted_md5() -> str:
     return f"md5('{_SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))"
 
 
+# DuckDB twin of sampling.shuffle_shard's 32-bit hex prefix: sum of
+# (nibble value) * 16^(7-i) over the first 8 hex chars (no conv() in
+# DuckDB — strpos arithmetic per the portable-hashing rule).
+_SQL_HEX32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
 @register(
     "shuffle_shards",
     oracle=f"""
-    WITH s AS (
-      SELECT source, {_sql_salted_md5()} AS skey,
-             ((strpos('0123456789abcdef', substr({_sql_salted_md5()}, 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr({_sql_salted_md5()}, 2, 1)) - 1)
-               % {_N_SHUFFLE_SHARDS} AS shard_big
-      FROM documents
+    WITH k AS (
+      SELECT source, {_sql_salted_md5()} AS skey FROM documents
+    ),
+    s AS (
+      SELECT source, skey,
+             ({_SQL_HEX32}) % {_N_SHUFFLE_SHARDS} AS shard_big
+      FROM k
     )
     SELECT CAST(shard_big AS INT) AS shard, COUNT(*) AS n_docs,
            MIN(skey) AS min_key, MAX(skey) AS max_key,

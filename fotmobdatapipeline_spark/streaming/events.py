@@ -43,8 +43,18 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events directory (new files appear as
-    micro-batches; at scale this would be Kafka — same downstream code)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    micro-batches; at scale this would be Kafka — same downstream code).
+
+    Session-level side effect: ``nanosAsLong`` must stay set for the
+    stream's whole lifetime (the conf is read at every micro-batch plan,
+    not just here), so it cannot be save/restored around this call.  It
+    is set only if unset/false, and batch readers in this package go
+    through ``sources.registry.read_table``, which sets the same value —
+    the one observable change is to a *foreign* batch read of
+    TIMESTAMP(NANOS) parquet in the same session, which would otherwise
+    throw PARQUET_TYPE_ILLEGAL."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)

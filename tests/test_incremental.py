@@ -95,3 +95,38 @@ def test_upsert_partitioned_merge(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert mtimes_after == mtimes_before, "untouched partition must not be rewritten"
+
+
+def test_upsert_aborts_on_unreadable_target(spark, tmp_path):
+    """A target that EXISTS but cannot be read (corrupt footer, perms,
+    transient FS error) must abort the MERGE — falling through to
+    insert-only mode would overwrite the touched partitions with
+    source-only rows, silently dropping every pre-existing row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import upsert_partitioned
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "corrupt_target")
+    import os
+
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+
+    batch = (
+        read_table(spark, SF_SMALL, "orders")
+        .limit(3)
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    with pytest.raises(Exception):
+        upsert_partitioned(spark, batch, path, keys=["o_orderkey"], partition_col="order_month")
+    # must NOT be swallowed into insert-only mode
+    assert os.path.getsize(os.path.join(path, "part-00000.parquet")) == 18
+
+    # a genuinely-absent path still works as plain insert
+    fresh = str(tmp_path / "fresh_target")
+    upsert_partitioned(spark, batch, fresh, keys=["o_orderkey"], partition_col="order_month")
+    assert spark.read.parquet(fresh).count() == 3

@@ -121,6 +121,18 @@ def test_minhash_has_map_side_partial_agg(spark):
     assert "partial_min" in plan, plan[:2000]
 
 
+def test_vocab_encode_has_no_global_window(spark):
+    """The vocab build must never rank ALL distinct words through a
+    partition-less window (single-partition sort at corpus scale); the
+    top-K is a distributed TakeOrderedAndProject and only the K survivors
+    are ranked.  The encode plan therefore contains no Window at all and
+    joins the vocab by broadcast."""
+    df = _q("text_vocab_encode")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_merge_upsert_prunes_untouched_partitions(spark, tmp_path):
     """The MERGE's target read must carry a partition filter — cost is
     O(touched partitions), never a full-table scan."""

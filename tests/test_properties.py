@@ -142,6 +142,49 @@ def test_salted_join_equals_plain_join(spark, rows):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_build_side_outer(spark):
+    """Right/full outer joins would emit each unmatched build row once
+    per salt replica — the guard must reject them loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.joins import salted_join
+
+    probe = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    build = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(probe, build, "k", probe_salt=F.lit(0), how=how)
+    # left-family joins remain identical to the plain join
+    plain = probe.join(build, "k", "left_anti")
+    salted = salted_join(probe, build, "k", probe_salt=F.lit(0), how="left_anti")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_team_lookup_raises_on_ambiguous_team_id(spark):
+    """fotmob build_star: a teamId carrying two canonical names (canon
+    map gap) must fail the fact build loudly, never silently fan out
+    shot rows."""
+    import pytest
+
+    from fotmobdatapipeline_spark import fotmob
+
+    base = {
+        "matchId": "m1", "home_team_id": 10, "away_team_id": 20,
+        "away_team_name": "Chelsea", "player_name": "P",
+        "shot_type": "goal", "event_type": "Goal", "situation": "OpenPlay",
+        "teamId": 10, "xG": 0.5, "xGOT": 0.6, "shot_from_x": 1.0,
+        "shot_from_y": 2.0, "is_blocked": False, "blocked_x": 0.0,
+        "blocked_y": 0.0, "goal_crossed_y": 0.1, "goal_crossed_z": 0.2,
+    }
+    row_a = dict(base, shot_id=1, home_team_name="Arsenal")
+    row_b = dict(base, shot_id=2, home_team_name="Arsenal FC")
+    clean = spark.createDataFrame([row_a, row_b])
+    star = fotmob.build_star(clean)
+    with pytest.raises(Exception, match="maps to multiple team_dim rows"):
+        star["fact_table"].collect()
+
+
 @given(st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True))
 @_settings
 def test_hash_sample_is_partitioning_invariant(spark, keys):

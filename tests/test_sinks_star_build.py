@@ -170,7 +170,7 @@ def test_write_shuffled_shards_is_a_reproducible_permutation(spark, tmp_path):
             keys = [py_key(i) for i in ids]
             assert keys == sorted(keys), f"unsorted shard file {f}"
             for i in ids:
-                assert int(py_key(i)[:2], 16) % n_shards == shard
+                assert int(py_key(i)[:8], 16) % n_shards == shard
             seen.extend(ids)
     want = [r["doc_id"] for r in docs.collect()]
     assert sorted(seen) == sorted(want)
