@@ -113,6 +113,68 @@ FACT_MEASURES = (
 )
 
 
+LANDING_ZONE_DIR = "/tmp/spark_graft_fotmob_landing"
+
+
+def generate_landing_zone(
+    path: str = LANDING_ZONE_DIR, n_matches: int = 6, shots_per_match: int = 10
+) -> str:
+    """Write a deterministic fotmob-shaped JSONL landing zone (the S2
+    surface: one matchDetails payload per line, sharded files).  Pure
+    arithmetic content — same bytes every run — so ingestion queries over
+    it are oracle-comparable.  Includes a raw 'Tottenham' name variant to
+    exercise the P2 canonicalization (dag:121) and null blocked_* fields
+    to exercise nullable nested leaves."""
+    import json
+    import os
+
+    teams = ["Arsenal", "Chelsea", "Tottenham", "Liverpool", "Everton", "Fulham"]
+    os.makedirs(path, exist_ok=True)
+    shards: dict[int, list] = {}
+    for m in range(n_matches):
+        hi, ai = m % len(teams), (m + 1) % len(teams)
+        shots = []
+        for j in range(shots_per_match):
+            blocked = j % 4 == 0
+            x = 85.0 + j * 0.25
+            y = 30.0 + ((j * 13) % 40) * 0.5
+            xg = ((m * 10 + j) % 100) * 0.01 + 0.01
+            shots.append(
+                {
+                    "id": m * 1000 + j,
+                    "eventType": "Goal" if j % 5 == 0
+                    else ("AttemptSaved" if j % 3 == 0 else "Miss"),
+                    "teamId": 100 + (hi if j % 2 == 0 else ai),
+                    "playerName": f"Player {(m * 7 + j) % 17}",
+                    "situation": ["RegularPlay", "FastBreak", "SetPiece", "FromCorner"][j % 4],
+                    "shotType": ["RightFoot", "LeftFoot", "Header"][j % 3],
+                    "x": x,
+                    "y": y,
+                    "isBlocked": blocked,
+                    "blockedX": x + 0.5 if blocked else None,
+                    "blockedY": y - 0.25 if blocked else None,
+                    "goalCrossedY": 32.0 + (j % 8) * 0.125,
+                    "goalCrossedZ": (j % 5) * 0.25,
+                    "expectedGoals": xg,
+                    "expectedGoalsOnTarget": xg / 2 if j % 5 == 0 else 0.0,
+                }
+            )
+        payload = {
+            "matchId": str(4000000 + m),
+            "general": {
+                "homeTeam": {"name": teams[hi], "id": 100 + hi},
+                "awayTeam": {"name": teams[ai], "id": 100 + ai},
+            },
+            "content": {"shotmap": {"shots": shots}},
+        }
+        shards.setdefault(m % 3, []).append(payload)
+    for s, payloads in sorted(shards.items()):
+        with open(os.path.join(path, f"matches-{s}.jsonl"), "w") as fh:
+            for p in payloads:
+                fh.write(json.dumps(p) + "\n")
+    return path
+
+
 def read_matches(spark, path: str) -> DataFrame:
     """S2 ingestion: landing-zone JSON (one matchDetails payload per line)
     with the explicit nested schema.  At scale this is a partitioned

@@ -187,35 +187,120 @@ def scd2_intervals(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# Approx quantiles (KLL-style sketch) — the 100 TB default the exact
+# Approx quantiles (GK sketch) — the 100 TB default the exact
 # agg_exact_quantiles is the ground truth for.  Sketch internals are not
-# SQL-portable -> rows-only; accuracy vs exact pinned in the test below
-# via the relative-error contract.
+# SQL-portable, so the query validates the sketch's own contract
+# in-plan: the returned value's rank interval must intersect
+# [p*n - eps*n, p*n + eps*n] (eps = 1/accuracy, +1 slack for the
+# discrete rank).  The booleans are TRUE for ANY merge order — the GK
+# guarantee — so the output is deterministic and oracle-comparable even
+# though the sketch value itself is not.
 # --------------------------------------------------------------------------
-@register("agg_approx_quantiles", oracle=None, tags=("agg", "quantiles", "sketch"))
+_APPROX_ACC = 10_000
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantiles", "sketch"),
+    doc="GK sketch quantiles, rank-error contract checked in-plan.",
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str):
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.5, 0.9], 10_000).alias("approx_q")
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", [0.5, 0.9], _APPROX_ACC).alias("q")
+        )
+        .select(
+            "l_returnflag", F.col("q")[0].alias("a50"), F.col("q")[1].alias("a90")
+        )
+    )
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_quantity") < F.col("a50")).cast("long")).alias("lo50"),
+        F.sum((F.col("l_quantity") <= F.col("a50")).cast("long")).alias("hi50"),
+        F.sum((F.col("l_quantity") < F.col("a90")).cast("long")).alias("lo90"),
+        F.sum((F.col("l_quantity") <= F.col("a90")).cast("long")).alias("hi90"),
+    )
+    err = F.col("n") / _APPROX_ACC + 1
+
+    def in_bounds(p, lo, hi):
+        target = F.col("n") * p
+        return (F.col(lo) + 1 <= target + err) & (F.col(hi) >= target - err)
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        in_bounds(0.5, "lo50", "hi50").alias("p50_in_bounds"),
+        in_bounds(0.9, "lo90", "hi90").alias("p90_in_bounds"),
     )
 
 
 # --------------------------------------------------------------------------
 # Grouped-map applyInPandas: per-user z-score normalization of event
 # values — the grouped Arrow UDF surface (vs mapInPandas's per-batch and
-# applyInPandasWithState's stateful-streaming surfaces).  Float std is
-# not SQL-portable -> rows-only; equivalence to the native window
-# expression is pinned in tests/test_properties.py.  Scale shape: one
-# shuffle on the group key, then pure vectorized per-group numpy.
+# applyInPandasWithState's stateful-streaming surfaces).  Scale shape:
+# one shuffle on the group key, then pure vectorized per-group numpy.
+# Exactness: mean/variance come from SEQUENTIAL left-to-right folds over
+# the group sorted by event_id (np.cumsum is sequential), which the
+# oracle mirrors with list(... ORDER BY event_id) + list_reduce — the
+# same sequential-fold rule that makes the dot-product oracles exact.
+# Equivalence to the native window expression stays pinned (to float
+# tolerance) in tests/test_properties.py.
 # --------------------------------------------------------------------------
-@register("events_user_zscore", oracle=None, tags=("events", "pandas-udf", "grouped-map"))
+@register(
+    "events_user_zscore",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             list(value ORDER BY event_id) AS vs,
+             list(event_id ORDER BY event_id) AS ids
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, ids, vs,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), (a, b) -> a + b)
+               / len(vs) AS mean
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, ids, vs, mean,
+             CASE WHEN len(vs) > 1 THEN
+               sqrt(list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(vs, v -> (v - mean) * (v - mean))),
+                      (a, b) -> a + b) / (len(vs) - 1))
+             ELSE 0.0 END AS std
+      FROM m
+    )
+    SELECT user_id,
+           UNNEST(ids) AS event_id,
+           UNNEST(list_transform(
+             vs, v -> CASE WHEN std > 0 THEN (v - mean) / std ELSE 0.0 END))
+             AS z_value
+    FROM s
+    """,
+    tags=("events", "pandas-udf", "grouped-map"),
+    doc="Per-user z-score via grouped-map UDF, sequential-fold exact.",
+)
 def events_user_zscore(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def zscore(pdf):
-        std = pdf["value"].std(ddof=1)
-        mean = pdf["value"].mean()
-        z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+        import math
+
+        pdf = pdf.sort_values("event_id")
+        n = len(pdf)
+        mean = pdf["value"].cumsum().iloc[-1] / n
+        d = pdf["value"] - mean
+        std = math.sqrt((d * d).cumsum().iloc[-1] / (n - 1)) if n > 1 else 0.0
+        z = d / std if std > 0 else pdf["value"] * 0.0
         return pdf.assign(z_value=z)[["event_id", "user_id", "z_value"]]
 
     return ev.groupBy("user_id").applyInPandas(

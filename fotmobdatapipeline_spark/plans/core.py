@@ -935,15 +935,113 @@ def part_unpivot(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# Approximate aggregates (HLL sketch).  Engine-specific sketch values →
-# no SQL oracle; the driver records rows-only, and the exact column lets
-# tests bound the error.
+# Approximate aggregates (HLL++ sketch).  The sketch estimate itself is
+# engine-specific, so the query checks the HLL error contract in-plan
+# (|approx - exact| within 3x the requested rsd, +10 absolute slack for
+# tiny groups where linear counting takes over) and emits the exact
+# count plus the deterministic verdict — oracle-comparable while still
+# exercising the sketch.
 # --------------------------------------------------------------------------
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+_HLL_RSD = 0.05
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_within_rsd
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx"),
+    doc="HLL++ distinct count, error contract checked in-plan.",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", _HLL_RSD).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+    bound = 3 * _HLL_RSD * F.col("exact_customers") + 10
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        (F.abs(F.col("approx_customers") - F.col("exact_customers")) <= bound)
+        .alias("hll_within_rsd"),
+    )
 
+
+
+# --------------------------------------------------------------------------
+# S2 + S4-S7 on real files: deterministic fotmob-shaped JSONL landing
+# zone generated at query time, read with the explicit MATCH_SCHEMA,
+# nested structs navigated + shots array exploded + renamed/
+# canonicalized (fotmob.read_matches/flatten_shots/clean_shots,
+# dag:39-121).  The oracle re-parses the SAME files with DuckDB
+# read_json under an equally explicit schema, so the gate proves the
+# whole ingestion path — JSON parsing, struct navigation, explode,
+# rename, value canon — value-exact across engines.
+# --------------------------------------------------------------------------
+_FOTMOB_SHOT_COLS = (
+    "STRUCT(id BIGINT, eventType VARCHAR, teamId BIGINT, playerName VARCHAR, "
+    "situation VARCHAR, shotType VARCHAR, x DOUBLE, y DOUBLE, "
+    "isBlocked BOOLEAN, blockedX DOUBLE, blockedY DOUBLE, "
+    "goalCrossedY DOUBLE, goalCrossedZ DOUBLE, "
+    "expectedGoals DOUBLE, expectedGoalsOnTarget DOUBLE)"
+)
+
+
+def _fotmob_ingest_oracle() -> str:
+    from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR
+
+    canon = "CASE WHEN {c} = 'Tottenham' THEN 'Tottenham Hotspur' ELSE {c} END"
+    return f"""
+    WITH m AS (
+      SELECT matchId,
+             general.homeTeam.name AS raw_home,
+             general.homeTeam.id AS home_team_id,
+             general.awayTeam.name AS raw_away,
+             general.awayTeam.id AS away_team_id,
+             UNNEST(content.shotmap.shots) AS shot
+      FROM read_json('{LANDING_ZONE_DIR}/*.jsonl', columns = {{
+        'matchId': 'VARCHAR',
+        'general': 'STRUCT(homeTeam STRUCT(name VARCHAR, id BIGINT),
+                           awayTeam STRUCT(name VARCHAR, id BIGINT))',
+        'content': 'STRUCT(shotmap STRUCT(shots {_FOTMOB_SHOT_COLS}[]))'
+      }})
+    )
+    SELECT matchId AS "matchId",
+           {canon.format(c="raw_home")} AS home_team_name,
+           home_team_id,
+           {canon.format(c="raw_away")} AS away_team_name,
+           away_team_id,
+           shot.id AS shot_id,
+           shot.eventType AS event_type,
+           shot.teamId AS "teamId",
+           shot.playerName AS player_name,
+           shot.situation AS situation,
+           shot.shotType AS shot_type,
+           shot.x AS shot_from_x,
+           shot.y AS shot_from_y,
+           shot.isBlocked AS is_blocked,
+           shot.blockedX AS blocked_x,
+           shot.blockedY AS blocked_y,
+           shot.goalCrossedY AS goal_crossed_y,
+           shot.goalCrossedZ AS goal_crossed_z,
+           shot.expectedGoals AS "xG",
+           shot.expectedGoalsOnTarget AS "xGOT"
+    FROM m
+    """
+
+
+@register(
+    "fotmob_json_ingest",
+    oracle=_fotmob_ingest_oracle(),
+    tags=("source", "json", "nested", "reference-surface"),
+    doc="Nested-JSON ingestion: landing zone -> flat clean shots.",
+)
+def fotmob_json_ingest(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark import fotmob
+
+    path = fotmob.generate_landing_zone()
+    return fotmob.clean_shots(fotmob.flatten_shots(fotmob.read_matches(spark, path)))

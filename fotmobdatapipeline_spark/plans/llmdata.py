@@ -258,11 +258,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# Dedup tier 3c: LSH candidate pairs -> duplicate clusters (iterative
-# connected components; loop-terminated -> rows-only check, invariants in
-# tests/test_properties.py).
+# Dedup tier 3c: LSH candidate pairs -> duplicate clusters.  Spark runs
+# iterative min-label propagation with pointer jumping (O(log n) rounds);
+# the oracle reaches the same fixpoint non-iteratively — a recursive-CTE
+# transitive closure, then MIN over each vertex's reachable set.  Both
+# compute "smallest doc id in my connected component", so the compare is
+# value-exact despite the radically different algorithms.
 # --------------------------------------------------------------------------
-@register("dedup_lsh_clusters", oracle=None, tags=("dedup", "lsh", "iterative"))
+@register(
+    "dedup_lsh_clusters",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+    """,
+    tags=("dedup", "lsh", "iterative"),
+    doc="Duplicate clusters: iterative components vs closure oracle.",
+)
 def dedup_lsh_clusters(spark: SparkSession, sf_dir: str):
     sigs = D.minhash_signatures(
         read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES

@@ -392,7 +392,10 @@ def test_kmeans_lloyd_invariants(spark):
 
 def test_approx_quantiles_close_to_exact(spark):
     """percentile_approx with accuracy 10k must land within 1% relative
-    error of the exact rank-arithmetic quantiles on sf0.001."""
+    error of the exact rank-arithmetic quantiles on sf0.001, and the
+    catalog query's in-plan rank-bound verdicts must all hold."""
+    from pyspark.sql import functions as F
+
     from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
     from fotmobdatapipeline_spark.plans.catalog import query_map
     from fotmobdatapipeline_spark.sources.registry import read_table
@@ -405,13 +408,18 @@ def test_approx_quantiles_close_to_exact(spark):
     }
     approx = {
         r["l_returnflag"]: r["approx_q"]
-        for r in query_map()["agg_approx_quantiles"](spark, SF_SMALL).collect()
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_quantity", [0.5, 0.9], 10_000).alias("approx_q"))
+        .collect()
     }
     assert set(exact) == set(approx)
     for flag, (e50, e90) in exact.items():
         a50, a90 = approx[flag]
         assert abs(a50 - e50) <= 0.01 * max(e50, 1)
         assert abs(a90 - e90) <= 0.01 * max(e90, 1)
+
+    for r in query_map()["agg_approx_quantiles"](spark, SF_SMALL).collect():
+        assert r["p50_in_bounds"] and r["p90_in_bounds"], r
 
 
 def test_grouped_map_zscore_matches_window_expression(spark):
