@@ -124,6 +124,19 @@ def main() -> int:
     except Exception as e:  # never fail the bench over the baseline
         print(f"# pandas baseline skipped: {e}", file=sys.stderr)
 
+    # Scale section: regenerate the headline comparison at sf1-class
+    # volume (synthetic, deterministic, schema-identical — sources/
+    # synth.py).  sf0.1 fits in pandas' cache, which is the single-core
+    # engine's best case; the point of this section is showing the
+    # data-parallel plan winning once the data outgrows one core.
+    scale: dict = {}
+    scale_sf = float(os.environ.get("SPARK_GRAFT_SCALE_SF", "1"))
+    if scale_sf > 0:
+        try:
+            scale = _scale_section(spark, scale_sf)
+        except Exception as e:  # never fail the bench over the scale add-on
+            print(f"# scale section skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -133,11 +146,60 @@ def main() -> int:
                 "queries": timings,
                 "baselines": baselines,
                 "sf": sf,
+                "scale": scale,
             }
         )
     )
     spark.stop()
     return 0
+
+
+_SCALE_QUERIES = [
+    "flagship_revenue_topk",
+    "agg_pricing_summary",
+    "star_denorm_wide",
+    "nation_revenue",
+    "shipping_priority",
+]
+
+
+def _scale_section(spark, scale_sf: float) -> dict:
+    import tempfile
+
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.plans.star_build import run_star_build
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    gen_dir = f"/tmp/spark_graft_synth_sf{scale_sf:g}"
+    t0 = time.perf_counter()
+    generate_scale_tables(spark, scale_sf, gen_dir)
+    gen_sec = round(time.perf_counter() - t0, 3)
+    print(f"# scale sf{scale_sf:g} generate (cached after first run): "
+          f"{gen_sec:.3f}s", file=sys.stderr)
+
+    qmap = query_map()
+    q: dict[str, float] = {}
+    for name in _SCALE_QUERIES:
+        t0 = time.perf_counter()
+        qmap[name](spark, gen_dir).write.format("noop").mode("overwrite").save()
+        q[name] = round(time.perf_counter() - t0, 3)
+        print(f"# scale/{name}: {q[name]:.3f}s", file=sys.stderr)
+
+    with tempfile.TemporaryDirectory(prefix="fotmob_bench_star_sf1_") as out:
+        t0 = time.perf_counter()
+        run_star_build(spark, gen_dir, out)
+        q["star_build_write"] = round(time.perf_counter() - t0, 3)
+    print(f"# scale/star_build_write: {q['star_build_write']:.3f}s", file=sys.stderr)
+
+    baselines = {}
+    try:
+        baselines["pandas_star_build"] = _pandas_star_build(gen_dir)
+        print(f"# scale/pandas_star_build (reference engine): "
+              f"{baselines['pandas_star_build']:.3f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# scale pandas baseline skipped: {e}", file=sys.stderr)
+
+    return {"sf": scale_sf, "gen_sec": gen_sec, "queries": q, "baselines": baselines}
 
 
 def _pandas_star_build(sf_dir: str) -> float:

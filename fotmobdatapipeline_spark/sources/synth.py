@@ -1,0 +1,162 @@
+"""Deterministic synthetic scale generator: TPC-H-ish tables at sf >= 1,
+schema-identical to the driver testdata, produced entirely inside Spark.
+
+Purpose: scale evidence beyond the sf0.1 testdata.  sf0.1 fits in one
+pandas process' cache — the single-threaded reference engine's best case
+and Spark's worst (fixed job overhead dominates).  The bench's scale
+section regenerates the star-build comparison at sf1-class volume, where
+the data-parallel plan must win.
+
+Design for the generator itself (it is also a 100 TB pattern — "make
+data where the workers are"):
+* ``spark.range(n, numPartitions=p)`` is an embarrassingly parallel
+  source — no shuffle, no driver data, each task synthesizes its slice;
+* every column derives from ``xxhash64(key, tag)`` arithmetic — fully
+  deterministic across runs/partitionings, so the output is reproducible
+  and reusable (a marker file skips regeneration);
+* values are written straight to parquet with the testdata's column
+  names and physical types, so every catalog query and the pandas
+  baseline run unmodified against the generated directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE"
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_TYPES = ("ECONOMY ANODIZED", "LARGE BRUSHED", "MEDIUM POLISHED",
+          "PROMO BURNISHED", "SMALL PLATED", "STANDARD TIN")
+_MATERIALS = ("BRASS", "COPPER", "NICKEL", "STEEL", "TIN")
+_NATIONS = (
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+    "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+    "UNITED STATES",
+)
+_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+def _h(key, tag: str):
+    """Deterministic non-negative 64-bit stream per (row, tag)."""
+    return F.abs(F.xxhash64(key, F.lit(tag)))
+
+
+def _pick(key, tag: str, values) -> F.Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (_h(key, tag) % len(values) + 1).cast("int"))
+
+
+def _money(key, tag: str, lo_cents: int, hi_cents: int) -> F.Column:
+    cents = _h(key, tag) % (hi_cents - lo_cents) + lo_cents
+    return (cents / F.lit(100.0)).cast("double")
+
+
+def _date_ms(key, tag: str, start: str = "1992-01-01", days: int = 2400) -> F.Column:
+    d = F.date_add(F.lit(start).cast("date"), (_h(key, tag) % days).cast("int"))
+    return d.cast("timestamp")
+
+
+def generate_scale_tables(
+    spark: SparkSession,
+    sf: float,
+    path: str,
+    partitions: int = 32,
+    force: bool = False,
+) -> str:
+    """Materialize region/nation/customer/supplier/part/orders/lineitem
+    at scale factor ``sf`` under ``path`` (one parquet dataset per table,
+    same layout as the driver testdata).  Idempotent: a marker file makes
+    later calls a no-op, so the bench amortizes generation across runs."""
+    marker = os.path.join(path, _MARKER)
+    if os.path.exists(marker) and not force:
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_orders = int(1_500_000 * sf)
+    lines_per_order = 4  # ~6M lineitems at sf1, TPC-H's average
+
+    def write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(path, f"{name}.parquet"))
+
+    region = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(_REGIONS)], "r_regionkey int, r_name string"
+    )
+    write(region, "region")
+
+    nation = spark.createDataFrame(
+        [(i, n, i % len(_REGIONS)) for i, n in enumerate(_NATIONS)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    write(nation, "nation")
+
+    cust = spark.range(1, n_cust + 1, numPartitions=partitions).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.format_string("%09d", "id")).alias("c_name"),
+        (_h(F.col("id"), "cn") % len(_NATIONS)).cast("int").alias("c_nationkey"),
+        _money(F.col("id"), "cb", -99999, 999999).alias("c_acctbal"),
+        _pick(F.col("id"), "cs", _SEGMENTS).alias("c_mktsegment"),
+    )
+    write(cust, "customer")
+
+    supp = spark.range(1, n_supp + 1, numPartitions=partitions).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.format_string("%09d", "id")).alias("s_name"),
+        (_h(F.col("id"), "sn") % len(_NATIONS)).cast("int").alias("s_nationkey"),
+        _money(F.col("id"), "sb", -99999, 999999).alias("s_acctbal"),
+    )
+    write(supp, "supplier")
+
+    part = spark.range(1, n_part + 1, numPartitions=partitions).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(_pick(F.col("id"), "pw1", _MATERIALS), F.lit(" "),
+                 _pick(F.col("id"), "pw2", _TYPES)).alias("p_name"),
+        F.concat(F.lit("Brand#"),
+                 ((_h(F.col("id"), "pb") % 5) + 1).cast("string"),
+                 ((_h(F.col("id"), "pb2") % 5) + 1).cast("string")).alias("p_brand"),
+        F.concat(_pick(F.col("id"), "pt", _TYPES), F.lit(" "),
+                 _pick(F.col("id"), "pm", _MATERIALS)).alias("p_type"),
+        ((_h(F.col("id"), "ps") % 50) + 1).cast("int").alias("p_size"),
+        _money(F.col("id"), "pr", 90000, 200000).alias("p_retailprice"),
+    )
+    write(part, "part")
+
+    orders = spark.range(1, n_orders + 1, numPartitions=partitions).select(
+        F.col("id").alias("o_orderkey"),
+        (_h(F.col("id"), "oc") % n_cust + 1).alias("o_custkey"),
+        _pick(F.col("id"), "os", ("F", "O", "P")).alias("o_orderstatus"),
+        _money(F.col("id"), "ot", 100000, 50000000).alias("o_totalprice"),
+        _date_ms(F.col("id"), "od").alias("o_orderdate"),
+        _pick(F.col("id"), "op", _PRIORITIES).alias("o_orderpriority"),
+    )
+    write(orders, "orders")
+
+    li_ids = spark.range(0, n_orders * lines_per_order, numPartitions=partitions)
+    okey = (F.col("id") / lines_per_order).cast("long") + 1
+    li = li_ids.select(
+        okey.alias("l_orderkey"),
+        (_h(F.col("id"), "lp") % n_part + 1).alias("l_partkey"),
+        (_h(F.col("id"), "ls") % n_supp + 1).alias("l_suppkey"),
+        (F.col("id") % lines_per_order + 1).cast("int").alias("l_linenumber"),
+        ((_h(F.col("id"), "lq") % 50) + 1).cast("double").alias("l_quantity"),
+        _money(F.col("id"), "le", 100000, 10000000).alias("l_extendedprice"),
+        ((_h(F.col("id"), "ld") % 11) / F.lit(100.0)).cast("double").alias("l_discount"),
+        ((_h(F.col("id"), "lt") % 9) / F.lit(100.0)).cast("double").alias("l_tax"),
+        _pick(F.col("id"), "lr", ("R", "A", "N")).alias("l_returnflag"),
+        _pick(F.col("id"), "ll", ("O", "F")).alias("l_linestatus"),
+        _date_ms(F.col("id"), "lsd").alias("l_shipdate"),
+    )
+    write(li, "lineitem")
+
+    with open(marker, "w") as fh:
+        fh.write(f"sf={sf}\n")
+    return path
