@@ -124,6 +124,16 @@ def main() -> int:
     except Exception as e:  # never fail the bench over the baseline
         print(f"# pandas baseline skipped: {e}", file=sys.stderr)
 
+    # Streaming state-store throughput: drain the events table through a
+    # multi-batch file-source stream into a stateful windowed aggregate,
+    # once on the default (heap) provider and once on RocksDB.
+    streaming: dict = {}
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            streaming = _stream_state_bench(spark, sf_dir)
+        except Exception as e:  # never fail the bench over the add-on
+            print(f"# streaming bench skipped: {e}", file=sys.stderr)
+
     # Scale section: regenerate the headline comparison at sf1-class
     # volume (synthetic, deterministic, schema-identical — sources/
     # synth.py).  sf0.1 fits in pandas' cache, which is the single-core
@@ -146,6 +156,7 @@ def main() -> int:
                 "queries": timings,
                 "baselines": baselines,
                 "sf": sf,
+                "streaming": streaming,
                 "scale": scale,
             }
         )
@@ -200,6 +211,72 @@ def _scale_section(spark, scale_sf: float) -> dict:
         print(f"# scale pandas baseline skipped: {e}", file=sys.stderr)
 
     return {"sf": scale_sf, "gen_sec": gen_sec, "queries": q, "baselines": baselines}
+
+
+def _stream_state_bench(spark, sf_dir: str) -> dict:
+    """State-store throughput: the events table restaged as 8 files,
+    drained one file per micro-batch through a stateful windowed
+    aggregate (state carried across all 8 batches), once per provider.
+    Reported as rows/sec of end-to-end stream wall time."""
+    import shutil
+    import tempfile
+
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        rocksdb_state,
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows = raw.count()
+    staged = tempfile.mkdtemp(prefix="fotmob_bench_stream_")
+    # Keep ts as raw int64 nanos so the staged files match the stream
+    # reader's physical schema exactly.
+    raw.repartition(8).write.mode("overwrite").parquet(f"{staged}/files")
+
+    # State-partition count is pinned at the first checkpoint and is a
+    # per-state-size tuning decision: every micro-batch pays a commit
+    # per state partition, so tiny state wants few partitions (a real
+    # deployment sizes this to state volume, not to the batch-side
+    # shuffle width).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def drain(tag: str) -> float:
+        ckpt = f"{staged}/ckpt_{tag}"
+        t0 = time.perf_counter()
+        agg = windowed_event_counts(read_events_stream(spark, f"{staged}/files"))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {"rows": n_rows, "n_batches": 8}
+    default_sec = drain("default")
+    out["default_provider"] = {
+        "wall_sec": default_sec, "rows_per_sec": round(n_rows / default_sec)
+    }
+    with rocksdb_state(spark):
+        rocks_sec = drain("rocksdb")
+    out["rocksdb_provider"] = {
+        "wall_sec": rocks_sec, "rows_per_sec": round(n_rows / rocks_sec)
+    }
+    print(
+        f"# stream_state default={default_sec:.3f}s rocksdb={rocks_sec:.3f}s "
+        f"({n_rows} rows / 8 batches)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(staged, ignore_errors=True)
+    return out
 
 
 def _pandas_star_build(sf_dir: str) -> float:

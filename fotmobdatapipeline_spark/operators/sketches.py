@@ -1,0 +1,88 @@
+"""Count-min sketch as a DataFrame-native distributed sketch.
+
+Spark ships a ``count_min_sketch`` aggregate, but it returns an opaque
+engine-specific binary — unusable for cross-engine verification and not
+queryable from the DataFrame API.  This implementation keeps the sketch
+AS a DataFrame (``(sketch_row, bucket, cnt)``, depth x width rows), with
+portable md5 bucket hashing, so:
+
+* the build is one map-side-combining groupBy over the keyed stream —
+  shuffle volume is bounded by depth x width per map task, NOT by the
+  number of input rows (the whole point of a sketch at 100 TB);
+* the finished sketch is tiny (depth x width rows, ~1k for 4x256) and
+  broadcast-joins to any probe set;
+* every number is reproducible in ANSI SQL (DuckDB oracle hash-exact),
+  unlike the JVM binary.
+
+Estimates carry the classic CMS guarantee: never an undercount, and
+overcount <= e/width * N with probability 1 - (1/2)^depth per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket(key: Column, sketch_row: Column, width: int, salt: str) -> Column:
+    """Portable bucket hash: first 32 bits of md5('<salt><row>:<key>')
+    mod width — reproducible with strpos arithmetic in SQL engines that
+    lack conv()."""
+    h = F.md5(
+        F.concat(F.lit(salt), sketch_row.cast("string"), F.lit(":"), key.cast("string"))
+    )
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width).cast("int")
+
+
+def _with_rows(df: DataFrame, depth: int) -> DataFrame:
+    return df.select(
+        "*", F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("sketch_row")
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str = "k",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the sketch: (sketch_row, bucket, cnt) with cnt = number of
+    input rows whose key hashes to that bucket in that row.  One hash
+    aggregate; the partial/final pair caps the shuffle at depth*width
+    rows per map task regardless of input size."""
+    keyed = _with_rows(df.select(F.col(key_col).cast("string").alias("__k")), depth)
+    return (
+        keyed.withColumn(
+            "bucket", _bucket(F.col("__k"), F.col("sketch_row"), width, salt)
+        )
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every probe key: estimate = min over
+    the depth rows of the probed bucket's count.  The sketch side is
+    depth*width rows -> always broadcast; cost is O(probes), never a
+    second pass over the sketched data.  Unseen keys estimate 0 (their
+    buckets may be absent from the sketch table)."""
+    p = _with_rows(probes, depth).withColumn(
+        "bucket",
+        _bucket(F.col(key_col).cast("string"), F.col("sketch_row"), width, salt),
+    )
+    joined = p.join(F.broadcast(cms), ["sketch_row", "bucket"], "left")
+    group_cols = [c for c in probes.columns]
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )

@@ -1384,13 +1384,18 @@ def _sql_salted_md5() -> str:
     return f"md5('{_SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))"
 
 
-# DuckDB twin of sampling.shuffle_shard's 32-bit hex prefix: sum of
-# (nibble value) * 16^(7-i) over the first 8 hex chars (no conv() in
-# DuckDB — strpos arithmetic per the portable-hashing rule).
-_SQL_HEX32 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
+# DuckDB twin of a 32-bit hex prefix (sampling.shuffle_shard,
+# sketches._bucket): sum of (nibble value) * 16^(7-i) over the first 8
+# hex chars (no conv() in DuckDB — strpos arithmetic per the
+# portable-hashing rule).
+def _sql_hex32(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_SQL_HEX32 = _sql_hex32("skey")
 
 
 @register(
@@ -1459,3 +1464,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str):
     )
     ranked = pagerank(edges, iters=5)
     return ranked.select("node", F.col("rank").cast("double").alias("rank_approx"))
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters via a DataFrame-native count-min sketch (operators/
+# sketches.py).  Unlike Spark's opaque-binary count_min_sketch aggregate,
+# the sketch here IS a (sketch_row, bucket, cnt) DataFrame with portable
+# md5 bucket hashing — so the estimates are reproducible in DuckDB and
+# the whole query is hash-exact: the oracle rebuilds the identical
+# sketch, probes the same exact top-10 words, and must land on the same
+# min-over-rows estimates.  never_undercounts pins the CMS one-sided
+# error guarantee as data, not just a comment.
+# --------------------------------------------------------------------------
+_CMS_SQL_DEPTH_ROWS = "[0, 1, 2, 3]"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS k FROM documents),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_n FROM tok GROUP BY k
+      ORDER BY exact_n DESC, k ASC LIMIT 10
+    ),
+    keyed AS (SELECT k, UNNEST({_CMS_SQL_DEPTH_ROWS}) AS r FROM tok),
+    kh AS (
+      SELECT r, substr(md5('cms' || CAST(r AS VARCHAR) || ':' || k), 1, 8) AS h8
+      FROM keyed
+    ),
+    kb AS (SELECT r, ({_sql_hex32("h8")}) % 256 AS b FROM kh),
+    cms AS (SELECT r, b, COUNT(*) AS cnt FROM kb GROUP BY r, b),
+    probes AS (SELECT k, exact_n, UNNEST({_CMS_SQL_DEPTH_ROWS}) AS r FROM exact),
+    ph AS (
+      SELECT k, exact_n, r,
+             substr(md5('cms' || CAST(r AS VARCHAR) || ':' || k), 1, 8) AS h8
+      FROM probes
+    ),
+    pb AS (SELECT k, exact_n, r, ({_sql_hex32("h8")}) % 256 AS b FROM ph)
+    SELECT pb.k AS word, pb.exact_n, MIN(cms.cnt) AS cms_est,
+           MIN(cms.cnt) >= pb.exact_n AS never_undercounts
+    FROM pb JOIN cms ON pb.r = cms.r AND pb.b = cms.b
+    GROUP BY pb.k, pb.exact_n
+    """,
+    tags=("sketch", "heavy-hitters", "text"),
+    doc="Count-min sketch heavy hitters, estimates hash-exact vs SQL.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("k"))
+    cms = count_min_table(tok, "k")
+    top = (
+        tok.groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("k"))
+        .limit(10)
+    )
+    return cms_estimate(cms, top, "k").select(
+        F.col("k").alias("word"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+    )

@@ -185,6 +185,34 @@ def test_team_lookup_raises_on_ambiguous_team_id(spark):
         star["fact_table"].collect()
 
 
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=80),
+    st.lists(st.sampled_from("abcdefghxyz"), min_size=1, max_size=6, unique=True),
+)
+@_settings
+def test_count_min_sketch_never_undercounts(spark, stream, probes):
+    """CMS one-sided error: for ANY key stream and ANY probe set, the
+    estimate is >= the true count, unseen keys estimate >= 0, and the
+    sketch table never exceeds depth*width rows."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(k,) for k in stream], "k string")
+    cms = count_min_table(df, "k", depth=3, width=8)
+    assert cms.count() <= 3 * 8
+    pdf = spark.createDataFrame([(k,) for k in probes], "k string")
+    got = {r["k"]: r["cms_est"] for r in cms_estimate(cms, pdf, "k", depth=3, width=8).collect()}
+    from collections import Counter
+
+    true = Counter(stream)
+    for k in probes:
+        assert got[k] >= true.get(k, 0), (k, got[k], true.get(k, 0))
+
+
 @given(st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True))
 @_settings
 def test_hash_sample_is_partitioning_invariant(spark, keys):
