@@ -1440,3 +1440,323 @@ def late_order_priorities(spark: SparkSession, sf_dir: str):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast revenue change (TPC-H Q6 shape): the pure scan query — every
+# predicate (date range, discount band, quantity cap) is pushable, no
+# join, one agg.  The plan should be scan -> filter -> partial/final agg
+# with PushedFilters covering all three columns; at 100 TB this query IS
+# its scan, so pushdown is the whole game.  Discount literals compare as
+# doubles (same correctly-rounded literal in both engines); the summed
+# product is decimal-exact.
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "scan", "pushdown", "agg"),
+    doc="Q6-shape: all-pushable predicates, joinless revenue-delta agg.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-nation shipping volume (TPC-H Q7 shape): the two-role dimension
+# pattern — nation joins the fact tree TWICE (supplier's nation and
+# customer's nation) with a disjunctive pair filter, grouped by the
+# (supp_nation, cust_nation, year) triple.  Both nation joins broadcast;
+# the only big shuffle is lineitem ⋈ orders.
+# --------------------------------------------------------------------------
+@register(
+    "nation_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="Q7-shape: dual-role nation dim with pair filter, yearly volume.",
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-line profit (TPC-H Q9 shape, adapted: the testdata has no
+# partsupp, so supply cost is modeled as 80% of the part's retail price —
+# still decimal-exact: DECIMAL * DECIMAL(2,1) * DECIMAL).  Pattern-
+# filtered part dim joined into the fact, profit aggregated by
+# (supplier nation, order year).
+# --------------------------------------------------------------------------
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.8 AS DECIMAL(2,1))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="Q9-shape: pattern-filtered part dim, profit by nation-year.",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.lit("0.8").cast(
+        "decimal(2,1)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%gear%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Late-shipment priority counts (TPC-H Q12 shape, adapted: the testdata
+# has no ship mode, so lines group by l_linestatus; "late" = shipped
+# more than 60 days after the order date).  The CASE-conditional double
+# count over a date-arithmetic join predicate is the Q12 skeleton.
+# --------------------------------------------------------------------------
+@register(
+    "late_shipment_priorities",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("tpch", "join", "agg", "datetime"),
+    doc="Q12-shape: date-arithmetic predicate + CASE double counts.",
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape): conditional-over-total ratio.
+# Both sums are exact decimals; ONLY the final ratio is a double, and the
+# expression (100.0 * promo / total) is written identically in both
+# engines so the single float division is bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN p.p_type = 'PROMO' THEN
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END AS promo_rev,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    SELECT 100.0 * CAST(SUM(promo_rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE)
+             AS promo_share_pct,
+           COUNT(*) AS n_lines
+    FROM r
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="Q14-shape: conditional/total ratio, one float division.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              li.l_partkey == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top revenue supplier (TPC-H Q15 shape): an aggregate "view" (supplier
+# quarterly revenue) consumed twice — once for the global MAX scalar,
+# once to pick the suppliers achieving it.  The revenue equality compare
+# is safe because both sides are the same exact-decimal-derived double.
+# --------------------------------------------------------------------------
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="Q15-shape: reused aggregate view + scalar-max equality pick.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(rev, F.col("s_suppkey") == rev.l_suppkey)
+        .crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -23,6 +23,8 @@ PICKS = [
     ("dedup_jaccard_capped", "df-capped postings: skew tail dropped before pair fan-out"),
     ("pack_sequences", "Two-phase prefix sum: no single-partition global window"),
     ("llm_prep_pipeline", "Five-stage prep pipeline in 2 shuffles: map-side stages fused"),
+    ("text_vocab_encode", "Distributed top-K vocab: no partition-less Window anywhere"),
+    ("cms_heavy_hitters", "Count-min sketch: bounded-shuffle build + broadcast probe"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
