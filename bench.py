@@ -41,6 +41,9 @@ HEADLINE = [
     "large_volume_orders",
     "dedup_jaccard_capped",
     "text_chunk_windows",
+    "forecast_revenue_change",
+    "cms_heavy_hitters",
+    "text_repetition_signals",
 ]
 
 

@@ -1760,3 +1760,35 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str):
         .filter(F.col("total_revenue") == F.col("best_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery in FROM (SQL:1999, Spark 3.2+): per-nation
+# top-2 customers via an ORDER BY ... LIMIT inside the lateral — the
+# dual-dialect twin of topk_per_group's window form.  The IDENTICAL SQL
+# string runs on Spark (temp views) and DuckDB; Spark decorrelates the
+# lateral into a ranked window under the hood, so this also pins that
+# rewrite's correctness.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name,
+           CAST(CAST(t.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM nation n CROSS JOIN LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle=_LATERAL_SQL,
+    tags=("sql", "lateral", "subquery", "dual-dialect"),
+    doc="LATERAL per-group top-k: one SQL string, two engines, same rows.",
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

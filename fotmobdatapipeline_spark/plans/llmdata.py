@@ -1530,3 +1530,141 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / degeneracy signals: type-token ratio, top-
+# word mass, duplicate-bigram fraction — the filters that catch looping
+# generators and boilerplate.  Counts come from ONE explode + two hash
+# aggregates (bigrams via lead() over the per-doc window, which
+# partitions by doc — never a global window); the only doubles are
+# final ratios of exact integers, mirrored verbatim in the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    words AS (
+      SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_n
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM tok
+    ),
+    bigrams AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT bigram) AS n_distinct_bigrams
+      FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS ttr,
+           CAST(w.top_n AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+           CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+             / CAST(b.n_bigrams AS DOUBLE) AS dup_bigram_frac,
+           (CAST(w.top_n AS DOUBLE) / CAST(w.n_words AS DOUBLE) > 0.1
+            OR CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+                 / CAST(b.n_bigrams AS DOUBLE) > 0.3) AS is_repetitive
+    FROM words w JOIN bigrams b ON w.doc_id = b.doc_id
+    """,
+    tags=("text", "quality", "llmdata"),
+    doc="Repetition/degeneracy signals: TTR, top-word mass, dup bigrams.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    words = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_n"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w").over(wdoc)).alias("bigram"),
+        F.lead("w").over(wdoc).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bigrams = bg.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct_bigrams"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    ttr = dd("n_distinct") / dd("n_words")
+    top_frac = dd("top_n") / dd("n_words")
+    dup_bg = (dd("n_bigrams") - dd("n_distinct_bigrams")) / dd("n_bigrams")
+    return (
+        words.join(bigrams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            ttr.alias("ttr"),
+            top_frac.alias("top_word_frac"),
+            ((dd("n_bigrams") - dd("n_distinct_bigrams")) / dd("n_bigrams"))
+            .alias("dup_bigram_frac"),
+            ((top_frac > 0.1) | (dup_bg > 0.3)).alias("is_repetitive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-style scrubbing: regex redaction of emails/phones with per-doc
+# match accounting.  Patterns are dialect-portable (character classes +
+# bounded repetition only — identical under Java regex and RE2); counts
+# use size(regexp_extract_all) on both sides because DuckDB has no
+# regexp_count.  The contact strings are derived deterministically from
+# the table in BOTH engines, so the redaction itself is what's compared.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_redact_contacts",
+    oracle=f"""
+    WITH msg AS (
+      SELECT doc_id,
+             'user' || CAST(doc_id AS VARCHAR) || '@mail.com call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+               || substr(text, 1, 40) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(m, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(m, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(m, '{_PHONE_RE}')) AS INT) AS n_phones
+    FROM msg
+    """,
+    tags=("text", "redaction", "regex", "llmdata"),
+    doc="Regex PII scrubbing with match accounting, dialect-portable.",
+)
+def text_redact_contacts(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    m = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    msg = docs.select("doc_id", m.alias("m"))
+    return msg.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("m", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("m", F.lit(_EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("m", F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
+    )

@@ -133,6 +133,39 @@ def test_vocab_encode_has_no_global_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_forecast_scan_is_joinless_and_pushed(spark):
+    """Q6 shape is pure scan: no join operator, every predicate pushed,
+    ReadSchema pruned to exactly the four columns the query touches."""
+    df = _q("forecast_revenue_change")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan, scan
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan, scan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The LATERAL correlated subquery must decorrelate into a ranked
+    window join — never a per-outer-row nested loop or cartesian."""
+    df = _q("lateral_topk_per_nation")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_build_shuffle_is_bounded(spark):
+    """The count-min sketch build must carry the partial/final aggregate
+    pair (map-side combine bounds the shuffle at depth*width rows per
+    task) and probe via broadcast, never a shuffle join."""
+    df = _q("cms_heavy_hitters")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_merge_upsert_prunes_untouched_partitions(spark, tmp_path):
     """The MERGE's target read must carry a partition filter — cost is
     O(touched partitions), never a full-table scan."""
