@@ -1792,3 +1792,48 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deterministic mode / argmax aggregate: the most frequent l_linestatus
+# per return flag with an explicit (count DESC, value ASC) tiebreak.
+# Built-in mode() is tie-nondeterministic in both engines, so the shape
+# here is the two-level aggregate + struct-max argmax — the same trick
+# as min_cost_supplier (Q2), kept hash-aggregable and map-side partial.
+# --------------------------------------------------------------------------
+@register(
+    "agg_mode_argmax",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    r AS (
+      SELECT l_returnflag, l_linestatus, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_linestatus ASC) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus AS mode_status, n AS mode_n
+    FROM r WHERE rk = 1
+    """,
+    tags=("agg", "mode", "argmax"),
+    doc="Deterministic mode via two-level agg + struct-max argmax.",
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+    # argmax by (n DESC, status ASC) == max of struct(n, <inverted status>);
+    # statuses are single chars, so invert via negated code point.
+    pick = F.max(
+        F.struct(
+            F.col("n"),
+            (-F.ascii("l_linestatus")).alias("inv"),
+            F.col("l_linestatus"),
+        )
+    ).alias("p")
+    return counts.groupBy("l_returnflag").agg(pick).select(
+        "l_returnflag",
+        F.col("p.l_linestatus").alias("mode_status"),
+        F.col("p.n").alias("mode_n"),
+    )

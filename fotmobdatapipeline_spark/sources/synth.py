@@ -60,7 +60,8 @@ def _money(key, tag: str, lo_cents: int, hi_cents: int) -> F.Column:
 
 def _date_ms(key, tag: str, start: str = "1992-01-01", days: int = 2400) -> F.Column:
     d = F.date_add(F.lit(start).cast("date"), (_h(key, tag) % days).cast("int"))
-    return d.cast("timestamp")
+    # NTZ to match the driver testdata's timezone-less physical type.
+    return d.cast("timestamp_ntz")
 
 
 def generate_scale_tables(

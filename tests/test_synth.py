@@ -1,0 +1,77 @@
+"""Synthetic scale generator contracts (sources/synth.py): the bench's
+scale section is only meaningful if the generated tables are referentially
+sound, deterministic, and schema-identical to the driver testdata."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_dir(spark, tmp_path_factory):
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    path = str(tmp_path_factory.mktemp("synth")) + "/sf"
+    return generate_scale_tables(spark, 0.01, path, partitions=4)
+
+
+def test_synth_schema_matches_testdata(spark, synth_dir):
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        got = read_table(spark, synth_dir, t)
+        want = read_table(spark, SF_SMALL, t)
+        assert [f.name for f in got.schema.fields] == [
+            f.name for f in want.schema.fields
+        ], t
+        # types match except timestamp precision (testdata ms vs written us)
+        for g, w in zip(got.schema.fields, want.schema.fields):
+            assert g.dataType == w.dataType, (t, g, w)
+
+
+def test_synth_foreign_keys_are_sound(spark, synth_dir):
+    """Every FK lands on an existing PK — the join tree the scale bench
+    exercises must never silently drop rows to dangling keys."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    t = {n: read_table(spark, synth_dir, n)
+         for n in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")}
+    checks = [
+        (t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        (t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        (t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        (t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        (t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        (t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        (t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+    ]
+    for child, fk, parent, pk in checks:
+        orphans = child.join(
+            parent, child[fk] == parent[pk], "left_anti"
+        ).count()
+        assert orphans == 0, f"{fk} -> {pk}: {orphans} orphans"
+
+
+def test_synth_is_deterministic_and_idempotent(spark, tmp_path):
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    a = generate_scale_tables(spark, 0.002, str(tmp_path / "a"), partitions=2)
+    b = generate_scale_tables(spark, 0.002, str(tmp_path / "b"), partitions=4)
+    for t in ("customer", "orders", "lineitem"):
+        left = read_table(spark, a, t)
+        diff = left.exceptAll(read_table(spark, b, t)).count()
+        assert diff == 0, f"{t}: content differs across partitionings"
+
+    # idempotence: second call is a no-op (marker respected)
+    files_before = sorted(glob.glob(f"{a}/**/*.parquet", recursive=True))
+    import os
+
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    generate_scale_tables(spark, 0.002, a)
+    assert {f: os.path.getmtime(f) for f in files_before} == mtimes
