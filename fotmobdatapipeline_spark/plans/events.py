@@ -358,3 +358,104 @@ def events_variant_extract(spark: SparkSession, sf_dir: str):
         F.min("k").alias("min_k"),
         F.count_if(F.col("k") >= 50).alias("n_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward-fill (gap-fill): sparse per-user sensor readings carried
+# forward to every event — the time-series imputation operator.  Sparse
+# values are manufactured deterministically (only 'purchase' events
+# carry a reading); the fill is last(ignorenulls) over the per-user
+# time-ordered window, partitioned by user so no global sort exists.
+# --------------------------------------------------------------------------
+@register(
+    "events_forward_fill",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN value END AS reading
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled,
+           reading IS NULL AS was_gap
+    FROM src
+    """,
+    tags=("events", "window", "gap-fill"),
+    doc="Per-user forward-fill via last(ignorenulls) ordered window.",
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return src.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+        F.col("reading").isNull().alias("was_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct count: distinct event types seen so far per user —
+# the "new vs returning behavior" running metric.  Exact distinct over a
+# running window is quadratic done naively; the scalable form flags each
+# row that is the FIRST occurrence of its (user, type) (one row_number
+# over the composite key) and running-sums the flag — two per-user
+# windows, no self-join, no quadratic frame.
+# --------------------------------------------------------------------------
+@register(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    tags=("events", "window", "distinct"),
+    doc="Running distinct count via first-seen flag + running sum.",
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum("first_seen").over(w_run).cast("int").alias("distinct_types_so_far"),
+    )

@@ -570,6 +570,44 @@ def test_ivf_recall_rises_with_nprobe(spark):
     assert recalls[0] >= 0.3 and recalls[1] >= 0.5 and recalls[2] >= 0.6, recalls
 
 
+def test_ivf_kmeans_multiprobe_recall(spark):
+    """Trained centroids + multiprobe compose: with k-means cells,
+    recall@5 is monotone in n_probes AND the trained single-probe recall
+    is at least the arbitrary-fixed-centroid single-probe recall minus
+    noise — training must not make the index worse."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators import similarity as S
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    n_cells, n_q = 8, 40
+    queries = emb.filter(F.col("vec_id") < n_q)
+    trained = S.kmeans_lloyd(emb, k=n_cells, iterations=3)
+    fixed = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(S.brute_force_topk(queries, emb, k=5))
+    total = sum(len(t) for t in truth.values())
+
+    def recall(centroids, p):
+        got = topk_sets(S.ivf_topk(queries, emb, centroids, k=5, n_probes=p))
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / total
+
+    r_trained = [recall(trained, p) for p in (1, 2, 3)]
+    assert r_trained[0] <= r_trained[1] <= r_trained[2], r_trained
+    r_fixed_1 = recall(fixed, 1)
+    assert r_trained[0] >= r_fixed_1 - 0.05, (r_trained[0], r_fixed_1)
+
+
 @given(st.lists(st.lists(st.sampled_from(WORDS), min_size=1, max_size=150).map(" ".join), min_size=1, max_size=4))
 @_settings
 def test_chunk_windows_tile_any_document(spark, texts_list):
