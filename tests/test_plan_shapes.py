@@ -184,6 +184,34 @@ def test_merge_upsert_prunes_untouched_partitions(spark, tmp_path):
     assert "1995-03" in scan
 
 
+def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
+    """At warehouse scale the fact table is partitioned and dim filters
+    must prune fact PARTITIONS at runtime (DPP): joining a
+    partition-keyed fact to a filtered dim must inject a dynamicpruning
+    subquery into the fact scan instead of reading every partition."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    path = str(tmp_path / "fact_part")
+    orders = read_table(spark, SF_ORACLE, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("order_month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("order_month") < "1995-06")
+        .select("order_month")
+        .distinct()
+    )
+    j = fact.join(dim.hint("broadcast"), "order_month").groupBy(
+        "o_orderpriority"
+    ).count()
+    optimized = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower(), optimized[:2000]
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     """At cluster scale, a selective filter on one shuffle-join side
     injects a bloom-filter semi-filter into the fact scan (rows that
