@@ -465,3 +465,35 @@ def verified_lsh_dups(
     sub = df.join(in_play, id_col, "left_semi")
     scored = jaccard_pairs(sub, text_col, id_col)
     return scored.join(cands, ["doc_a", "doc_b"])
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY
+    word n-gram with the evaluation set (the overlap that inflates eval
+    scores).  Asymmetric by design: the eval side is benchmark-sized
+    (thousands of docs), so its distinct shingle set broadcasts, and the
+    100 TB training side is flagged by a map-side broadcast semi-join —
+    the corpus is never shuffled.
+
+    Output: (id, is_contaminated) for every training document.
+    """
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    hits = tr.join(F.broadcast(ev), "s", "left_semi").select(id_col).distinct()
+    flagged = hits.withColumn("is_contaminated", F.lit(True))
+    return (
+        train.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(id_col, F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"))
+    )

@@ -1668,3 +1668,79 @@ def text_redact_contacts(spark: SparkSession, sf_dir: str):
         F.size(F.regexp_extract_all("m", F.lit(_EMAIL_RE), 0)).cast("int").alias("n_emails"),
         F.size(F.regexp_extract_all("m", F.lit(_PHONE_RE), 0)).cast("int").alias("n_phones"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing ANY 3-gram with the
+# eval slice (doc_id % 50 == 0 here) are flagged by a broadcast
+# semi-join on the eval shingle set — the training corpus is never
+# shuffled.  The overlap op test-set leakage audits are built from.
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_train",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS s FROM tok),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % 50 <> 0
+    )
+    SELECT tr.doc_id, hits.doc_id IS NOT NULL AS is_contaminated
+    FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+    """,
+    tags=("dedup", "decontamination", "llmdata"),
+    doc="Eval-set decontamination via broadcast shingle semi-join.",
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.decontaminate(train, eval_df)
+
+
+# --------------------------------------------------------------------------
+# Triangle counts over the LSH candidate graph: local clustering signal
+# (dense near-dup neighborhoods triangle-heavily; chains don't).  Edges
+# oriented low->high so each triangle enumerates exactly once through
+# two hash joins — no cartesian, fan-out bounded by oriented degree.
+# --------------------------------------------------------------------------
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
+      FROM pairs ab
+      JOIN pairs bc ON ab.doc_b = bc.doc_a
+      JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    ),
+    nodes AS (SELECT UNNEST([x, y, z]) AS doc_id FROM tri)
+    SELECT doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY doc_id
+    """,
+    tags=("graph", "triangles", "lsh"),
+    doc="Oriented-edge triangle counting on the near-dup graph.",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import triangle_counts
+
+    sigs = D.minhash_signatures(
+        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+    )
+    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    return triangle_counts(pairs)
