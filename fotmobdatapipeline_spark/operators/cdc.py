@@ -1,0 +1,72 @@
+"""Snapshot-diff (change data capture) between two table versions.
+
+The reference pipeline rebuilds its warehouse from scratch every run
+(fotmob-dag.py:95-165 truncates and reloads); its README names
+"scheduled incremental batches" as the intended next step (readme:158).
+The incremental form needs a diff operator: given yesterday's snapshot
+and today's, emit the insert / update / delete rows so downstream sinks
+(``operators/merge.py``) apply only the delta instead of rewriting 100 TB.
+
+Spark-first shape: one full-outer sort-merge join on the business key —
+a single shuffle per side, no windows, no driver state.  At scale the
+join keys are the natural partitioning; with date-partitioned snapshots
+Catalyst prunes untouched partitions before the shuffle, and AQE splits
+skewed keys.  Presence is tracked with literal marker columns (not key
+nullability) so null-able keys and all-null compare columns stay correct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of ``new`` vs ``old`` keyed by ``keys``.
+
+    Returns one row per key present in either snapshot with columns:
+    the keys, ``change_type`` ('insert' | 'delete' | 'update' |
+    'unchanged'), and ``old_<c>`` / ``new_<c>`` for each compare column.
+    'update' means at least one compare column differs under null-safe
+    equality; 'unchanged' rows are dropped unless ``include_unchanged``.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *keys,
+        change_type.alias("change_type"),
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

@@ -33,6 +33,27 @@ def hash_bucket_256(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10).cast("int")
 
 
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its
+    ``hash_bucket_256(key)`` falls under the stratum's own bound
+    (``round(rate * 256)``).  The dataset-mixture primitive — e.g. keep
+    100% of rare 'error' events but 5% of 'view' events — with the same
+    partitioning-independence as :func:`hash_sample`: map-side only, no
+    shuffle, no RNG, and a row's fate never changes across re-runs or
+    engines.  Strata absent from ``rates`` are dropped (rate 0).
+
+    The rate table is a literal CASE chain, not a join: strata counts are
+    human-scale (event types, languages, sources), so the lookup stays in
+    whole-stage codegen rather than costing a broadcast.
+    """
+    bound = F.lit(0)
+    for s, rate in sorted(rates.items()):
+        bound = F.when(F.col(stratum) == s, F.lit(round(rate * _HEX2))).otherwise(bound)
+    return df.filter(hash_bucket_256(F.col(key)) < bound)
+
+
 def shuffle_key(key: Column, salt: str = "0") -> Column:
     """Deterministic pseudo-random total order for training-data
     shuffling: md5 of the salted key string.  A different salt is a

@@ -1837,3 +1837,50 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str):
         F.col("p.l_linestatus").alias("mode_status"),
         F.col("p.n").alias("mode_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling: per-stratum keep rates (keep all
+# rare 'error' events, thin the common ones) via the same md5 bucket as
+# sample_hash_agg — map-side only, partitioning-independent, and a row's
+# fate is stable across re-runs.  The dataset-mixture primitive at the
+# row level (operators/sampling.py::stratified_sample).
+# --------------------------------------------------------------------------
+_STRATA_RATES = {"click": 0.5, "error": 1.0, "purchase": 0.25, "view": 0.05}
+
+_SQL_EVENT_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_SQL_STRATA_BOUND = (
+    "CASE event_type "
+    + " ".join(
+        f"WHEN '{s}' THEN {round(r * 256)}" for s, r in sorted(_STRATA_RATES.items())
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE {_SQL_EVENT_BUCKET} < {_SQL_STRATA_BOUND}
+    GROUP BY event_type
+    """,
+    tags=("sampling", "stratified"),
+    doc="Per-stratum md5 keep rates; map-side, partitioning-independent.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        SA.stratified_sample(ev, "event_type", "event_id", _STRATA_RATES)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

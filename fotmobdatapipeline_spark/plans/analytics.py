@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.operators.cdc import snapshot_diff
+from fotmobdatapipeline_spark.operators.profiling import null_profile
 from fotmobdatapipeline_spark.plans.catalog import register
 from fotmobdatapipeline_spark.sources.registry import read_table
 
@@ -345,3 +347,109 @@ def cohort_retention(spark: SparkSession, sf_dir: str):
         .alias("week_offset"),
         "n_users",
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC): the incremental-batch step the reference README
+# names as its next milestone (readme:158) — diff two deterministic
+# snapshots of orders and emit insert/update/delete rows so sinks apply
+# a delta instead of a full rewrite.  One full-outer join on the key;
+# presence tracked by marker columns (operators/cdc.py).
+# --------------------------------------------------------------------------
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 < 92
+    ),
+    snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2))
+                       + CAST('10.00' AS DECIMAL(12,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS total,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 < 96
+    ),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.total IS DISTINCT FROM n.total
+                       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                       THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             CAST(o.total AS DOUBLE) AS old_total,
+             CAST(n.total AS DOUBLE) AS new_total
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE change_type <> 'unchanged'
+    """,
+    tags=("cdc", "incremental", "join"),
+    doc="Insert/update/delete diff of two order snapshots (readme:158).",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(12,2)")
+    old = orders.filter(F.col("o_orderkey") % 97 < 92).select(
+        "o_orderkey", total.alias("total"), "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 < 96).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            total + F.lit("10.00").cast("decimal(12,2)"),
+        )
+        .otherwise(total)
+        .alias("total"),
+        "o_orderpriority",
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["total", "o_orderpriority"]
+    )
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_total").cast("double").alias("old_total"),
+        F.col("new_total").cast("double").alias("new_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column null/distinct profile: the first pass over a new 100 TB drop.
+# Single scan, map-side-combined null counters, stack() unpivot — no
+# driver loop.  One column is a derived nullable (NULLIF) so the null
+# path is genuinely exercised (the synthetic tables carry no nulls).
+# --------------------------------------------------------------------------
+@register(
+    "dq_null_profile",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, NULLIF(event_type, 'error') AS nonerror_type
+      FROM events
+    ), n AS (SELECT COUNT(*) AS n_rows FROM t)
+    SELECT 'user_id' AS column_name,
+           (SELECT COUNT(*) FROM t WHERE user_id IS NULL) AS n_null,
+           (SELECT COUNT(DISTINCT user_id) FROM t) AS n_distinct,
+           n_rows FROM n
+    UNION ALL
+    SELECT 'event_type',
+           (SELECT COUNT(*) FROM t WHERE event_type IS NULL),
+           (SELECT COUNT(DISTINCT event_type) FROM t), n_rows FROM n
+    UNION ALL
+    SELECT 'nonerror_type',
+           (SELECT COUNT(*) FROM t WHERE nonerror_type IS NULL),
+           (SELECT COUNT(DISTINCT nonerror_type) FROM t), n_rows FROM n
+    """,
+    tags=("dq", "profiling"),
+    doc="Per-column null/distinct counts in one scan, stack() unpivot.",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("nonerror_type"),
+    )
+    return null_profile(ev, ["user_id", "event_type", "nonerror_type"])

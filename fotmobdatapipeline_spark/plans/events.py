@@ -459,3 +459,74 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str):
         "ts_us",
         F.sum("first_seen").over(w_run).cast("int").alias("distinct_types_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval union (gaps-and-islands with *durations*): each event spans
+# [ts, ts + (event_id % 7 + 1) minutes); merge overlapping/adjacent
+# intervals per user.  Unlike events_sessionize (fixed gap between point
+# events), a long early interval can bridge gaps that would split
+# sessions — the running-max-of-ends form is the general interval merge.
+# One window partitioned by user (scales: per-user data is small), all
+# math in integer µs.
+# --------------------------------------------------------------------------
+@register(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS end_us,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, start_us, end_us,
+             CASE WHEN start_us > COALESCE(MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, start_us, end_us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(start_us) AS island_start_us, MAX(end_us) AS island_end_us,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+    tags=("events", "intervals", "window"),
+    doc="Merge overlapping per-user intervals via running max of ends.",
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    start_us = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        start_us.alias("start_us"),
+        (start_us + (F.col("event_id") % 7 + 1) * 60_000_000).alias("end_us"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        (F.col("start_us") > F.coalesce(prev_max_end, F.lit(-1)))
+        .cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("start_us").alias("island_start_us"),
+        F.max("end_us").alias("island_end_us"),
+        F.count("*").alias("n_events"),
+    )
