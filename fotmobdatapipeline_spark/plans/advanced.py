@@ -1884,3 +1884,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (robust) aggregation: clip each group's values at its own
+# discrete p05/p95 before summing, so a handful of outliers can't move a
+# 100 TB metric.  Bounds come from rank arithmetic (value at position
+# ceil(p*n) — percentile_disc semantics, deterministic under ties because
+# the *value* at a rank is order-unique even when row_number isn't), then
+# a broadcast join ships the tiny per-group bounds back.  The clipped sum
+# is exact decimal; clip counters are integers.
+# --------------------------------------------------------------------------
+@register(
+    "agg_winsorized",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN v END) AS lo,
+             MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS hi
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag, MAX(r.n) AS n,
+           -- DuckDB LEAST/GREATEST promote DECIMAL to DOUBLE; recast so the
+           -- sum stays exact-decimal (order-insensitive) like the Spark side
+           CAST(SUM(CAST(LEAST(GREATEST(r.v, b.lo), b.hi) AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_winsorized,
+           COUNT(*) FILTER (WHERE r.v < b.lo) AS n_clipped_lo,
+           COUNT(*) FILTER (WHERE r.v > b.hi) AS n_clipped_hi
+    FROM r JOIN bounds b ON r.l_returnflag = b.l_returnflag
+    GROUP BY r.l_returnflag
+    """,
+    tags=("agg", "robust", "quantiles"),
+    doc="Per-group p05/p95 winsorized sum with clip accounting.",
+)
+def agg_winsorized(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(12,2)")
+    grp = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        v.alias("v"),
+        F.row_number().over(grp.orderBy("l_extendedprice")).alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    lo_pos = F.ceil(F.lit(0.05) * F.col("n")).cast("bigint")
+    hi_pos = F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+    bounds = r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == lo_pos, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_pos, F.col("v"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(clipped).cast("double").alias("sum_winsorized"),
+            F.count_if(F.col("v") < F.col("lo")).alias("n_clipped_lo"),
+            F.count_if(F.col("v") > F.col("hi")).alias("n_clipped_hi"),
+        )
+    )

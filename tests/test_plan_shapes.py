@@ -283,3 +283,26 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     s = scan_schema[0]
     assert "homeTeam" in s and "name" in s
     assert "shots" not in s and "awayTeam" not in s and "id" not in s, s
+
+
+def test_snapshot_diff_is_single_join_with_pushed_filters(spark):
+    """The CDC diff must be exactly one join on the key, and the snapshot
+    mod-filters must reach the parquet scans as pushed predicates — at
+    scale this is the difference between diffing two scans and
+    materializing either snapshot."""
+    df = _q("cdc_snapshot_diff")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderkey)]" in plan or "PushedFilters: [" in plan
+
+
+def test_winsorized_bounds_join_is_broadcast(spark):
+    """The per-group clip bounds are 3 rows; shipping them back must be a
+    broadcast join, never a shuffle of the full fact side."""
+    df = _q("agg_winsorized")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
