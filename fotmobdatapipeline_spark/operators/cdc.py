@@ -70,3 +70,58 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def incremental_group_sums(
+    base_agg: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n",
+    sum_col: str = "s",
+) -> DataFrame:
+    """Maintain a per-group (count, sum) aggregate from a snapshot diff
+    instead of rescanning the base table.
+
+    ``base_agg`` is the aggregate over the OLD snapshot with columns
+    (group_col, n_col, sum_col); ``diff`` is :func:`snapshot_diff` output
+    whose compare columns included ``value_col`` and ``group_col`` (so it
+    carries ``old_``/``new_`` forms of both).  Each changed row retracts
+    its old contribution from its old group and adds its new contribution
+    to its new group — group-changing updates are handled for free, and
+    'unchanged' rows need not be present (their retract/add would cancel).
+
+    Scale shape: the delta side is |changes|, typically orders of
+    magnitude below the base; it collapses to one row per touched group
+    before a single join against the base aggregate (group-cardinality
+    sized, not data-sized).  Groups whose count reaches zero are dropped;
+    groups born in the delta appear via the full-outer join.  Sums must
+    be exact types (DECIMAL) — float retract/add would drift.
+    """
+    g_old, g_new = f"old_{group_col}", f"new_{group_col}"
+    v_old, v_new = f"old_{value_col}", f"new_{value_col}"
+    minus = diff.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col(g_old).alias(group_col),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col(v_old)).alias("ds"),
+    )
+    plus = diff.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col(g_new).alias(group_col),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col(v_new).alias("ds"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    zero_s = F.lit(0).cast(dict(diff.dtypes)[v_new])
+    return (
+        base_agg.join(delta, on=group_col, how="full_outer")
+        .select(
+            group_col,
+            (F.coalesce(n_col, F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(n_col),
+            (F.coalesce(sum_col, zero_s) + F.coalesce("ds", zero_s)).alias(sum_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fotmobdatapipeline_spark.operators.cdc import snapshot_diff
+from fotmobdatapipeline_spark.operators.cdc import incremental_group_sums, snapshot_diff
 from fotmobdatapipeline_spark.operators.profiling import null_profile
 from fotmobdatapipeline_spark.plans.catalog import register
 from fotmobdatapipeline_spark.sources.registry import read_table
@@ -349,6 +349,29 @@ def cohort_retention(spark: SparkSession, sf_dir: str):
     )
 
 
+def _order_snapshots(orders):
+    """Two deterministic snapshots of orders: ~5% deletes (in old only),
+    ~5% inserts (in new only), and every 13th surviving key's total bumped
+    by 10.00 — the synthetic 'yesterday vs today' pair both CDC queries
+    diff.  All money math stays in exact DECIMAL(12,2)."""
+    total = F.col("o_totalprice").cast("decimal(12,2)")
+    old = orders.filter(F.col("o_orderkey") % 97 < 92).select(
+        "o_orderkey", total.alias("total"), "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 < 96).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            total + F.lit("10.00").cast("decimal(12,2)"),
+        )
+        .otherwise(total)
+        .alias("total"),
+        "o_orderpriority",
+    )
+    return old, new
+
+
+
 # --------------------------------------------------------------------------
 # Snapshot diff (CDC): the incremental-batch step the reference README
 # names as its next milestone (readme:158) — diff two deterministic
@@ -392,20 +415,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str):
 )
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
-    total = F.col("o_totalprice").cast("decimal(12,2)")
-    old = orders.filter(F.col("o_orderkey") % 97 < 92).select(
-        "o_orderkey", total.alias("total"), "o_orderpriority"
-    )
-    new = orders.filter(F.col("o_orderkey") % 101 < 96).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 13 == 0,
-            total + F.lit("10.00").cast("decimal(12,2)"),
-        )
-        .otherwise(total)
-        .alias("total"),
-        "o_orderpriority",
-    )
+    old, new = _order_snapshots(orders)
     diff = snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["total", "o_orderpriority"]
     )
@@ -453,3 +463,48 @@ def dq_null_profile(spark: SparkSession, sf_dir: str):
         F.nullif(F.col("event_type"), F.lit("error")).alias("nonerror_type"),
     )
     return null_profile(ev, ["user_id", "event_type", "nonerror_type"])
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: the CDC consumer.  The per-priority
+# (count, revenue) aggregate of the NEW snapshot is computed WITHOUT
+# scanning it — base aggregate over the old snapshot + retract/add folds
+# of the diff rows (operators/cdc.py::incremental_group_sums).  The
+# oracle aggregates the new snapshot directly, so the two engines reach
+# the same numbers by genuinely different computations — the strongest
+# correctness statement in the CDC family, and only possible because
+# every sum stays in exact DECIMAL (float retract/add would drift).
+# --------------------------------------------------------------------------
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0
+                         THEN CAST(o_totalprice AS DECIMAL(12,2))
+                              + CAST('10.00' AS DECIMAL(12,2))
+                         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS sum_total
+    FROM orders WHERE o_orderkey % 101 < 96
+    GROUP BY o_orderpriority
+    """,
+    tags=("cdc", "incremental", "agg"),
+    doc="New-snapshot aggregate maintained from base + diff, never rescanned.",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    old, new = _order_snapshots(orders)
+    base = old.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("total").alias("s")
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["total", "o_orderpriority"]
+    )
+    updated = incremental_group_sums(
+        base, diff, group_col="o_orderpriority", value_col="total"
+    )
+    return updated.select(
+        "o_orderpriority",
+        "n",
+        F.col("s").cast("double").alias("sum_total"),
+    )

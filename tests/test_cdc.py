@@ -89,3 +89,35 @@ def test_null_profile_counts(spark):
     assert rows["x"]["n_null"] == 1 and rows["x"]["n_distinct"] == 3
     assert rows["y"]["n_null"] == 2 and rows["y"]["n_distinct"] == 1
     assert all(r["n_rows"] == 4 for r in rows.values())
+
+
+def test_incremental_group_sums_matches_direct_agg(spark):
+    """Group birth, group death, and a group-CHANGING update must all
+    land exactly where a direct aggregate of the new snapshot would."""
+    from fotmobdatapipeline_spark.operators.cdc import incremental_group_sums
+
+    old = spark.createDataFrame(
+        [(1, "g1", "10.00"), (2, "g1", "20.00"), (3, "g2", "5.00")],
+        "k int, g string, v string",
+    ).select("k", "g", F.col("v").cast("decimal(12,2)").alias("v"))
+    # k=2 moves g1 -> g3 (birth) with a new value; k=3 deleted (g2 dies);
+    # k=4 inserted into g1
+    new = spark.createDataFrame(
+        [(1, "g1", "10.00"), (2, "g3", "21.00"), (4, "g1", "7.00")],
+        "k int, g string, v string",
+    ).select("k", "g", F.col("v").cast("decimal(12,2)").alias("v"))
+
+    base = old.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    diff = snapshot_diff(old, new, keys=["k"], compare_cols=["v", "g"])
+    got = {
+        r["g"]: (r["n"], str(r["s"]))
+        for r in incremental_group_sums(base, diff, "g", "v").collect()
+    }
+    want = {
+        r["g"]: (r["n"], str(r["s"]))
+        for r in new.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert "g2" not in got  # dead group dropped, not emitted with n=0
