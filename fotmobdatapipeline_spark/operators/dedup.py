@@ -497,3 +497,102 @@ def decontaminate(
         .join(flagged, id_col, "left")
         .select(id_col, F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"))
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tier 4c: threshold Jaccard join via PREFIX FILTERING (the
+    SSJoin/PPJoin principle) — the exact-threshold scale path.
+
+    If J(a, b) >= t then |a∩b| >= t·|a|, so under any fixed global token
+    order a pair must share a token within each side's first
+    ``|d| - ceil(t·|d|) + 1`` tokens.  Indexing ONLY those prefixes (rare
+    tokens first, so prefixes hit the shortest posting lists) shrinks the
+    joinable index by the factor the threshold buys — at t=0.9 only ~10%
+    of each doc is indexed, and the prefix self-join replaces the full
+    all-sharing-pairs fan-out of :func:`jaccard_pairs` while remaining
+    LOSSLESS: candidates ⊇ all true pairs, then one exact verification
+    confined to candidates.  Unlike ``max_df`` capping this changes no
+    semantics — output equals the naive all-pairs join at the same
+    threshold.
+
+    FP safety: prefix length uses floor (a longer prefix is always
+    lossless; ceil of ``t·n`` in doubles can round up and LOSE pairs) and
+    the length filter carries an epsilon so ``|b| == t·|a|`` boundary
+    pairs survive.  Final jaccard >= t uses the same double division an
+    oracle computes.
+
+    Plan: one token-frequency aggregate, one per-doc window (rank tokens
+    by global df — partitioned by doc, never global), one equi-self-join
+    on prefix tokens, one candidate-confined verify join.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    ranked = (
+        tok.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "s", "n_sh")
+    eps = 1e-9
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("s"), F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("s"), F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
+            & (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - eps)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh_set")
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("sh_set").alias("sh_a"),
+                F.size("sh_set").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("sh_set").alias("sh_b"),
+                F.size("sh_set").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return verified.select(
+        "doc_a", "doc_b", "common", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -1744,3 +1744,44 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str):
     )
     pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
     return triangle_counts(pairs)
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 4c: threshold Jaccard via prefix filtering (SSJoin/PPJoin).
+# Lossless vs the naive all-pairs join — the oracle IS the naive
+# quadratic form at the same threshold, so candidates-super-set +
+# exact-verify must reproduce it row-for-row.  The scale story vs the
+# df-capped tier: identical semantics to the exact join, with the index
+# shrunk to each doc's (1-t) rarest-token prefix.
+# --------------------------------------------------------------------------
+_PREFIX_T = 0.6
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           CAST(common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_PREFIX_T}
+    """,
+    tags=("dedup", "jaccard", "prefix"),
+    doc="Lossless prefix-filtered threshold Jaccard join (PPJoin shape).",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str):
+    return D.prefix_filter_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=_PREFIX_T
+    )

@@ -636,3 +636,54 @@ def test_chunk_windows_tile_any_document(spark, texts_list):
             rebuilt.extend(ctext.split(" ")[:step])
         rebuilt.extend(chunks[-1][1].split(" "))
         assert " ".join(rebuilt) == text
+
+
+def test_prefix_filter_equals_naive_threshold_join(spark):
+    from pyspark.sql import functions as F
+    """Prefix filtering is LOSSLESS: at any threshold the prefix-indexed
+    join + exact verify must reproduce the naive all-pairs threshold join
+    exactly (doc pair, common count, and jaccard value)."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    for t in (0.4, 0.8):
+        naive = {
+            (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+            for r in jaccard_pairs(docs).filter(F.col("jaccard") >= t).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert fast == naive, f"t={t}: prefix join diverged from naive join"
+
+
+def test_prefix_index_is_smaller_than_full_index(spark):
+    from pyspark.sql import functions as F
+    """The point of the prefix filter: the indexed token count must drop
+    by roughly the threshold factor vs indexing every token."""
+    from fotmobdatapipeline_spark.operators.dedup import word_shingles
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import Window
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    tok = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    full = tok.count()
+    t = 0.8
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        tok.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1
+    ).count()
+    assert prefix < 0.45 * full, (prefix, full)
