@@ -44,6 +44,8 @@ HEADLINE = [
     "forecast_revenue_change",
     "cms_heavy_hitters",
     "text_repetition_signals",
+    "cdc_snapshot_diff",
+    "agg_winsorized",
 ]
 
 

@@ -514,81 +514,121 @@ def prefix_filter_pairs(
     ``|d| - ceil(t·|d|) + 1`` tokens.  Indexing ONLY those prefixes (rare
     tokens first, so prefixes hit the shortest posting lists) shrinks the
     joinable index by the factor the threshold buys — at t=0.9 only ~10%
-    of each doc is indexed, and the prefix self-join replaces the full
-    all-sharing-pairs fan-out of :func:`jaccard_pairs` while remaining
-    LOSSLESS: candidates ⊇ all true pairs, then one exact verification
-    confined to candidates.  Unlike ``max_df`` capping this changes no
-    semantics — output equals the naive all-pairs join at the same
-    threshold.
+    of each doc is indexed — while remaining LOSSLESS: candidates ⊇ all
+    true pairs, then one exact verification confined to candidates.
+    Unlike ``max_df`` capping this changes no semantics — output equals
+    the naive all-pairs join at the same threshold (pinned by a
+    cross-implementation test and by the oracle, which IS the naive
+    quadratic form).
 
     FP safety: prefix length uses floor (a longer prefix is always
     lossless; ceil of ``t·n`` in doubles can round up and LOSE pairs) and
     the length filter carries an epsilon so ``|b| == t·|a|`` boundary
-    pairs survive.  Final jaccard >= t uses the same double division an
+    pairs survive.  Final jaccard >= t uses the same double division the
     oracle computes.
 
-    Plan: one token-frequency aggregate, one per-doc window (rank tokens
-    by global df — partitioned by doc, never global), one equi-self-join
-    on prefix tokens, one candidate-confined verify join.
-    """
+    Plan: one token-frequency aggregate + one join to attach df, one
+    per-doc window (partitioned by doc, never global), then — like
+    :func:`jaccard_pairs` — candidate pairs are generated INSIDE the
+    per-shingle posting lists (one groupBy; no self-join, so the ranked
+    pipeline executes once), and the two verify joins broadcast the
+    candidate side so the doc shingle arrays are scanned map-side, never
+    shuffled."""
     from pyspark.sql import Window
 
     tok = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "s")
-    ranked = (
-        tok.join(dfreq, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+    # Attach global df by exploding each shingle's posting list back out
+    # instead of groupBy+join: the shingle explosion (the dominant
+    # per-row cost) executes ONCE, and the posting aggregate IS the df
+    # count — one shuffle, no second tok lineage.
+    with_df = (
+        tok.groupBy("s")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(
+            "s", F.size("ids").alias("df"), F.explode("ids").alias(id_col)
+        )
     )
+    ranked = with_df.withColumn(
+        "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
+    ).withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
     prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "s", "n_sh")
+    # Posting-list pair generation (jaccard_pairs shape): sort each
+    # prefix-shingle's (doc, size) list by doc id and emit ordered pairs
+    # in-list — prefix tokens are the RAREST tokens, so these lists are
+    # short and the fan-out is small by construction.
+    plist = (
+        prefix.groupBy("s")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("d"), F.col("n_sh").alias("n"))
+                )
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda b: F.struct(
+                    a["d"].alias("doc_a"),
+                    a["n"].alias("n_a"),
+                    b["d"].alias("doc_b"),
+                    b["n"].alias("n_b"),
+                ),
+            ),
+        )
+    )
     eps = 1e-9
-    a = prefix.select(
-        F.col(id_col).alias("doc_a"), F.col("s"), F.col("n_sh").alias("n_a")
-    )
-    b = prefix.select(
-        F.col(id_col).alias("doc_b"), F.col("s"), F.col("n_sh").alias("n_b")
-    )
     cand = (
-        a.join(b, "s")
+        plist.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
+            (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
             & (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - eps)
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # Materialize once: the candidate set is pair-count sized (tiny)
+        # but its lineage is the whole prefix pipeline, and it feeds TWO
+        # broadcast subtrees below — without the checkpoint each
+        # broadcast re-executes the pipeline (same pattern as
+        # connected_dup_clusters' iteration base).
+        .localCheckpoint(eager=False)
     )
-    sets = df.select(
+    # Verify: shingle arrays are expensive (the dominant per-row cost),
+    # so re-shingle ONLY candidate docs — the broadcast id join sits on
+    # the raw table BELOW the shingle projection, so the corpus is
+    # scanned but never re-shingled; then both verify joins broadcast
+    # candidate-sized sides, keeping the arrays off the wire.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(F.broadcast(cand_ids), id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh_set")
     )
-    verified = (
-        cand.join(
-            sets.select(
-                F.col(id_col).alias("doc_a"),
-                F.col("sh_set").alias("sh_a"),
-                F.size("sh_set").alias("n_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col(id_col).alias("doc_b"),
-                F.col("sh_set").alias("sh_b"),
-                F.size("sh_set").alias("n_b"),
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
-            "n_a",
-            "n_b",
-        )
+    step1 = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.size("sh_set").alias("n_a"),
+    ).join(F.broadcast(cand), "doc_a")
+    verified = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.size("sh_set").alias("n_b"),
+    ).join(F.broadcast(step1), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+        "n_a",
+        "n_b",
     )
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
