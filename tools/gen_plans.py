@@ -25,6 +25,8 @@ PICKS = [
     ("llm_prep_pipeline", "Five-stage prep pipeline in 2 shuffles: map-side stages fused"),
     ("text_vocab_encode", "Distributed top-K vocab: no partition-less Window anywhere"),
     ("cms_heavy_hitters", "Count-min sketch: bounded-shuffle build + broadcast probe"),
+    ("cdc_snapshot_diff", "CDC diff: ONE full-outer join, snapshot filters pushed to both scans"),
+    ("agg_winsorized", "Winsorize: per-group rank bounds shipped back by broadcast, fact never reshuffled"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
