@@ -68,3 +68,34 @@ def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+def table_checksum(
+    df: DataFrame, cols: Sequence[str], group_by: Sequence[str] = ()
+) -> DataFrame:
+    """Order-insensitive content checksum: SUM over rows of the first 32
+    md5 bits of a canonical '|'-joined row string (nulls marked, so
+    (NULL, 'x') differs from ('x', NULL)), mod 2^61, plus the row count.
+
+    The anti-entropy primitive for 100 TB table comparison: replicas /
+    snapshot pairs / engine migrations are compared by one aggregate scan
+    per side instead of a row join, and the checksum is independent of
+    partitioning, row order, and engine (md5 of explicit strings).  A
+    mismatch localizes to the ``group_by`` granularity (e.g. partition
+    keys), turning "are these 100 TB equal?" into a per-partition drill-
+    down.  Collision odds are the birthday bound on 32 bits per row
+    summed mod 2^61 — fine for drift *detection*, not cryptographic
+    proof.  Columns must be cast to engine-stable strings by the caller
+    (exact DECIMAL for money, integer µs for time — never raw doubles).
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+    mod = F.lit(2305843009213693952).cast("decimal(38,0)")  # 2^61
+    aggs = [
+        F.count("*").alias("n_rows"),
+        (F.sum(h) % mod).cast("bigint").alias("checksum"),
+    ]
+    gb = list(group_by)
+    return df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)

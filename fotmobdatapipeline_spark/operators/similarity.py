@@ -356,3 +356,61 @@ def lsh_candidate_pairs(
             dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= min_cosine)
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 projection matrix: sign of the first md5 nibble
+    of '<seed>:<j>:<i>'.  No RNG state — the same (seed, dims) gives the
+    same matrix in any process, so an oracle can embed the literals.
+    Rademacher entries satisfy the Johnson-Lindenstrauss lemma like
+    Gaussians do (Achlioptas 2001), and ±1 multiplication is EXACT in
+    floating point — the projection is a pure sequential-fold sum, which
+    both engines can reproduce bit-identically."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    vector onto ``out_dim`` fixed ±1 directions, appending columns
+    ``y0..y{out_dim-1}`` and ``rp_bucket`` (the sign-bit integer — a
+    ready-made LSH key over the REDUCED space).
+
+    The 100 TB role: distances survive the projection within (1±ε), so
+    downstream ANN (sign-LSH / IVF over 8-64 dims instead of 1000+)
+    shuffles an order of magnitude fewer bytes.  Map-side only — the
+    matrix is a plan literal (broadcast-free, k·d doubles of codegen
+    constants), no shuffle, no UDF; each y_j is a strict left-to-right
+    fold so results are partitioning- and engine-independent."""
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    ys = []
+    for j in range(out_dim):
+        row = F.array(*[F.lit(v) for v in mat[j]])
+        y = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), row, lambda x, r: x.cast("double") * r
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ys.append(y.alias(f"y{j}"))
+    out = df.select("*", *ys)
+    bucket = F.lit(0)
+    for j in range(out_dim):
+        bucket = bucket * 2 + F.when(F.col(f"y{j}") >= 0, 1).otherwise(0)
+    return out.withColumn("rp_bucket", bucket.cast("int"))

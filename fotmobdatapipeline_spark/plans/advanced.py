@@ -1950,3 +1950,47 @@ def agg_winsorized(spark: SparkSession, sf_dir: str):
             F.count_if(F.col("v") > F.col("hi")).alias("n_clipped_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: 64-dim embeddings onto 8
+# deterministic ±1 directions (Achlioptas-style Rademacher), plus the
+# sign-bit bucket — the dimensionality-reduction front end that lets
+# downstream ANN shuffle 8 doubles instead of 64 floats.  ±1 multiplies
+# are exact in FP and each y_j is a strict left-to-right fold, so both
+# engines produce bit-identical projections; the oracle embeds the same
+# matrix literals the operator derives from md5.
+# --------------------------------------------------------------------------
+_RP_DIM_IN, _RP_DIM_OUT = 64, 8
+
+
+def _rp_oracle() -> str:
+    mat = S.rademacher_matrix(_RP_DIM_IN, _RP_DIM_OUT)
+    cols, bucket_terms = [], []
+    for j in range(_RP_DIM_OUT):
+        lit = "[" + ", ".join(str(v) for v in mat[j]) + "]"
+        cols.append(
+            f"list_reduce(list_transform(range(1, {_RP_DIM_IN} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), "
+            f"(p, q) -> p + q) AS y{j}"
+        )
+        bucket_terms.append(f"CASE WHEN y{j} >= 0 THEN {2 ** (_RP_DIM_OUT - 1 - j)} ELSE 0 END")
+    return f"""
+    WITH proj AS (SELECT vec_id, {', '.join(cols)} FROM embeddings)
+    SELECT vec_id, {', '.join(f'y{j}' for j in range(_RP_DIM_OUT))},
+           CAST({' + '.join(bucket_terms)} AS INT) AS rp_bucket
+    FROM proj
+    """
+
+
+@register(
+    "sim_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "projection", "lsh"),
+    doc="JL Rademacher projection + sign-bit bucket; map-side, fold-exact.",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT).select(
+        "vec_id", *[f"y{j}" for j in range(_RP_DIM_OUT)], "rp_bucket"
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from fotmobdatapipeline_spark.operators.cdc import incremental_group_sums, snapshot_diff
-from fotmobdatapipeline_spark.operators.profiling import null_profile
+from fotmobdatapipeline_spark.operators.profiling import null_profile, table_checksum
 from fotmobdatapipeline_spark.plans.catalog import register
 from fotmobdatapipeline_spark.sources.registry import read_table
 
@@ -507,4 +507,56 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str):
         "o_orderpriority",
         "n",
         F.col("s").cast("double").alias("sum_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-entropy table checksum: compare 100 TB tables (replicas, snapshot
+# pairs, engine migrations) with one aggregate scan per side instead of
+# a row-level join.  Order/partitioning-independent by construction
+# (commutative sum of per-row md5 words); the oracle recomputes the
+# same checksum in DuckDB — two engines agreeing on the digest of the
+# same rows IS the operator's correctness statement.  Money goes through
+# the exact DECIMAL cast before stringification (engine-stable text).
+# --------------------------------------------------------------------------
+_CK_HEX = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+
+def _sql_hex32(expr: str) -> str:
+    """First 32 md5 bits of expr as a BIGINT (no conv() in DuckDB)."""
+    terms = " + ".join(
+        f"({_CK_HEX.format(i=i + 1)}) * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"(SELECT {terms} FROM (SELECT md5({expr}) AS h) AS _h)"
+
+
+@register(
+    "dq_table_checksum",
+    oracle=f"""
+    WITH canon AS (
+      SELECT o_orderstatus,
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+             o_orderpriority AS row_str
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM({_sql_hex32('row_str')}) % 2305843009213693952 AS BIGINT)
+             AS checksum
+    FROM canon GROUP BY o_orderstatus
+    """,
+    tags=("dq", "checksum"),
+    doc="Order-insensitive per-group content checksum (anti-entropy scan).",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total"),
+        "o_orderpriority",
+    )
+    return table_checksum(
+        orders,
+        cols=["o_orderkey", "total", "o_orderpriority"],
+        group_by=["o_orderstatus"],
     )

@@ -687,3 +687,26 @@ def test_prefix_index_is_smaller_than_full_index(spark):
         F.col("pos") <= F.col("n_sh") - F.floor(F.lit(t) * F.col("n_sh")) + 1
     ).count()
     assert prefix < 0.45 * full, (prefix, full)
+
+
+def test_random_projection_is_partitioning_invariant(spark):
+    """The JL projection must be bit-identical regardless of partition
+    layout (strict left-to-right folds, literal matrix), and the sign
+    bucket must stay within the out_dim bit range."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import random_projection
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    base = {
+        r["vec_id"]: (r["y0"], r["y7"], r["rp_bucket"])
+        for r in random_projection(emb, in_dim=64, out_dim=8).collect()
+    }
+    repart = {
+        r["vec_id"]: (r["y0"], r["y7"], r["rp_bucket"])
+        for r in random_projection(emb.repartition(7), in_dim=64, out_dim=8).collect()
+    }
+    assert base == repart
+    assert all(0 <= v[2] < 256 for v in base.values())
