@@ -1994,3 +1994,77 @@ def sim_random_projection(spark: SparkSession, sf_dir: str):
     return S.random_projection(emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT).select(
         "vec_id", *[f"y{j}" for j in range(_RP_DIM_OUT)], "rp_bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# Reduced-space ANN: bucket vectors by the 8-bit random-projection sign
+# key, pair within buckets, verify exact cosine in the ORIGINAL 64-dim
+# space — the complete JL -> LSH -> verify path.  Candidate generation
+# touches 8 doubles per vector; the full embedding is only read for the
+# bucket-confined verify.  Top-20 with a unique tiebreak.
+# --------------------------------------------------------------------------
+def _rp_bucket_oracle() -> str:
+    mat = S.rademacher_matrix(_RP_DIM_IN, _RP_DIM_OUT)
+    ys, bucket_terms = [], []
+    for j in range(_RP_DIM_OUT):
+        lit = "[" + ", ".join(str(v) for v in mat[j]) + "]"
+        ys.append(
+            f"list_reduce(list_transform(range(1, {_RP_DIM_IN} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), "
+            f"(p, q) -> p + q) AS y{j}"
+        )
+        bucket_terms.append(
+            f"CASE WHEN y{j} >= 0 THEN {2 ** (_RP_DIM_OUT - 1 - j)} ELSE 0 END"
+        )
+    return f"""
+    WITH proj0 AS (SELECT vec_id, {", ".join(ys)} FROM embeddings),
+    proj AS (
+      SELECT vec_id, CAST({" + ".join(bucket_terms)} AS INT) AS rp_bucket
+      FROM proj0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM proj a JOIN proj b
+        ON a.rp_bucket = b.rp_bucket AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b,
+           {_sql_dot("ea.embedding", "eb.embedding")}
+             / (sqrt({_sql_dot("ea.embedding", "ea.embedding")})
+                * sqrt({_sql_dot("eb.embedding", "eb.embedding")})) AS cos_sim
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """
+
+
+@register(
+    "sim_rp_bucket_join",
+    oracle=_rp_bucket_oracle(),
+    tags=("similarity", "projection", "lsh"),
+    doc="JL-reduced sign-bucket join, exact-cosine verify in full space.",
+)
+def sim_rp_bucket_join(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    rp = S.random_projection(emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT).select(
+        "vec_id", "rp_bucket"
+    )
+    a = rp.select(F.col("vec_id").alias("id_a"), "rp_bucket")
+    b = rp.select(F.col("vec_id").alias("id_b"), "rp_bucket")
+    pairs = a.join(b, "rp_bucket").filter(F.col("id_a") < F.col("id_b"))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    scored = (
+        pairs.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                S.dot(F.col("va"), F.col("vb"))
+                / (S.l2_norm(F.col("va")) * S.l2_norm(F.col("vb")))
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(20)

@@ -1785,3 +1785,63 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str):
     return D.prefix_filter_pairs(
         read_table(spark, sf_dir, "documents"), threshold=_PREFIX_T
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level lexical diversity per source: Simpson concentration,
+# Gini diversity, and effective vocabulary (inverse Simpson).  Shannon
+# entropy is the textbook choice but log() is NOT bit-portable across
+# libm implementations; Simpson/Gini need only +,*,/ over EXACT integer
+# power sums (Σc, Σc²), so the final doubles are identical in any
+# engine — the determinism-first substitute a cross-engine pipeline
+# should prefer.  Two aggregates, both map-side combinable.
+# --------------------------------------------------------------------------
+@register(
+    "text_diversity_simpson",
+    oracle="""
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY source, w
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_distinct,
+           CAST(sum_c2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
+           1 - CAST(sum_c2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini,
+           (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             / CAST(sum_c2 AS DOUBLE) AS effective_vocab
+    FROM agg
+    """,
+    tags=("text", "quality", "llmdata"),
+    doc="Per-source Simpson/Gini diversity from exact integer power sums.",
+)
+def text_diversity_simpson(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    c2_d = F.col("sum_c2").cast("double")
+    simpson = c2_d / (n_d * n_d)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        simpson.alias("simpson"),
+        (F.lit(1) - simpson).alias("gini"),
+        ((n_d * n_d) / c2_d).alias("effective_vocab"),
+    )
