@@ -121,3 +121,37 @@ def test_incremental_group_sums_matches_direct_agg(spark):
     }
     assert got == want
     assert "g2" not in got  # dead group dropped, not emitted with n=0
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    """Permuting rows/partitions must not move the checksum; changing one
+    value in one row must."""
+    from fotmobdatapipeline_spark.operators.profiling import table_checksum
+
+    base = spark.createDataFrame(
+        [(1, "a", "10.00"), (2, "b", "20.00"), (3, "a", "30.00")],
+        "k int, g string, v string",
+    )
+    ck = lambda df: {  # noqa: E731
+        r["g"]: (r["n_rows"], r["checksum"])
+        for r in table_checksum(df, ["k", "v"], group_by=["g"]).collect()
+    }
+    assert ck(base) == ck(base.repartition(5).sortWithinPartitions("v"))
+    mutated = spark.createDataFrame(
+        [(1, "a", "10.00"), (2, "b", "20.00"), (3, "a", "30.01")],
+        "k int, g string, v string",
+    )
+    assert ck(base)["b"] == ck(mutated)["b"]
+    assert ck(base)["a"] != ck(mutated)["a"]
+
+
+def test_table_checksum_null_position_matters(spark):
+    """(NULL, 'x') and ('x', NULL) must produce different row digests —
+    the null marker keeps column positions unambiguous."""
+    from fotmobdatapipeline_spark.operators.profiling import table_checksum
+
+    d1 = spark.createDataFrame([(None, "x")], "a string, b string")
+    d2 = spark.createDataFrame([("x", None)], "a string, b string")
+    c1 = table_checksum(d1, ["a", "b"]).collect()[0]["checksum"]
+    c2 = table_checksum(d2, ["a", "b"]).collect()[0]["checksum"]
+    assert c1 != c2
