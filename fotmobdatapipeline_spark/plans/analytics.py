@@ -560,3 +560,66 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str):
         cols=["o_orderkey", "total", "o_orderpriority"],
         group_by=["o_orderstatus"],
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP shape): each order's total is weighted by
+# how long it remained the latest order of its priority class (lead() µs
+# gap).  The finance/ops-metrics aggregate naive AVG gets wrong whenever
+# sampling is irregular.  Exactness: weights are integer µs, values are
+# exact DECIMAL(12,2); value×weight products and their sums stay exact
+# (DECIMAL × BIGINT), with one double division at the end — mirrored
+# verbatim in the oracle.  Last row per group has no successor and drops
+# out (zero holding time), same in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "agg_time_weighted",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderpriority,
+             -- integer CENTS: DECIMAL * BIGINT would promote to DOUBLE in
+             -- DuckDB (order-dependent sum); cents * µs stays exact HUGEINT
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS cents,
+             LEAD(epoch_us(o_orderdate)) OVER w - epoch_us(o_orderdate) AS dt_us
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY epoch_us(o_orderdate), o_orderkey)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_weighted,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(SUM(cents * dt_us) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE) / 100.0 AS twap
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "timeseries", "window"),
+    doc="Interval-weighted (time-weighted) average via lead() µs gaps.",
+)
+def agg_time_weighted(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ in parquet; the session is pinned to
+    # UTC (session.py), so the cast to TIMESTAMP is a pure reinterpret
+    # and matches DuckDB epoch_us on the naive value.
+    ts = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_orderpriority").orderBy(ts, "o_orderkey")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("decimal(38,0)")
+    )
+    seq = orders.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        (F.lead(ts).over(w) - ts).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seq.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_weighted"),
+        F.sum("dt_us").alias("total_us"),
+        (
+            F.sum(F.col("cents") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
