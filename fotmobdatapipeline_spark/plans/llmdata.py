@@ -1845,3 +1845,63 @@ def text_diversity_simpson(spark: SparkSession, sf_dir: str):
         (F.lit(1) - simpson).alias("gini"),
         ((n_d * n_d) / c2_d).alias("effective_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair counting — the inner loop of tokenizer TRAINING: count
+# adjacent character pairs across the corpus, weighted by word
+# frequency, exactly what picks the next merge rule.  Scale shape: the
+# pair generation runs over the DISTINCT word table (vocab-cardinality,
+# bounded) with corpus counts attached, not over raw tokens — at 100 TB
+# the distinct-word aggregate is the only corpus-sized shuffle, and both
+# aggregates are map-side combinable.  Top-20 with pair tiebreak = the
+# first merges a real BPE trainer would take.
+# --------------------------------------------------------------------------
+@register(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+             c
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20
+    """,
+    tags=("text", "tokens", "bpe", "llmdata"),
+    doc="Weighted adjacent-pair counts over the distinct-word table.",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
