@@ -306,3 +306,23 @@ def test_winsorized_bounds_join_is_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_join_never_cartesian(spark):
+    """The prefix-filtered Jaccard join must stay a posting-list pipeline
+    plus equi-joins — no cartesian product or nested-loop join anywhere,
+    no matter how Catalyst rewrites it."""
+    df = _q("dedup_jaccard_prefix")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rp_bucket_verify_joins_are_broadcast(spark):
+    """Reduced-space ANN: candidate pairing and both full-space verify
+    joins must be broadcast-side — the 64-dim embedding arrays are never
+    shuffle material."""
+    df = _q("sim_rp_bucket_join")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
