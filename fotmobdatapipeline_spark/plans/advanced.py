@@ -2052,9 +2052,29 @@ def sim_rp_bucket_join(spark: SparkSession, sf_dir: str):
     )
     a = rp.select(F.col("vec_id").alias("id_a"), "rp_bucket")
     b = rp.select(F.col("vec_id").alias("id_b"), "rp_bucket")
-    pairs = a.join(b, "rp_bucket").filter(F.col("id_a") < F.col("id_b"))
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "rp_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        # Pair-count sized, but feeds the candidate-id derivation AND the
+        # verify join below — checkpoint so the bucket pipeline runs once.
+        .localCheckpoint(eager=False)
+    )
+    # Confine the corpus-sized embeddings table to candidate ids FIRST
+    # (broadcast of the id-only candidate set into the scan: map-side
+    # semi-join, the corpus is scanned but never shuffled or broadcast),
+    # then broadcast only the candidate-confined arrays into the verify.
+    # A direct broadcast of `emb` here would be an executor OOM at 100 TB
+    # — the embeddings table is the big table (operators/dedup.py's
+    # prefix_filter_pairs verify stage uses the same pattern).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    emb_c = emb.join(F.broadcast(cand_ids), "vec_id").select("vec_id", "embedding")
+    ea = emb_c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb_c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     scored = (
         pairs.join(F.broadcast(ea), "id_a")
         .join(F.broadcast(eb), "id_b")

@@ -318,11 +318,55 @@ def test_prefix_join_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_rp_bucket_verify_joins_are_broadcast(spark):
-    """Reduced-space ANN: candidate pairing and both full-space verify
-    joins must be broadcast-side — the 64-dim embedding arrays are never
-    shuffle material."""
+def _tree_subtrees(plan: str, node_substr: str) -> list[list[str]]:
+    """Split a Spark plan tree string into the subtrees rooted at every
+    node whose line contains ``node_substr``.  Depth is the character
+    offset where the node name begins (past the ``:- ``/``+- ``/``:  ``
+    tree-drawing prefix); a subtree is every following line strictly
+    deeper than its root."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    out = []
+    for i, line in enumerate(lines):
+        if node_substr not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                continue
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+def test_rp_bucket_verify_never_broadcasts_the_corpus(spark):
+    """Reduced-space ANN at 100 TB: the embeddings table is the BIG
+    table, so no BroadcastExchange may sit directly over its parquet scan
+    — every broadcast subtree that reads embeddings must first confine it
+    to candidate ids via a join.  No cartesian/nested-loop fallback, and
+    the verify joins stay broadcast-side (of the candidate-confined
+    arrays), never a shuffle of embedding arrays."""
     df = _q("sim_rp_bucket_join")(spark, SF_ORACLE)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    broadcasts = _tree_subtrees(plan, "BroadcastExchange")
+    assert broadcasts, plan
+    for sub in broadcasts:
+        text = "\n".join(sub)
+        if "embeddings" in text and "Scan parquet" in text:
+            assert "Join" in text, (
+                "corpus-sized broadcast: BroadcastExchange directly over the "
+                "embeddings scan with no candidate-confining join\n" + text
+            )
