@@ -527,8 +527,10 @@ def prefix_filter_pairs(
     pairs survive.  Final jaccard >= t uses the same double division the
     oracle computes.
 
-    Plan: one token-frequency aggregate + one join to attach df, one
-    per-doc window (partitioned by doc, never global), then — like
+    Plan: one windowed count partitioned by shingle to attach df (no
+    posting-list array is ever materialized, so a stop-shingle in half
+    the corpus costs rows, not one giant task-local array), one per-doc
+    window (partitioned by doc, never global), then — like
     :func:`jaccard_pairs` — candidate pairs are generated INSIDE the
     per-shingle posting lists (one groupBy; no self-join, so the ranked
     pipeline executes once), and the two verify joins broadcast the
@@ -539,16 +541,15 @@ def prefix_filter_pairs(
     tok = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    # Attach global df by exploding each shingle's posting list back out
-    # instead of groupBy+join: the shingle explosion (the dominant
-    # per-row cost) executes ONCE, and the posting aggregate IS the df
-    # count — one shuffle, no second tok lineage.
-    with_df = (
-        tok.groupBy("s")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .select(
-            "s", F.size("ids").alias("df"), F.explode("ids").alias(id_col)
-        )
+    # Attach global df via a windowed count over the same single shuffle
+    # (partition by shingle).  The earlier posting-list form
+    # (groupBy(s).agg(collect_list(id)) then re-explode) had identical
+    # semantics and shuffle count but materialized EVERY shingle's full
+    # posting list — including stop-shingles appearing in millions of
+    # docs — as one array in one task: an executor OOM at corpus scale.
+    # The window keeps rows as rows; no per-shingle array ever exists.
+    with_df = tok.withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
     )
     ranked = with_df.withColumn(
         "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))

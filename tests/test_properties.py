@@ -663,6 +663,43 @@ def test_prefix_filter_equals_naive_threshold_join(spark):
         assert fast == naive, f"t={t}: prefix join diverged from naive join"
 
 
+def test_prefix_filter_survives_stop_shingle_skew(spark):
+    """Deliberate skew: one shingle in 50% of the corpus.  The df-attach
+    stage must handle the hot shingle as rows (windowed count), never as
+    one giant task-local posting array, and the output must still equal
+    the naive threshold join exactly."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            # Hot head: every even doc shares the 'alpha beta gamma' shingle.
+            rows.append((i, f"alpha beta gamma u{i} v{i} w{i} x{i} y{i}"))
+        else:
+            rows.append((i, f"p{i} q{i} r{i} s{i} t{i} n{i}"))
+    # Plant true near-dups on both sides of the skew.
+    rows.append((1000, "alpha beta gamma u2 v2 w2 x2 z"))
+    rows.append((1001, "p3 q3 r3 s3 t3 m"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    for t in (0.4, 0.7):
+        naive = {
+            (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+            for r in jaccard_pairs(docs).filter(F.col("jaccard") >= t).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert fast == naive, f"t={t}: skewed prefix join diverged"
+        assert fast, "skew corpus must produce at least one true pair"
+
+
 def test_prefix_index_is_smaller_than_full_index(spark):
     from pyspark.sql import functions as F
     """The point of the prefix filter: the indexed token count must drop
