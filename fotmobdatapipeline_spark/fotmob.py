@@ -130,6 +130,13 @@ def generate_landing_zone(
 
     teams = ["Arsenal", "Chelsea", "Tottenham", "Liverpool", "Everton", "Fulham"]
     os.makedirs(path, exist_ok=True)
+    # Remove stale shards first: an older run with a larger n_matches
+    # would leave extra matches-*.jsonl files that BOTH engines glob, so
+    # the zone must contain exactly this call's output and nothing else.
+    import glob
+
+    for stale in glob.glob(os.path.join(path, "matches-*.jsonl")):
+        os.remove(stale)
     shards: dict[int, list] = {}
     for m in range(n_matches):
         hi, ai = m % len(teams), (m + 1) % len(teams)

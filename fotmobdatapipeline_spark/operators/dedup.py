@@ -499,12 +499,124 @@ def decontaminate(
     )
 
 
+def _prefix_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate generation for :func:`prefix_filter_pairs`: prefix
+    filter + length filter (+ the PPJoin positional filter unless
+    ``positional=False``).  Exposed separately so the pruning power of
+    each filter can be measured (tests + SCALE.md ablation); returns the
+    distinct ``(doc_a, doc_b)`` candidate set, a superset of all true
+    threshold pairs."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    # Attach global df via a windowed count over the same single shuffle
+    # (partition by shingle).  The earlier posting-list form
+    # (groupBy(s).agg(collect_list(id)) then re-explode) had identical
+    # semantics and shuffle count but materialized EVERY shingle's full
+    # posting list — including stop-shingles appearing in millions of
+    # docs — as one array in one task: an executor OOM at corpus scale.
+    # The window keeps rows as rows; no per-shingle array ever exists.
+    with_df = tok.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    ranked = with_df.withColumn(
+        "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
+    ).withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        id_col, "s", "df", "n_sh", "pos"
+    )
+    # Posting-list pair generation (jaccard_pairs shape): sort each
+    # prefix-shingle's (doc, size, position) list by doc id and emit
+    # ordered pairs in-list — prefix tokens are the RAREST tokens, so
+    # these lists are short and the fan-out is small by construction.
+    plist = (
+        prefix.groupBy("s")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("d"),
+                        F.col("n_sh").alias("n"),
+                        F.col("pos").alias("p"),
+                    )
+                )
+            ).alias("ids"),
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda b: F.struct(
+                    a["d"].alias("doc_a"),
+                    a["n"].alias("n_a"),
+                    a["p"].alias("pa"),
+                    b["d"].alias("doc_b"),
+                    b["n"].alias("n_b"),
+                    b["p"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    eps = 1e-9
+    cand_tok = (
+        plist.select("df", "s", F.explode(pair_structs).alias("p"))
+        .select("df", "s", "p.*")
+        .filter(
+            (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
+            & (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - eps)
+        )
+    )
+    if not positional:
+        return cand_tok.select("doc_a", "doc_b").distinct()
+    # POSITIONAL FILTER (PPJoin, Xiao et al. 2008): J(a,b) >= t needs
+    # overlap o >= alpha = ceil(t/(1+t)·(|a|+|b|)).  Under the global
+    # (df, s) token order, every shared token ordered before the k-th
+    # shared PREFIX token is itself a shared prefix token (prefixes are
+    # order-downward-closed), so at the k-th shared prefix token, at
+    # positions (i, j) in a and b:  o <= k + min(|a| - i, |b| - j).
+    # Take the tightest (min over k) and prune pairs whose bound can't
+    # reach alpha — lossless, and it kills the template-corpus candidate
+    # inflation the bare prefix filter admits (SCALE.md numbers).  The
+    # per-pair aggregate replaces the plain .distinct() — same shuffle,
+    # and the per-pair token array is at most prefix-length sized.
+    # FP safety mirrors the length filter: alpha is computed minus eps so
+    # a boundary pair is never pruned.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(eps)
+    )
+    grouped = cand_tok.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.array_sort(F.collect_list(F.struct("df", "s", "pa", "pb"))).alias("toks")
+    )
+    bounds = F.transform(
+        F.col("toks"),
+        lambda tkn, k: k
+        + F.lit(1)
+        + F.least(F.col("n_a") - tkn["pa"], F.col("n_b") - tkn["pb"]),
+    )
+    return grouped.filter(F.array_min(bounds) >= alpha).select("doc_a", "doc_b")
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingle_n: int = 3,
+    positional: bool = True,
+    suffix: bool = True,
 ) -> DataFrame:
     """Tier 4c: threshold Jaccard join via PREFIX FILTERING (the
     SSJoin/PPJoin principle) — the exact-threshold scale path.
@@ -521,11 +633,33 @@ def prefix_filter_pairs(
     cross-implementation test and by the oracle, which IS the naive
     quadratic form).
 
+    On top of the prefix filter this implements the full PPJoin/PPJoin+
+    pruning stack (Xiao et al., WWW 2008 — public algorithm, original
+    implementation):
+
+    * ``positional`` — the positional filter: per candidate pair, the
+      shared-prefix-token positions upper-bound the achievable overlap
+      (min over shared tokens of ``k + min(|a|-i_k, |b|-j_k)``); pairs
+      that can't reach ``alpha = ceil(t/(1+t)·(|a|+|b|))`` are pruned
+      BEFORE the verify stage ever re-shingles them.  This is the fix
+      for the template-corpus candidate inflation the bare prefix filter
+      admits (measured in SCALE.md).
+    * ``suffix`` — the suffix filter's partition-bound, applied in the
+      refine stage (where the token arrays exist, candidate-confined):
+      a median-pivot partition of both sets upper-bounds the overlap and
+      short-circuits the exact intersection for hopeless pairs.
+
+    Both filters are LOSSLESS (flags exist only for the measured
+    ablation — candidate generation is exposed as
+    :func:`_prefix_candidates` so tests and SCALE.md can count the
+    pruning); output is identical with any combination.
+
     FP safety: prefix length uses floor (a longer prefix is always
     lossless; ceil of ``t·n`` in doubles can round up and LOSE pairs) and
     the length filter carries an epsilon so ``|b| == t·|a|`` boundary
-    pairs survive.  Final jaccard >= t uses the same double division the
-    oracle computes.
+    pairs survive; both overlap bounds compare against an eps-lowered
+    alpha so a boundary pair is never pruned.  Final jaccard >= t uses
+    the same double division the oracle computes.
 
     Plan: one windowed count partitioned by shingle to attach df (no
     posting-list array is ever materialized, so a stop-shingle in half
@@ -536,72 +670,13 @@ def prefix_filter_pairs(
     pipeline executes once), and the two verify joins broadcast the
     candidate side so the doc shingle arrays are scanned map-side, never
     shuffled."""
-    from pyspark.sql import Window
-
-    tok = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-    )
-    # Attach global df via a windowed count over the same single shuffle
-    # (partition by shingle).  The earlier posting-list form
-    # (groupBy(s).agg(collect_list(id)) then re-explode) had identical
-    # semantics and shuffle count but materialized EVERY shingle's full
-    # posting list — including stop-shingles appearing in millions of
-    # docs — as one array in one task: an executor OOM at corpus scale.
-    # The window keeps rows as rows; no per-shingle array ever exists.
-    with_df = tok.withColumn(
-        "df", F.count("*").over(Window.partitionBy("s"))
-    )
-    ranked = with_df.withColumn(
-        "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
-    ).withColumn("n_sh", F.count("*").over(Window.partitionBy(id_col)))
-    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "s", "n_sh")
-    # Posting-list pair generation (jaccard_pairs shape): sort each
-    # prefix-shingle's (doc, size) list by doc id and emit ordered pairs
-    # in-list — prefix tokens are the RAREST tokens, so these lists are
-    # short and the fan-out is small by construction.
-    plist = (
-        prefix.groupBy("s")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("d"), F.col("n_sh").alias("n"))
-                )
-            ).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
-                lambda b: F.struct(
-                    a["d"].alias("doc_a"),
-                    a["n"].alias("n_a"),
-                    b["d"].alias("doc_b"),
-                    b["n"].alias("n_b"),
-                ),
-            ),
-        )
-    )
-    eps = 1e-9
-    cand = (
-        plist.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
-        .filter(
-            (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
-            & (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - eps)
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-        # Materialize once: the candidate set is pair-count sized (tiny)
-        # but its lineage is the whole prefix pipeline, and it feeds TWO
-        # broadcast subtrees below — without the checkpoint each
-        # broadcast re-executes the pipeline (same pattern as
-        # connected_dup_clusters' iteration base).
-        .localCheckpoint(eager=False)
-    )
+    cand = _prefix_candidates(df, text_col, id_col, threshold, shingle_n, positional)
+    # Materialize once: the candidate set is pair-count sized (tiny)
+    # but its lineage is the whole prefix pipeline, and it feeds TWO
+    # broadcast subtrees below — without the checkpoint each
+    # broadcast re-executes the pipeline (same pattern as
+    # connected_dup_clusters' iteration base).
+    cand = cand.localCheckpoint(eager=False)
     # Verify: shingle arrays are expensive (the dominant per-row cost),
     # so re-shingle ONLY candidate docs — the broadcast id join sits on
     # the raw table BELOW the shingle projection, so the corpus is
@@ -613,23 +688,55 @@ def prefix_filter_pairs(
         .distinct()
     )
     sets = df.join(F.broadcast(cand_ids), id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh_set")
+        F.col(id_col),
+        # Sorted once per candidate DOC (amortized over its pairs) so the
+        # suffix-style partition bound below can pick a median pivot.
+        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("sh_set"),
     )
     step1 = sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("sh_set").alias("sh_a"),
         F.size("sh_set").alias("n_a"),
     ).join(F.broadcast(cand), "doc_a")
-    verified = sets.select(
+    paired = sets.select(
         F.col(id_col).alias("doc_b"),
         F.col("sh_set").alias("sh_b"),
         F.size("sh_set").alias("n_b"),
-    ).join(F.broadcast(step1), "doc_b").select(
-        "doc_a",
-        "doc_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
-        "n_a",
-        "n_b",
+    ).join(F.broadcast(step1), "doc_b")
+    # SUFFIX-FILTER role (PPJoin+, Xiao et al. 2008), re-homed for the
+    # distributed formulation: the classic suffix filter probes the two
+    # token ARRAYS, which in this pipeline only exist candidate-confined
+    # — i.e. here, in the refine stage.  Partition both (sorted) sets at
+    # a's median pivot m:  o <= min(|a<m|, |b<m|) + min(|a>m|, |b>m|) +
+    # [m in b].  Rows whose bound can't reach alpha skip the full
+    # array_intersect via a short-circuiting CASE — the bound costs two
+    # cheap comparison scans of b vs the intersect's hash build of both.
+    # Lossless under any total order; uses the same eps'd alpha as the
+    # positional filter.
+    alpha_v = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
+    if suffix:
+        pivot = F.element_at(
+            F.col("sh_a"), ((F.col("n_a") + 1) / 2).cast("int")
+        )
+        l_a = ((F.col("n_a") + 1) / 2).cast("int") - 1
+        r_a = F.col("n_a") - l_a - 1
+        lt_b = F.size(F.filter(F.col("sh_b"), lambda x: x < pivot))
+        le_b = F.size(F.filter(F.col("sh_b"), lambda x: x <= pivot))
+        o_ub = (
+            F.least(l_a, lt_b)
+            + F.least(r_a, F.col("n_b") - le_b)
+            + (le_b - lt_b)
+        )
+        common = F.when(
+            o_ub >= alpha_v, F.size(F.array_intersect("sh_a", "sh_b"))
+        ).otherwise(F.lit(-1))
+    else:
+        common = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = paired.select(
+        "doc_a", "doc_b", common.alias("common"), "n_a", "n_b"
     )
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")

@@ -56,19 +56,27 @@ def upsert_partitioned(
     # Any other read failure (permissions, corrupt footer, transient FS
     # error) must abort: proceeding would dynamic-partition-overwrite the
     # touched partitions with source-only rows, silently dropping every
-    # pre-existing row in them.
-    import os
-
+    # pre-existing row in them.  Existence goes through the Hadoop
+    # FileSystem API so s3://, hdfs:// and every other warehouse URI
+    # scheme resolve correctly — a local os.path check would report
+    # "absent" for any remote table and silently drop its rows.
     from pyspark.errors import AnalysisException
 
-    existing = os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    existing = fs.exists(jpath)
     if existing:
         try:
             target = spark.read.parquet(path).filter(
                 F.col(partition_col).isin(touched)
             )
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            # Races (table dropped between the exists() and the read) are
+            # recognized by ERROR CLASS, not message text — message
+            # strings change across Spark versions, error classes don't.
+            get_cls = getattr(exc, "getErrorClass", lambda: None)
+            if get_cls() == "PATH_NOT_FOUND":
                 existing = False
             else:
                 raise

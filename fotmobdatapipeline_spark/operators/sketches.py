@@ -76,13 +76,34 @@ def cms_estimate(
     the depth rows of the probed bucket's count.  The sketch side is
     depth*width rows -> always broadcast; cost is O(probes), never a
     second pass over the sketched data.  Unseen keys estimate 0 (their
-    buckets may be absent from the sketch table)."""
-    p = _with_rows(probes, depth).withColumn(
-        "bucket",
-        _bucket(F.col(key_col).cast("string"), F.col("sketch_row"), width, salt),
+    buckets may be absent from the sketch table).
+
+    Probes are made DISTINCT first: the estimate groups back by every
+    probe column, so duplicate probe rows would silently collapse to one
+    output row — distinct makes that contract explicit (one output row
+    per distinct probe row).  Sketch internals are joined under
+    ``__cms_``-prefixed names so a probe column named ``sketch_row``,
+    ``bucket`` or ``cnt`` can't collide with them."""
+    clash = [c for c in probes.columns if c.startswith("__cms_") or c == "cms_est"]
+    if clash:
+        raise ValueError(
+            f"probe columns {clash} collide with cms_estimate's internals "
+            "(__cms_* and cms_est are reserved)"
+        )
+    probes = probes.distinct()
+    p = probes.select(
+        "*",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("__cms_row"),
+    ).withColumn(
+        "__cms_bucket",
+        _bucket(F.col(key_col).cast("string"), F.col("__cms_row"), width, salt),
     )
-    joined = p.join(F.broadcast(cms), ["sketch_row", "bucket"], "left")
-    group_cols = [c for c in probes.columns]
-    return joined.groupBy(*group_cols).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    sk = cms.select(
+        F.col("sketch_row").alias("__cms_row"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
+    joined = p.join(F.broadcast(sk), ["__cms_row", "__cms_bucket"], "left")
+    return joined.groupBy(*probes.columns).agg(
+        F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias("cms_est")
     )

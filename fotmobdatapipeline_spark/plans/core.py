@@ -992,8 +992,14 @@ _FOTMOB_SHOT_COLS = (
 
 
 def _fotmob_ingest_oracle() -> str:
-    from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR
+    from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR, generate_landing_zone
 
+    # Generate the zone EAGERLY (oracle strings are built at registration
+    # time): a harness may run the oracle SQL before the Spark plan
+    # function, and the oracle must not depend on that ordering.  The
+    # generator also clears stale shards, so the glob below sees exactly
+    # this generation's files.
+    generate_landing_zone()
     canon = "CASE WHEN {c} = 'Tottenham' THEN 'Tottenham Hotspur' ELSE {c} END"
     return f"""
     WITH m AS (

@@ -30,14 +30,23 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazily bind one table.  The ``events`` table stores ``ts`` as
-    parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL); read it as raw nanos and convert to a
-    microsecond timestamp (the data is µs-precision, so lossless)."""
+    """Lazily bind one table.  The ``events`` table has shipped ``ts``
+    as either parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    rejects (PARQUET_TYPE_ILLEGAL), so it is read as raw nanos and
+    converted — or as a plain TIMESTAMP(MICROS), which reads natively.
+    Detect which from the loaded dtype instead of assuming a generator
+    version."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import functions as F
+
+        if dict(raw.dtypes).get("ts") != "bigint":
+            # Native TIMESTAMP(MICROS) file: only normalize NTZ -> the
+            # session-zone timestamp every downstream expression
+            # (unix_micros, windowing) expects.  Session TZ is pinned
+            # UTC, so the instant is unchanged.
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
         # Integer division: epoch-ns values (~1.7e18) exceed double's
         # 2^53 exact range, so `/ 1000` would be off by ±1 µs.

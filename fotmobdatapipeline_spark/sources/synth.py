@@ -43,23 +43,27 @@ _NATIONS = (
 _REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
 
 
-def _h(key, tag: str):
-    """Deterministic non-negative 64-bit stream per (row, tag)."""
-    return F.abs(F.xxhash64(key, F.lit(tag)))
+def _hmod(key, tag: str, m: int) -> F.Column:
+    """Deterministic bucket in [0, m) per (row, tag).  pmod, not abs+%:
+    abs(Long.MIN_VALUE) is still negative in Java two's complement, so
+    with probability 2^-64 per (row, tag) an abs-based modulo goes
+    negative and element_at gets an illegal index <= 0 (a runtime error
+    under ANSI).  pmod is non-negative for every input."""
+    return F.pmod(F.xxhash64(key, F.lit(tag)), F.lit(m))
 
 
 def _pick(key, tag: str, values) -> F.Column:
     arr = F.array(*[F.lit(v) for v in values])
-    return F.element_at(arr, (_h(key, tag) % len(values) + 1).cast("int"))
+    return F.element_at(arr, (_hmod(key, tag, len(values)) + 1).cast("int"))
 
 
 def _money(key, tag: str, lo_cents: int, hi_cents: int) -> F.Column:
-    cents = _h(key, tag) % (hi_cents - lo_cents) + lo_cents
+    cents = _hmod(key, tag, hi_cents - lo_cents) + lo_cents
     return (cents / F.lit(100.0)).cast("double")
 
 
 def _date_ms(key, tag: str, start: str = "1992-01-01", days: int = 2400) -> F.Column:
-    d = F.date_add(F.lit(start).cast("date"), (_h(key, tag) % days).cast("int"))
+    d = F.date_add(F.lit(start).cast("date"), _hmod(key, tag, days).cast("int"))
     # NTZ to match the driver testdata's timezone-less physical type.
     return d.cast("timestamp_ntz")
 
@@ -103,7 +107,7 @@ def generate_scale_tables(
     cust = spark.range(1, n_cust + 1, numPartitions=partitions).select(
         F.col("id").alias("c_custkey"),
         F.concat(F.lit("Customer#"), F.format_string("%09d", "id")).alias("c_name"),
-        (_h(F.col("id"), "cn") % len(_NATIONS)).cast("int").alias("c_nationkey"),
+        _hmod(F.col("id"), "cn", len(_NATIONS)).cast("int").alias("c_nationkey"),
         _money(F.col("id"), "cb", -99999, 999999).alias("c_acctbal"),
         _pick(F.col("id"), "cs", _SEGMENTS).alias("c_mktsegment"),
     )
@@ -112,7 +116,7 @@ def generate_scale_tables(
     supp = spark.range(1, n_supp + 1, numPartitions=partitions).select(
         F.col("id").alias("s_suppkey"),
         F.concat(F.lit("Supplier#"), F.format_string("%09d", "id")).alias("s_name"),
-        (_h(F.col("id"), "sn") % len(_NATIONS)).cast("int").alias("s_nationkey"),
+        _hmod(F.col("id"), "sn", len(_NATIONS)).cast("int").alias("s_nationkey"),
         _money(F.col("id"), "sb", -99999, 999999).alias("s_acctbal"),
     )
     write(supp, "supplier")
@@ -122,18 +126,18 @@ def generate_scale_tables(
         F.concat(_pick(F.col("id"), "pw1", _MATERIALS), F.lit(" "),
                  _pick(F.col("id"), "pw2", _TYPES)).alias("p_name"),
         F.concat(F.lit("Brand#"),
-                 ((_h(F.col("id"), "pb") % 5) + 1).cast("string"),
-                 ((_h(F.col("id"), "pb2") % 5) + 1).cast("string")).alias("p_brand"),
+                 ((_hmod(F.col("id"), "pb", 5)) + 1).cast("string"),
+                 ((_hmod(F.col("id"), "pb2", 5)) + 1).cast("string")).alias("p_brand"),
         F.concat(_pick(F.col("id"), "pt", _TYPES), F.lit(" "),
                  _pick(F.col("id"), "pm", _MATERIALS)).alias("p_type"),
-        ((_h(F.col("id"), "ps") % 50) + 1).cast("int").alias("p_size"),
+        ((_hmod(F.col("id"), "ps", 50)) + 1).cast("int").alias("p_size"),
         _money(F.col("id"), "pr", 90000, 200000).alias("p_retailprice"),
     )
     write(part, "part")
 
     orders = spark.range(1, n_orders + 1, numPartitions=partitions).select(
         F.col("id").alias("o_orderkey"),
-        (_h(F.col("id"), "oc") % n_cust + 1).alias("o_custkey"),
+        (_hmod(F.col("id"), "oc", n_cust) + 1).alias("o_custkey"),
         _pick(F.col("id"), "os", ("F", "O", "P")).alias("o_orderstatus"),
         _money(F.col("id"), "ot", 100000, 50000000).alias("o_totalprice"),
         _date_ms(F.col("id"), "od").alias("o_orderdate"),
@@ -145,13 +149,13 @@ def generate_scale_tables(
     okey = (F.col("id") / lines_per_order).cast("long") + 1
     li = li_ids.select(
         okey.alias("l_orderkey"),
-        (_h(F.col("id"), "lp") % n_part + 1).alias("l_partkey"),
-        (_h(F.col("id"), "ls") % n_supp + 1).alias("l_suppkey"),
+        (_hmod(F.col("id"), "lp", n_part) + 1).alias("l_partkey"),
+        (_hmod(F.col("id"), "ls", n_supp) + 1).alias("l_suppkey"),
         (F.col("id") % lines_per_order + 1).cast("int").alias("l_linenumber"),
-        ((_h(F.col("id"), "lq") % 50) + 1).cast("double").alias("l_quantity"),
+        ((_hmod(F.col("id"), "lq", 50)) + 1).cast("double").alias("l_quantity"),
         _money(F.col("id"), "le", 100000, 10000000).alias("l_extendedprice"),
-        ((_h(F.col("id"), "ld") % 11) / F.lit(100.0)).cast("double").alias("l_discount"),
-        ((_h(F.col("id"), "lt") % 9) / F.lit(100.0)).cast("double").alias("l_tax"),
+        ((_hmod(F.col("id"), "ld", 11)) / F.lit(100.0)).cast("double").alias("l_discount"),
+        ((_hmod(F.col("id"), "lt", 9)) / F.lit(100.0)).cast("double").alias("l_tax"),
         _pick(F.col("id"), "lr", ("R", "A", "N")).alias("l_returnflag"),
         _pick(F.col("id"), "ll", ("O", "F")).alias("l_linestatus"),
         _date_ms(F.col("id"), "lsd").alias("l_shipdate"),

@@ -27,8 +27,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
-# file-stream source must read as long (nanosAsLong) and convert.
+# Physical schema of events.parquet when ts is TIMESTAMP(NANOS): the
+# file-stream source must read ts as long (nanosAsLong) and convert.
+# Generator versions that write TIMESTAMP(MICROS) read natively; the
+# stream probes the directory's actual footer schema (see
+# read_events_stream) instead of assuming either.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -55,11 +58,22 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     throw PARQUET_TYPE_ILLEGAL."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # One driver-side batch probe of the footer schema decides whether
+    # this directory's ts is raw nanos (needs conversion) or a native
+    # timestamp (pass through) — streams can't infer schema themselves.
+    probe_schema = spark.read.parquet(path).schema
+    ts_is_nanos = dict(
+        (f.name, f.dataType.simpleString()) for f in probe_schema.fields
+    ).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probe_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+    if not ts_is_nanos:
+        # NTZ -> session-zone timestamp (UTC-pinned): keeps every
+        # downstream watermark/window expression type-stable.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

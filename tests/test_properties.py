@@ -700,6 +700,56 @@ def test_prefix_filter_survives_stop_shingle_skew(spark):
         assert fast, "skew corpus must produce at least one true pair"
 
 
+def test_positional_filter_prunes_template_candidates(spark):
+    """PPJoin positional filter on a template-heavy corpus: every doc
+    shares a 15-word boilerplate, so the bare prefix filter admits ~all
+    pairs as candidates while the true jaccard sits just UNDER the
+    threshold.  The positional filter must prune (near-)all of them,
+    keep every true pair (near-dup copies planted), and the final output
+    must still equal the naive join."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import (
+        _prefix_candidates,
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    template = " ".join(f"t{j}" for j in range(15))
+    rows = [
+        (i, template + " " + " ".join(f"u{i}x{k}" for k in range(5)))
+        for i in range(200)
+    ]
+    # Planted near-dups: copy of doc i with the last word changed.
+    for i in range(20):
+        rows.append(
+            (1000 + i, template + " " + " ".join(f"u{i}x{k}" for k in range(4)) + f" zz{i}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t = 0.6
+
+    loose = _prefix_candidates(docs, "text", "doc_id", t, 3, positional=False).count()
+    tight = _prefix_candidates(docs, "text", "doc_id", t, 3, positional=True).count()
+    naive = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+        for r in jaccard_pairs(docs).filter(F.col("jaccard") >= t).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+        for r in prefix_filter_pairs(docs, threshold=t).collect()
+    }
+    assert fast == naive, "positional-filtered join diverged from naive join"
+    no_suffix = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"])
+        for r in prefix_filter_pairs(docs, threshold=t, suffix=False).collect()
+    }
+    assert no_suffix == naive, "suffix partition bound changed the output"
+    assert naive, "test corpus must contain true near-dup pairs"
+    assert tight >= len(naive), "candidates must stay a superset of true pairs"
+    # The point: template candidates collapse (>100x here), true pairs stay.
+    assert tight < loose / 100, (tight, loose)
+
+
 def test_prefix_index_is_smaller_than_full_index(spark):
     from pyspark.sql import functions as F
     """The point of the prefix filter: the indexed token count must drop
