@@ -54,6 +54,42 @@ def stratified_sample(
     return df.filter(hash_bucket_256(F.col(key)) < bound)
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str] | tuple[str, ...],
+    key: str,
+    k: int,
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic per-group reservoir sample: exactly ``min(k,
+    |group|)`` rows per group, chosen as the k smallest salted content
+    hashes (bottom-k priority sampling).  Statistically identical to a
+    uniform k-reservoir per group — each row's priority ``md5(salt:key)``
+    is an iid uniform draw, and keeping the k smallest priorities is the
+    distributed form of reservoir sampling — but with zero RNG state: the
+    same rows are chosen on any partitioning, cluster size, or engine,
+    and a new ``salt`` is a fresh independent redraw (epoch resample).
+
+    Plan: one shuffle on the group key + per-group sort (row_number
+    window) — each group's rows land in one task, the right trade when
+    k << group size and groups are data-parallel-many.  The degenerate
+    single-giant-group case is global bottom-k: use ``orderBy(pr).
+    limit(k)`` (TakeOrderedAndProject) instead, which never concentrates
+    a group in one task.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pr = shuffle_key(F.col(key), salt)
+    w = Window.partitionBy(*group_cols).orderBy(pr, F.col(key))
+    return (
+        df.withColumn("__rsv_rk", F.row_number().over(w))
+        .filter(F.col("__rsv_rk") <= k)
+        .drop("__rsv_rk")
+    )
+
+
 def shuffle_key(key: Column, salt: str = "0") -> Column:
     """Deterministic pseudo-random total order for training-data
     shuffling: md5 of the salted key string.  A different salt is a

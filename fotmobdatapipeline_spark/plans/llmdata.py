@@ -1371,6 +1371,45 @@ def sample_bottomk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Per-group reservoir sample (operators/sampling.py::reservoir_per_group):
+# exactly min(k, |group|) rows per (source, lang) stratum, bottom-k by
+# salted md5 priority.  The fixed-SIZE counterpart of stratified_sample's
+# fixed-RATE draw; a new salt is a fresh epoch redraw.
+# --------------------------------------------------------------------------
+_RESERVOIR_K = 3
+_RESERVOIR_SALT = "7"
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT source, lang, doc_id
+    FROM (
+      SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5('{_RESERVOIR_SALT}:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+    tags=("sampling", "reservoir"),
+    doc="Per-group reservoir: fixed-size-k salted bottom-k per stratum.",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import reservoir_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return reservoir_per_group(
+        docs.select("source", "lang", "doc_id"),
+        group_cols=("source", "lang"),
+        key="doc_id",
+        k=_RESERVOIR_K,
+        salt=_RESERVOIR_SALT,
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data global shuffle (operators/sampling.py::shuffle_shard,
 # sinks.write_shuffled_shards): deterministic md5-salted permutation ->
 # uniform shards.  Any shard subset is an unbiased subsample; a new salt

@@ -570,6 +570,74 @@ def test_ivf_recall_rises_with_nprobe(spark):
     assert recalls[0] >= 0.3 and recalls[1] >= 0.5 and recalls[2] >= 0.6, recalls
 
 
+def test_reservoir_per_group_contract(spark):
+    """Per-group reservoir: exactly min(k, |group|) rows per group,
+    partitioning-invariant, and a new salt draws a genuinely different
+    (but equally sized) sample."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sampling import reservoir_per_group
+
+    rows = [(f"g{i % 7}", i) for i in range(500)] + [("tiny", 9001), ("tiny", 9002)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+
+    def draw(data, salt):
+        got = {}
+        for r in reservoir_per_group(data, ("grp",), "id", k=5, salt=salt).collect():
+            got.setdefault(r["grp"], set()).add(r["id"])
+        return got
+
+    base = draw(df, "0")
+    sizes = df.groupBy("grp").count().collect()
+    for r in sizes:
+        assert len(base[r["grp"]]) == min(5, r["count"]), r
+    # Partitioning invariance: same rows chosen at any layout.
+    assert draw(df.repartition(13), "0") == base
+    # Fresh salt = independent redraw: same sizes, different membership.
+    redraw = draw(df, "epoch1")
+    assert {g: len(s) for g, s in redraw.items()} == {
+        g: len(s) for g, s in base.items()
+    }
+    assert redraw != base
+
+
+def test_rp_bucket_recall_contract(spark):
+    """Recall contract for the RP sign-bucket ANN path (the analogue of
+    the IVF n_probes contract): a true top-5 neighbor is 'found' iff it
+    collides with the query's rp_bucket.  Collision needs agreement on
+    ALL out_dim sign bits, so recall is monotone NON-INCREASING in
+    out_dim (each extra bit can only split buckets) — more bits buys
+    smaller candidate sets at the cost of recall.  Floors measured at
+    sf0.001 (0.42 at 2 bits, 0.11 at 4) pinned loosely so a regression
+    in the projection or bucket derivation trips the test."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators import similarity as S
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    truth = {}
+    for r in S.brute_force_topk(queries, emb, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(t) for t in truth.values())
+
+    def recall(out_dim: int) -> float:
+        buckets = {
+            r["vec_id"]: r["rp_bucket"]
+            for r in S.random_projection(emb, in_dim=64, out_dim=out_dim)
+            .select("vec_id", "rp_bucket")
+            .collect()
+        }
+        hits = sum(1 for q, ns in truth.items() for n in ns if buckets[q] == buckets[n])
+        return hits / total
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 >= r4 >= r8, (r2, r4, r8)
+    assert r2 >= 0.3 and r4 >= 0.05, (r2, r4)
+
+
 def test_ivf_kmeans_multiprobe_recall(spark):
     """Trained centroids + multiprobe compose: with k-means cells,
     recall@5 is monotone in n_probes AND the trained single-probe recall
