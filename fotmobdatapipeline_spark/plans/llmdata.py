@@ -1944,3 +1944,141 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(20)
     )
+
+
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled-SQL replay of the iterative BPE trainer: the same N
+    rounds of (count weighted adjacent pairs -> take argmax with
+    (lft, rgt) tiebreak -> greedily apply the merge) that the Spark
+    driver loop performs, as N chained CTEs.  Symbols are kept in a
+    '<sym><sym>' string form so plain string ``replace`` gives exactly
+    BPE's greedy left-to-right non-overlapping merge in BOTH engines,
+    with the '<'/'>' wrappers preventing any cross-symbol false match."""
+    return _bpe_train_oracle_over("FROM documents", n_rounds)
+
+
+def _bpe_train_oracle_over(from_clause: str, n_rounds: int) -> str:
+    parts = [
+        f"""words0 AS (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS seq, c FROM (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS w {from_clause}
+        ) GROUP BY w
+      )
+    )"""
+    ]
+    for k in range(n_rounds):
+        parts.append(
+            f"""pairs{k} AS (
+      SELECT p.lft AS lft, p.rgt AS rgt, c FROM (
+        SELECT UNNEST(list_transform(range(1, array_length(syms)),
+                      i -> {{'lft': syms[i], 'rgt': syms[i+1]}})) AS p, c
+        FROM (SELECT regexp_extract_all(seq, '<([a-z]+)>', 1) AS syms, c
+              FROM words{k})
+      )
+    ),
+    best{k} AS (
+      SELECT CAST({k} AS INT) AS step, lft, rgt,
+             CAST(SUM(c) AS BIGINT) AS pair_count
+      FROM pairs{k} GROUP BY lft, rgt
+      ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
+    ),
+    words{k + 1} AS (
+      SELECT replace(seq, '<' || b.lft || '><' || b.rgt || '>',
+                     '<' || b.lft || b.rgt || '>') AS seq, c
+      FROM words{k}, best{k} b
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM best{k}" for k in range(n_rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT step, lft, rgt, pair_count FROM ({union}) ORDER BY step"
+    )
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "tokens", "bpe", "llmdata", "iterative"),
+    doc="Iterative BPE trainer: N rounds of count->argmax->greedy merge.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str):
+    """Tokenizer training proper: text_bpe_merge_pairs computes ROUND-1
+    counts; this runs the full loop — apply the best merge, recount —
+    for _BPE_TRAIN_ROUNDS rounds.  The driver loops and collects ONE row
+    per round (the argmax); the word table stays distributed throughout.
+
+    Scale shape: the only corpus-sized shuffle is the distinct-word
+    aggregate, done once and localCheckpoint'ed (vocab-cardinality,
+    executor-resident).  Each round is a map (string replace) + one
+    map-side-combining aggregate over the vocab table, so N rounds cost
+    N vocab-sized jobs, never N corpus passes.  Symbol sequences use the
+    '<sym>' wrapped-string form so a plain (JVM codegen) string replace
+    implements BPE's greedy left-to-right non-overlapping merge — no
+    UDF; the oracle replays the identical algorithm as unrolled SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train_merges(spark, docs, _BPE_TRAIN_ROUNDS)
+
+
+def bpe_train_merges(spark: SparkSession, docs, n_rounds: int):
+    """The trainer loop proper (see :func:`text_bpe_train`): returns one
+    row per round — (step, lft, rgt, pair_count) — for any DataFrame
+    with a ``text`` column."""
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("seq"), "c")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for step in range(n_rounds):
+        syms = F.regexp_extract_all(F.col("seq"), F.lit("<([a-z]+)>"), F.lit(1))
+        pairs = (
+            cur.select(syms.alias("syms"), "c")
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("lft"),
+                            F.element_at(F.col("syms"), i + 1).alias("rgt"),
+                        ),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .select("p.lft", "p.rgt", "c")
+        )
+        top = (
+            pairs.groupBy("lft", "rgt")
+            .agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], int(top[0]["pair_count"])
+        merges.append((step, lft, rgt, cnt))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f"<{lft}><{rgt}>"), F.lit(f"<{lft}{rgt}>")
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, pair_count bigint"
+    )

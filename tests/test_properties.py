@@ -570,7 +570,30 @@ def test_ivf_recall_rises_with_nprobe(spark):
     assert recalls[0] >= 0.3 and recalls[1] >= 0.5 and recalls[2] >= 0.6, recalls
 
 
-def test_reservoir_per_group_contract(spark):
+def test_bpe_train_hand_computed(spark):
+    """Independent pin for the iterative BPE trainer (the oracle replays
+    the same algorithm, so a shared bug would pass parity): a tiny corpus
+    whose 6 merges — including count ties broken by (lft, rgt) and a
+    merged symbol participating in later merges — are computed by hand.
+
+    words: low x3, lower x1, newest x2."""
+    from fotmobdatapipeline_spark.plans.llmdata import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["pair_count"])
+        for r in bpe_train_merges(spark, docs, 6).orderBy("step").collect()
+    ]
+    assert got == [
+        (0, "l", "o", 4),      # lo=4 ties ow=4 -> lft tiebreak
+        (1, "lo", "w", 4),     # merged symbol chains immediately
+        (2, "e", "s", 2),      # five pairs tie at 2 -> (e,s) smallest
+        (3, "e", "w", 2),
+        (4, "es", "t", 2),     # 'es' < 'ew' < 'n'
+        (5, "ew", "est", 2),
+    ], got
     """Per-group reservoir: exactly min(k, |group|) rows per group,
     partitioning-invariant, and a new salt draws a genuinely different
     (but equally sized) sample."""
