@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect, no disk write) — the number is engine time, not
 transfer time.  Cold session, one warm-up of the parquet footer reads.
+
+Every reported number is the MIN OF 2 back-to-back runs: round-2 showed
+the identical pandas baseline swinging 7x between rounds from ambient
+machine load, so a single sample conflates engine time with whatever
+else the box is doing; the min of two adjacent runs is the standard
+low-noise estimator for deterministic workloads.  The budget guard uses
+the TRUE elapsed wall (both runs) so the JSON line still always appears
+inside external timeouts.
 """
 
 from __future__ import annotations
@@ -94,28 +102,35 @@ def main() -> int:
     )
 
     timings: dict[str, float] = {}
-    total = 0.0
+    total = 0.0  # sum of reported (min-of-2) times
+    elapsed = 0.0  # true wall across all runs — drives the budget guard
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        elapsed += sum(runs)
+        timings[name] = min(runs)
+        total += timings[name]
+        print(f"# {name}: {min(runs):.3f}s (runs: {runs})", file=sys.stderr)
 
     # BASELINE.md target #5: the full star-schema build incl. all writes.
     import tempfile
 
     from fotmobdatapipeline_spark.plans.star_build import run_star_build
 
-    with tempfile.TemporaryDirectory(prefix="fotmob_bench_star_") as out:
-        t0 = time.perf_counter()
-        run_star_build(spark, sf_dir, out)
-        dt = round(time.perf_counter() - t0, 3)
-    timings["star_build_write"] = dt
-    total += dt
-    print(f"# star_build_write: {dt:.3f}s", file=sys.stderr)
+    star_runs = []
+    for _ in range(2):
+        with tempfile.TemporaryDirectory(prefix="fotmob_bench_star_") as out:
+            t0 = time.perf_counter()
+            run_star_build(spark, sf_dir, out)
+            star_runs.append(round(time.perf_counter() - t0, 3))
+    elapsed += sum(star_runs)
+    timings["star_build_write"] = min(star_runs)
+    total += timings["star_build_write"]
+    print(f"# star_build_write: {min(star_runs):.3f}s (runs: {star_runs})", file=sys.stderr)
 
     # Reference-engine comparison: the reference's transform stage is
     # single-threaded pandas (fotmob-dag.py:95-165).  Run the equivalent
@@ -124,8 +139,14 @@ def main() -> int:
     # throughput number the reference would achieve at this sf.
     baselines = {}
     try:
-        baselines["pandas_star_build"] = _pandas_star_build(sf_dir)
-        print(f"# pandas_star_build (reference engine): {baselines['pandas_star_build']:.3f}s", file=sys.stderr)
+        pandas_runs = [_pandas_star_build(sf_dir) for _ in range(2)]
+        elapsed += sum(pandas_runs)
+        baselines["pandas_star_build"] = min(pandas_runs)
+        print(
+            f"# pandas_star_build (reference engine): "
+            f"{baselines['pandas_star_build']:.3f}s (runs: {pandas_runs})",
+            file=sys.stderr,
+        )
     except Exception as e:  # never fail the bench over the baseline
         print(f"# pandas baseline skipped: {e}", file=sys.stderr)
 
@@ -133,7 +154,7 @@ def main() -> int:
     # the time budget (heavily loaded machine): the ONE JSON line must
     # always appear well inside any external timeout.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
-    over_budget = total > budget
+    over_budget = elapsed > budget
     if over_budget:
         print(
             f"# suite took {total:.0f}s > budget {budget:.0f}s — "
@@ -208,10 +229,13 @@ def _scale_section(spark, scale_sf: float) -> dict:
     qmap = query_map()
     q: dict[str, float] = {}
     for name in _SCALE_QUERIES:
-        t0 = time.perf_counter()
-        qmap[name](spark, gen_dir).write.format("noop").mode("overwrite").save()
-        q[name] = round(time.perf_counter() - t0, 3)
-        print(f"# scale/{name}: {q[name]:.3f}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qmap[name](spark, gen_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        q[name] = min(runs)
+        print(f"# scale/{name}: {q[name]:.3f}s (runs: {runs})", file=sys.stderr)
 
     with tempfile.TemporaryDirectory(prefix="fotmob_bench_star_sf1_") as out:
         t0 = time.perf_counter()
@@ -248,8 +272,9 @@ def _stream_state_bench(spark, sf_dir: str) -> dict:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_rows = raw.count()
     staged = tempfile.mkdtemp(prefix="fotmob_bench_stream_")
-    # Keep ts as raw int64 nanos so the staged files match the stream
-    # reader's physical schema exactly.
+    # Restage with the SOURCE file's ts physical type preserved (raw
+    # int64 nanos or native micros — read_events_stream probes the
+    # footer and handles either).
     raw.repartition(8).write.mode("overwrite").parquet(f"{staged}/files")
 
     # State-partition count is pinned at the first checkpoint and is a
