@@ -1480,12 +1480,66 @@ def shuffle_shards(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # Iterative graph op: PageRank centrality over the near-dup candidate
 # graph (operators/graph.py) — ranks hub documents in duplicate
-# neighborhoods.  Rows-only (iterative decimal division has no portable
-# SQL twin); closed-form/determinism contracts live in tests/test_graph.
+# neighborhoods.  VALUE-EXACT oracle (round 3): the operator's
+# DECIMAL(38,18) message passing rounds HALF_UP at Spark's derived
+# scales (divide->18, 0.85*x->16, +0.15->15, cast->18); the oracle
+# replays all 5 iterations in HUGEINT units of 1e-18 where HALF_UP(a/b)
+# is (2a+b)//(2b) — bit-identical, no float ever enters.  The final
+# decimal->double cast is replayed by building the exact decimal string
+# and casting that (two-step hugeint->double-divide would double-round).
 # --------------------------------------------------------------------------
+_PAGERANK_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PAGERANK_ITERS) -> str:
+    rounds = []
+    for k in range(iters):
+        rounds.append(
+            f"""s{k} AS (
+      SELECT e.dst AS node, SUM((2*r.u + d.deg) // (2*d.deg)) AS su
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r{k} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+      SELECT n.node,
+             ((2*((170*COALESCE(s.su, 0) + 10000) // 20000
+                  + 1500000000000000) + 10) // 20) * 1000 AS u
+      FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+        )
+    return f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (SELECT doc_id, {_lsh_sigs} FROM tok),
+    bands AS ({_lsh_bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+      )
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+      )
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST('1000000000000000000' AS HUGEINT) AS u FROM nodes),
+    {",".join(rounds)}
+    SELECT node, CAST(CAST(u // 1000000000000000000 AS VARCHAR) || '.' ||
+           lpad(CAST(u % 1000000000000000000 AS VARCHAR), 18, '0') AS DOUBLE)
+           AS rank_approx
+    FROM r{iters}
+    """
+
+
 @register(
     "graph_pagerank",
-    oracle=None,
+    oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
     doc="PageRank over LSH candidate pairs; exact-decimal determinism.",
 )
@@ -1501,7 +1555,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str):
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    ranked = pagerank(edges, iters=5)
+    ranked = pagerank(edges, iters=_PAGERANK_ITERS)
     return ranked.select("node", F.col("rank").cast("double").alias("rank_approx"))
 
 
