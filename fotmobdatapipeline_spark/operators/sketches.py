@@ -64,6 +64,44 @@ def count_min_table(
     )
 
 
+def hex32(col: Column) -> Column:
+    """First 32 bits of the md5 hex digest as a bigint — the same
+    portable hash the CMS buckets use, without the modulo."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 64, salt: str = "kmv"
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch: the k smallest 32-bit
+    hash values over the distinct keys, as a DataFrame of ``h`` rows.
+
+    The 100 TB shape: map-side hash + a distributed bottom-k
+    (TakeOrderedAndProject — each task keeps its local k, the driver
+    merges k-sized heaps; no global sort, no full shuffle of the key
+    set).  Sketches are MERGEABLE: the bottom-k of a union of sketches
+    is the sketch of the union — per-partition / per-day sketches
+    compose without rescanning.  Like the CMS, the sketch is a plain
+    DataFrame with portable md5 hashing, so estimates are reproducible
+    cross-engine (no opaque HLL binary)."""
+    h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with the k-th smallest
+    hash at fraction ``kth / 2^32`` of the hash space, the unbiased
+    estimator is ``(k-1) / fraction``; a sketch with fewer than k rows
+    saw every distinct hash, so its row count IS the (collision-bounded)
+    exact answer.  All arithmetic is one IEEE double division of exact
+    integers — bit-identical across engines."""
+    agg = sketch.agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth_hash"))
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double")).otherwise(
+        F.lit(float((k - 1) * 2**32)) / F.col("kth_hash")
+    )
+    return agg.select("n_sketch", "kth_hash", est.alias("est_distinct"))
+
+
 def cms_estimate(
     cms: DataFrame,
     probes: DataFrame,

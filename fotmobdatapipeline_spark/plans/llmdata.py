@@ -1626,6 +1626,47 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch (operators/sketches.py):
+# the bottom-k story's sketch sibling — distinct-word cardinality from
+# the k smallest portable md5 hash values.  Unlike approx_count_distinct
+# (opaque HLL binary, engine-specific), the sketch IS a DataFrame and
+# the estimate is one IEEE division of exact integers, so the oracle is
+# value-exact; the exact distinct count rides along so the estimate's
+# error is visible as data.
+# --------------------------------------------------------------------------
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH w AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS k FROM documents),
+    dh AS (
+      SELECT DISTINCT {_sql_hex32("substr(md5('kmv:' || k), 1, 8)")} AS h FROM w
+    ),
+    bk AS (SELECT h FROM dh ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_hash FROM bk),
+    ex AS (SELECT COUNT(*) AS exact_distinct FROM w)
+    SELECT n_sketch, kth_hash,
+           CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE {float((_KMV_K - 1) * 2 ** 32)} / kth_hash END AS est_distinct,
+           exact_distinct
+    FROM agg, ex
+    """,
+    tags=("sketch", "distinct", "text"),
+    doc="KMV distinct sketch: bottom-k hash cardinality estimate, exact twin alongside.",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    est = kmv_estimate(kmv_sketch(words, "w", k=_KMV_K), k=_KMV_K)
+    exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition / degeneracy signals: type-token ratio, top-
 # word mass, duplicate-bigram fraction — the filters that catch looping
 # generators and boilerplate.  Counts come from ONE explode + two hash

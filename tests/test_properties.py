@@ -570,6 +570,38 @@ def test_ivf_recall_rises_with_nprobe(spark):
     assert recalls[0] >= 0.3 and recalls[1] >= 0.5 and recalls[2] >= 0.6, recalls
 
 
+def test_kmv_sketch_mergeable_and_bounded(spark):
+    """KMV contracts: (1) the sketch is partitioning-invariant; (2) the
+    bottom-k of the UNION of two sketches equals the sketch of the union
+    (mergeability — the property that lets per-shard sketches compose);
+    (3) the estimate lands within the ~1/sqrt(k) relative-error band on
+    a known-cardinality set."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    n = 5000
+    df = spark.createDataFrame([(f"key{i}",) for i in range(n)], "k string")
+    k = 64
+    base = [r["h"] for r in kmv_sketch(df, "k", k=k).collect()]
+    repart = [r["h"] for r in kmv_sketch(df.repartition(11), "k", k=k).collect()]
+    assert sorted(base) == sorted(repart)
+
+    half_a = df.filter(F.col("k") < "key25")  # lexicographic split
+    half_b = df.filter(F.col("k") >= "key25")
+    merged = (
+        kmv_sketch(half_a, "k", k=k)
+        .unionByName(kmv_sketch(half_b, "k", k=k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(base)
+
+    est = kmv_estimate(kmv_sketch(df, "k", k=k), k=k).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 4 / (k ** 0.5), est  # ~4 sigma band
+
+
 def test_bpe_train_hand_computed(spark):
     """Independent pin for the iterative BPE trainer (the oracle replays
     the same algorithm, so a shared bug would pass parity): a tiny corpus
