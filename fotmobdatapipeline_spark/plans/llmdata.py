@@ -1667,6 +1667,67 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model counts: P(w2 | w1) for the corpus's top bigrams
+# — the n-gram LM training primitive (and the conditional-surprise
+# signal quality filters build on).  Exact integer counts from one
+# explode + lead() over the per-doc window (never global); the only
+# double is the final ratio of two exact integers, which IEEE-divides
+# identically in any engine.  The w1-marginal join is vocab-cardinality
+# on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT UNNEST(list_transform(range(1, len(t)),
+                      i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+        FROM tok
+      )
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS pair_count FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS left_count FROM pairs GROUP BY w1)
+    SELECT c12.w1, c12.w2, pair_count, left_count,
+           CAST(pair_count AS DOUBLE) / left_count AS cond_prob
+    FROM c12 JOIN c1 USING (w1)
+    ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+    tags=("text", "ngram", "lm", "llmdata"),
+    doc="Bigram LM: exact P(w2|w1) for the top-20 corpus bigrams.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("left_count"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "left_count",
+            (F.col("pair_count").cast("double") / F.col("left_count")).alias(
+                "cond_prob"
+            ),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition / degeneracy signals: type-token ratio, top-
 # word mass, duplicate-bigram fraction — the filters that catch looping
 # generators and boilerplate.  Counts come from ONE explode + two hash
