@@ -1710,7 +1710,11 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str):
         .select("w1", "w2")
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
-    c1 = pairs.groupBy("w1").agg(F.count("*").alias("left_count"))
+    # The w1-marginal is the SUM of the bigram counts — derive it from
+    # c12 (vocab^2-cardinality) instead of re-aggregating `pairs`, which
+    # would re-execute the corpus explode+window lineage a second time.
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
     return (
         c12.join(c1, "w1")
         .select(
