@@ -157,8 +157,8 @@ def main() -> int:
     over_budget = elapsed > budget
     if over_budget:
         print(
-            f"# suite took {total:.0f}s > budget {budget:.0f}s — "
-            "skipping streaming/scale add-ons",
+            f"# suite took {elapsed:.0f}s wall (min-of-2 sum {total:.0f}s) "
+            f"> budget {budget:.0f}s — skipping streaming/scale add-ons",
             file=sys.stderr,
         )
 

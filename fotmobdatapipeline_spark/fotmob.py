@@ -116,6 +116,21 @@ FACT_MEASURES = (
 LANDING_ZONE_DIR = "/tmp/spark_graft_fotmob_landing"
 
 
+_LANDING_ZONE_READY: set[str] = set()
+
+
+def ensure_landing_zone(path: str = LANDING_ZONE_DIR) -> str:
+    """Memoized, race-safe entry point: generate the deterministic landing
+    zone exactly once per process.  Safe to call from both the plan
+    builder and the oracle-assembly hook in either order; concurrent
+    processes converge because generation is per-shard atomic
+    (write-tmp-then-os.replace) and the content is byte-deterministic."""
+    if path not in _LANDING_ZONE_READY:
+        generate_landing_zone(path)
+        _LANDING_ZONE_READY.add(path)
+    return path
+
+
 def generate_landing_zone(
     path: str = LANDING_ZONE_DIR, n_matches: int = 6, shots_per_match: int = 10
 ) -> str:
@@ -124,19 +139,17 @@ def generate_landing_zone(
     arithmetic content — same bytes every run — so ingestion queries over
     it are oracle-comparable.  Includes a raw 'Tottenham' name variant to
     exercise the P2 canonicalization (dag:121) and null blocked_* fields
-    to exercise nullable nested leaves."""
+    to exercise nullable nested leaves.
+
+    Race-safe: each shard is written to a pid-suffixed temp file and
+    os.replace()d into place (atomic on POSIX), so a concurrent reader
+    sees either the old complete shard or the new complete shard, never a
+    half-written file; concurrent generators write identical bytes."""
     import json
     import os
 
     teams = ["Arsenal", "Chelsea", "Tottenham", "Liverpool", "Everton", "Fulham"]
     os.makedirs(path, exist_ok=True)
-    # Remove stale shards first: an older run with a larger n_matches
-    # would leave extra matches-*.jsonl files that BOTH engines glob, so
-    # the zone must contain exactly this call's output and nothing else.
-    import glob
-
-    for stale in glob.glob(os.path.join(path, "matches-*.jsonl")):
-        os.remove(stale)
     shards: dict[int, list] = {}
     for m in range(n_matches):
         hi, ai = m % len(teams), (m + 1) % len(teams)
@@ -175,10 +188,27 @@ def generate_landing_zone(
             "content": {"shotmap": {"shots": shots}},
         }
         shards.setdefault(m % 3, []).append(payload)
+    expected = {f"matches-{s}.jsonl" for s in shards}
     for s, payloads in sorted(shards.items()):
-        with open(os.path.join(path, f"matches-{s}.jsonl"), "w") as fh:
+        final = os.path.join(path, f"matches-{s}.jsonl")
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             for p in payloads:
                 fh.write(json.dumps(p) + "\n")
+        os.replace(tmp, final)
+    # Remove stale shards AFTER the atomic replaces: an older run with a
+    # larger n_matches would leave extra matches-*.jsonl files that BOTH
+    # engines glob, so the zone must contain exactly this call's output.
+    import glob
+
+    for f in glob.glob(os.path.join(path, "matches-*.jsonl")):
+        if os.path.basename(f) not in expected and not f.endswith(
+            f".tmp.{os.getpid()}"
+        ):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass  # a concurrent generator already removed it
     return path
 
 

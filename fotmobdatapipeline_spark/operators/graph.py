@@ -9,8 +9,9 @@ first.
 Determinism: ranks are exact DECIMAL(38, 18) throughout — decimal sums
 are order-insensitive, so results are bit-identical across partitionings
 and re-runs (a double-based rank would drift with shuffle order).
-Decimal division truncates at scale 18; that truncation is itself
-deterministic.
+Decimal division rounds HALF_UP at scale 18 (Spark's decimal divide
+semantics — what the HUGEINT replay oracle models); that rounding is
+itself deterministic.
 
 Scale notes:
 * Each round is one join (edges x ranks, both partitioned on src) and

@@ -28,16 +28,25 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; None → rows-only check.  A zero-arg callable
+    # defers oracle construction (and any filesystem prep it needs, e.g.
+    # the fotmob landing zone) from module import to oracle_sql() time.
+    oracle: str | Callable[[], str] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+
+    def oracle_text(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""
+    name: str,
+    oracle: str | Callable[[], str] | None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
 ) -> Callable:
     """Decorator: add a (builder, oracle) pair to the catalog."""
 
@@ -55,7 +64,11 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_map() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle_text()
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }
 
 
 _LOADED = False

@@ -992,14 +992,15 @@ _FOTMOB_SHOT_COLS = (
 
 
 def _fotmob_ingest_oracle() -> str:
-    from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR, generate_landing_zone
+    from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR, ensure_landing_zone
 
-    # Generate the zone EAGERLY (oracle strings are built at registration
-    # time): a harness may run the oracle SQL before the Spark plan
-    # function, and the oracle must not depend on that ordering.  The
-    # generator also clears stale shards, so the glob below sees exactly
-    # this generation's files.
-    generate_landing_zone()
+    # Passed as a CALLABLE to @register, so this body runs at
+    # oracle_sql() assembly time, not at module import — importing
+    # plans/core.py must not touch the filesystem.  A harness may still
+    # run the oracle SQL before the Spark plan function, so the zone is
+    # ensured here (memoized, per-shard atomic write-then-rename) before
+    # the glob below is handed to DuckDB.
+    ensure_landing_zone()
     canon = "CASE WHEN {c} = 'Tottenham' THEN 'Tottenham Hotspur' ELSE {c} END"
     return f"""
     WITH m AS (
@@ -1042,12 +1043,12 @@ def _fotmob_ingest_oracle() -> str:
 
 @register(
     "fotmob_json_ingest",
-    oracle=_fotmob_ingest_oracle(),
+    oracle=_fotmob_ingest_oracle,
     tags=("source", "json", "nested", "reference-surface"),
     doc="Nested-JSON ingestion: landing zone -> flat clean shots.",
 )
 def fotmob_json_ingest(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark import fotmob
 
-    path = fotmob.generate_landing_zone()
+    path = fotmob.ensure_landing_zone()
     return fotmob.clean_shots(fotmob.flatten_shots(fotmob.read_matches(spark, path)))

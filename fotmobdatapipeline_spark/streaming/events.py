@@ -61,7 +61,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # One driver-side batch probe of the footer schema decides whether
     # this directory's ts is raw nanos (needs conversion) or a native
     # timestamp (pass through) — streams can't infer schema themselves.
-    probe_schema = spark.read.parquet(path).schema
+    # An empty / not-yet-populated directory can't be probed (batch read
+    # raises UNABLE_TO_INFER_SCHEMA); fall back to the raw-nanos schema
+    # so the start-stream-then-stage-files pattern keeps working.
+    try:
+        probe_schema = spark.read.parquet(path).schema
+    except Exception:
+        probe_schema = EVENTS_RAW_SCHEMA
     ts_is_nanos = dict(
         (f.name, f.dataType.simpleString()) for f in probe_schema.fields
     ).get("ts") == "bigint"

@@ -52,7 +52,7 @@ def test_query_matches_oracle(spark, duck, name):
     if spec.oracle is None:
         assert len(s_rows) >= 0  # rows-only check, mirrors the driver
         return
-    d_rows, d_cols = _duck_rows(duck, spec.oracle)
+    d_rows, d_cols = _duck_rows(duck, spec.oracle_text())
     assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"

@@ -626,6 +626,9 @@ def test_bpe_train_hand_computed(spark):
         (4, "es", "t", 2),     # 'es' < 'ew' < 'n'
         (5, "ew", "est", 2),
     ], got
+
+
+def test_reservoir_per_group(spark):
     """Per-group reservoir: exactly min(k, |group|) rows per group,
     partitioning-invariant, and a new salt draws a genuinely different
     (but equally sized) sample."""
