@@ -222,8 +222,17 @@ def kmeans_lloyd(
 
     Deterministic by construction: seeds are the first k vectors by id
     (no RNG), assignment ties break on lowest centroid id, and each
-    update is an exact per-dimension mean computed distributed
-    (posexplode → per-(cell, dim) avg → re-assembled array).  Per
+    update is a FIXED-POINT per-dimension mean computed distributed
+    (posexplode → per-(cell, dim) exact integer sum → re-assembled
+    array): each component is truncated to an integer at scale 1e-9
+    (``trunc(val * 1e9)``), summed exactly in DECIMAL(38, 0)
+    (order-insensitive — bit-identical across partitionings, and ~1e19
+    rows of headroom per cell at 100 TB where a LONG sum would wrap),
+    and the mean is one well-defined IEEE double division
+    ``sum / (n * 1e9)`` — so the trained centroids are reproducible
+    bit-for-bit by any engine (the DuckDB oracle replays them; a
+    double ``avg`` would drift with shuffle order).  Quantization
+    perturbs each mean by <1e-9, far below the coordinate scale.  Per
     iteration: one broadcast assignment pass + one aggregation whose
     output is k×dim rows — the centroids themselves live on the driver
     between iterations (k*dim floats, trivially small), which is the
@@ -258,7 +267,19 @@ def kmeans_lloyd(
         new_means = (
             assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cell", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                F.sum(
+                    (F.col("val").cast("double") * F.lit(1.0e9))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).alias("qs"),
+                F.count("*").alias("n"),
+            )
+            .withColumn(
+                "m",
+                F.col("qs").cast("double")
+                / (F.col("n").cast("double") * F.lit(1.0e9)),
+            )
             .groupBy("cell")
             .agg(
                 F.transform(

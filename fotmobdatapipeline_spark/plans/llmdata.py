@@ -634,11 +634,70 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str):
 
 # --------------------------------------------------------------------------
 # IVF with TRAINED centroids: k-means (Lloyd, deterministic seeds/ties)
-# coarse quantizer -> cell assignment -> in-cell top-k.  Float means are
-# not portably reproducible in SQL -> rows-only; invariants (inertia
-# non-increasing, cells stable) are pinned in tests/test_properties.py.
+# coarse quantizer -> cell assignment -> in-cell top-k.  Value-exact
+# oracle: kmeans_lloyd's mean update is fixed-point (trunc(val*1e9) ->
+# exact integer sum -> one double division, similarity.py:212), so the
+# whole train is bit-reproducible and this SQL replays it unrolled —
+# seeds = first k vectors, then per iteration a cross-join assignment
+# (cosine via the shared sequential-fold dot, ties -> lowest cell) and a
+# per-(cell, dim) HUGEINT mean, empty cells keeping the prior centroid —
+# followed by the final assignment and in-cell top-k (same technique as
+# the text_bpe_train unrolled-SQL oracle).  Dim is read from the data by
+# _sql_dot; only the mean re-assembly hardcodes d=64 (testdata schema).
 # --------------------------------------------------------------------------
-@register("sim_ivf_kmeans_topk", oracle=None, tags=("similarity", "ivf", "kmeans"))
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    qs = ", ".join(
+        f"SUM(CAST(trunc(v[{j}] * 1000000000.0) AS HUGEINT))" for j in range(1, d + 1)
+    )
+    mean = (
+        f"list_transform(range(1, {d + 1}), j -> "
+        "CAST(m.qs[j] AS DOUBLE) / (CAST(m.n AS DOUBLE) * 1000000000.0))"
+    )
+    parts = [
+        "WITH en AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM embeddings),",
+        f"s AS (SELECT vec_id, v FROM en ORDER BY vec_id LIMIT {k}),",
+        "c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell, "
+        f"v AS cv, sqrt({_sql_dot('v', 'v')}) AS cnorm FROM s),",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"a{i} AS (SELECT vec_id, v, nrm, cell FROM ("
+            "SELECT en.vec_id, en.v, en.nrm, c.cell, "
+            "ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY "
+            f"{_sql_dot('en.v', 'c.cv')} / (en.nrm * c.cnorm) DESC, c.cell ASC) AS rk "
+            f"FROM en CROSS JOIN c{i - 1} c) WHERE rk = 1),",
+            f"m{i} AS (SELECT cell, COUNT(*) AS n, [{qs}] AS qs FROM a{i} GROUP BY cell),",
+            f"c{i} AS (SELECT cell, cv, sqrt({_sql_dot('cv', 'cv')}) AS cnorm FROM ("
+            f"SELECT p.cell, CASE WHEN m.cell IS NULL THEN p.cv ELSE {mean} END AS cv "
+            f"FROM c{i - 1} p LEFT JOIN m{i} m ON p.cell = m.cell)),",
+        ]
+    parts += [
+        # Final n_probes=1 assignment under the trained centroids; queries
+        # are a filter of the same table, so one assignment pass serves
+        # both sides of the in-cell join.
+        "fin AS (SELECT vec_id, v, nrm, cell FROM ("
+        "SELECT en.vec_id, en.v, en.nrm, c.cell, "
+        "ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY "
+        f"{_sql_dot('en.v', 'c.cv')} / (en.nrm * c.cnorm) DESC, c.cell ASC) AS rk "
+        f"FROM en CROSS JOIN c{iters} c) WHERE rk = 1)",
+        "SELECT query_id, cell, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM ("
+        "SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, "
+        f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rk "
+        "FROM fin q JOIN fin c ON q.cell = c.cell "
+        "AND q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("similarity", "ivf", "kmeans"),
+)
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
