@@ -667,9 +667,11 @@ def prefix_filter_pairs(
     window (partitioned by doc, never global), then — like
     :func:`jaccard_pairs` — candidate pairs are generated INSIDE the
     per-shingle posting lists (one groupBy; no self-join, so the ranked
-    pipeline executes once), and the two verify joins broadcast the
-    candidate side so the doc shingle arrays are scanned map-side, never
-    shuffled."""
+    pipeline executes once), and the two verify joins are hint-free
+    equi-joins: AQE broadcasts the candidate side when its runtime size
+    allows (arrays scanned map-side, never shuffled) and falls back to a
+    shuffled join under hot-shingle skew instead of OOMing a mandatory
+    broadcast."""
     cand = _prefix_candidates(df, text_col, id_col, threshold, shingle_n, positional)
     # Materialize once: the candidate set is pair-count sized (tiny)
     # but its lineage is the whole prefix pipeline, and it feeds TWO
@@ -680,8 +682,11 @@ def prefix_filter_pairs(
     # Verify: shingle arrays are expensive (the dominant per-row cost),
     # so re-shingle ONLY candidate docs — the broadcast id join sits on
     # the raw table BELOW the shingle projection, so the corpus is
-    # scanned but never re-shingled; then both verify joins broadcast
-    # candidate-sized sides, keeping the arrays off the wire.
+    # scanned but never re-shingled.  The id-only broadcast is safe
+    # (8 B/row, bounded by distinct candidate docs); the pair- and
+    # array-carrying verify joins below carry NO broadcast hint — under
+    # hot-shingle skew the candidate pair set can outgrow a broadcast,
+    # so AQE picks broadcast vs shuffled equi-join from runtime sizes.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -697,12 +702,12 @@ def prefix_filter_pairs(
         F.col(id_col).alias("doc_a"),
         F.col("sh_set").alias("sh_a"),
         F.size("sh_set").alias("n_a"),
-    ).join(F.broadcast(cand), "doc_a")
+    ).join(cand, "doc_a")
     paired = sets.select(
         F.col(id_col).alias("doc_b"),
         F.col("sh_set").alias("sh_b"),
         F.size("sh_set").alias("n_b"),
-    ).join(F.broadcast(step1), "doc_b")
+    ).join(step1, "doc_b")
     # SUFFIX-FILTER role (PPJoin+, Xiao et al. 2008), re-homed for the
     # distributed formulation: the classic suffix filter probes the two
     # token ARRAYS, which in this pipeline only exist candidate-confined

@@ -379,6 +379,68 @@ def lsh_candidate_pairs(
     ).filter(F.col("cos_sim") >= min_cosine)
 
 
+def rp_bucket_topk_pairs(
+    vectors: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    limit: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+) -> DataFrame:
+    """JL-reduced sign-bucket ANN join with full-space exact-cosine
+    verify: bucket in the reduced space, pair within buckets, then
+    re-score candidates against the ORIGINAL vectors and keep the global
+    top ``limit`` pairs.
+
+    100 TB shape: the corpus-sized ``vectors`` table is never broadcast
+    and never shuffled whole — candidate ids (id-only, 8 B/row; bounded
+    by distinct candidate docs, which even a badly skewed bucket keeps
+    orders of magnitude under the corpus) are broadcast into a semi-join
+    over the scan, so only candidate-confined arrays move.  The verify
+    joins carry NO broadcast hint: AQE broadcasts them when the runtime
+    candidate set is small and falls back to a shuffled equi-join when a
+    hot bucket blows it up — either is fine, a mandatory broadcast is
+    not (executor OOM under bucket skew).  The plan pin
+    (test_plan_shapes) accepts both shapes but forbids cartesian/nested
+    -loop and any broadcast sitting directly over the corpus scan.
+    """
+    rp = random_projection(vectors, in_dim=in_dim, out_dim=out_dim, seed=seed).select(
+        F.col(id_col), "rp_bucket"
+    )
+    a = rp.select(F.col(id_col).alias("id_a"), "rp_bucket")
+    b = rp.select(F.col(id_col).alias("id_b"), "rp_bucket")
+    pairs = (
+        a.join(b, "rp_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        # Pair-count sized, but feeds the candidate-id derivation AND the
+        # verify join below — checkpoint so the bucket pipeline runs once.
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    emb_c = vectors.join(F.broadcast(cand_ids), id_col).select(id_col, vec_col)
+    ea = emb_c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb_c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(limit)
+
+
 def rademacher_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[float]]:
     """Deterministic ±1 projection matrix: sign of the first md5 nibble
     of '<seed>:<j>:<i>'.  No RNG state — the same (seed, dims) gives the

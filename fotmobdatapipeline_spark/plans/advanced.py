@@ -2046,45 +2046,13 @@ def _rp_bucket_oracle() -> str:
     doc="JL-reduced sign-bucket join, exact-cosine verify in full space.",
 )
 def sim_rp_bucket_join(spark: SparkSession, sf_dir: str):
+    # Full pipeline (bucket -> pair -> candidate-confine -> size-guarded
+    # verify) lives in operators/similarity.py::rp_bucket_topk_pairs:
+    # the corpus is never broadcast or shuffled whole, and the verify
+    # joins are hint-free so AQE picks broadcast vs shuffle from the
+    # RUNTIME candidate size (a mandatory broadcast OOMs under bucket
+    # skew; test_properties pins correctness on a 50%-hot-bucket corpus).
     emb = read_table(spark, sf_dir, "embeddings")
-    rp = S.random_projection(emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT).select(
-        "vec_id", "rp_bucket"
+    return S.rp_bucket_topk_pairs(
+        emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT, limit=20
     )
-    a = rp.select(F.col("vec_id").alias("id_a"), "rp_bucket")
-    b = rp.select(F.col("vec_id").alias("id_b"), "rp_bucket")
-    pairs = (
-        a.join(b, "rp_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        # Pair-count sized, but feeds the candidate-id derivation AND the
-        # verify join below — checkpoint so the bucket pipeline runs once.
-        .localCheckpoint(eager=False)
-    )
-    # Confine the corpus-sized embeddings table to candidate ids FIRST
-    # (broadcast of the id-only candidate set into the scan: map-side
-    # semi-join, the corpus is scanned but never shuffled or broadcast),
-    # then broadcast only the candidate-confined arrays into the verify.
-    # A direct broadcast of `emb` here would be an executor OOM at 100 TB
-    # — the embeddings table is the big table (operators/dedup.py's
-    # prefix_filter_pairs verify stage uses the same pattern).
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("vec_id"))
-        .union(pairs.select(F.col("id_b").alias("vec_id")))
-        .distinct()
-    )
-    emb_c = emb.join(F.broadcast(cand_ids), "vec_id").select("vec_id", "embedding")
-    ea = emb_c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb_c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    scored = (
-        pairs.join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                S.dot(F.col("va"), F.col("vb"))
-                / (S.l2_norm(F.col("va")) * S.l2_norm(F.col("vb")))
-            ).alias("cos_sim"),
-        )
-    )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(20)

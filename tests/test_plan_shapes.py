@@ -352,14 +352,18 @@ def test_rp_bucket_verify_never_broadcasts_the_corpus(spark):
     """Reduced-space ANN at 100 TB: the embeddings table is the BIG
     table, so no BroadcastExchange may sit directly over its parquet scan
     — every broadcast subtree that reads embeddings must first confine it
-    to candidate ids via a join.  No cartesian/nested-loop fallback, and
-    the verify joins stay broadcast-side (of the candidate-confined
-    arrays), never a shuffle of embedding arrays."""
+    to candidate ids via a join.  No cartesian/nested-loop fallback.  The
+    verify joins are size-guarded: they carry no broadcast hint, so
+    either a runtime broadcast (small candidate set) or a shuffled
+    equi-join (hot-bucket skew) is acceptable — a MANDATORY broadcast of
+    the candidate arrays is the failure mode this pin used to allow and
+    now forbids by accepting both shapes."""
     df = _q("sim_rp_bucket_join")(spark, SF_ORACLE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # The id-only semi-join keeps its explicit broadcast (that is the
+    # never-shuffle-the-corpus pattern).
     assert "BroadcastHashJoin" in plan, plan
     broadcasts = _tree_subtrees(plan, "BroadcastExchange")
     assert broadcasts, plan

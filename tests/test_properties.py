@@ -696,6 +696,70 @@ def test_rp_bucket_recall_contract(spark):
     assert r2 >= 0.3 and r4 >= 0.05, (r2, r4)
 
 
+def test_rp_bucket_join_survives_hot_bucket_skew(spark):
+    """Size-guard contract for the RP-bucket verify joins: with one
+    bucket holding >=50% of all vectors (quadratic candidate blowup
+    inside the hot bucket — the case where a mandatory broadcast of the
+    candidate-confined arrays would OOM at scale), the hint-free verify
+    must still return exactly the naive same-bucket top-k, and the plan
+    must not degenerate into a cartesian/nested-loop join."""
+    import itertools
+    import math
+
+    from fotmobdatapipeline_spark.operators import similarity as S
+
+    d, out_dim = 16, 4
+    mat = S.rademacher_matrix(d, out_dim)
+    rows = []
+    # Hot half: a strong shared direction plus deterministic jitter far
+    # smaller than any projection magnitude -> identical sign pattern.
+    base = [1.0 if i % 2 == 0 else -1.0 for i in range(d)]
+    for v in range(60):
+        rows.append((v, [base[i] + ((v * 7 + i) % 5) * 0.01 for i in range(d)]))
+    # Spread half: varied directions across the remaining buckets.
+    for v in range(60, 120):
+        rows.append((v, [math.sin(0.7 * (v * d + i) + 0.3) for i in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def bucket(vec):
+        b = 0
+        for j in range(out_dim):
+            y = 0.0
+            for x, r in zip(vec, mat[j]):
+                y += x * r
+            b = b * 2 + (1 if y >= 0 else 0)
+        return b
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    buckets = {v: bucket(vec) for v, vec in rows}
+    from collections import Counter
+
+    hot_share = Counter(buckets.values()).most_common(1)[0][1] / len(rows)
+    assert hot_share >= 0.5, f"corpus not skewed enough: {hot_share}"
+
+    expected = sorted(
+        (-cos(rows[a][1], rows[b][1]), a, b)
+        for a, b in itertools.combinations(range(120), 2)
+        if buckets[a] == buckets[b]
+    )[:20]
+
+    result = S.rp_bucket_topk_pairs(df, in_dim=d, out_dim=out_dim, limit=20)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = result.collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(a, b) for _, a, b in expected]
+    for r, (negc, _, _) in zip(got, expected):
+        assert abs(r["cos_sim"] - (-negc)) < 1e-12
+
+
 def test_ivf_kmeans_multiprobe_recall(spark):
     """Trained centroids + multiprobe compose: with k-means cells,
     recall@5 is monotone in n_probes AND the trained single-probe recall
