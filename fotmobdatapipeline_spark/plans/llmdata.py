@@ -2179,10 +2179,14 @@ def _bpe_train_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
     return _bpe_train_oracle_over("FROM documents", n_rounds)
 
 
-def _bpe_train_oracle_over(from_clause: str, n_rounds: int) -> str:
+def _bpe_ctes(from_clause: str, n_rounds: int) -> str:
+    """The shared CTE chain both BPE oracles build on: distinct words ->
+    N rounds of (pair count -> argmax -> greedy merge).  Carries the raw
+    word ``w`` through every round so the encode oracle can key its
+    output; the train oracle simply ignores it."""
     parts = [
         f"""words0 AS (
-      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS seq, c FROM (
+      SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq, c FROM (
         SELECT w, COUNT(*) AS c FROM (
           SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS w {from_clause}
         ) GROUP BY w
@@ -2206,17 +2210,20 @@ def _bpe_train_oracle_over(from_clause: str, n_rounds: int) -> str:
       ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1
     ),
     words{k + 1} AS (
-      SELECT replace(seq, '<' || b.lft || '><' || b.rgt || '>',
+      SELECT w, replace(seq, '<' || b.lft || '><' || b.rgt || '>',
                      '<' || b.lft || b.rgt || '>') AS seq, c
       FROM words{k}, best{k} b
     )"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_train_oracle_over(from_clause: str, n_rounds: int) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM best{k}" for k in range(n_rounds)
     )
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _bpe_ctes(from_clause, n_rounds)
         + f"\n    SELECT step, lft, rgt, pair_count FROM ({union}) ORDER BY step"
     )
 
@@ -2249,6 +2256,17 @@ def bpe_train_merges(spark: SparkSession, docs, n_rounds: int):
     """The trainer loop proper (see :func:`text_bpe_train`): returns one
     row per round — (step, lft, rgt, pair_count) — for any DataFrame
     with a ``text`` column."""
+    merges, _ = _bpe_train_loop(docs, n_rounds)
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, pair_count bigint"
+    )
+
+
+def _bpe_train_loop(docs, n_rounds: int):
+    """Shared trainer core: returns (merges list, final word table).  The
+    word table keeps the raw word ``w`` alongside the evolving wrapped
+    ``seq`` so :func:`bpe_encode_words` can emit the word -> tokens map
+    without re-deriving it."""
     words = (
         docs.select(
             F.explode(
@@ -2257,7 +2275,7 @@ def bpe_train_merges(spark: SparkSession, docs, n_rounds: int):
         )
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .select(F.regexp_replace("w", "(.)", "<$1>").alias("seq"), "c")
+        .select("w", F.regexp_replace("w", "(.)", "<$1>").alias("seq"), "c")
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -2298,6 +2316,55 @@ def bpe_train_merges(spark: SparkSession, docs, n_rounds: int):
                 F.col("seq"), F.lit(f"<{lft}><{rgt}>"), F.lit(f"<{lft}{rgt}>")
             ),
         )
-    return spark.createDataFrame(
-        merges, "step int, lft string, rgt string, pair_count bigint"
+    return merges, cur
+
+
+def bpe_encode_words(docs, n_rounds: int):
+    """BPE APPLICATION — tokenize the corpus with the trained merges:
+    the word -> tokens map every document's tokenization joins against.
+
+    Output: (word, tokens space-joined, n_tokens, freq) for every
+    distinct lowercase word.  The merges are applied exactly as trained
+    (greedy left-to-right non-overlapping string replace, one per round
+    in rank order), so train and encode cannot disagree.
+
+    Scale shape: the map is vocab-cardinality (the only corpus-sized
+    shuffle is the distinct-word aggregate the trainer already does, and
+    the N replaces are narrow column ops over that table — plan
+    literals, no UDF, no extra shuffle).  Tokenizing the full 100 TB
+    corpus is then a broadcast join of documents' exploded words against
+    this map; a production tokenizer with ~50k merge rounds would swap
+    the chained replaces for one Arrow-batched mapInPandas pass over the
+    vocab table (vocab-sized, NOT corpus-sized — the asymptotics don't
+    change)."""
+    _, cur = _bpe_train_loop(docs, n_rounds)
+    toks = F.regexp_extract_all(F.col("seq"), F.lit("<([a-z]+)>"), F.lit(1))
+    return cur.select(
+        F.col("w").alias("word"),
+        F.array_join(toks, " ").alias("tokens"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.col("c").alias("freq"),
     )
+
+
+def _bpe_encode_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    toks = "regexp_extract_all(seq, '<([a-z]+)>', 1)"
+    return (
+        _bpe_ctes("FROM documents", n_rounds)
+        + f"""
+    SELECT w AS word, array_to_string({toks}, ' ') AS tokens,
+           CAST(array_length({toks}) AS INT) AS n_tokens,
+           CAST(c AS BIGINT) AS freq
+    FROM words{n_rounds}"""
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokens", "bpe", "llmdata"),
+    doc="BPE application: trained merges -> word-to-tokens corpus map.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_encode_words(docs, _BPE_TRAIN_ROUNDS)

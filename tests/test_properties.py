@@ -628,6 +628,26 @@ def test_bpe_train_hand_computed(spark):
     ], got
 
 
+def test_bpe_encode_hand_computed(spark):
+    """Apply-side twin of the trainer pin: the same tiny corpus's merges
+    (computed by hand above) must tokenize each word exactly — greedy
+    left-to-right per merge, in rank order, merged symbols composing."""
+    from fotmobdatapipeline_spark.plans.llmdata import bpe_encode_words
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest")], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: (r["tokens"], r["n_tokens"], r["freq"])
+        for r in bpe_encode_words(docs, 6).collect()
+    }
+    assert got == {
+        "low": ("low", 1, 3),
+        "lower": ("low e r", 3, 1),
+        "newest": ("n ewest", 2, 2),
+    }, got
+
+
 def test_reservoir_per_group(spark):
     """Per-group reservoir: exactly min(k, |group|) rows per group,
     partitioning-invariant, and a new salt draws a genuinely different
