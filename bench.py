@@ -171,6 +171,10 @@ def main() -> int:
             streaming = _stream_state_bench(spark, sf_dir)
         except Exception as e:  # never fail the bench over the add-on
             print(f"# streaming bench skipped: {e}", file=sys.stderr)
+        try:
+            streaming["neardup"] = _neardup_stream_bench(spark, sf_dir)
+        except Exception as e:
+            print(f"# neardup stream bench skipped: {e}", file=sys.stderr)
 
     # Scale section: regenerate the headline comparison at sf1-class
     # volume (synthetic, deterministic, schema-identical — sources/
@@ -314,6 +318,91 @@ def _stream_state_bench(spark, sf_dir: str) -> dict:
     }
     print(
         f"# stream_state default={default_sec:.3f}s rocksdb={rocks_sec:.3f}s "
+        f"({n_rows} rows / 8 batches)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(staged, ignore_errors=True)
+    return out
+
+
+def _neardup_stream_bench(spark, sf_dir: str, target_rows: int = 100_000) -> dict:
+    """Online near-duplicate suppression throughput: a 100k-row document
+    feed (the sf documents table replicated with per-replica ingest
+    timestamps — a heavy-duplicate ingest, the workload's worst case for
+    dedup state) drained one file per micro-batch through the
+    watermarked minhash-signature dedup, once per state provider.
+    Reported as rows/sec of end-to-end stream wall."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.documents import neardup_stream
+    from fotmobdatapipeline_spark.streaming.events import rocksdb_state
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    reps = max(1, -(-target_rows // n_docs))  # ceil
+    feed = (
+        docs.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("rep") * 60 + F.col("doc_id") % 60
+            ),
+        )
+        .select("doc_id", "rep", "ts", "text")
+    )
+    staged = tempfile.mkdtemp(prefix="fotmob_bench_neardup_")
+    # 64 files, 8 per trigger: 8 micro-batches, and the per-row minhash
+    # map inside each batch runs 8-way parallel (file-source parallelism
+    # is files-per-batch; one file per trigger serializes the dominant
+    # signature cost onto a single core — measured 8x wall).
+    feed.repartition(64).write.mode("overwrite").parquet(f"{staged}/files")
+    n_rows = n_docs * reps
+    schema = spark.read.parquet(f"{staged}/files").schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def drain(tag: str) -> float:
+        ckpt = f"{staged}/ckpt_{tag}"
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(f"{staged}/files")
+        )
+        out = neardup_stream(
+            stream, ts_col="ts", watermark="10 minutes", id_col="doc_id"
+        )
+        # Dedup state is signature-cardinality; size the state partition
+        # count to it (same rationale as _stream_state_bench).
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {"rows": n_rows, "n_batches": 8}
+    default_sec = drain("default")
+    out["default_provider"] = {
+        "wall_sec": default_sec, "rows_per_sec": round(n_rows / default_sec)
+    }
+    with rocksdb_state(spark):
+        rocks_sec = drain("rocksdb")
+    out["rocksdb_provider"] = {
+        "wall_sec": rocks_sec, "rows_per_sec": round(n_rows / rocks_sec)
+    }
+    print(
+        f"# neardup_stream default={default_sec:.3f}s rocksdb={rocks_sec:.3f}s "
         f"({n_rows} rows / 8 batches)",
         file=sys.stderr,
     )

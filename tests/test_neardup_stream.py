@@ -76,6 +76,13 @@ def test_neardup_suppresses_recrawl_and_keeps_short_docs(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in out.collect())
     assert len(ids) == 4  # one of {1,2} suppressed
     assert 3 in ids and 4 in ids and 5 in ids
+    # Single-branch form (unique id available): identical contract —
+    # same suppression, shorts still pass — via ONE dedup subtree.
+    out_keyed = neardup_stream(df, id_col="doc_id")
+    ids_keyed = sorted(r["doc_id"] for r in out_keyed.collect())
+    assert len(ids_keyed) == 4
+    assert 3 in ids_keyed and 4 in ids_keyed and 5 in ids_keyed
+    assert set(out_keyed.columns) == set(out.columns)
 
 
 def test_perrow_signature_matches_batch_minhash(spark):
