@@ -301,6 +301,79 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInPandas(fingerprint_batches, out_schema)
 
 
+def sentence_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_sentence: int = 8,
+) -> DataFrame:
+    """Corpus-wide SENTENCE-level exact dedup (the C4 / RefinedWeb line
+    dedup): keep only the FIRST occurrence of every sentence across the
+    whole corpus — ordered by (doc id, position) — and rebuild each
+    document from its surviving sentences.  Kills boilerplate (cookie
+    banners, navigation, license headers) that document-level dedup
+    can't touch because the surrounding text differs.
+
+    Segmentation: this corpus has no punctuation/newlines, so a sentence
+    is a fixed non-overlapping window of ``words_per_sentence`` words
+    (the last one may be shorter); on a real crawl you'd split on
+    newline/sentence boundaries instead — everything downstream of the
+    segmenter is boundary-agnostic.
+
+    Scale shape: first-occurrence is `groupBy(sentence).agg(min(struct
+    (doc, pos)))` — map-side combinable, so a boilerplate sentence
+    appearing in half the corpus collapses to one row per map task
+    BEFORE the shuffle, and no per-sentence sort ever happens (a
+    `row_number over partitionBy(sentence)` window would sort the hot
+    sentence's billion rows in one task — the skew trap this shape
+    avoids).  Then one equi-join on sentence (winner set is
+    distinct-sentence sized; AQE splits skewed join keys) and one
+    per-doc rebuild aggregate.  Three shuffles total, all combinable or
+    skew-safe.
+
+    Output: (doc_id, n_sentences, n_kept, text_dedup), one row per doc
+    that kept at least one sentence.
+    """
+    words = F.split(F.col(text_col), " ")
+    w = words_per_sentence
+    n_seg = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "sentence")
+    )
+    first = exploded.groupBy("sentence").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("first_at")
+    )
+    kept = (
+        exploded.join(first, "sentence")
+        .filter(F.struct(id_col, "seg_idx") == F.col("first_at"))
+        .select(id_col, "seg_idx", "sentence")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .join(
+            df.select(
+                F.col(id_col), n_seg.alias("n_sentences")
+            ),
+            id_col,
+        )
+        .select(id_col, "n_sentences", "n_kept", "text_dedup")
+    )
+
+
 def connected_dup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -1,0 +1,149 @@
+"""Text retrieval over the documents corpus: inverted-index statistics
+and BM25-style ranked retrieval.
+
+Both are training-data-pipeline staples: the index stats drive
+stop-term/df-cap decisions (the same caps the dedup tier uses), and
+ranked retrieval is how a curation pipeline pulls topical slices out of
+a 100 TB corpus (e.g. "most code-like documents for this term set").
+
+Determinism doctrine (matches plans/catalog.py): every score is built
+from exact integer counts with a FIXED number of well-defined IEEE
+double operations in a FIXED order, so results are bit-identical across
+engines and partitionings.  BM25's ``ln`` is deliberately absent: libm
+``log`` is not correctly-rounded and differs in the last ulp between
+engines, so we rank by the RATIONAL idf core ``(N - df + 0.5) /
+(df + 0.5)`` (the argument of BM25's log, Robertson-Sparck Jones
+probabilistic idf).  ln is monotone, so single-term orderings are
+identical to classic BM25; multi-term scores are a documented
+deterministic variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_frequencies(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The row-form inverted index: one (term, doc_id, tf) row per
+    distinct term per document.  THIS is the at-scale representation —
+    rows bucketed/partitioned by term, never per-term arrays (a posting
+    ARRAY for a stop term is one corpus-sized allocation in one task).
+    One explode + one map-side-combinable aggregate."""
+    occ = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    return occ.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+
+
+def inverted_index_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_df_cap: int = 64,
+) -> DataFrame:
+    """Per-term index statistics plus materialized posting lists for
+    RARE terms only: (term, df, total_tf, min_doc_id, max_doc_id,
+    rare_posting_ids).
+
+    ``rare_posting_ids`` (sorted asc) is non-null only when
+    ``df <= rare_df_cap`` — so every materialized array is bounded by
+    construction, and the hot/stop terms that would each need a
+    corpus-sized array stay in row form (``term_frequencies``).  The
+    stats themselves are pure aggregates: map-side combinable, no
+    collect, no window, skew-irrelevant.
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+    )
+    rare_terms = stats.filter(F.col("df") <= rare_df_cap).select("term")
+    rare_postings = (
+        tf.join(rare_terms, "term")
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("rare_posting_ids"))
+    )
+    return stats.join(rare_postings, "term", "left").select(
+        "term", "df", "total_tf", "min_doc_id", "max_doc_id", "rare_posting_ids"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-variant ranked retrieval for a fixed query-term set:
+    top-``k`` documents by summed per-term score
+
+        idf_r(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))
+
+    with the rational idf ``idf_r = (N - df + 0.5) / (df + 0.5)`` (see
+    module docstring for why there is no ln).
+
+    Bit-determinism: N, df, tf, len are exact integers; avglen is ONE
+    double division of exact integers; each per-term contribution is a
+    fixed expression tree; and the final score adds the per-term columns
+    in the FIXED order of ``query_terms`` — never a floating-point
+    aggregation whose order the shuffle picks.  Per-term contributions
+    land in columns via a conditional aggregate that sees at most one
+    non-null row per (doc, term), so no double addition happens inside
+    any aggregate.
+
+    Plan shape: tf rows are filtered to the query terms immediately
+    after the explode (vocab-row stream shrinks to |Q| terms before any
+    shuffle); df and the corpus scalars ride a single-row cross join;
+    the final top-k is a TakeOrderedAndProject, never a global sort.
+    """
+    tf = term_frequencies(docs, text_col, id_col).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    doc_len = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    corpus = doc_len.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored_terms = (
+        tf.join(F.broadcast(df_by_term), "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    avglen = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf_r = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avglen)
+    )
+    contrib = idf_r * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_term = scored_terms.select(
+        F.col(id_col), F.col("term"), contrib.alias("contrib")
+    )
+    # One column per query term (each doc has <= 1 row per term, so the
+    # max() sees a single value — no FP summation inside the aggregate),
+    # then a fixed-order sequential addition.
+    agg_cols = [
+        F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(f"__c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = per_term.groupBy(id_col).agg(*agg_cols)
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    return (
+        per_doc.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2165,6 +2165,166 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Retrieval tier: inverted-index stats (+ rare-term posting lists) and
+# BM25-variant ranked retrieval.  Scores are ln-free (rational idf) so
+# both engines compute bit-identical doubles — see operators/retrieval.py.
+# --------------------------------------------------------------------------
+def _D(x: float) -> str:
+    """A Python double as an unambiguous DuckDB DOUBLE literal (a bare
+    1.2 parses as DECIMAL there, changing the arithmetic type lattice)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+_BM25_TERMS = ("dup", "vector", "key")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    avglen = "(CAST(c.total_len AS DOUBLE) / CAST(c.n_docs AS DOUBLE))"
+    idf = f"(c.n_docs - f.df + {_D(0.5)}) / (f.df + {_D(0.5)})"
+    denom = (
+        f"t.tf + {_D(k1)} * ({_D(1.0)} - {_D(b)} + {_D(b)} * "
+        f"(CAST(d.dl AS DOUBLE) / {avglen}))"
+    )
+    pivots = ",\n           ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN contrib END) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    score = _D(0.0)
+    for i in range(len(terms)):
+        score = f"({score} + COALESCE(c{i}, {_D(0.0)}))"
+    return f"""
+    WITH occ AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+           WHERE term IN ({in_list}) GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    dfb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    per AS (
+      SELECT t.doc_id, t.term,
+             (({idf}) * (t.tf * {_D(k1 + 1.0)})) / ({denom}) AS contrib
+      FROM tf t JOIN dfb f ON t.term = f.term
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN corpus c
+    ),
+    pivoted AS (
+      SELECT doc_id, {pivots}
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, {score} AS score FROM pivoted
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH occ AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+           GROUP BY term, doc_id),
+    stats AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf,
+             MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      FROM tf GROUP BY term
+    ),
+    rare AS (
+      SELECT term, list_sort(list(doc_id)) AS rare_posting_ids FROM tf
+      WHERE term IN (SELECT term FROM stats WHERE df <= 64)
+      GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, s.min_doc_id, s.max_doc_id,
+           r.rare_posting_ids
+    FROM stats s LEFT JOIN rare r ON s.term = r.term
+    """,
+    tags=("text", "retrieval", "llmdata"),
+    doc="Inverted-index stats; posting arrays only for rare terms.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import inverted_index_stats
+
+    return inverted_index_stats(
+        read_table(spark, sf_dir, "documents"), rare_df_cap=64
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "topk", "llmdata"),
+    doc="BM25-variant (rational-idf) top-10 docs for a fixed term set.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        read_table(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sentence-level exact dedup (C4/RefinedWeb line dedup): first occurrence
+# of every sentence corpus-wide wins; docs are rebuilt from survivors.
+# Segmenter = fixed 8-word windows (this corpus has no punctuation); the
+# oracle replays segmentation, first-occurrence (row_number — fine at
+# oracle scale; the Spark side uses the map-side-combinable min-struct
+# aggregate to stay skew-safe), and ordered reconstruction.
+# --------------------------------------------------------------------------
+_SENT_W = 8
+_SQL_SENT_SEGS = (
+    "list_transform("
+    f"range(0, CAST(ceil(len(string_split(text, ' ')) / {_SENT_W}.0) AS INT)), "
+    "i -> {'seg_idx': i, 'sentence': array_to_string("
+    f"string_split(text, ' ')[i*{_SENT_W}+1 : i*{_SENT_W}+{_SENT_W}], ' ')}})"
+)
+
+
+@register(
+    "text_sentence_dedup",
+    oracle=f"""
+    WITH segd AS (
+      SELECT doc_id, p.seg_idx AS seg_idx, p.sentence AS sentence FROM (
+        SELECT doc_id, UNNEST({_SQL_SENT_SEGS}) AS p FROM documents
+      )
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, sentence FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sentence ORDER BY doc_id, seg_idx) AS rk
+        FROM segd
+      ) WHERE rk = 1
+    ),
+    totals AS (
+      SELECT doc_id,
+             CAST(ceil(len(string_split(text, ' ')) / {_SENT_W}.0) AS INT)
+               AS n_sentences
+      FROM documents
+    )
+    SELECT k.doc_id AS doc_id, t.n_sentences AS n_sentences,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           string_agg(k.sentence, ' ' ORDER BY k.seg_idx) AS text_dedup
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_sentences
+    """,
+    tags=("dedup", "text", "llmdata"),
+    doc="C4-style corpus-wide sentence dedup with doc reconstruction.",
+)
+def text_sentence_dedup(spark: SparkSession, sf_dir: str):
+    return D.sentence_dedup(
+        read_table(spark, sf_dir, "documents"), words_per_sentence=_SENT_W
+    )
+
+
 _BPE_TRAIN_ROUNDS = 6
 
 

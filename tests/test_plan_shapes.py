@@ -318,6 +318,17 @@ def test_prefix_join_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_bm25_topk_is_take_ordered(spark):
+    """Ranked retrieval must finish in a distributed TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver), never a global sort, and
+    the per-term/df/corpus-scalar joins must not degenerate into a
+    cartesian product."""
+    df = _q("text_bm25_topk")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def _tree_subtrees(plan: str, node_substr: str) -> list[list[str]]:
     """Split a Spark plan tree string into the subtrees rooted at every
     node whose line contains ``node_substr``.  Depth is the character

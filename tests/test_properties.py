@@ -648,6 +648,31 @@ def test_bpe_encode_hand_computed(spark):
     }, got
 
 
+def test_sentence_dedup_hand_computed(spark):
+    """First occurrence by (doc, position) wins corpus-wide; within-doc
+    repetition is removed too; docs rebuild in original segment order.
+    Also pins the skew-safety shape: no per-sentence Window sort — the
+    first-occurrence winner is a map-side-combinable min-struct agg."""
+    from fotmobdatapipeline_spark.operators.dedup import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # segs: "a b", "c d"
+            (2, "c d e f a b"),  # "c d" and "a b" are doc-1 dups -> keeps "e f"
+            (3, "e f e f x"),    # "e f" first seen in doc 2 -> keeps only "x"
+        ],
+        "doc_id long, text string",
+    )
+    out = sentence_dedup(docs, words_per_sentence=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_kept"], r["text_dedup"])
+        for r in out.collect()
+    }
+    assert got == {1: (2, 2, "a b c d"), 2: (3, 1, "e f"), 3: (3, 1, "x")}, got
+
+
 def test_reservoir_per_group(spark):
     """Per-group reservoir: exactly min(k, |group|) rows per group,
     partitioning-invariant, and a new salt draws a genuinely different
