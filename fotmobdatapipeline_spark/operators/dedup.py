@@ -301,6 +301,67 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInPandas(fingerprint_batches, out_schema)
 
 
+def winnowing_copy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_df: int = 50,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Copy-detection pairs on the winnowing sketch (the MOSS pairing
+    step): documents sharing >= ``tau`` of the smaller side's
+    fingerprints — the containment coefficient ``|fp_a ∩ fp_b| /
+    min(|fp_a|, |fp_b|)`` — which catches PARTIAL copies (a paragraph
+    lifted into a longer doc) that symmetric Jaccard dilutes away.
+
+    Scale shape mirrors the prefix join: the fingerprint table is
+    computed once (localCheckpoint — its mapInPandas pipeline must not
+    run once per consumer), per-fingerprint df is attached via a
+    windowed count (rows stay rows; no posting array for a boilerplate
+    fingerprint), and fingerprints in more than ``max_df`` docs are
+    excluded from PAIR GENERATION — the df-capped semantics of
+    ``jaccard_pairs(max_df=...)``, applied identically in the oracle,
+    so the equi-join's per-key fan-out is bounded by max_df choose 2.
+    Containment is exact integer counts with one double division.
+
+    Output: (doc_a, doc_b, shared_fp, containment), containment >= tau.
+    """
+    from pyspark.sql import Window
+
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
+        eager=False
+    )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    rare = (
+        fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = rare.select(F.col(id_col).alias("doc_a"), "fp")
+    b = rare.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fp"))
+    )
+    n_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_a"))
+    n_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_b"))
+    containment = F.col("shared_fp").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        shared.join(n_a, "doc_a")
+        .join(n_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_fp", containment.alias("containment")
+        )
+        .filter(F.col("containment") >= tau)
+    )
+
+
 def sentence_dedup(
     df: DataFrame,
     text_col: str = "text",

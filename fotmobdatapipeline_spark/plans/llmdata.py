@@ -313,11 +313,10 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str):
 _RK_K = 8
 _RK_W = 4
 
-
-@register(
-    "dedup_winnowing",
-    oracle=f"""
-    WITH c AS (
+# Shared CTE chain: exact Rabin-Karp rolling hashes -> per-window minima
+# -> distinct fingerprints per doc, ending in fps(doc_id, fp).  Used by
+# the fingerprint entry and the copy-detection pair join on top of it.
+_WINNOW_CTES = f"""c AS (
       SELECT doc_id,
              list_transform(range(1, length(text) + 1),
                             i -> ascii(substr(text, i, 1))) AS codes
@@ -337,15 +336,61 @@ _RK_W = 4
                range(1, greatest(len(hs) - {_RK_W - 1}, 0) + 1),
                i -> list_aggregate(hs[i:i+{_RK_W - 1}], 'min'))) AS fps
       FROM rh
-    )
-    SELECT doc_id, UNNEST(fps) AS fp FROM m
-    """,
+    ),
+    fps AS (SELECT doc_id, UNNEST(fps) AS fp FROM m)"""
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"WITH {_WINNOW_CTES}\n    SELECT doc_id, fp FROM fps",
     tags=("dedup", "winnowing", "rolling-hash"),
     doc="Rolling-hash winnowing fingerprints (copy-detection sketch).",
 )
 def dedup_winnowing(spark: SparkSession, sf_dir: str):
     return D.winnowing_fingerprints(
         read_table(spark, sf_dir, "documents"), k=_RK_K, window=_RK_W
+    )
+
+
+_COPY_MAX_DF, _COPY_TAU = 50, 0.5
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM fps GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+      ) WHERE df <= {_COPY_MAX_DF}
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_fp,
+           CAST(s.shared_fp AS DOUBLE)
+             / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE) AS containment
+    FROM shared s
+    JOIN sizes na ON s.doc_a = na.doc_id
+    JOIN sizes nb ON s.doc_b = nb.doc_id
+    WHERE CAST(s.shared_fp AS DOUBLE)
+            / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE) >= {_COPY_TAU}
+    """,
+    tags=("dedup", "winnowing", "containment"),
+    doc="MOSS-style copy-detection pairs: fingerprint containment >= tau.",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str):
+    return D.winnowing_copy_pairs(
+        read_table(spark, sf_dir, "documents"),
+        k=_RK_K,
+        window=_RK_W,
+        max_df=_COPY_MAX_DF,
+        tau=_COPY_TAU,
     )
 
 

@@ -648,6 +648,35 @@ def test_bpe_encode_hand_computed(spark):
     }, got
 
 
+def test_winnowing_copy_pairs_catch_partial_copy(spark):
+    """Containment detects a PARTIAL copy (short doc lifted verbatim into
+    a longer one) that symmetric Jaccard dilutes below threshold: the
+    lifted pair scores near 1.0 on min-side containment while unrelated
+    docs never pair."""
+    from fotmobdatapipeline_spark.operators.dedup import winnowing_copy_pairs
+
+    lifted = "the quick brown fox jumps over the lazy dog again and again"
+    tail = (
+        "completely different trailing content follows here with many "
+        "more unrelated words stretching this document far past the "
+        "original so the symmetric overlap fraction becomes small"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, lifted),
+            (2, lifted + " " + tail),
+            (3, "an entirely unrelated document about something else whole"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in winnowing_copy_pairs(docs, tau=0.5, max_df=50).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.7, got
+    assert (1, 3) not in got and (2, 3) not in got, got
+
+
 def test_sentence_dedup_hand_computed(spark):
     """First occurrence by (doc, position) wins corpus-wide; within-doc
     repetition is removed too; docs rebuild in original segment order.
