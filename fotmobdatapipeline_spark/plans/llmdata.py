@@ -958,6 +958,59 @@ def dataset_mixture(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Training-data prep: per-source TOKEN-BUDGET sampling — admit documents
+# in deterministic (doc_id) order per source until the source's running
+# token total reaches the budget.  This is how mixtures are actually
+# specified in practice ("200B tokens of web, 50B of code"), vs
+# dataset_mixture's doc-RATE form.  One per-source window cumulative sum
+# (the per-key-sort floor every RANGE/ROWS window shares; at 100 TB the
+# source key count is small and AQE splits stragglers), exact integers.
+# --------------------------------------------------------------------------
+_TOKEN_BUDGET = 2000
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    running AS (
+      SELECT source, doc_id, doc_tokens,
+             SUM(doc_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM sized
+    )
+    SELECT source, doc_id, doc_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+    tags=("training-data", "mixture", "sampling"),
+    doc="Per-source token-budget admission in deterministic doc order.",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("doc_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("source", "doc_id", "doc_tokens", "cum_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data prep: vocabulary build + token-id encoding — top-K vocab
 # by (count DESC, word ASC), documents encoded to id sequences with
 # OOV = -1.  The explode -> broadcast-join -> ordered re-aggregation is
@@ -2573,3 +2626,53 @@ def _bpe_encode_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
 def text_bpe_encode(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     return bpe_encode_words(docs, _BPE_TRAIN_ROUNDS)
+
+
+def _tokenize_docs_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    toks = "regexp_extract_all(seq, '<([a-z]+)>', 1)"
+    return (
+        _bpe_ctes("FROM documents", n_rounds)
+        + f""",
+    wmap AS (SELECT w AS word, CAST(array_length({toks}) AS INT) AS wt
+             FROM words{n_rounds}),
+    occ AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z]+')) AS word
+            FROM documents)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wt) AS BIGINT) AS n_tokens
+    FROM occ JOIN wmap USING (word) GROUP BY doc_id"""
+    )
+
+
+@register(
+    "text_tokenize_docs",
+    oracle=_tokenize_docs_oracle(),
+    tags=("text", "tokens", "bpe", "llmdata"),
+    doc="Per-document token counts under the trained BPE tokenizer.",
+)
+def text_tokenize_docs(spark: SparkSession, sf_dir: str):
+    """The end of the tokenizer story (train -> encode -> APPLY): token
+    counts per document under the trained merges — the number every
+    budget/packing/mixture decision downstream consumes.
+
+    Scale shape: the word -> n_tokens map is vocab-cardinality and rides
+    a broadcast join into the exploded word stream (the corpus is
+    scanned once, shuffled only by the final per-doc aggregate, which is
+    map-side combinable)."""
+    docs = read_table(spark, sf_dir, "documents")
+    wmap = bpe_encode_words(docs, _BPE_TRAIN_ROUNDS).select(
+        "word", F.col("n_tokens").alias("wt")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    )
+    return (
+        occ.join(F.broadcast(wmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wt").alias("n_tokens"),
+        )
+    )
