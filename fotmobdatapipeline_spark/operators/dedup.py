@@ -362,6 +362,26 @@ def winnowing_copy_pairs(
     )
 
 
+def _n_segments(text_col: str, w: int):
+    words = F.split(F.col(text_col), " ")
+    return F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+
+
+def sentence_segments(text_col: str, words_per_sentence: int = 8):
+    """The deterministic sentence segmenter shared by batch
+    :func:`sentence_dedup` and the streaming twin
+    (streaming/documents.py::sentence_dedup_stream): fixed
+    non-overlapping word windows (this corpus has no punctuation; swap
+    for a boundary split on a real crawl — all consumers are
+    boundary-agnostic)."""
+    words = F.split(F.col(text_col), " ")
+    w = words_per_sentence
+    return F.transform(
+        F.sequence(F.lit(0), _n_segments(text_col, w) - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+
+
 def sentence_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -395,16 +415,13 @@ def sentence_dedup(
     Output: (doc_id, n_sentences, n_kept, text_dedup), one row per doc
     that kept at least one sentence.
     """
-    words = F.split(F.col(text_col), " ")
-    w = words_per_sentence
-    n_seg = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
-    )
     exploded = df.select(
-        F.col(id_col), F.posexplode(segs).alias("seg_idx", "sentence")
+        F.col(id_col),
+        F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
+            "seg_idx", "sentence"
+        ),
     )
+    n_seg = _n_segments(text_col, words_per_sentence)
     first = exploded.groupBy("sentence").agg(
         F.min(F.struct(id_col, "seg_idx")).alias("first_at")
     )

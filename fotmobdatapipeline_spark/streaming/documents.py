@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fotmobdatapipeline_spark.operators.dedup import minhash_signature_cols
+from fotmobdatapipeline_spark.operators.dedup import (
+    minhash_signature_cols,
+    sentence_segments,
+)
 
 
 def with_minhash_sig(
@@ -29,6 +32,40 @@ def with_minhash_sig(
     empty string for sub-shingle docs — NOT a valid dedup key)."""
     sigs = minhash_signature_cols(F.col(text_col), num_hashes, shingle_n)
     return docs.withColumn("minhash_sig", F.concat_ws("", *sigs))
+
+
+def sentence_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    words_per_sentence: int = 8,
+) -> DataFrame:
+    """Streaming twin of the C4-style sentence dedup's FILTER stage
+    (operators/dedup.py::sentence_dedup): explode each arriving document
+    into sentences and emit only the first-SEEN occurrence of each —
+    dedup state keyed on the sentence, watermark-expired when ``ts_col``
+    is given.  Which document owns the surviving occurrence is
+    arrival-order dependent (batch uses the (doc, position) total order
+    instead); the distinct-sentence SET is the contract the test pins.
+    Per-doc reconstruction is a downstream batch concern — a stream
+    can't wait to learn which of a doc's sentences survive.
+
+    Output: (doc_id, seg_idx, sentence[, ts]) rows that survived.
+    """
+    cols = [F.col(id_col)] + ([F.col(ts_col)] if ts_col else [])
+    exploded = docs.select(
+        *cols,
+        F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
+            "seg_idx", "sentence"
+        ),
+    )
+    if docs.isStreaming and ts_col is not None:
+        return exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["sentence"]
+        )
+    return exploded.dropDuplicates(["sentence"])
 
 
 def neardup_stream(

@@ -85,6 +85,53 @@ def test_neardup_suppresses_recrawl_and_keeps_short_docs(spark, tmp_path):
     assert set(out_keyed.columns) == set(out.columns)
 
 
+def test_sentence_dedup_stream_equals_batch_set(spark, tmp_path):
+    """Streaming sentence dedup == batch on the distinct-sentence SET
+    (which doc owns a surviving sentence is arrival-dependent), with
+    duplicates split across micro-batches so state actually carries."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.documents import sentence_dedup_stream
+    from tests.conftest import SF_SMALL
+
+    feed_dir = str(tmp_path / "feed")
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    feed = docs.unionByName(recrawl).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600)
+    )
+    feed.repartition(6).write.mode("overwrite").parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed_dir)
+    )
+    q = (
+        sentence_dedup_stream(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sent_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["sentence"]
+        for r in spark.sql("SELECT sentence FROM sent_dedup_out").collect()
+    }
+    want = {
+        r["sentence"]
+        for r in sentence_dedup_stream(
+            spark.read.parquet(feed_dir)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_perrow_signature_matches_batch_minhash(spark):
     """The stateless per-row signature must equal the shuffle-based
     batch signature column-for-column (same hash family)."""
