@@ -650,6 +650,58 @@ def decontaminate(
     )
 
 
+def contamination_matrix(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Severity-graded decontamination report per corpus slice: for each
+    ``group_col`` value (source/domain/dump), how many training docs
+    overlap the eval set and HOW HARD — a boolean flag
+    (:func:`decontaminate`) says "drop it"; curation needs to know which
+    slices are systematically contaminated before choosing mixtures.
+
+    Same asymmetric scale shape as :func:`decontaminate`: the
+    benchmark-sized eval shingle set broadcasts, the training corpus is
+    scanned once, filtered map-side by the broadcast semi-join, and only
+    the surviving (doc, shared-shingle) rows reach the two combinable
+    aggregates.  The corpus is never shuffled whole.
+
+    Output: (group, n_docs, n_contaminated, total_shared, max_shared)
+    where *_shared count distinct shared shingles per doc.
+    """
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    shared = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy(id_col, group_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    per_doc = (
+        train.select(id_col, group_col)
+        .join(shared.select(id_col, "n_shared"), id_col, "left")
+        .select(
+            group_col, F.coalesce("n_shared", F.lit(0)).alias("n_shared")
+        )
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("n_shared") > 0).alias("n_contaminated"),
+        F.sum("n_shared").alias("total_shared"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
 def _prefix_candidates(
     df: DataFrame,
     text_col: str,

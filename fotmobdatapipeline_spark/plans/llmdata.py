@@ -2056,6 +2056,35 @@ def decontaminate_train(spark: SparkSession, sf_dir: str):
     return D.decontaminate(train, eval_df)
 
 
+@register(
+    "decontaminate_matrix",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS s FROM tok),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    shared AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN ev USING (s) WHERE sh.doc_id % 50 <> 0
+      GROUP BY sh.doc_id
+    ),
+    base AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE COALESCE(n_shared, 0) > 0) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(COALESCE(n_shared, 0)) AS BIGINT) AS total_shared,
+           CAST(MAX(COALESCE(n_shared, 0)) AS BIGINT) AS max_shared
+    FROM base LEFT JOIN shared USING (doc_id) GROUP BY source
+    """,
+    tags=("dedup", "decontamination", "llmdata"),
+    doc="Per-source contamination severity matrix vs the eval set.",
+)
+def decontaminate_matrix(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_matrix(train, eval_df)
+
+
 # --------------------------------------------------------------------------
 # Triangle counts over the LSH candidate graph: local clustering signal
 # (dense near-dup neighborhoods triangle-heavily; chains don't).  Edges
