@@ -54,6 +54,10 @@ HEADLINE = [
     "text_repetition_signals",
     "cdc_snapshot_diff",
     "agg_winsorized",
+    # round-4 additions
+    "text_sentence_dedup",
+    "dedup_winnowing_pairs",
+    "text_bm25_topk",
 ]
 
 
