@@ -338,6 +338,11 @@ def winnowing_copy_pairs(
         fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("df") <= max_df)
         .drop("df")
+        # Both sides of the self-join below reference this subtree; a
+        # plain DataFrame would re-run the windowed df count per side
+        # (two Window+Sort stages in the plan) — checkpoint so the pair
+        # join reads one materialization.
+        .localCheckpoint(eager=False)
     )
     a = rare.select(F.col(id_col).alias("doc_a"), "fp")
     b = rare.select(F.col(id_col).alias("doc_b"), "fp")
