@@ -958,6 +958,159 @@ def dataset_mixture(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Corpus audit: robust (median/MAD) length-outlier detection per source.
+# Medians are EXACT lower medians by rank arithmetic (row_number to the
+# ceil(n/2)-th element) — integer-exact in both engines, no interpolated
+# percentile whose FP behavior differs.  The outlier rule |len - med| >
+# 3*MAD is all-integer.  Two per-source window sorts (the per-key-sort
+# floor, same shape as agg_exact_quantiles).
+# --------------------------------------------------------------------------
+@register(
+    "quality_length_outliers",
+    oracle="""
+    WITH lens AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    med AS (
+      SELECT source, dl AS med_len FROM (
+        SELECT source, dl,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY dl, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM lens
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT l.source, l.doc_id, l.dl, m.med_len,
+             abs(l.dl - m.med_len) AS adev
+      FROM lens l JOIN med m ON l.source = m.source
+    ),
+    mad AS (
+      SELECT source, adev AS mad FROM (
+        SELECT source, adev,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM dev
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ANY_VALUE(d.med_len) AS BIGINT) AS med_len,
+           CAST(ANY_VALUE(m.mad) AS BIGINT) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.source = m.source
+    GROUP BY d.source
+    """,
+    tags=("text", "quality", "audit", "llmdata"),
+    doc="Robust per-source length outliers: exact lower-median/MAD rule.",
+)
+def quality_length_outliers(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
+    )
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("source").orderBy(val_col, "doc_id")
+        wn = Window.partitionBy("source")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(
+                F.col("rk") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint")
+            )
+            .select("source", F.col(val_col).alias(out_col))
+        )
+
+    med = lower_median(lens, "dl", "med_len")
+    dev = lens.join(med, "source").withColumn(
+        "adev", F.abs(F.col("dl") - F.col("med_len"))
+    )
+    mad = lower_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.any_value("med_len").alias("med_len"),
+            F.any_value("mad").alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus audit: lang x source independence (chi-square cells).  Expected
+# counts and contributions are a FIXED expression over exact integer
+# marginals — (double)n_l * (double)n_s / (double)N, then
+# (n_ls - exp)^2 / exp — bit-identical across engines; the per-cell form
+# avoids summing doubles in a shuffle-ordered aggregate (consumers sum
+# the 100-cell result however they like).  Detects mixture bias (a
+# source over-representing a language) before training.
+# --------------------------------------------------------------------------
+@register(
+    "audit_lang_source_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM documents GROUP BY lang, source
+    ),
+    rows_t AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS n_lang
+               FROM cells GROUP BY lang),
+    cols_t AS (SELECT source, CAST(SUM(n_obs) AS BIGINT) AS n_source
+               FROM cells GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells)
+    SELECT c.lang, c.source, c.n_obs,
+           CAST(r.n_lang AS DOUBLE) * CAST(s.n_source AS DOUBLE)
+             / CAST(t.n AS DOUBLE) AS expected,
+           (CAST(c.n_obs AS DOUBLE)
+              - CAST(r.n_lang AS DOUBLE) * CAST(s.n_source AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           * (CAST(c.n_obs AS DOUBLE)
+              - CAST(r.n_lang AS DOUBLE) * CAST(s.n_source AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           / (CAST(r.n_lang AS DOUBLE) * CAST(s.n_source AS DOUBLE)
+                / CAST(t.n AS DOUBLE)) AS chi2_contrib
+    FROM cells c
+    JOIN rows_t r ON c.lang = r.lang
+    JOIN cols_t s ON c.source = s.source
+    CROSS JOIN tot t
+    """,
+    tags=("text", "audit", "mixture", "llmdata"),
+    doc="Lang x source chi-square cells: mixture-bias audit.",
+)
+def audit_lang_source_chi2(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    rows_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("n_lang"))
+    cols_t = cells.groupBy("source").agg(F.sum("n_obs").alias("n_source"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    expected = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n").cast("double")
+    )
+    diff = F.col("n_obs").cast("double") - expected
+    return (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            expected.alias("expected"),
+            (diff * diff / expected).alias("chi2_contrib"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data prep: per-source TOKEN-BUDGET sampling — admit documents
 # in deterministic (doc_id) order per source until the source's running
 # token total reaches the budget.  This is how mixtures are actually
