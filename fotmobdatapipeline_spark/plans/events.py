@@ -530,3 +530,86 @@ def events_interval_merge(spark: SparkSession, sf_dir: str):
         F.max("end_us").alias("island_end_us"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase with STRICT temporal order
+# per user (a click only counts after that user's first view; a purchase
+# only after that user's first qualifying click).  Three type-filtered
+# passes — each filter reaches the scan — then hint-free user-keyed
+# equi-joins of the per-user step frontiers (user cardinality can be
+# billions at 100 TB, so no mandatory broadcast; AQE broadcasts when the
+# runtime frontier is small); output is one row of exact step counts
+# plus conversion ratios (one double division each).  No window, no UDF.
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS step1_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS step2_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS step3_users,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS rate_12,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS rate_23
+    """,
+    tags=("events", "funnel", "analytics"),
+    doc="Strictly-ordered view->click->purchase funnel conversion counts.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n1 = v.agg(F.count("*").alias("step1_users"))
+    n2 = c.agg(F.count("*").alias("step2_users"))
+    n3 = p.agg(F.count("*").alias("step3_users"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "step1_users",
+            "step2_users",
+            "step3_users",
+            (
+                F.col("step2_users").cast("double")
+                / F.col("step1_users").cast("double")
+            ).alias("rate_12"),
+            (
+                F.col("step3_users").cast("double")
+                / F.col("step2_users").cast("double")
+            ).alias("rate_23"),
+        )
+    )

@@ -958,6 +958,61 @@ def dataset_mixture(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Curation: per-vector NOVELTY score — the max cosine to any sign-LSH
+# bucket peer (high max -> redundant, low/null -> novel; the weighting
+# signal diversity-aware sampling consumes).  Candidates only meet
+# inside a bucket (never all-pairs); max/count are combinable
+# aggregates, so the reduction is skew-safe even for a hot bucket.
+# --------------------------------------------------------------------------
+@register(
+    "novelty_max_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT a.vec_id AS ida,
+             {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cs
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    agg AS (
+      SELECT ida AS vec_id, MAX(cs) AS max_cos,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM pr GROUP BY ida
+    )
+    SELECT e.vec_id, a.max_cos,
+           COALESCE(a.n_candidates, 0) AS n_candidates
+    FROM embeddings e LEFT JOIN agg a ON e.vec_id = a.vec_id
+    """,
+    tags=("similarity", "curation", "llmdata"),
+    doc="Per-vector novelty: max cosine to any LSH-bucket peer.",
+)
+def novelty_max_cosine(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    # min_cosine=-2 keeps every in-bucket pair (cosine is in [-1, 1]).
+    pairs = S.lsh_candidate_pairs(emb, n_bits=8, min_cosine=-2.0)
+    both = pairs.select(
+        F.col("id_a").alias("vec_id"), "cos_sim"
+    ).unionByName(pairs.select(F.col("id_b").alias("vec_id"), "cos_sim"))
+    agg = both.groupBy("vec_id").agg(
+        F.max("cos_sim").alias("max_cos"),
+        F.count("*").alias("n_candidates"),
+    )
+    return (
+        emb.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "max_cos",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus audit: robust (median/MAD) length-outlier detection per source.
 # Medians are EXACT lower medians by rank arithmetic (row_number to the
 # ceil(n/2)-th element) — integer-exact in both engines, no interpolated
