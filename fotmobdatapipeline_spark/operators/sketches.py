@@ -102,6 +102,60 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     return agg.select("n_sketch", "kth_hash", est.alias("est_distinct"))
 
 
+def kmv_join_overlap(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV set-operation estimator (the K-minimum-values construction of
+    Beyer et al., SIGMOD 2007 — public algorithm): estimate the distinct
+    UNION and INTERSECTION of two key sets from their k-sized sketches —
+    the pre-join cardinality question ("how many keys will actually
+    match?") answered without joining the tables.
+
+    Mechanics: sketch each side, take the bottom-k of the union of
+    sketches (= the sketch of the union), count how many of those hashes
+    appear in BOTH side sketches (rho = n_both / n_sketch), then
+    est_intersect = rho * est_union.  Everything is sketch-sized (<= k
+    rows) after the two bottom-k passes; each side's table is scanned
+    once (the k-row sketches are lineage-checkpointed because each feeds
+    two consumers).  Exact integers until the final two IEEE divisions —
+    value-exact cross-engine.
+
+    Output (one row): n_sketch, kth_hash, n_both, est_union,
+    est_intersect.
+    """
+    ka = kmv_sketch(a, key_a, k, salt).localCheckpoint(eager=False)
+    kb = kmv_sketch(b, key_b, k, salt).localCheckpoint(eager=False)
+    comb = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(k).localCheckpoint(eager=False)
+    )
+    n_both_df = (
+        comb.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    agg = comb.agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth_hash"))
+    est_union = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float((k - 1) * 2**32)) / F.col("kth_hash"))
+    rho = F.col("n_both").cast("double") / F.col("n_sketch").cast("double")
+    return (
+        agg.crossJoin(n_both_df)
+        .withColumn("est_union", est_union)
+        .select(
+            "n_sketch",
+            "kth_hash",
+            "n_both",
+            "est_union",
+            (rho * F.col("est_union")).alias("est_intersect"),
+        )
+    )
+
+
 def cms_estimate(
     cms: DataFrame,
     probes: DataFrame,

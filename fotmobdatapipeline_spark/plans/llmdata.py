@@ -38,6 +38,20 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
+_KMV_K = 64
+
+
+# DuckDB twin of a 32-bit hex prefix (sampling.shuffle_shard,
+# sketches._bucket): sum of (nibble value) * 16^(7-i) over the first 8
+# hex chars (no conv() in DuckDB — strpos arithmetic per the
+# portable-hashing rule).
+def _sql_hex32(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup tier 1: exact (hash-groupBy on text).
 # --------------------------------------------------------------------------
@@ -958,6 +972,75 @@ def dataset_mixture(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Sketch tier: KMV join-overlap estimation — pre-join cardinality
+# ("how many orders custkeys exist in customer?") from two k-row
+# sketches, never joining the tables.  The exact intersection rides
+# along so the estimate's error is visible as data (same self-auditing
+# shape as sketch_kmv_distinct / the HLL bound check).
+# --------------------------------------------------------------------------
+@register(
+    "sketch_kmv_join_overlap",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT
+        {_sql_hex32("substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 8)")} AS h
+      FROM orders
+    ),
+    hb AS (
+      SELECT DISTINCT
+        {_sql_hex32("substr(md5('kmv:' || CAST(c_custkey AS VARCHAR)), 1, 8)")} AS h
+      FROM customer
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    comb AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    agg AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_hash FROM comb),
+    nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM comb
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer)
+      )
+    )
+    SELECT n_sketch, kth_hash, n_both,
+           CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE {float((_KMV_K - 1) * 2 ** 32)} / kth_hash END AS est_union,
+           (CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE))
+             * (CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                     ELSE {float((_KMV_K - 1) * 2 ** 32)} / kth_hash END)
+             AS est_intersect,
+           exact_intersect
+    FROM agg, nb, ex
+    """,
+    tags=("sketch", "join", "cardinality"),
+    doc="KMV join-overlap: union/intersection estimate from two k-row sketches.",
+)
+def sketch_kmv_join_overlap(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import kmv_join_overlap
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    est = kmv_join_overlap(orders, "o_custkey", customer, "c_custkey", k=_KMV_K)
+    exact = (
+        orders.select("o_custkey")
+        .distinct()
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return est.crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
 # Curation: per-vector NOVELTY score — the max cosine to any sign-LSH
 # bucket peer (high max -> redundant, low/null -> novel; the weighting
 # signal diversity-aware sampling consumes).  Candidates only meet
@@ -1788,17 +1871,6 @@ def _sql_salted_md5() -> str:
     return f"md5('{_SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))"
 
 
-# DuckDB twin of a 32-bit hex prefix (sampling.shuffle_shard,
-# sketches._bucket): sum of (nibble value) * 16^(7-i) over the first 8
-# hex chars (no conv() in DuckDB — strpos arithmetic per the
-# portable-hashing rule).
-def _sql_hex32(col: str) -> str:
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-
-
 _SQL_HEX32 = _sql_hex32("skey")
 
 
@@ -1999,9 +2071,6 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
 # value-exact; the exact distinct count rides along so the estimate's
 # error is visible as data.
 # --------------------------------------------------------------------------
-_KMV_K = 64
-
-
 @register(
     "sketch_kmv_distinct",
     oracle=f"""
