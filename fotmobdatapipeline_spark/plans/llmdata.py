@@ -1144,40 +1144,47 @@ def novelty_max_cosine(spark: SparkSession, sf_dir: str):
     doc="Robust per-source length outliers: exact lower-median/MAD rule.",
 )
 def quality_length_outliers(spark: SparkSession, sf_dir: str):
+    return length_outlier_stats(read_table(spark, sf_dir, "documents"))
+
+
+def length_outlier_stats(
+    docs, group_col: str = "source", id_col: str = "doc_id", k_mad: int = 3
+):
+    """The operator proper (also exercised on hand-built frames in
+    tests): exact lower-median/MAD length outliers per group."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
     lens = docs.select(
-        "source",
-        "doc_id",
+        group_col,
+        id_col,
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
     )
 
     def lower_median(df, val_col, out_col):
-        w = Window.partitionBy("source").orderBy(val_col, "doc_id")
-        wn = Window.partitionBy("source")
+        w = Window.partitionBy(group_col).orderBy(val_col, id_col)
+        wn = Window.partitionBy(group_col)
         return (
             df.withColumn("rk", F.row_number().over(w))
             .withColumn("n", F.count("*").over(wn))
             .filter(
                 F.col("rk") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint")
             )
-            .select("source", F.col(val_col).alias(out_col))
+            .select(group_col, F.col(val_col).alias(out_col))
         )
 
     med = lower_median(lens, "dl", "med_len")
-    dev = lens.join(med, "source").withColumn(
+    dev = lens.join(med, group_col).withColumn(
         "adev", F.abs(F.col("dl") - F.col("med_len"))
     )
     mad = lower_median(dev, "adev", "mad")
     return (
-        dev.join(mad, "source")
-        .groupBy("source")
+        dev.join(mad, group_col)
+        .groupBy(group_col)
         .agg(
             F.count("*").alias("n_docs"),
             F.any_value("med_len").alias("med_len"),
             F.any_value("mad").alias("mad"),
-            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count_if(F.col("adev") > k_mad * F.col("mad")).alias("n_outliers"),
         )
     )
 

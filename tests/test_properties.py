@@ -648,6 +648,26 @@ def test_bpe_encode_hand_computed(spark):
     }, got
 
 
+def test_length_outliers_hand_computed(spark):
+    """Exact lower-median semantics on even and odd group sizes, and the
+    all-integer 3xMAD outlier rule: source g has lengths [1,2,3,100]
+    (lower median 2, MAD 1, one outlier), source h has [5,7,9]
+    (median 7, MAD 2, none)."""
+    from fotmobdatapipeline_spark.plans.llmdata import length_outlier_stats
+
+    rows = []
+    for i, n in enumerate([1, 2, 3, 100]):
+        rows.append((i, "g", " ".join(["w"] * n)))
+    for i, n in enumerate([5, 7, 9]):
+        rows.append((10 + i, "h", " ".join(["w"] * n)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_docs"], r["med_len"], r["mad"], r["n_outliers"])
+        for r in length_outlier_stats(docs).collect()
+    }
+    assert got == {"g": (4, 2, 1, 1), "h": (3, 7, 2, 0)}, got
+
+
 def test_winnowing_copy_pairs_catch_partial_copy(spark):
     """Containment detects a PARTIAL copy (short doc lifted verbatim into
     a longer one) that symmetric Jaccard dilutes below threshold: the
