@@ -655,6 +655,45 @@ def decontaminate(
     )
 
 
+def incremental_dedup_flags(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PRODUCTION-shape dedup: flag a NEW batch (today's crawl) against
+    the EXISTING corpus without re-deduplicating history — per batch doc,
+    whether its normalized bag-of-words fingerprint already exists in the
+    corpus (``dup_of_corpus``) and whether an earlier batch doc shares it
+    (``dup_within_batch``, first occurrence by id stays False).
+
+    Scale shape: the corpus side reduces to DISTINCT fingerprints before
+    the join (at steady state that set is precomputed and stored — the
+    dedup index; here it is derived in one combinable aggregate), the
+    batch joins it hint-free (AQE broadcasts a small index, shuffles a
+    big one), and the within-batch flag is a combinable min-id aggregate
+    joined back — no windows, nothing corpus-sized ever broadcast.
+
+    Output: (doc_id, fp, dup_of_corpus, dup_within_batch).
+    """
+    corpus_fps = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    )
+    bfp = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    first_in_batch = bfp.groupBy("fp").agg(F.min(id_col).alias("__first_id"))
+    hits = corpus_fps.withColumn("__in_corpus", F.lit(True))
+    return (
+        bfp.join(hits, "fp", "left")
+        .join(first_in_batch, "fp")
+        .select(
+            id_col,
+            "fp",
+            F.coalesce("__in_corpus", F.lit(False)).alias("dup_of_corpus"),
+            (F.col(id_col) != F.col("__first_id")).alias("dup_within_batch"),
+        )
+    )
+
+
 def contamination_matrix(
     train: DataFrame,
     eval_df: DataFrame,

@@ -972,6 +972,41 @@ def dataset_mixture(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Production-shape incremental dedup: flag TODAY'S batch against the
+# existing corpus (distinct-fingerprint index, derivable or precomputed)
+# plus within-batch first-occurrence — history is never re-deduplicated.
+# --------------------------------------------------------------------------
+_SQL_FP = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus_fps AS (
+      SELECT DISTINCT {_SQL_FP} AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    bfp AS (
+      SELECT doc_id, {_SQL_FP} AS fp FROM documents WHERE doc_id % 10 = 0
+    ),
+    firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM bfp GROUP BY fp)
+    SELECT b.doc_id, b.fp,
+           (c.fp IS NOT NULL) AS dup_of_corpus,
+           (b.doc_id <> f.first_id) AS dup_within_batch
+    FROM bfp b
+    LEFT JOIN corpus_fps c ON b.fp = c.fp
+    JOIN firsts f ON b.fp = f.fp
+    """,
+    tags=("dedup", "incremental", "llmdata"),
+    doc="Incremental dedup: new batch flagged against the corpus index.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_dedup_flags(corpus, batch)
+
+
+# --------------------------------------------------------------------------
 # Sketch tier: KMV join-overlap estimation — pre-join cardinality
 # ("how many orders custkeys exist in customer?") from two k-row
 # sketches, never joining the tables.  The exact intersection rides
