@@ -648,6 +648,31 @@ def test_bpe_encode_hand_computed(spark):
     }, got
 
 
+def test_incremental_dedup_hand_computed(spark):
+    """Batch-vs-corpus and within-batch flags compose independently: a
+    corpus dup is flagged even as the batch's first occurrence; a
+    batch-internal dup is flagged without any corpus hit; word order
+    doesn't evade the normalized fingerprint."""
+    from fotmobdatapipeline_spark.operators.dedup import incremental_dedup_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "gamma beta alpha"),   # corpus dup (normalized), first in batch
+            (20, "delta epsilon zeta"), # clean
+            (30, "delta epsilon zeta"), # within-batch dup of 20
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_of_corpus"], r["dup_within_batch"])
+        for r in incremental_dedup_flags(corpus, batch).collect()
+    }
+    assert got == {10: (True, False), 20: (False, False), 30: (False, True)}, got
+
+
 def test_length_outliers_hand_computed(spark):
     """Exact lower-median semantics on even and odd group sizes, and the
     all-integer 3xMAD outlier rule: source g has lengths [1,2,3,100]
