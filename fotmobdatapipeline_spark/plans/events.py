@@ -267,10 +267,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
 )
 def events_asof_join(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    clicks = ev.filter(F.col("event_type") == s2).select(
         "user_id", "tus", "event_id", F.lit(0).alias("is_purchase")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = ev.filter(F.col("event_type") == s3).select(
         "user_id", "tus", "event_id", F.lit(1).alias("is_purchase")
     )
     both = clicks.unionByName(purchases)
@@ -574,20 +574,27 @@ def events_interval_merge(spark: SparkSession, sf_dir: str):
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_conversion(ev)
+
+
+def funnel_conversion(ev, steps=("view", "click", "purchase")):
+    """The funnel proper (also exercised on hand-built frames in tests):
+    strict ordered three-step conversion over (user_id, event_type, ts)."""
+    s1, s2, s3 = steps
     v = (
-        ev.filter(F.col("event_type") == "view")
+        ev.filter(F.col("event_type") == s1)
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
     c = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == s2)
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == s3)
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")

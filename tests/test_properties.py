@@ -648,6 +648,33 @@ def test_bpe_encode_hand_computed(spark):
     }, got
 
 
+def test_funnel_strict_ordering_hand_computed(spark):
+    """The funnel is strictly ordered per user: a click before the first
+    view doesn't qualify, and a purchase before the first QUALIFYING
+    click doesn't either."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.events import funnel_conversion
+
+    rows = [
+        # user 1: clean view(1) -> click(2) -> purchase(3)
+        (100, 1, "view"), (101, 2, "click"), (102, 3, "purchase"),
+        # user 2: click(1) precedes view(2) -> doesn't qualify; click(5)
+        # does; purchase(4) is BEFORE the qualifying click -> no step 3.
+        (200, 1, "click"), (201, 2, "view"), (202, 4, "purchase"), (203, 5, "click"),
+        # user 3: view only.
+        (300, 7, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, eid // 100, t, et) for eid, t, et in rows],
+        "event_id long, user_id long, t long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("t")))
+
+    got = funnel_conversion(ev.select("user_id", "event_type", "ts")).collect()[0]
+    assert (got["step1_users"], got["step2_users"], got["step3_users"]) == (3, 2, 1)
+    assert abs(got["rate_12"] - 2 / 3) < 1e-15 and got["rate_23"] == 0.5
+
+
 def test_incremental_dedup_hand_computed(spark):
     """Batch-vs-corpus and within-batch flags compose independently: a
     corpus dup is flagged even as the batch's first occurrence; a
