@@ -267,10 +267,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str):
 )
 def events_asof_join(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
-    clicks = ev.filter(F.col("event_type") == s2).select(
+    clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "tus", "event_id", F.lit(0).alias("is_purchase")
     )
-    purchases = ev.filter(F.col("event_type") == s3).select(
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "tus", "event_id", F.lit(1).alias("is_purchase")
     )
     both = clicks.unionByName(purchases)
