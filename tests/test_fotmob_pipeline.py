@@ -184,3 +184,36 @@ def test_leaderboard_sga(star):
     for r in rows:
         if r["total_xgot"] is not None:
             assert abs(r["sga"] - (r["total_xgot"] - r["total_xg"])) < 1e-12
+
+
+def test_importing_plans_has_no_filesystem_side_effect(tmp_path):
+    """Importing the plan modules must NOT generate the JSONL landing
+    zone (regression pin: the ingest oracle used to run its generator at
+    @register decoration time, deleting and rewriting shards on every
+    import — and racing concurrent importers).  Generation happens only
+    when oracle_sql()/the plan function actually runs, via the memoized
+    atomic ensure_landing_zone."""
+    import subprocess
+    import sys
+
+    probe = f"""
+import shutil, os, glob
+from fotmobdatapipeline_spark.fotmob import LANDING_ZONE_DIR
+shutil.rmtree(LANDING_ZONE_DIR, ignore_errors=True)
+import fotmobdatapipeline_spark.plans.catalog as cat
+cat._load_all()  # imports every plan module
+assert not glob.glob(os.path.join(LANDING_ZONE_DIR, "matches-*.jsonl")), (
+    "import regenerated the landing zone")
+from fotmobdatapipeline_spark.plans.catalog import oracle_map
+oracle_map()  # oracle assembly DOES ensure the zone exists
+assert glob.glob(os.path.join(LANDING_ZONE_DIR, "matches-*.jsonl")), (
+    "oracle assembly must ensure the zone")
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
