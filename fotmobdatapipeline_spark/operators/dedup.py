@@ -414,8 +414,14 @@ def sentence_dedup(
     sentence's billion rows in one task — the skew trap this shape
     avoids).  Then one equi-join on sentence (winner set is
     distinct-sentence sized; AQE splits skewed join keys) and one
-    per-doc rebuild aggregate.  Three shuffles total, all combinable or
-    skew-safe.
+    per-doc rebuild aggregate.  The exploded (doc, seg_idx, sentence)
+    frame feeds THREE consumers (first-occurrence agg, winner join,
+    per-doc sentence counts) — at 100 TB the corpus scan+explode is the
+    dominant cost, so it is localCheckpoint'ed and materialized exactly
+    once; ``n_sentences`` is derived from it as ``max(seg_idx) + 1``
+    (posexplode indexes 0..n-1) instead of re-scanning the raw table.
+    Three shuffles total, all combinable or skew-safe, ONE corpus scan
+    (pinned in test_plan_shapes.py).
 
     Output: (doc_id, n_sentences, n_kept, text_dedup), one row per doc
     that kept at least one sentence.
@@ -425,8 +431,7 @@ def sentence_dedup(
         F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
             "seg_idx", "sentence"
         ),
-    )
-    n_seg = _n_segments(text_col, words_per_sentence)
+    ).localCheckpoint(eager=False)
     first = exploded.groupBy("sentence").agg(
         F.min(F.struct(id_col, "seg_idx")).alias("first_at")
     )
@@ -434,6 +439,9 @@ def sentence_dedup(
         exploded.join(first, "sentence")
         .filter(F.struct(id_col, "seg_idx") == F.col("first_at"))
         .select(id_col, "seg_idx", "sentence")
+    )
+    counts = exploded.groupBy(id_col).agg(
+        (F.max("seg_idx") + F.lit(1)).cast("int").alias("n_sentences")
     )
     return (
         kept.groupBy(id_col)
@@ -447,12 +455,7 @@ def sentence_dedup(
                 " ",
             ).alias("text_dedup"),
         )
-        .join(
-            df.select(
-                F.col(id_col), n_seg.alias("n_sentences")
-            ),
-            id_col,
-        )
+        .join(counts, id_col)
         .select(id_col, "n_sentences", "n_kept", "text_dedup")
     )
 

@@ -385,3 +385,17 @@ def test_rp_bucket_verify_never_broadcasts_the_corpus(spark):
                 "corpus-sized broadcast: BroadcastExchange directly over the "
                 "embeddings scan with no candidate-confining join\n" + text
             )
+
+
+def test_sentence_dedup_scans_corpus_once(spark):
+    """The corpus scan+explode is the dominant cost at 100 TB, and the
+    exploded (doc, seg_idx, sentence) frame has three consumers (the
+    first-occurrence agg, the winner join, the per-doc sentence count).
+    It must be localCheckpoint'ed so the scan executes exactly once: the
+    downstream plan reads the checkpointed RDD everywhere — zero parquet
+    scans of documents, zero Generate (explode) nodes outside it."""
+    df = _q("text_sentence_dedup")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "ExistingRDD" in plan, plan

@@ -28,7 +28,7 @@ PICKS = [
     ("cdc_snapshot_diff", "CDC diff: ONE full-outer join, snapshot filters pushed to both scans"),
     ("agg_winsorized", "Winsorize: per-group rank bounds shipped back by broadcast, fact never reshuffled"),
     ("sim_rp_bucket_join", "Size-guarded ANN verify: hint-free candidate joins (AQE decides), corpus never broadcast"),
-    ("text_sentence_dedup", "Sentence dedup: first-occurrence via combinable min-struct agg — no per-sentence Window"),
+    ("text_sentence_dedup", "Sentence dedup: checkpointed explode — one corpus scan for three consumers, no per-sentence Window"),
     ("dedup_winnowing_pairs", "Copy-detection pairs: df-capped fan-out, checkpointed fingerprint pipeline"),
     ("text_bm25_topk", "BM25 retrieval: query-term filter before any shuffle, TakeOrderedAndProject top-k"),
     ("text_inverted_index", "Index build: checkpointed tf table — one corpus scan for three consumers"),
