@@ -61,10 +61,39 @@ HEADLINE = [
 ]
 
 
+def _calibration_spin() -> float:
+    """Fixed single-thread CPU spin: a constant amount of pure-Python
+    integer work, timed.  On an idle box this takes the same wall every
+    run; under ambient load it stretches proportionally to how little
+    CPU one thread actually gets.  Recorded before and after the suite
+    so a cross-round slowdown can be ATTRIBUTED (r2 and r4 both showed
+    uniform ~1.2-1.9x drifts on byte-identical queries that could only
+    be inferred, not proven, to be machine load)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    assert x  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 3)
+
+
+def _load_snapshot() -> dict:
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "calib_spin_sec": _calibration_spin(),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    load_before = _load_snapshot()
+    print(f"# load before: {load_before}", file=sys.stderr)
 
     from fotmobdatapipeline_spark.plans.catalog import query_map
     from fotmobdatapipeline_spark.session import get_spark
@@ -193,6 +222,9 @@ def main() -> int:
         except Exception as e:  # never fail the bench over the scale add-on
             print(f"# scale section skipped: {e}", file=sys.stderr)
 
+    load_after = _load_snapshot()
+    print(f"# load after: {load_after}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -204,6 +236,7 @@ def main() -> int:
                 "sf": sf,
                 "streaming": streaming,
                 "scale": scale,
+                "load": {"before": load_before, "after": load_after},
             }
         )
     )
