@@ -301,6 +301,24 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInPandas(fingerprint_batches, out_schema)
 
 
+def _df_capped_fps(fps: DataFrame, max_df: int) -> DataFrame:
+    """Drop fingerprints appearing in more than ``max_df`` docs, with
+    the per-fp document frequency computed by a MAP-SIDE-COMBINABLE
+    ``groupBy('fp').count()`` and semi-joined back — never a windowed
+    ``count over partitionBy(fp)``, which would shuffle+sort a
+    boilerplate fingerprint's entire posting into one task.  The
+    surviving-fp set is distinct-fp sized and hint-free: AQE broadcasts
+    it when small, splits skewed shuffle partitions when not.  Plan
+    shape pinned in test_plan_shapes.py."""
+    rare_fp = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    return fps.join(rare_fp, "fp")
+
+
 def winnowing_copy_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -318,30 +336,31 @@ def winnowing_copy_pairs(
 
     Scale shape mirrors the prefix join: the fingerprint table is
     computed once (localCheckpoint — its mapInPandas pipeline must not
-    run once per consumer), per-fingerprint df is attached via a
-    windowed count (rows stay rows; no posting array for a boilerplate
-    fingerprint), and fingerprints in more than ``max_df`` docs are
-    excluded from PAIR GENERATION — the df-capped semantics of
+    run once per consumer), per-fingerprint df comes from a map-side-
+    combinable ``groupBy('fp').count()`` (a windowed count over
+    ``partitionBy(fp)`` would shuffle+sort a boilerplate fingerprint's
+    entire posting into ONE task — the same hot-key trap the
+    ``sentence_dedup`` first-occurrence aggregate avoids), and
+    fingerprints in more than ``max_df`` docs are excluded from PAIR
+    GENERATION — the df-capped semantics of
     ``jaccard_pairs(max_df=...)``, applied identically in the oracle,
     so the equi-join's per-key fan-out is bounded by max_df choose 2.
-    Containment is exact integer counts with one double division.
+    The surviving-fp set joins back onto fps hint-free (distinct-fp
+    sized; AQE broadcasts it when small, splits skewed shuffle
+    partitions when not).  Containment is exact integer counts with one
+    double division.
 
     Output: (doc_a, doc_b, shared_fp, containment), containment >= tau.
     """
-    from pyspark.sql import Window
-
     fps = winnowing_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
         eager=False
     )
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     rare = (
-        fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+        _df_capped_fps(fps, max_df)
         # Both sides of the self-join below reference this subtree; a
-        # plain DataFrame would re-run the windowed df count per side
-        # (two Window+Sort stages in the plan) — checkpoint so the pair
-        # join reads one materialization.
+        # plain DataFrame would re-run the df-cap join per side —
+        # checkpoint so the pair join reads one materialization.
         .localCheckpoint(eager=False)
     )
     a = rare.select(F.col(id_col).alias("doc_a"), "fp")

@@ -399,3 +399,23 @@ def test_sentence_dedup_scans_corpus_once(spark):
     assert "Scan parquet" not in plan, plan
     assert "Generate" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_winnowing_df_cap_has_no_hot_key_window(spark):
+    """Per-fingerprint document frequency must come from a map-side-
+    combinable groupBy count, never a `count over partitionBy(fp)`
+    window — a boilerplate fingerprint shared by half the corpus would
+    otherwise shuffle+sort its entire posting into a single window
+    task.  The helper is pinned directly because winnowing_copy_pairs
+    checkpoints it (the subtree is invisible from the final plan)."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        _df_capped_fps,
+        winnowing_fingerprints,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    fps = winnowing_fingerprints(docs)
+    plan = _plan(_df_capped_fps(fps, 50))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
