@@ -116,18 +116,45 @@ FACT_MEASURES = (
 LANDING_ZONE_DIR = "/tmp/spark_graft_fotmob_landing"
 
 
-_LANDING_ZONE_READY: set[str] = set()
+_LANDING_ZONE_READY: set[tuple[str, int, int]] = set()
 
 
-def ensure_landing_zone(path: str = LANDING_ZONE_DIR) -> str:
+def _zone_shards_present(path: str, n_matches: int) -> bool:
+    """Cheap memo re-validation: every shard file the generator would
+    write exists (shards are matches-{m % 3}.jsonl)."""
+    import os
+
+    expected = {m % 3 for m in range(n_matches)}
+    return all(
+        os.path.isfile(os.path.join(path, f"matches-{s}.jsonl")) for s in expected
+    )
+
+
+def ensure_landing_zone(
+    path: str = LANDING_ZONE_DIR, n_matches: int = 6, shots_per_match: int = 10
+) -> str:
     """Memoized, race-safe entry point: generate the deterministic landing
     zone exactly once per process.  Safe to call from both the plan
     builder and the oracle-assembly hook in either order; concurrent
     processes converge because generation is per-shard atomic
-    (write-tmp-then-os.replace) and the content is byte-deterministic."""
-    if path not in _LANDING_ZONE_READY:
-        generate_landing_zone(path)
-        _LANDING_ZONE_READY.add(path)
+    (write-tmp-then-os.replace) and the content is byte-deterministic.
+
+    The memo is keyed on (path, n_matches, shots_per_match) — a
+    differently-shaped regeneration request is never skipped — and is
+    re-validated against the filesystem before being trusted, so a zone
+    deleted mid-process (e.g. a test cleaning /tmp) is regenerated
+    instead of silently globbing empty."""
+    memo_key = (path, n_matches, shots_per_match)
+    if memo_key not in _LANDING_ZONE_READY or not _zone_shards_present(
+        path, n_matches
+    ):
+        generate_landing_zone(path, n_matches, shots_per_match)
+        # A regeneration overwrites the zone's content wholesale, so any
+        # memo entry for the same path with OTHER params is now stale.
+        _LANDING_ZONE_READY.difference_update(
+            {k for k in _LANDING_ZONE_READY if k[0] == path}
+        )
+        _LANDING_ZONE_READY.add(memo_key)
     return path
 
 

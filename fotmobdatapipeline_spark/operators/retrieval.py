@@ -111,13 +111,21 @@ def bm25_topk(
     after the explode (vocab-row stream shrinks to |Q| terms before any
     shuffle); df and the corpus scalars ride a single-row cross join;
     the final top-k is a TakeOrderedAndProject, never a global sort.
+    The query-filtered tf feeds two consumers (df_by_term and the score
+    join) and doc_len two more (the corpus-scalar agg and the
+    per-doc join) — both are lineage-checkpointed so the corpus is
+    scanned once per frame, not once per consumer (the
+    ``inverted_index_stats`` pattern; tf post-filter is tiny — |Q|
+    terms' postings — and doc_len is one int per doc).
     """
-    tf = term_frequencies(docs, text_col, id_col).filter(
-        F.col("term").isin(list(query_terms))
+    tf = (
+        term_frequencies(docs, text_col, id_col)
+        .filter(F.col("term").isin(list(query_terms)))
+        .localCheckpoint(eager=False)
     )
     doc_len = docs.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     corpus = doc_len.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )

@@ -96,14 +96,27 @@ def neardup_stream(
     the signatures TWICE per micro-batch (measured 2x wall on the
     100k-row bench feed) — correctness-identical, cost-worse; only for
     feeds with no usable id.
+
+    Keyed-mode pass-through contract: "untouched" holds per DISTINCT
+    pass-through key, which is (id, ts) when ``ts_col`` is given and the
+    bare id otherwise — an unsignable row whose key repeats (the same id
+    re-ingested at the same timestamp, or without ``ts_col`` the same id
+    twice) is suppressed as a replay, where the two-branch form would
+    emit every copy.  The modes are row-identical exactly when the
+    pass-through key is per-row unique.
     """
     signed = with_minhash_sig(docs, text_col, num_hashes, shingle_n)
     if id_col is not None:
         # 's:'/'m:' prefixes keep pass-through keys and signature keys in
         # disjoint namespaces, so a signature can never collide with an id.
+        pass_key = [F.lit("s:"), F.col(id_col).cast("string")]
+        if ts_col is not None:
+            # Fold the arrival timestamp in so re-ingests of the same id
+            # at different times pass through (matching the two-branch
+            # form on any feed with unique (id, ts) rows).
+            pass_key += [F.lit(":"), F.col(ts_col).cast("string")]
         key = F.when(
-            F.col("minhash_sig") == "",
-            F.concat(F.lit("s:"), F.col(id_col).cast("string")),
+            F.col("minhash_sig") == "", F.concat(*pass_key)
         ).otherwise(F.concat(F.lit("m:"), F.col("minhash_sig")))
         keyed = signed.withColumn("__dedup_key", key)
         if docs.isStreaming and ts_col is not None:
