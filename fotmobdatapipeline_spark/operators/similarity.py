@@ -296,6 +296,78 @@ def kmeans_lloyd(
     return spark.createDataFrame(centroids, schema)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then inside each cluster drop every vector that has
+    a SMALLER-id cluster-mate with cosine >= ``tau`` — the third dedup
+    tier (exact -> fuzzy-text -> semantic) of an LLM-corpus pipeline,
+    catching paraphrases and re-renders that share no n-grams.
+
+    Determinism: the keep rule is id-ordered (the paper keeps a
+    cluster-random representative; we keep the lowest id of every
+    near-dup relation), each pairwise cosine is the shared sequential-
+    fold dot (bit-identical across engines), and ``max`` over doubles is
+    order-independent — so the verdict column is exactly replayable.
+    Note the rule is per-PAIR, not transitive: c survives when
+    cos(c, b) < tau even if b was itself dropped via a — documented
+    SemDeDup semantics (each item is compared against all cluster
+    peers, not against survivors only).
+
+    Scale shape: assignment is the broadcast IVF pass (map-side only);
+    candidate pairs meet ONLY inside a cell via a cell-keyed equi-join —
+    never a global cross join — so per-cell pair cost is (N/k)^2 and k
+    must grow with the corpus (SemDeDup used 50k clusters for LAION;
+    size k so cells stay ~10^4).  The per-vector verdict is a map-side-
+    combinable max aggregate; AQE splits skewed cells.
+
+    Output: (vec_id, cell, max_sim_prior, kept) for EVERY input vector —
+    max_sim_prior is the max cosine to any smaller-id cluster-mate
+    (null for the cell's lowest id), kept = max_sim_prior is null or
+    < tau.
+    """
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col, centroid_id_col
+    ).localCheckpoint(eager=False)
+    later = assigned.select(
+        F.col("vid"), F.col("vec"), F.col("nrm"), "cell"
+    )
+    prior = assigned.select(
+        F.col("vid").alias("p_vid"),
+        F.col("vec").alias("p_vec"),
+        F.col("nrm").alias("p_nrm"),
+        "cell",
+    )
+    sims = (
+        later.join(prior, "cell")
+        .filter(F.col("p_vid") < F.col("vid"))
+        .groupBy("vid")
+        .agg(
+            F.max(
+                dot(F.col("vec"), F.col("p_vec")) / (F.col("nrm") * F.col("p_nrm"))
+            ).alias("max_sim_prior")
+        )
+    )
+    return (
+        assigned.join(sims, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "max_sim_prior",
+            (
+                F.col("max_sim_prior").isNull()
+                | (F.col("max_sim_prior") < F.lit(tau))
+            ).alias("kept"),
+        )
+    )
+
+
 def inertia(
     vectors: DataFrame,
     centroids: DataFrame,

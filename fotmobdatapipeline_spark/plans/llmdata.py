@@ -704,7 +704,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str):
 # the text_bpe_train unrolled-SQL oracle).  Dim is read from the data by
 # _sql_dot; only the mean re-assembly hardcodes d=64 (testdata schema).
 # --------------------------------------------------------------------------
-def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+def _kmeans_fin_ctes(k: int = 8, iters: int = 3, d: int = 64) -> list[str]:
+    """The shared unrolled-k-means CTE chain: seeds -> ``iters`` rounds
+    of (assignment, HUGEINT fixed-point mean, centroid update) -> the
+    final n_probes=1 assignment as ``fin(vec_id, v, nrm, cell)``.  Both
+    the IVF top-k and the SemDeDup oracle append their own final select
+    over ``fin``."""
     qs = ", ".join(
         f"SUM(CAST(trunc(v[{j}] * 1000000000.0) AS HUGEINT))" for j in range(1, d + 1)
     )
@@ -741,6 +746,12 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
         "ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY "
         f"{_sql_dot('en.v', 'c.cv')} / (en.nrm * c.cnorm) DESC, c.cell ASC) AS rk "
         f"FROM en CROSS JOIN c{iters} c) WHERE rk = 1)",
+    ]
+    return parts
+
+
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_fin_ctes(k, iters, d) + [
         "SELECT query_id, cell, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM ("
         "SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, "
         f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim, "
@@ -761,6 +772,47 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
     return S.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, centroids, k=5)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster the
+# embedding space, drop every vector with a smaller-id cluster-mate at
+# cosine >= tau — the third dedup tier (exact -> fuzzy-text -> semantic).
+# Value-exact oracle: same unrolled-k-means CTE chain as
+# sim_ivf_kmeans_topk (fixed-point means are bit-reproducible), then a
+# per-vector MAX cosine over smaller-id cluster-mates (max over doubles
+# is order-independent; each cosine is the shared sequential-fold dot).
+# tau is chosen against this synthetic corpus's cosine range (max
+# in-cell pairwise ~0.46) so both verdicts occur.
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.3
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_fin_ctes(k, iters, d)
+    parts[-1] += ","
+    parts += [
+        "p AS (SELECT a.vec_id AS vec_id, "
+        f"MAX({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm)) AS max_sim_prior "
+        "FROM fin a JOIN fin b ON a.cell = b.cell AND b.vec_id < a.vec_id "
+        "GROUP BY a.vec_id)",
+        "SELECT f.vec_id AS vec_id, f.cell AS cell, p.max_sim_prior AS max_sim_prior, "
+        f"(p.max_sim_prior IS NULL OR p.max_sim_prior < CAST({_SEMDEDUP_TAU!r} AS DOUBLE)) AS kept "
+        "FROM fin f LEFT JOIN p ON f.vec_id = p.vec_id",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "kmeans", "semdedup"),
+    doc="SemDeDup: in-cluster cosine>=tau drop with trained k-means cells.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    return S.semantic_dedup(emb, centroids, tau=_SEMDEDUP_TAU)
 
 
 # --------------------------------------------------------------------------

@@ -1133,3 +1133,36 @@ def test_random_projection_is_partitioning_invariant(spark):
     }
     assert base == repart
     assert all(0 <= v[2] < 256 for v in base.values())
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup verdicts: every vector gets exactly one row; each cell's
+    lowest id is always kept with null max_sim_prior; a dropped vector
+    really does have a smaller-id cluster-mate at cosine >= tau; and
+    lowering tau can only drop MORE (kept set is monotone in tau)."""
+    from fotmobdatapipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    cents = kmeans_lloyd(emb, k=4, iterations=2)
+    hi = semantic_dedup(emb, cents, tau=0.35).collect()
+    assert len(hi) == emb.count()
+    by_cell: dict[int, list] = {}
+    for r in hi:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        first = min(rows, key=lambda r: r["vec_id"])
+        assert first["kept"] and first["max_sim_prior"] is None, (cell, first)
+    for r in hi:
+        if not r["kept"]:
+            assert r["max_sim_prior"] is not None and r["max_sim_prior"] >= 0.35
+        elif r["max_sim_prior"] is not None:
+            assert r["max_sim_prior"] < 0.35
+    lo = {r["vec_id"]: r["kept"] for r in semantic_dedup(emb, cents, tau=0.2).collect()}
+    for r in hi:
+        if not r["kept"]:
+            assert not lo[r["vec_id"]], "tau=0.2 must drop everything tau=0.35 drops"
