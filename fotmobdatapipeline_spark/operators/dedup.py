@@ -479,6 +479,83 @@ def sentence_dedup(
     )
 
 
+def sentence_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_sentence: int = 8,
+    num_hashes: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """FUZZY sentence-level dedup: :func:`sentence_dedup` with the exact
+    sentence key replaced by the sentence's MinHash signature
+    (:func:`minhash_signature_cols` — the same portable hash family as
+    the document tier), so near-identical boilerplate that exact line
+    dedup misses (a date, a view counter, one swapped word) collapses to
+    one surviving occurrence.  Signature equality = all ``num_hashes``
+    chunks agree — the rows_per_band=k LSH band: high precision,
+    recall rising as sentence Jaccard -> 1.
+
+    Sub-shingle sentences (< ``shingle_n`` words) have no signature and
+    PASS THROUGH untouched — they carry too little content to
+    fuzzy-match safely.
+
+    Scale shape is sentence_dedup's: the exploded+signed frame is
+    checkpointed once for its three consumers; first-occurrence per
+    signature is the map-side-combinable ``min(struct(doc, pos))``
+    aggregate (no per-signature window — a boilerplate signature in half
+    the corpus collapses map-side); one winner equi-join on the
+    signature; one per-doc rebuild.  Signing is per-row HOF work in the
+    same projection as the explode — no extra pass.
+
+    Output: (doc_id, n_sentences, n_kept, text_neardup), one row per doc
+    that kept at least one sentence.
+    """
+    sig = F.concat_ws(
+        "", *minhash_signature_cols(F.col("sentence"), num_hashes, shingle_n)
+    )
+    signed = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
+                "seg_idx", "sentence"
+            ),
+        )
+        .withColumn("sig", sig)
+        .localCheckpoint(eager=False)
+    )
+    signable = signed.filter(F.col("sig") != "")
+    first = signable.groupBy("sig").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("first_at")
+    )
+    kept = (
+        signable.join(first, "sig")
+        .filter(F.struct(id_col, "seg_idx") == F.col("first_at"))
+        .select(id_col, "seg_idx", "sentence")
+        .unionByName(
+            signed.filter(F.col("sig") == "").select(id_col, "seg_idx", "sentence")
+        )
+    )
+    counts = signed.groupBy(id_col).agg(
+        (F.max("seg_idx") + F.lit(1)).cast("int").alias("n_sentences")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("text_neardup"),
+        )
+        .join(counts, id_col)
+        .select(id_col, "n_sentences", "n_kept", "text_neardup")
+    )
+
+
 def connected_dup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",

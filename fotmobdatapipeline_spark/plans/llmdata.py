@@ -2823,6 +2823,65 @@ def text_sentence_dedup(spark: SparkSession, sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# FUZZY sentence dedup: sentence_dedup keyed on the sentence's MinHash
+# signature (4 chunks of salt-0 md5 over 2-gram shingles) instead of the
+# exact string, so near-identical boilerplate collapses.  Sub-shingle
+# sentences have no signature ('' key) and pass through.  DuckDB replays
+# the signature exactly (concat() treats the all-NULL chunk list of an
+# empty shingle set as '', matching Spark's concat_ws).
+# --------------------------------------------------------------------------
+_SNEAR_CHUNKS = ", ".join(
+    f"list_aggregate(list_transform(sh2, s -> substr(md5('{j // 4}:' || s), {(j % 4) * 8 + 1}, 8)), 'min')"
+    for j in range(4)
+)
+
+
+@register(
+    "text_sentence_neardup",
+    oracle=f"""
+    WITH segd AS (
+      SELECT doc_id, p.seg_idx AS seg_idx, p.sentence AS sentence FROM (
+        SELECT doc_id, UNNEST({_SQL_SENT_SEGS}) AS p FROM documents
+      )
+    ),
+    sg AS (
+      SELECT doc_id, seg_idx, sentence,
+             list_distinct(list_transform(range(1, len(st)),
+                                          i -> st[i] || ' ' || st[i + 1])) AS sh2
+      FROM (SELECT *, string_split(sentence, ' ') AS st FROM segd)
+    ),
+    sig AS (
+      SELECT doc_id, seg_idx, sentence, concat({_SNEAR_CHUNKS}) AS sig FROM sg
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, sentence FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sig ORDER BY doc_id, seg_idx) AS rk
+        FROM sig WHERE sig <> ''
+      ) WHERE rk = 1
+      UNION ALL
+      SELECT doc_id, seg_idx, sentence FROM sig WHERE sig = ''
+    ),
+    totals AS (
+      SELECT doc_id, CAST(MAX(seg_idx) + 1 AS INT) AS n_sentences
+      FROM segd GROUP BY doc_id
+    )
+    SELECT k.doc_id AS doc_id, t.n_sentences AS n_sentences,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           string_agg(k.sentence, ' ' ORDER BY k.seg_idx) AS text_neardup
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_sentences
+    """,
+    tags=("dedup", "text", "minhash", "llmdata"),
+    doc="Fuzzy (MinHash-keyed) sentence dedup with doc reconstruction.",
+)
+def text_sentence_neardup(spark: SparkSession, sf_dir: str):
+    return D.sentence_neardup(
+        read_table(spark, sf_dir, "documents"), words_per_sentence=_SENT_W
+    )
+
+
 _BPE_TRAIN_ROUNDS = 6
 
 

@@ -68,6 +68,56 @@ def sentence_dedup_stream(
     return exploded.dropDuplicates(["sentence"])
 
 
+def sentence_neardup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    words_per_sentence: int = 8,
+    num_hashes: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Streaming twin of the FUZZY sentence dedup's filter stage
+    (operators/dedup.py::sentence_neardup): explode each arriving doc
+    into sentences, key dedup state on the per-sentence MinHash
+    signature (same hash family/params as the batch op), emit only the
+    first-SEEN occurrence per signature.  Sub-shingle sentences are
+    unsignable and pass through on a per-(doc, position) key — same
+    single-subtree pattern as ``neardup_stream(id_col=...)``.  Which
+    occurrence survives is arrival-order dependent (batch uses the
+    (doc, position) total order); the distinct-SIGNATURE set is the
+    contract the test pins.
+
+    Output: (doc_id, seg_idx, sentence[, ts]) rows that survived.
+    """
+    cols = [F.col(id_col)] + ([F.col(ts_col)] if ts_col else [])
+    exploded = docs.select(
+        *cols,
+        F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
+            "seg_idx", "sentence"
+        ),
+    )
+    sig = F.concat_ws(
+        "", *minhash_signature_cols(F.col("sentence"), num_hashes, shingle_n)
+    )
+    # 's:'/'m:' namespaces as in neardup_stream: a signature can never
+    # collide with a pass-through key.  (doc, seg_idx) is per-row unique
+    # by construction, so unsignable sentences always pass through.
+    key = F.when(
+        sig == "",
+        F.concat_ws(":", F.lit("s"), F.col(id_col).cast("string"), F.col("seg_idx")),
+    ).otherwise(F.concat(F.lit("m:"), sig))
+    keyed = exploded.withColumn("__dedup_key", key)
+    if docs.isStreaming and ts_col is not None:
+        deduped = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__dedup_key"]
+        )
+    else:
+        deduped = keyed.dropDuplicates(["__dedup_key"])
+    return deduped.drop("__dedup_key")
+
+
 def neardup_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -147,3 +147,53 @@ def test_perrow_signature_matches_batch_minhash(spark):
     )
     batch = minhash_signatures(docs)
     assert sorted(per_row.collect()) == sorted(batch.collect())
+
+
+def test_sentence_neardup_stream_equals_batch_set(spark, tmp_path):
+    """Streaming FUZZY sentence dedup == batch-mode on the distinct
+    surviving-SIGNATURE set (which occurrence survives is arrival-
+    dependent), with the re-crawl split across micro-batches so state
+    carries; unsignable (sub-shingle) sentences all pass through."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import minhash_signature_cols
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.documents import sentence_neardup_stream
+    from tests.conftest import SF_SMALL
+
+    feed_dir = str(tmp_path / "feed")
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    feed = docs.unionByName(recrawl).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600)
+    )
+    feed.repartition(6).write.mode("overwrite").parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed_dir)
+    )
+    q = (
+        sentence_neardup_stream(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sent_neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    def sig_multiset(df):
+        sig = F.concat_ws("", *minhash_signature_cols(F.col("sentence"), 4, 2))
+        return sorted(r["s"] for r in df.select(sig.alias("s")).collect())
+
+    got = spark.sql("SELECT sentence FROM sent_neardup_out")
+    want = sentence_neardup_stream(spark.read.parquet(feed_dir))
+    # Signable: same SET of surviving signatures, exactly once each.
+    # Unsignable (''): every occurrence passes through in both modes.
+    assert sig_multiset(got) == sig_multiset(want)
+    n_signable = sum(1 for s in sig_multiset(got) if s != "")
+    assert n_signable > 0

@@ -419,3 +419,13 @@ def test_winnowing_df_cap_has_no_hot_key_window(spark):
     plan = _plan(_df_capped_fps(fps, 50))
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_sentence_neardup_scans_corpus_once(spark):
+    """Same one-corpus-scan contract as exact sentence dedup: the
+    signed exploded frame is checkpointed for its three consumers."""
+    df = _q("text_sentence_neardup")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "ExistingRDD" in plan, plan
