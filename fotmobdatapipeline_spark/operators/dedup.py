@@ -479,6 +479,58 @@ def sentence_dedup(
     )
 
 
+def intradoc_sentence_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_sentence: int = 8,
+) -> DataFrame:
+    """INTRA-document sentence dedup: drop repeated sentences WITHIN each
+    document, keeping the first occurrence — the degenerate-repetition
+    cleaner (a page that repeats its own boilerplate paragraph 40×)
+    that complements the corpus-wide tier (:func:`sentence_dedup`
+    dedups ACROSS documents; this never looks outside one doc, so a
+    sentence legitimately shared by two docs survives in both).
+
+    Scale shape: first-occurrence per (doc, sentence) is a map-side-
+    combinable ``min(seg_idx)`` aggregate, and every shuffle key carries
+    the doc id — no corpus-wide hot key can exist (the worst group is
+    one document's copies of one sentence).  The exploded frame is
+    checkpointed once for its three consumers (one corpus scan, same
+    contract as sentence_dedup).
+
+    Output: (doc_id, n_sentences, n_kept, text_intradoc), one row per
+    input document (every doc keeps >= 1 sentence).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(sentence_segments(text_col, words_per_sentence)).alias(
+            "seg_idx", "sentence"
+        ),
+    ).localCheckpoint(eager=False)
+    first = exploded.groupBy(id_col, "sentence").agg(
+        F.min("seg_idx").alias("seg_idx")
+    )
+    counts = exploded.groupBy(id_col).agg(
+        (F.max("seg_idx") + F.lit(1)).cast("int").alias("n_sentences")
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("text_intradoc"),
+        )
+        .join(counts, id_col)
+        .select(id_col, "n_sentences", "n_kept", "text_intradoc")
+    )
+
+
 def sentence_neardup(
     df: DataFrame,
     text_col: str = "text",

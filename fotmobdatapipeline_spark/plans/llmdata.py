@@ -2824,6 +2824,42 @@ def text_sentence_dedup(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# INTRA-document sentence dedup: repeated sentences dropped within each
+# doc only (first occurrence kept); cross-doc sharing untouched.  Every
+# shuffle key carries the doc id — no corpus-wide hot key exists.
+# --------------------------------------------------------------------------
+@register(
+    "text_intradoc_dedup",
+    oracle=f"""
+    WITH segd AS (
+      SELECT doc_id, p.seg_idx AS seg_idx, p.sentence AS sentence FROM (
+        SELECT doc_id, UNNEST({_SQL_SENT_SEGS}) AS p FROM documents
+      )
+    ),
+    kept AS (
+      SELECT doc_id, MIN(seg_idx) AS seg_idx, sentence
+      FROM segd GROUP BY doc_id, sentence
+    ),
+    totals AS (
+      SELECT doc_id, CAST(MAX(seg_idx) + 1 AS INT) AS n_sentences
+      FROM segd GROUP BY doc_id
+    )
+    SELECT k.doc_id AS doc_id, t.n_sentences AS n_sentences,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           string_agg(k.sentence, ' ' ORDER BY k.seg_idx) AS text_intradoc
+    FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_sentences
+    """,
+    tags=("dedup", "text", "llmdata"),
+    doc="Within-document repeated-sentence removal (first occurrence kept).",
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str):
+    return D.intradoc_sentence_dedup(
+        read_table(spark, sf_dir, "documents"), words_per_sentence=_SENT_W
+    )
+
+
+# --------------------------------------------------------------------------
 # FUZZY sentence dedup: sentence_dedup keyed on the sentence's MinHash
 # signature (4 chunks of salt-0 md5 over 2-gram shingles) instead of the
 # exact string, so near-identical boilerplate collapses.  Sub-shingle

@@ -1166,3 +1166,24 @@ def test_semantic_dedup_invariants(spark):
     for r in hi:
         if not r["kept"]:
             assert not lo[r["vec_id"]], "tau=0.2 must drop everything tau=0.35 drops"
+
+
+def test_intradoc_dedup_hand_computed(spark):
+    """A doc repeating its own sentence loses the later copies; a
+    sentence shared ACROSS docs survives in both (unlike the corpus-wide
+    tier); every input doc yields exactly one output row."""
+    from fotmobdatapipeline_spark.operators.dedup import intradoc_sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d e f g h"),  # w=2: 'a b','c d','a b','c d','e f','g h'
+            (2, "a b x y"),                  # 'a b' shared with doc 1 — must survive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in intradoc_sentence_dedup(docs, words_per_sentence=2).collect()}
+    assert len(out) == 2
+    assert out[1]["n_sentences"] == 6 and out[1]["n_kept"] == 4
+    assert out[1]["text_intradoc"] == "a b c d e f g h"
+    assert out[2]["n_sentences"] == 2 and out[2]["n_kept"] == 2
+    assert out[2]["text_intradoc"] == "a b x y"
