@@ -156,6 +156,102 @@ def kmv_join_overlap(
     )
 
 
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(key: Column, m_bits: int, n_hashes: int, salt: str) -> list[Column]:
+    """Bit positions for ``key``: 32-bit chunk j of md5('<salt>:<key>')
+    mod m — the same one-md5-many-chunks family as minhash (chunks are
+    independent; n_hashes <= 4 per md5)."""
+    if n_hashes > 4:
+        raise ValueError("n_hashes > 4 needs extra salts; 3 is the standard choice")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return [
+        F.conv(F.substring(h, j * 8 + 1, 8), 16, 10).cast("bigint") % m_bits
+        for j in range(n_hashes)
+    ]
+
+
+def bloom_filter_table(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter AS a DataFrame: (word_idx, bits) rows — 32-bit words
+    in a BIGINT, OR-ed together — the membership primitive behind
+    pre-join pruning and fast decontamination probes ("might this key be
+    in the 100 TB corpus?" without touching it).
+
+    Same doctrine as the CMS: Spark's own ``bloom_filter_agg`` returns an
+    opaque engine binary; this keeps the filter queryable, mergeable
+    (bit_or of two filters' words = filter of the union — the aggregate
+    is map-side combinable, so the shuffle is bounded by m/32 rows per
+    task regardless of input size), and bit-reproducible in ANSI SQL.
+    Classic guarantee: no false negatives; false-positive rate
+    ~ (1 - e^(-kn/m))^k.
+
+    Output: one row per word that has at least one bit set (absent word
+    = 0 bits; probes coalesce)."""
+    pos = df.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, n_hashes, salt))
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 32).cast("int").alias("word_idx"),
+            # shiftleft's Python wrapper only takes an int literal, so the
+            # column-shift goes through the SQL expression form.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe the filter for every distinct probe key: maybe_member = all
+    ``n_hashes`` bits set.  The filter is m/32 rows — always broadcast;
+    cost is O(probes), never a pass over the sketched data.  Guarantees:
+    a key that was inserted ALWAYS probes true; a true verdict may be a
+    false positive (rate set by m, k, n).
+
+    Output: (key_col, maybe_member)."""
+    p = probes.select(F.col(key_col)).distinct()
+    hits = p.select(
+        key_col,
+        F.posexplode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, n_hashes, salt))
+        ).alias("j", "p"),
+    ).select(
+        key_col,
+        (F.col("p") / 32).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+    joined = hits.join(F.broadcast(bloom), "word_idx", "left")
+    bit_set = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(bit_set.cast("int")).cast("boolean").alias("maybe_member")
+    )
+
+
 def cms_estimate(
     cms: DataFrame,
     probes: DataFrame,

@@ -2195,6 +2195,104 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Bloom filter as a DataFrame (operators/sketches.py): (word_idx, bits)
+# 32-bit words in BIGINTs, bit_or-combined map-side — the membership
+# primitive behind pre-join pruning and O(1) decontamination probes.
+# Unlike Spark's bloom_filter_agg (opaque engine binary) the filter is
+# queryable, mergeable, and bit-reproducible in ANSI SQL.  Probe entry
+# pins the no-false-negative guarantee as data (10 member + 10 absent
+# probe keys).
+# --------------------------------------------------------------------------
+_BLOOM_M = 8192  # ~3 bits/key at sf0.01's 446 distinct texts -> FP ~0.3%
+
+
+def _sql_bloom_pos(key_expr: str, j: int) -> str:
+    """DuckDB twin of sketches._bloom_positions hash j: 32-bit chunk j
+    of md5('bloom:' || key) mod m."""
+    chunk = f"substr(md5('bloom:' || {key_expr}), {j * 8 + 1}, 8)"
+    return f"({_sql_hex32(chunk)}) % {_BLOOM_M}"
+
+
+_BLOOM_POS_UNION = "\n      UNION ALL ".join(
+    f"SELECT {_sql_bloom_pos('k', j)} AS p FROM keys" for j in range(3)
+)
+_BLOOM_BUILD = f"""keys AS (SELECT DISTINCT text AS k FROM documents),
+    pos AS (
+      {_BLOOM_POS_UNION}
+    ),
+    bf AS (
+      SELECT CAST(p // 32 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    )"""
+
+
+@register(
+    "sketch_bloom_filter",
+    oracle=f"""
+    WITH {_BLOOM_BUILD}
+    SELECT word_idx, bits FROM bf
+    """,
+    tags=("sketch", "bloom", "dedup"),
+    doc="Bloom filter build over distinct document texts, as (word_idx, bits) words.",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import bloom_filter_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bloom_filter_table(
+        docs.select(F.col("text").alias("k")).distinct(), "k", m_bits=_BLOOM_M
+    )
+
+
+_BLOOM_PROBES = (
+    "probes AS (SELECT text AS k FROM documents WHERE doc_id < 10 "
+    "UNION ALL SELECT 'absent-probe-' || CAST(range AS VARCHAR) FROM range(10))"
+)
+_BLOOM_PROBE_POS = "\n      UNION ALL ".join(
+    f"SELECT k, {_sql_bloom_pos('k', j)} AS p FROM probes" for j in range(3)
+)
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH {_BLOOM_BUILD},
+    {_BLOOM_PROBES},
+    pp AS (
+      {_BLOOM_PROBE_POS}
+    ),
+    hits AS (
+      SELECT k, CAST(p // 32 AS INT) AS word_idx,
+             CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+      FROM pp
+    )
+    SELECT k, CAST(MIN(CASE WHEN (COALESCE(bf.bits, 0) & hits.mask) = hits.mask
+                            THEN 1 ELSE 0 END) AS BOOLEAN) AS maybe_member
+    FROM hits LEFT JOIN bf ON hits.word_idx = bf.word_idx
+    GROUP BY k
+    """,
+    tags=("sketch", "bloom", "dedup"),
+    doc="Bloom membership probes: members always true, absent keys (almost) always false.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bf = bloom_filter_table(
+        docs.select(F.col("text").alias("k")).distinct(), "k", m_bits=_BLOOM_M
+    )
+    members = docs.filter(F.col("doc_id") < 10).select(F.col("text").alias("k"))
+    absent = spark.range(10).select(
+        F.concat(F.lit("absent-probe-"), F.col("id").cast("string")).alias("k")
+    )
+    return bloom_probe(bf, members.unionByName(absent), "k", m_bits=_BLOOM_M)
+
+
+# --------------------------------------------------------------------------
 # Bigram language-model counts: P(w2 | w1) for the corpus's top bigrams
 # — the n-gram LM training primitive (and the conditional-surprise
 # signal quality filters build on).  Exact integer counts from one

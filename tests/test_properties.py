@@ -1187,3 +1187,36 @@ def test_intradoc_dedup_hand_computed(spark):
     assert out[1]["text_intradoc"] == "a b c d e f g h"
     assert out[2]["n_sentences"] == 2 and out[2]["n_kept"] == 2
     assert out[2]["text_intradoc"] == "a b x y"
+
+
+def test_bloom_filter_no_false_negatives_and_mergeable(spark):
+    """Every inserted key must probe true (the Bloom guarantee), and the
+    bit_or-merge of two halves' filters must equal the filter of the
+    union (mergeability — per-shard filters compose without rescanning)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.col("text").alias("k")
+    )
+    bf = bloom_filter_table(docs, "k")
+    probed = bloom_probe(bf, docs, "k").collect()
+    assert probed and all(r["maybe_member"] for r in probed)
+
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        bloom_filter_table(lo, "k")
+        .unionByName(bloom_filter_table(hi, "k"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, bf.collect())
+    )
