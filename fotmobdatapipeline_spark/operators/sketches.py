@@ -156,6 +156,86 @@ def kmv_join_overlap(
     )
 
 
+HLL_M = 64
+HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007 constant for m=64
+
+
+def _rho_trailing(w: Column, w_bits: int) -> Column:
+    """Portable geometric rank: trailing zeros + 1 of ``w`` (0 < w <
+    2^w_bits), ``w_bits + 1`` for w = 0.  P(rho = k) = 2^-k, the same
+    distribution as the HLL paper's leading-zero rank, computed with
+    pure integer modulus (log2/bit-scan builtins aren't bit-portable
+    across engines; a 27-way CASE chain is)."""
+    expr = F.when(w == 0, F.lit(w_bits + 1))
+    for k in range(1, w_bits + 1):
+        expr = expr.when(w % (2**k) == 2 ** (k - 1), F.lit(k))
+    return expr
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, m: int = HLL_M, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table: (reg_idx, max_rho) — max over keys of
+    the geometric rank of the key's hash suffix, register chosen by the
+    hash's low bits.  Kept as a DataFrame (m rows) for the same reasons
+    as the CMS/KMV/Bloom family: Spark's approx_count_distinct hides an
+    engine-specific HLL binary; this one is queryable, MERGEABLE
+    (per-register max of two tables = table of the union — max is
+    map-side combinable, so the shuffle is bounded by m rows per task),
+    and bit-reproducible in ANSI SQL.
+
+    Registers no key touched are ABSENT (estimators coalesce rho=0)."""
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    w_bits = 32 - m.bit_length() + 1
+    h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))))
+    idx = (h % m).cast("int")
+    w = F.floor(h / m).cast("bigint")
+    return (
+        df.select(idx.alias("reg_idx"), _rho_trailing(w, w_bits).alias("rho"))
+        .groupBy("reg_idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, m: int = HLL_M, alpha: float = HLL_ALPHA_64
+) -> DataFrame:
+    """Raw HLL estimate: alpha_m * m^2 / sum_j 2^(-M_j), with absent
+    registers contributing 2^0 = 1 each.  Every term is an exact power
+    of two (1.0 / (1::BIGINT << rho) — exact FP division, no pow()),
+    summed over touched registers in FIXED reg_idx order via a
+    sequential fold, then the absent-register mass added as one exact
+    product; with rho <= 27 and m = 64 the sum's exponent spread stays
+    under 53 bits, so it never rounds and the estimate is bit-identical
+    across engines.  Deliberately NO small/large-range correction: the
+    correction needs ln (not bit-portable); the KMV sketch covers the
+    small range exactly.
+
+    Output (one row): n_touched, sum_inv, est_distinct."""
+    inv = F.lit(1.0) / F.expr(
+        "shiftleft(CAST(1 AS BIGINT), max_rho)"
+    ).cast("double")
+    per_reg = registers.select("reg_idx", inv.alias("inv"))
+    folded = per_reg.agg(
+        F.count("*").alias("n_touched"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg_idx", "inv"))),
+                lambda s: s["inv"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sum_touched"),
+    )
+    sum_inv = F.col("sum_touched") + (F.lit(m) - F.col("n_touched")).cast("double")
+    return folded.select(
+        "n_touched",
+        sum_inv.alias("sum_inv"),
+        (F.lit(alpha * m * m) / sum_inv).alias("est_distinct"),
+    )
+
+
 BLOOM_BITS = 1024
 BLOOM_HASHES = 3
 

@@ -2195,6 +2195,68 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog registers as a DataFrame (operators/sketches.py): the
+# third distinct-sketch (KMV = exact small range, HLL = constant-space
+# large range, exact COUNT(DISTINCT) = the oracle-grade truth).  The
+# rank is trailing-zeros+1 (same geometric law as the paper's
+# leading-zero rank) computed by an integer CASE chain — log2/bit-scan
+# builtins aren't bit-portable; integer modulus is.  Every 2^-rho term
+# is an exact power of two and the 64-term fixed-order fold never
+# rounds, so even the DOUBLE estimate is hash-exact cross-engine.
+# --------------------------------------------------------------------------
+_HLL_ALPHA_M2 = repr(0.709 * 64 * 64)
+_HLL_RHO_CASE = "CASE WHEN w = 0 THEN 27 " + " ".join(
+    f"WHEN w % {2 ** k} = {2 ** (k - 1)} THEN {k}" for k in range(1, 27)
+) + " END"
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wd AS (SELECT DISTINCT UNNEST(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS k FROM tok),
+    h AS (SELECT {_sql_hex32("substr(md5('hll:' || k), 1, 8)")} AS h FROM wd),
+    rw AS (SELECT CAST(h % 64 AS INT) AS reg_idx, h // 64 AS w FROM h),
+    regs AS (SELECT reg_idx, MAX({_HLL_RHO_CASE}) AS max_rho FROM rw GROUP BY reg_idx),
+    f AS (
+      SELECT COUNT(*) AS n_touched,
+             list_reduce(
+               list_transform(list(max_rho ORDER BY reg_idx),
+                              r -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)),
+               (p, q) -> p + q) AS sum_touched
+      FROM regs
+    ),
+    ex AS (SELECT COUNT(*) AS exact_distinct FROM wd)
+    SELECT n_touched,
+           sum_touched + CAST(64 - n_touched AS DOUBLE) AS sum_inv,
+           CAST({_HLL_ALPHA_M2} AS DOUBLE)
+             / (sum_touched + CAST(64 - n_touched AS DOUBLE)) AS est_distinct,
+           exact_distinct
+    FROM f, ex
+    """,
+    tags=("sketch", "distinct", "hll", "text"),
+    doc="HyperLogLog distinct estimate over 3-gram shingles, exact twin alongside.",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # 3-gram shingles: a universe big enough (10^3-10^4) for the raw
+    # estimator's ~1.04/sqrt(m) regime; the word vocab (~30) is KMV's
+    # exact-small-range territory.
+    sh = docs.select(
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("w")
+    )
+    est = hll_estimate(hll_registers(sh, "w"))
+    exact = sh.agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
 # Bloom filter as a DataFrame (operators/sketches.py): (word_idx, bits)
 # 32-bit words in BIGINTs, bit_or-combined map-side — the membership
 # primitive behind pre-join pruning and O(1) decontamination probes.

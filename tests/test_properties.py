@@ -1220,3 +1220,33 @@ def test_bloom_filter_no_false_negatives_and_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, bf.collect())
     )
+
+
+def test_hll_registers_mergeable_and_estimate_sane(spark):
+    """Per-register max of two halves' register tables == table of the
+    union (mergeability); the raw estimate lands within the ~3 sigma
+    band (sigma ~ 1.04/sqrt(64) = 13%) of the exact distinct count on a
+    universe large enough for the raw regime."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import word_shingles
+    from fotmobdatapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("w"))
+    full = hll_registers(sh, "w")
+    lo = hll_registers(sh.filter(F.col("doc_id") % 2 == 0), "w")
+    hi = hll_registers(sh.filter(F.col("doc_id") % 2 == 1), "w")
+    merged = (
+        lo.unionByName(hi).groupBy("reg_idx").agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    est = hll_estimate(full).collect()[0]["est_distinct"]
+    exact = sh.select("w").distinct().count()
+    assert abs(est - exact) / exact < 0.40, (est, exact)
