@@ -392,6 +392,76 @@ def inertia(
     return scored.agg(F.sum("d")).first()[0]
 
 
+def power_iteration_top_component(
+    vectors: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) Gram operator by
+    power iteration — the PCA primitive behind embedding whitening,
+    drift monitoring, and spectral outlier scoring.  v_{t+1} =
+    normalize(X^T X v_t), computed WITHOUT materializing the d x d Gram
+    matrix: each row contributes (x_i . v) * x_i, so a round is one
+    broadcast-v map pass + one d-row aggregate (the kmeans_lloyd shape —
+    data never leaves executors, only the d-vector moves).
+
+    Determinism (the k-means fixed-point technique, similarity.py:212):
+    per-row scalars are sequential-fold dots; each per-dimension
+    contribution is truncated to an integer at scale 1e9 and summed
+    EXACTLY in DECIMAL(38,0) (order-insensitive across partitionings);
+    the only FP steps are one int->double conversion + division per
+    dimension and the driver-side normalization (fixed-order fold,
+    sqrt/div correctly rounded IEEE) — so the trained component is
+    bit-reproducible and the DuckDB oracle replays it as unrolled SQL.
+    Start vector: the min-id embedding, normalized (no RNG).
+
+    Output: (dim, loading, eigenvalue) — the unit top component and
+    ||X^T X v|| from the final round (the Rayleigh-quotient eigenvalue
+    estimate for a unit v).
+    """
+    spark = vectors.sparkSession
+    seed = (
+        vectors.orderBy(id_col).limit(1).select(vec_col).collect()[0][vec_col]
+    )
+    v = [float(x) for x in seed]
+
+    import math
+
+    def _normalize(u: list[float]) -> tuple[list[float], float]:
+        acc = 0.0
+        for x in u:  # fixed left-to-right fold, replayed by _sql_dot
+            acc += x * x
+        nrm = math.sqrt(acc)  # correctly-rounded IEEE, same as SQL sqrt()
+        return [x / nrm for x in u], nrm
+
+    v, _ = _normalize(v)
+    lam = 0.0
+    d = len(v)
+    for _ in range(iterations):
+        varr = F.array(*[F.lit(x) for x in v])
+        s = dot(F.col(vec_col), varr)
+        sums = (
+            vectors.select(s.alias("s"), F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (F.col("s") * F.col("val").cast("double") * F.lit(1.0e9))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).alias("qs")
+            )
+            .collect()
+        )
+        u = [0.0] * d
+        for row in sums:
+            u[row["dim"]] = int(row["qs"]) / 1.0e9
+        v, lam = _normalize(u)
+    return spark.createDataFrame(
+        [(j, v[j], lam) for j in range(d)], "dim int, loading double, eigenvalue double"
+    )
+
+
 def quantized_dedup_groups(
     vectors: DataFrame,
     scale: int = 10,

@@ -775,6 +775,55 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Power-iteration top principal component (similarity.py): v <-
+# normalize(X^T X v), the Gram matrix never materialized — each round is
+# a broadcast-v map pass + a d-row fixed-point aggregate (the
+# kmeans_lloyd determinism technique), so the trained component replays
+# as unrolled SQL exactly like the k-means oracle.
+# --------------------------------------------------------------------------
+def _power_iter_oracle(iters: int = 3, d: int = 64) -> str:
+    qs = ", ".join(
+        f"SUM(CAST(trunc(({_sql_dot('en.v', 'p.vv')} * en.v[{j}]) * 1000000000.0) "
+        "AS HUGEINT))"
+        for j in range(1, d + 1)
+    )
+    parts = [
+        "WITH en AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        "s0 AS (SELECT v FROM en ORDER BY vec_id LIMIT 1),",
+        f"v0 AS (SELECT list_transform(v, x -> x / sqrt({_sql_dot('v', 'v')})) "
+        "AS vv FROM s0),",
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            f"m{t} AS (SELECT [{qs}] AS qs FROM en CROSS JOIN v{t - 1} p),",
+            f"u{t} AS (SELECT list_transform(range(1, {d + 1}), "
+            "j -> CAST(m.qs[j] AS DOUBLE) / 1000000000.0) AS u "
+            f"FROM m{t} m),",
+            f"v{t} AS (SELECT list_transform(u, x -> x / sqrt({_sql_dot('u', 'u')})) "
+            f"AS vv, sqrt({_sql_dot('u', 'u')}) AS lam FROM u{t}),",
+        ]
+    parts += [
+        f"dims AS (SELECT UNNEST(range(1, {d + 1})) AS j)",
+        f"SELECT CAST(j - 1 AS INT) AS dim, vv[j] AS loading, lam AS eigenvalue "
+        f"FROM v{iters}, dims",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "embedding_top_component",
+    oracle=_power_iter_oracle(),
+    tags=("similarity", "pca", "iterative"),
+    doc="Top principal direction by 3-round power iteration (fixed-point replay).",
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str):
+    return S.power_iteration_top_component(
+        read_table(spark, sf_dir, "embeddings"), iterations=3
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster the
 # embedding space, drop every vector with a smaller-id cluster-mate at
 # cosine >= tau — the third dedup tier (exact -> fuzzy-text -> semantic).

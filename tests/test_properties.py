@@ -1250,3 +1250,28 @@ def test_hll_registers_mergeable_and_estimate_sane(spark):
     est = hll_estimate(full).collect()[0]["est_distinct"]
     exact = sh.select("w").distinct().count()
     assert abs(est - exact) / exact < 0.40, (est, exact)
+
+
+def test_power_iteration_component_invariants(spark):
+    """The returned component is unit-norm; the eigenvalue estimate is
+    positive and non-decreasing in iteration count (power iteration
+    monotonically improves the Rayleigh quotient, modulo the <1e-9
+    fixed-point quantization); determinism: two runs are identical."""
+    import math
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    r1 = power_iteration_top_component(emb, iterations=1).collect()
+    r3 = power_iteration_top_component(emb, iterations=3).collect()
+    r3b = power_iteration_top_component(emb, iterations=3).collect()
+    assert sorted(map(tuple, r3)) == sorted(map(tuple, r3b))
+    nrm = math.sqrt(sum(r["loading"] ** 2 for r in r3))
+    assert abs(nrm - 1.0) < 1e-9
+    lam1 = r1[0]["eigenvalue"]
+    lam3 = r3[0]["eigenvalue"]
+    assert lam1 > 0 and lam3 >= lam1 - 1e-6, (lam1, lam3)
