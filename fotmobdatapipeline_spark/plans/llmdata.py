@@ -775,6 +775,152 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Per-document LM plausibility under the corpus bigram model: the mean
+# conditional probability of a doc's bigrams — the quality-filter
+# signal a perplexity score gives, WITHOUT logs (ln isn't bit-portable;
+# the arithmetic mean of exact-ratio probabilities is).  The exploded
+# pair table feeds three consumers (both LM marginals and the per-doc
+# score join) and is checkpointed: one corpus scan.  Per-doc summation
+# folds in POSITION order over the doc's own array — never a
+# shuffle-ordered double aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "text_bigram_surprise",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+                      i -> {'pos': i, 'w1': t[i], 'w2': t[i+1]})) AS b
+        FROM tok
+      )
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS pc FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS lc FROM pairs GROUP BY w1),
+    sp AS (
+      SELECT p.doc_id, p.pos, CAST(c12.pc AS DOUBLE) / c1.lc AS pr
+      FROM pairs p
+      JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+      JOIN c1 ON p.w1 = c1.w1
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             list_reduce(list(pr ORDER BY pos), (a, b) -> a + b) AS s
+      FROM sp GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+           s / n_bigrams AS avg_cond_prob
+    FROM agg
+    """,
+    tags=("text", "ngram", "lm", "quality", "llmdata"),
+    doc="Mean bigram conditional probability per doc (ln-free LM plausibility).",
+)
+def text_bigram_surprise(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    pairs = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w1", "w2")
+        .localCheckpoint(eager=False)
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("lc"))
+    # LM tables are vocab- / vocab^2-cardinality: joined hint-free so
+    # AQE broadcasts them when small and shuffles when a real corpus's
+    # vocabulary isn't.
+    sp = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("pc").cast("double") / F.col("lc")).alias("pr"),
+        )
+    )
+    agg = sp.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "pr"))),
+                lambda s: s["pr"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("s") / F.col("n_bigrams")).alias("avg_cond_prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced (diversity-aware) sampling: up to n_per_cell vectors
+# from every trained k-means cell, most-central first — the standard
+# counter to head-heavy corpora (a uniform sample over-draws the dense
+# clusters; per-cell quotas guarantee tail coverage).  Ordering is
+# (cosine to own centroid DESC, vec_id ASC): deterministic, and the
+# per-cell window is cell-partitioned — never global.
+# --------------------------------------------------------------------------
+_CB_N_PER_CELL = 20
+
+
+def _cluster_balanced_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_fin_ctes(k, iters, d)
+    parts[-1] += ","
+    parts += [
+        f"cc AS (SELECT cell, cv, cnorm FROM c{iters}),",
+        "scored AS (SELECT f.vec_id, f.cell, "
+        f"{_sql_dot('f.v', 'cc.cv')} / (f.nrm * cc.cnorm) AS centrality "
+        "FROM fin f JOIN cc ON f.cell = cc.cell)",
+        "SELECT vec_id, cell, centrality, CAST(rk AS INT) AS rk FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY cell "
+        "ORDER BY centrality DESC, vec_id ASC) AS rk FROM scored) "
+        f"WHERE rk <= {_CB_N_PER_CELL}",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=_cluster_balanced_oracle(),
+    tags=("sampling", "similarity", "kmeans", "diversity"),
+    doc="Per-cell quota sampling over trained k-means cells, most-central first.",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    assigned = S.ivf_assign(emb, centroids)
+    c = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("embedding").alias("c_vec"),
+        S.l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = assigned.join(F.broadcast(c), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        (
+            S.dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
+        ).alias("centrality"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CB_N_PER_CELL)
+        .select("vec_id", "cell", "centrality", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Power-iteration top principal component (similarity.py): v <-
 # normalize(X^T X v), the Gram matrix never materialized — each round is
 # a broadcast-v map pass + a d-row fixed-point aggregate (the
