@@ -1762,6 +1762,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Multimodal resize: 1-in-1-out Arrow-batched payload transform with the
+# deterministic stand-in scaler (truncate/zero-pad to width*height —
+# shape-correct byte math, so the WHOLE resized payload is verifiable
+# as hex against SQL: truncation AND padding paths both occur at 16x8
+# on this corpus, byte lengths 48..553).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id, 128 AS n_bytes, 16 AS width, 8 AS height,
+           substr(hx, 1, 256) || repeat('00', greatest(0, 128 - n))
+             AS payload_hex
+    FROM b
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+    doc="Arrow-batched media resize (stub scaler), full payload hex-verified.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, width=16, height=8)
+    return resized.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal frame sampling: 1 video row -> N frame rows inside the Arrow
 # batch (no join/shuffle).  Splitter is the deterministic demuxer stub;
 # per-frame byte counts are SQL-reproducible, so this one has an oracle.
