@@ -58,6 +58,11 @@ HEADLINE = [
     "text_sentence_dedup",
     "dedup_winnowing_pairs",
     "text_bm25_topk",
+    # round-5 additions
+    "text_sentence_neardup",
+    "dedup_semantic_clusters",
+    "text_intradoc_dedup",
+    "embedding_top_component",
 ]
 
 

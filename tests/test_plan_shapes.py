@@ -429,3 +429,13 @@ def test_sentence_neardup_scans_corpus_once(spark):
     assert "Scan parquet" not in plan, plan
     assert "Generate" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_semantic_dedup_pairs_confined_to_cells(spark):
+    """SemDeDup candidate pairs must meet only inside a k-means cell via
+    an equi-join on the cell key — never a global cartesian/nested-loop
+    over the embedding table."""
+    df = _q("dedup_semantic_clusters")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

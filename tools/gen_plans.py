@@ -32,6 +32,8 @@ PICKS = [
     ("dedup_winnowing_pairs", "Copy-detection pairs: df-capped fan-out, checkpointed fingerprint pipeline"),
     ("text_bm25_topk", "BM25 retrieval: query-term filter before any shuffle, TakeOrderedAndProject top-k"),
     ("text_inverted_index", "Index build: checkpointed tf table — one corpus scan for three consumers"),
+    ("text_sentence_neardup", "Fuzzy sentence dedup: checkpointed explode+sign, one corpus scan, combinable min-struct"),
+    ("dedup_semantic_clusters", "SemDeDup: cell-confined pair join (never a global cross join), combinable max verdict"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
