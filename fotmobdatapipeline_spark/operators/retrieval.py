@@ -81,6 +81,111 @@ def inverted_index_stats(
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+    min_cosine: float = 0.0,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: every document pair sharing
+    at least one df-capped term, scored by the cosine of their TF-IDF
+    vectors — the classic bag-of-words near-match detector (catches
+    topical/overlapping docs that exact shingle Jaccard under-scores).
+    With ``shingle_n`` set, "terms" are word n-gram shingles instead of
+    single words — the right unit when the vocabulary is tiny relative
+    to the corpus (every word becomes a stop word).
+
+    Weights: w(t, d) = tf * idf_r(t), with the rational idf
+    ``(N - df + 0.5) / (df + 0.5)`` (ln-free for bit-portability, the
+    BM25 entry's doctrine; idf_r is monotone in classic idf so rankings
+    agree).  Determinism: norms and pair dot products are per-entity
+    folds over TERM-SORTED arrays (collect_list -> array_sort ->
+    sequential fold), never a shuffle-ordered double aggregate.
+
+    Scale shape: the tf table is computed once (checkpoint) and feeds
+    stats, norms, and the pair join; terms with df > ``max_df`` are
+    dropped BEFORE pair generation (the jaccard_pairs cap — stop-term
+    postings are the quadratic skew tail and carry ~no signal, and
+    their idf_r is ~0 anyway), bounding per-term fan-out at max_df^2/2
+    forever; pairs meet only through shared terms (term-keyed
+    equi-join), never all-pairs.
+
+    Output: (doc_a, doc_b, n_shared_terms, cos_sim), cos_sim >=
+    ``min_cosine``.
+    """
+    if shingle_n is None:
+        tf = term_frequencies(docs, text_col, id_col)
+    else:
+        from fotmobdatapipeline_spark.operators.dedup import word_shingles
+
+        occ = docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("term"),
+        )
+        tf = occ.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
+    # Bounded driver scalar (one int), the kmeans-centroid pattern: N is
+    # embedded in the idf literal; the checkpointed tf is reused.
+    n_docs = tf.select(id_col).distinct().count()
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    weighted = (
+        tf.join(stats.filter(F.col("df") <= max_df), "term")
+        .select(
+            "term",
+            F.col(id_col),
+            (F.col("tf").cast("double") * idf).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "w"))),
+                lambda s: s["w"] * s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(norm.alias("nrm"))
+    a = weighted.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = weighted.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb"))
+    prods = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "term", (F.col("wa") * F.col("wb")).alias("p"))
+    )
+    dots = prods.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("int").alias("n_shared_terms"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dp"),
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            (F.col("dp") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(min_cosine))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -775,6 +775,65 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (operators/retrieval.py): the classic
+# bag-of-words near-match join — doc pairs meet only through shared
+# df-capped shingle terms (term-keyed equi-join, never all-pairs);
+# norms and pair dot products fold over TERM-SORTED arrays so the
+# doubles are bit-stable; rational idf (ln-free).  Terms are 3-gram
+# shingles: this corpus's word vocab (~30) is all stop words.
+# --------------------------------------------------------------------------
+@register(
+    "sim_tfidf_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS term FROM tok
+      ) GROUP BY doc_id, term
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    wt AS (
+      SELECT tf.term, tf.doc_id,
+             CAST(tf.tf AS DOUBLE)
+               * ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS w
+      FROM tf JOIN st USING (term) CROSS JOIN nd
+      WHERE df <= 50
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm
+      FROM wt GROUP BY doc_id
+    ),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.term AS term,
+             a.w * b.w AS p
+      FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    dp AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS INT) AS n_shared_terms,
+             list_reduce(list(p ORDER BY term), (a, b) -> a + b) AS dp
+      FROM pr GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_shared_terms,
+           dp / (na.nrm * nb.nrm) AS cos_sim
+    FROM dp
+    JOIN nrm na ON dp.doc_a = na.doc_id
+    JOIN nrm nb ON dp.doc_b = nb.doc_id
+    WHERE dp / (na.nrm * nb.nrm) >= CAST(0.0 AS DOUBLE)
+    """,
+    tags=("similarity", "tfidf", "dedup", "text"),
+    doc="Sparse TF-IDF cosine pairs over df-capped shingle terms.",
+)
+def sim_tfidf_pairs(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        read_table(spark, sf_dir, "documents"), max_df=50, shingle_n=3
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-document LM plausibility under the corpus bigram model: the mean
 # conditional probability of a doc's bigrams — the quality-filter
 # signal a perplexity score gives, WITHOUT logs (ln isn't bit-portable;

@@ -439,3 +439,12 @@ def test_semantic_dedup_pairs_confined_to_cells(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_pairs_never_cartesian(spark):
+    """TF-IDF pairs meet only through shared df-capped terms — a
+    term-keyed equi-join pipeline; no cartesian/nested-loop anywhere."""
+    df = _q("sim_tfidf_pairs")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
