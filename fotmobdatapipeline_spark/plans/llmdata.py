@@ -775,6 +775,87 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# MinHash calibration: estimated Jaccard (fraction of agreeing
+# signature chunks, the unbiased MinHash estimator) NEXT TO the exact
+# shingle Jaccard for the top-20 most-similar pairs — the entry that
+# makes the sketch's error VISIBLE as data (est is k-quantized at
+# k=8 chunks; exact is the truth the LSH tiers approximate).
+# --------------------------------------------------------------------------
+_cal_sig_match = " + ".join(
+    f"(CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END)" for j in range(8)
+)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_a, doc_b,
+             CAST(common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS exact_jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      ORDER BY exact_jaccard DESC, doc_a ASC, doc_b ASC
+      LIMIT 20
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sig_exprs}
+      FROM tok
+    )
+    SELECT t.doc_a, t.doc_b,
+           CAST(({_cal_sig_match}) AS DOUBLE) / 8.0 AS est_jaccard,
+           t.exact_jaccard
+    FROM top t
+    JOIN sig sa ON sa.doc_id = t.doc_a
+    JOIN sig sb ON sb.doc_id = t.doc_b
+    """,
+    tags=("dedup", "minhash", "jaccard", "calibration"),
+    doc="MinHash Jaccard estimate vs exact, side by side for the top-20 pairs.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    top = (
+        D.jaccard_pairs(docs)
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select("doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard"))
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=8).localCheckpoint(eager=False)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{j}").alias(f"a{j}") for j in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{j}").alias(f"b{j}") for j in range(8)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(8)
+    )
+    return (
+        top.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            "exact_jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Sparse TF-IDF cosine pairs (operators/retrieval.py): the classic
 # bag-of-words near-match join — doc pairs meet only through shared
 # df-capped shingle terms (term-keyed equi-join, never all-pairs);
