@@ -620,3 +620,68 @@ def funnel_conversion(ev, steps=("view", "click", "purchase")):
             ).alias("rate_23"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by FIRST-active day, tracked across
+# day offsets — the standard growth-analytics matrix (and the shape
+# behind data-freshness audits on a training-event feed).  All exact
+# integers until the one retention-rate division; the (user, day)
+# activity table is checkpointed once for its two consumers (cohort
+# assignment + activity join).  Per-user min is map-side combinable;
+# no window anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id),
+    ret AS (
+      SELECT f.cohort_day, CAST(a.d - f.cohort_day AS INT) AS day_offset,
+             COUNT(*) AS n_users
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    ),
+    base AS (SELECT cohort_day, n_users AS cohort_size FROM ret WHERE day_offset = 0)
+    SELECT r.cohort_day AS cohort_day, r.day_offset AS day_offset,
+           r.n_users AS n_users, b.cohort_size AS cohort_size,
+           CAST(r.n_users AS DOUBLE) / b.cohort_size AS retention_rate
+    FROM ret r JOIN base b ON r.cohort_day = b.cohort_day
+    """,
+    tags=("events", "retention", "analytics"),
+    doc="Cohort retention matrix: first-active-day cohorts across day offsets.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .localCheckpoint(eager=False)
+    )
+    base = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("cohort_size")
+    )
+    return ret.join(base, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users").cast("double") / F.col("cohort_size")).alias(
+            "retention_rate"
+        ),
+    )
