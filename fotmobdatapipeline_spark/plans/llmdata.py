@@ -775,6 +775,46 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Stop-shingle discovery: the top-k shingles by document frequency with
+# their corpus fractions — the report that SETS the df caps every
+# bucketed dedup/similarity tier consumes (a shingle in >x% of docs
+# carries no dedup signal and is the quadratic skew tail).  Pure
+# combinable aggregates + one TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@register(
+    "text_stopshingle_discovery",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    ex AS (SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS s FROM tok),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM ex),
+    df AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s)
+    SELECT s AS shingle, df, CAST(df AS DOUBLE) / n AS doc_frac
+    FROM df CROSS JOIN nd
+    ORDER BY df DESC, shingle ASC LIMIT 15
+    """,
+    tags=("text", "dedup", "profiling"),
+    doc="Top-15 shingles by document frequency — the df-cap sizing report.",
+)
+def text_stopshingle_discovery(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("s")
+    ).localCheckpoint(eager=False)
+    nd = ex.select("doc_id").distinct().agg(F.count("*").alias("n"))
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("s").alias("shingle"),
+            "df",
+            (F.col("df").cast("double") / F.col("n")).alias("doc_frac"),
+        )
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash calibration: estimated Jaccard (fraction of agreeing
 # signature chunks, the unbiased MinHash estimator) NEXT TO the exact
 # shingle Jaccard for the top-20 most-similar pairs — the entry that
