@@ -639,3 +639,213 @@ def random_projection(
     for j in range(out_dim):
         bucket = bucket * 2 + F.when(F.col(f"y{j}") >= 0, 1).otherwise(0)
     return out.withColumn("rp_bucket", bucket.cast("int"))
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook trainer (Jégou et al. 2011): split
+    the ``dim``-dimensional embedding into ``m`` contiguous subspaces of
+    dim/m components and train an independent ``codes``-centroid
+    codebook per subspace with the deterministic :func:`kmeans_lloyd`
+    (first-``codes`` seeds, cosine assignment with lowest-code ties,
+    fixed-point DECIMAL(38,0) mean updates) — so the trained codebooks
+    are bit-reproducible and an oracle can replay them as unrolled SQL,
+    the ``sim_ivf_kmeans_topk`` technique.
+
+    Scale: each subspace train is the kmeans_lloyd shape — data never
+    leaves executors, only codes*(dim/m) doubles move per iteration —
+    and the m trains share the input scan per round.  The returned
+    codebook table is m*codes rows (tiny; plan-literal sized).
+
+    Output: (sub, code, c_vec) with code densely 0..codes-1 per sub.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    books = None
+    for s in range(m):
+        sliced = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias(vec_col),
+        )
+        cb = kmeans_lloyd(
+            sliced, k=codes, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+        part = cb.select(
+            F.lit(s).alias("sub"),
+            F.col("centroid_id").cast("int").alias("code"),
+            F.col(vec_col).alias("c_vec"),
+        )
+        books = part if books is None else books.unionByName(part)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoder: each vector becomes ``m`` small code ids — the
+    compressed representation ADC scores against (m*log2(codes) bits
+    instead of dim floats; at (m, codes) = (8, 256) that is 64 floats ->
+    8 bytes, the memory-bandwidth win that makes billion-vector search
+    feasible).  Assignment per subspace is nearest codebook entry by
+    cosine, ties -> lowest code — :func:`ivf_assign` semantics, but the
+    per-(vector, sub) argmax is a map-side-combinable ``min(struct)``
+    aggregate, not a window (no per-key sort task).
+
+    Scale: one scan of the vectors; the codebook join is an explicit
+    tiny-side broadcast; two combinable aggregates keyed by (id, sub)
+    then id — skew-free (every key has exactly codes, then m rows).
+
+    Output: (id, codes: array<int> of length m, sub-ordered).
+    """
+    sub_d = dim // m
+    parts = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * sub_d + 1, sub_d),
+            )
+        ).alias("sub", "sv"),
+    )
+    c = codebooks.select(
+        "sub", "code", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm")
+    )
+    scored = parts.join(F.broadcast(c), "sub").select(
+        F.col(id_col),
+        "sub",
+        "code",
+        (dot(F.col("sv"), F.col("c_vec")) / (l2_norm(F.col("sv")) * F.col("c_norm"))).alias(
+            "cs"
+        ),
+    )
+    best = (
+        scored.groupBy(id_col, "sub")
+        .agg(
+            F.min(
+                F.struct((-F.col("cs")).alias("neg"), F.col("code").alias("code"))
+            ).alias("b")
+        )
+        .select(F.col(id_col), "sub", F.col("b.code").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score every encoded candidate
+    against each EXACT query vector using per-query lookup tables —
+    cos(q, x) is approximated by cos(q, x_hat) where x_hat is the
+    concatenation of x's assigned sub-centroids, and both dot(q, x_hat)
+    = sum_s dot(q_s, c_s[code_s]) and |x_hat|^2 = sum_s |c_s[code_s]|^2
+    decompose over subspaces — so per candidate the scorer does m array
+    lookups + m adds instead of dim multiplies, reading only the m-byte
+    code, not the vector.
+
+    Determinism: the per-query LUT rows are folded in FIXED sub order
+    (collect_list -> array_sort -> sequential fold; a plain SUM over the
+    m doubles would be partition-order-dependent), every dot is the
+    shared sequential fold, and ranking ties break on neighbor id — so
+    the result is bit-replayable by the SQL oracle.
+
+    Scale: the LUT side is |Q| rows of m*codes doubles — an explicit
+    broadcast; candidates are scanned once, map-side only, then the
+    per-query top-k window (AQE splits a hot query's partition).  Like
+    exact brute force this scans all candidates per query — PQ's win is
+    constant-factor (compressed reads, LUT adds); compose with the IVF
+    cell confinement (``ivf_topk``) for the sublinear candidate set.
+
+    Output: (query_id, neighbor_id, approx_cos, rk).
+    """
+    from pyspark.sql import Window
+
+    sub_d = dim // m
+    entries = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "q_norm",
+            "sub",
+            "code",
+            dot(
+                F.slice(F.col("q_vec"), F.col("sub") * sub_d + 1, sub_d),
+                F.col("c_vec"),
+            ).alias("pdot"),
+            dot(F.col("c_vec"), F.col("c_vec")).alias("csq"),
+        )
+    )
+    sorted_entries = F.array_sort(
+        F.collect_list(F.struct("sub", "code", "pdot", "csq"))
+    )
+    luts = entries.groupBy("query_id").agg(
+        F.max("q_norm").alias("q_norm"),
+        F.transform(sorted_entries, lambda s: s["pdot"]).alias("lut"),
+        F.transform(sorted_entries, lambda s: s["csq"]).alias("csqs"),
+    )
+
+    def fold(arr_name: str):
+        # acc + flat_lut[sub*codes + codes_arr[sub]] in sub order 0..m-1
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col(arr_name), s * codes + F.element_at(F.col("codes"), s + 1) + 1
+            ),
+        )
+
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (fold("lut") / (F.col("q_norm") * F.sqrt(fold("csqs")))).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cos",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

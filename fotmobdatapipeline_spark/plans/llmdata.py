@@ -3746,3 +3746,115 @@ def text_tokenize_docs(spark: SparkSession, sf_dir: str):
             F.sum("wt").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): per-subspace codebooks ->
+# m-byte codes -> asymmetric-distance (ADC) top-k.  Value-exact oracle:
+# each subspace codebook is the deterministic kmeans_lloyd train on the
+# dim-slice (fixed-point HUGEINT means), replayed unrolled per subspace
+# — the sim_ivf_kmeans_topk technique applied m times — then encoding,
+# LUT build, and the sub-ordered sequential score fold, all in SQL.
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_DIM = 4, 4, 2, 64
+
+
+def _pq_oracle(m: int = _PQ_M, codes: int = _PQ_CODES, iters: int = _PQ_ITERS,
+               d: int = _PQ_DIM, k: int = 5) -> str:
+    sub_d = d // m
+    parts = [
+        "WITH en AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM embeddings),",
+    ]
+    qs = ", ".join(
+        f"SUM(CAST(trunc(sv[{j}] * 1000000000.0) AS HUGEINT))"
+        for j in range(1, sub_d + 1)
+    )
+    mean = (
+        f"list_transform(range(1, {sub_d + 1}), j -> "
+        "CAST(m.qs[j] AS DOUBLE) / (CAST(m.n AS DOUBLE) * 1000000000.0))"
+    )
+    for s in range(m):
+        lo, hi = s * sub_d + 1, (s + 1) * sub_d
+        parts += [
+            f"sd{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv, "
+            f"sqrt({_sql_dot(f'v[{lo}:{hi}]', f'v[{lo}:{hi}]')}) AS nrm FROM en),",
+            f"c{s}_0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS code, "
+            f"sv AS cv, sqrt({_sql_dot('sv', 'sv')}) AS cnorm FROM "
+            f"(SELECT vec_id, sv FROM sd{s} ORDER BY vec_id LIMIT {codes})),",
+        ]
+        for i in range(1, iters + 1):
+            parts += [
+                f"a{s}_{i} AS (SELECT vec_id, sv, code FROM ("
+                f"SELECT d.vec_id, d.sv, c.code, "
+                "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
+                f"{_sql_dot('d.sv', 'c.cv')} / (d.nrm * c.cnorm) DESC, c.code ASC) AS rk "
+                f"FROM sd{s} d CROSS JOIN c{s}_{i - 1} c) WHERE rk = 1),",
+                f"m{s}_{i} AS (SELECT code, COUNT(*) AS n, [{qs}] AS qs "
+                f"FROM a{s}_{i} GROUP BY code),",
+                f"c{s}_{i} AS (SELECT code, cv, sqrt({_sql_dot('cv', 'cv')}) AS cnorm "
+                f"FROM (SELECT p.code, CASE WHEN m.code IS NULL THEN p.cv ELSE {mean} "
+                f"END AS cv FROM c{s}_{i - 1} p LEFT JOIN m{s}_{i} m ON p.code = m.code)),",
+            ]
+        parts.append(
+            f"enc{s} AS (SELECT vec_id, code FROM ("
+            f"SELECT d.vec_id, c.code, "
+            "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
+            f"{_sql_dot('d.sv', 'c.cv')} / (d.nrm * c.cnorm) DESC, c.code ASC) AS rk "
+            f"FROM sd{s} d CROSS JOIN c{s}_{iters} c) WHERE rk = 1),"
+        )
+    enc_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, code FROM enc{s}" for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, q.nrm AS q_norm, {s} AS sub, c.code, "
+        f"{_sql_dot(f'q.v[{s * sub_d + 1}:{(s + 1) * sub_d}]', 'c.cv')} AS pdot, "
+        f"{_sql_dot('c.cv', 'c.cv')} AS csq "
+        f"FROM (SELECT * FROM en WHERE vec_id < 10) q CROSS JOIN c{s}_{iters} c"
+        for s in range(m)
+    )
+    parts += [
+        f"enc AS ({enc_union}),",
+        f"lut AS ({lut_union}),",
+        "sc AS (SELECT l.query_id, e.vec_id AS neighbor_id, "
+        "list_reduce(list(l.pdot ORDER BY l.sub), (p, q) -> p + q) AS adot, "
+        "list_reduce(list(l.csq ORDER BY l.sub), (p, q) -> p + q) AS csum, "
+        "MAX(l.q_norm) AS q_norm "
+        "FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code "
+        "WHERE l.query_id <> e.vec_id GROUP BY l.query_id, e.vec_id)",
+        "SELECT query_id, neighbor_id, approx_cos, CAST(rk AS INT) AS rk FROM ("
+        "SELECT query_id, neighbor_id, adot / (q_norm * sqrt(csum)) AS approx_cos, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "adot / (q_norm * sqrt(csum)) DESC, neighbor_id ASC) AS rk FROM sc) "
+        f"WHERE rk <= {k}",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "pq", "ann", "kmeans"),
+    doc="Product-quantization ADC top-k under trained per-subspace codebooks.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str):
+    """PQ pipeline end-to-end: train m per-subspace codebooks (the
+    deterministic Lloyd train per slice), encode the corpus to m-code
+    arrays, ADC-score the first 10 vectors as queries, top-5 each.
+
+    Scale: the codebook and LUT sides are explicit broadcasts (m*codes
+    and |Q| rows); encoding is one corpus scan + two combinable
+    aggregates; scoring reads only the m-int codes per candidate.
+    Compose with IVF cells (sim_ivf_*) to confine candidates; this
+    entry scores the full corpus to make approximation error visible
+    against sim_bruteforce_topk on identical queries."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = S.pq_train_codebooks(
+        emb, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, iterations=_PQ_ITERS
+    )
+    enc = S.pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
+    return S.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), cb, enc,
+        dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, k=5,
+    )
