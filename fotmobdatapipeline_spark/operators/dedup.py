@@ -1147,3 +1147,75 @@ def prefix_filter_pairs(
     return verified.select(
         "doc_a", "doc_b", "common", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the :func:`simhash_signatures`
+    bit-string into ``n_bands`` equal slices, generate candidate pairs
+    only between documents sharing a band (the Charikar/Manku
+    multi-table trick), then verify with the EXACT Hamming distance —
+    by pigeonhole, any pair within ``max_hamming <= n_bands - 1`` bit
+    flips shares at least one identical band, so recall at the
+    threshold is 100% and banding is purely a candidate pruner.
+
+    Scale shape: the signature table is computed once (checkpoint; the
+    band explode and the verify both read it), candidates meet through
+    a (band_id, band_key)-keyed equi-join — never all-pairs — and the
+    verify is fixed integer arithmetic over the two 16-char strings
+    already riding the join (no third scan).  Band selectivity is
+    2^-(n_bits/n_bands) per band: at corpus scale use 64-bit
+    signatures with 16-bit bands (65 536 keys/band); ``max_band_df``
+    optionally drops bands hotter than the cap before pair generation
+    (the jaccard_pairs df-cap semantics — a band shared by half the
+    corpus is a stop-pattern, not a dedup signal).
+
+    Output: (doc_a, doc_b, hamming), hamming <= ``max_hamming``.
+    """
+    w = n_bits // n_bands
+    sigs = simhash_signatures(df, text_col, id_col, n_bits).localCheckpoint(
+        eager=False
+    )
+    band_arr = F.array(
+        *[F.substring("simhash", b * w + 1, w) for b in range(n_bands)]
+    )
+    bands = sigs.select(
+        F.col(id_col), "simhash", F.posexplode(band_arr).alias("band_id", "band_key")
+    )
+    if max_band_df is not None:
+        cool = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(cool, ["band_id", "band_key"])
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_a", i, 1) != F.substring("sig_b", i, 1)).cast("int")
+        for i in range(1, n_bits + 1)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -268,3 +268,50 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    weight — the classic summarization/labeling primitive (topic tags,
+    index keys, slice descriptors for a curation UI).
+
+    Weight w(t, d) = tf * idf_r(t) with the module's rational ln-free
+    idf ``(N - df + 0.5) / (df + 0.5)`` (bit-portable; monotone in
+    classic idf so the per-document ranking is identical).  Ties break
+    on term ASC, so the selection is total and replayable.
+
+    Scale shape: one corpus scan into the checkpointed (term, doc, tf)
+    table (two consumers: df stats and the ranked projection); df is a
+    map-side-combinable groupBy; the per-document top-k window
+    partitions by DOCUMENT (bounded by document length — skew-safe, no
+    global or per-term sort).  ``max_df`` optionally drops stop terms
+    before ranking (their idf_r ~ 0 already ranks them last; the cap
+    just avoids carrying them).
+
+    Output: (doc_id, term, tf, w, rk), rk in 1..k.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, text_col, id_col).localCheckpoint(eager=False)
+    n_docs = tf.select(id_col).distinct().count()
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        stats = stats.filter(F.col("df") <= max_df)
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    weighted = tf.join(stats, "term").select(
+        F.col(id_col), "term", "tf", (F.col("tf").cast("double") * idf).alias("w")
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("w"), F.asc("term"))
+    return (
+        weighted.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "w", F.col("rk").cast("int").alias("rk"))
+    )

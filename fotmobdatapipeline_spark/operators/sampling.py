@@ -110,3 +110,53 @@ def shuffle_shard(key: Column, n_shards: int, salt: str = "0") -> Column:
         raise ValueError("n_shards must be in [1, 65536]")
     b = F.conv(F.substring(shuffle_key(key, salt), 1, 8), 16, 10).cast("bigint")
     return (b % n_shards).cast("int")
+
+
+def temperature_mixture_weights(
+    df: DataFrame, group_col: str, budget: int, temperature: float = 2.0
+) -> DataFrame:
+    """Temperature-scaled multinomial mixture weights (the multilingual-
+    corpus sampling rule of mBERT/XLM-R/mT5): a group's sampling share
+    is n_g^(1/T) / sum_h n_h^(1/T) — T=1 is proportional, T->inf is
+    uniform; fractional powers up-weight small groups so low-resource
+    slices are not drowned.
+
+    Only ``temperature=2`` is supported: n^(1/2) = sqrt(n), and sqrt is
+    IEEE correctly-rounded in every engine while pow(x, 1/T) is a libm
+    call that differs in the last ulp — the module's ln-free doctrine.
+    The denominator is a sequential fold over the GROUP-SORTED weight
+    list (a plain SUM over doubles would be partition-order-dependent).
+
+    Scale shape: one map-side-combinable count per group, then a
+    single #groups-row aggregate broadcast back — the corpus is scanned
+    once; everything downstream is arithmetic on a tiny frame.
+
+    Output: (group, n_docs, weight, share, expected_docs) where
+    expected_docs = share * budget.
+    """
+    if temperature != 2.0:
+        raise ValueError("only temperature=2 (sqrt) is bit-portable")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "n_docs"))),
+                lambda s: F.sqrt(s["n_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("denom")
+    )
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            w.alias("weight"),
+            (w / F.col("denom")).alias("share"),
+            (w / F.col("denom") * F.lit(float(budget))).alias("expected_docs"),
+        )
+    )

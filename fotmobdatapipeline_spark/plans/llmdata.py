@@ -3858,3 +3858,118 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") < 10), cb, enc,
         dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, k=5,
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 2c: banded SimHash candidate pairs + exact Hamming verify.
+# Pigeonhole: hamming <= n_bands - 1 guarantees a shared band, so the
+# banding is a pure candidate pruner (100% recall at the threshold).
+# --------------------------------------------------------------------------
+_SIMHASH_HAMMING = " + ".join(
+    f"(CASE WHEN substr(sig_a, {i}, 1) <> substr(sig_b, {i}, 1) THEN 1 ELSE 0 END)"
+    for i in range(1, _SIMHASH_BITS + 1)
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+    s AS (SELECT doc_id,
+             {_simhash_sums}
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_simhash_concat} AS simhash FROM s),
+    bands AS (SELECT doc_id, simhash, UNNEST([0, 1, 2, 3]) AS band_id FROM sig),
+    keyed AS (SELECT doc_id, simhash, band_id,
+                     substr(simhash, band_id * 4 + 1, 4) AS band_key FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM keyed a JOIN keyed b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, {_SIMHASH_HAMMING} AS hamming FROM cand
+    ) WHERE hamming <= 3
+    ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 50
+    """,
+    tags=("dedup", "simhash", "lsh"),
+    doc="Banded SimHash candidates verified by exact Hamming distance.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
+    pairs = D.simhash_pairs(
+        read_table(spark, sf_dir, "documents"),
+        n_bits=_SIMHASH_BITS,
+        n_bands=4,
+        max_hamming=3,
+    )
+    # 16-bit signatures over this tiny-vocab corpus collide broadly
+    # (~15k pairs at sf0.01); the catalog row is the closest-50 report.
+    return pairs.orderBy(
+        F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(50)
+
+
+# --------------------------------------------------------------------------
+# Keyword extraction: per-document top-k terms by TF-IDF (rational
+# ln-free idf, ties on term) — topic tags / slice descriptors.
+# --------------------------------------------------------------------------
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term, doc_id
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE) *
+             ((CAST(n.n_docs AS DOUBLE) - st.df + 0.5) / (st.df + 0.5)) AS w
+      FROM tf JOIN st USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, w, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY w DESC, term ASC) AS rk
+      FROM w
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "tfidf", "retrieval"),
+    doc="Per-document top-3 TF-IDF keywords.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (mBERT/XLM-R sampling rule, T=2):
+# share_g = sqrt(n_g) / sum_h sqrt(n_h), denominator folded in fixed
+# group order (sqrt is correctly-rounded IEEE; pow is not — doctrine).
+# --------------------------------------------------------------------------
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                             (p, q) -> p + q) AS denom FROM c)
+    SELECT source, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) AS weight,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom AS share,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom * 10000.0 AS expected_docs
+    FROM c CROSS JOIN t
+    """,
+    tags=("sampling", "mixture", "llmdata"),
+    doc="Temperature-2 source mixture shares with a fold-deterministic denominator.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        read_table(spark, sf_dir, "documents"), "source", budget=10000
+    )

@@ -1275,3 +1275,117 @@ def test_power_iteration_component_invariants(spark):
     lam1 = r1[0]["eigenvalue"]
     lam3 = r3[0]["eigenvalue"]
     assert lam1 > 0 and lam3 >= lam1 - 1e-6, (lam1, lam3)
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """Banding is a pure candidate pruner: every pair within the Hamming
+    threshold (<= n_bands - 1 flips) must survive — compare against the
+    direct all-pairs Hamming join on a small corpus."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    base = ["the quick brown fox jumps over the lazy dog agg row"] * 4 + [
+        "spark window merge sort hash join scan batch stream dup",
+        "completely different tokens altogether here now ok fine yes",
+    ]
+    docs = _docs_df(spark, [f"{t} pad{i % 3}" for i, t in enumerate(base)])
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, n_bits=16, n_bands=4, max_hamming=3).collect()
+    }
+    sigs = simhash_signatures(docs, n_bits=16)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = sum(
+        (F.substring("sa", i, 1) != F.substring("sb", i, 1)).cast("int")
+        for i in range(1, 17)
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == exact  # recall 100% at the threshold AND no extras
+
+
+def test_pq_codes_shape_and_adc_agrees_in_easy_cases(spark):
+    """PQ invariants: every vector gets m in-range codes; exact
+    duplicates of a query rank first under ADC (their reconstruction is
+    identical, so the approx cosine is maximal among equals)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    dim, m, codes = 8, 2, 2
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    rows.append((20, list(rows[0][1])))  # exact duplicate of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebooks(vecs, dim=dim, m=m, codes=codes, iterations=2)
+    assert cb.count() == m * codes
+    enc = pq_encode(vecs, cb, dim=dim, m=m)
+    got = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert set(got) == set(range(21))
+    for cs in got.values():
+        assert len(cs) == m and all(0 <= c < codes for c in cs)
+    assert got[20] == got[0]  # identical vectors encode identically
+    top = pq_adc_topk(
+        vecs.filter(F.col("vec_id") == 0), cb, enc, dim=dim, m=m, codes=codes, k=1
+    ).collect()
+    # vec 20 reconstructs identically to vec 0 -> maximal approx_cos;
+    # ties (other vectors sharing the codes) break on lowest id, so the
+    # rank-1 neighbor's codes must equal vec 0's.
+    assert len(top) == 1 and got[top[0]["neighbor_id"]] == got[0]
+
+
+def test_temperature_mixture_upweights_small_groups(spark):
+    """T=2 shares sum to 1 and sit between proportional and uniform:
+    small groups gain share vs n_g/N, large groups lose."""
+    from fotmobdatapipeline_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    out = {
+        r["source"]: r
+        for r in temperature_mixture_weights(df, "source", budget=1000).collect()
+    }
+    shares = sum(r["share"] for r in out.values())
+    assert abs(shares - 1.0) < 1e-12
+    assert out["small"]["share"] > 0.10  # proportional would be exactly 0.10
+    assert out["big"]["share"] < 0.90
+    assert abs(out["big"]["expected_docs"] + out["small"]["expected_docs"] - 1000) < 1e-9
+
+
+def test_tfidf_topterms_rarest_term_wins(spark):
+    """A term unique to one document must be that document's top
+    keyword (max idf beats any stop term's tf)."""
+    from fotmobdatapipeline_spark.operators.retrieval import tfidf_top_terms
+
+    docs = _docs_df(
+        spark,
+        [
+            "the the the the zebra",
+            "the the quick quick brown",
+            "the quick brown fox dog",
+        ],
+    )
+    top = {
+        (r["doc_id"], r["rk"]): r["term"]
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert top[(0, 1)] == "zebra"
