@@ -1219,3 +1219,86 @@ def simhash_pairs(
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """EXACT duplicated-passage detection (the substring-dedup tier of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", relationalized): a word position is DUPLICATED when some
+    ``gram_len``-word window covering it occurs 2+ times in the whole
+    corpus (within- or cross-document), and per document we report how
+    much of it is duplicated passage — the trim/drop signal document-
+    and sentence-level dedup both miss (a lifted paragraph inside an
+    otherwise-unique page).
+
+    The suffix-array formulation of the paper is replaced by a pure
+    dataflow one: k-gram hashes -> global occurrence counts (map-side
+    combinable; a boilerplate gram collapses per map task) -> gram-keyed
+    join back (fan-out linear in that gram's own positions) -> position
+    coverage (explode of gram_len per duplicated start, distinct) ->
+    islands per document (window partitioned by DOC, bounded by document
+    length — never by gram).  Gram keys are md5 hashes so the shuffle
+    carries 32 chars instead of gram_len words.  The exploded
+    (doc, n_words, pos, ghash) frame is checkpointed once for its two
+    consumers (count aggregate, join-back) — one corpus scan;
+    ``posexplode_outer`` keeps sub-gram_len documents in the frame so
+    the output covers EVERY document without a second raw scan.
+
+    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_frac) —
+    n_dup_spans maximal duplicated runs covering dup_words positions.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+
+    def gram_at(i):
+        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
+
+    gram_arr = F.when(
+        n_words >= gram_len,
+        F.transform(F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.posexplode_outer(gram_arr).alias("pos", "ghash"),
+    ).localCheckpoint(eager=False)
+    occ = base.filter(F.col("ghash").isNotNull())
+    dup = (
+        occ.groupBy("ghash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ghash")
+    )
+    cover = (
+        occ.join(dup, "ghash")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("j")
+    runs = cover.withColumn("run", F.col("j") - F.row_number().over(w))
+    per_doc = runs.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("dup_words"),
+        F.countDistinct("run").cast("int").alias("n_dup_spans"),
+    )
+    nw = base.groupBy(id_col).agg(F.max("n_words").alias("n_words"))
+    return nw.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+        (F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")).alias(
+            "dup_frac"
+        ),
+    )

@@ -3973,3 +3973,46 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str):
     return temperature_mixture_weights(
         read_table(spark, sf_dir, "documents"), "source", budget=10000
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup tier 1b: exact duplicated-passage stats (Lee et al. 2022
+# substring dedup, dataflow form) — per-document fraction covered by
+# corpus-repeated gram_len-word windows.
+# --------------------------------------------------------------------------
+_PASSAGE_L = 8
+
+
+@register(
+    "text_duplicate_passages",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    cover AS (SELECT DISTINCT doc_id, pos + u.u AS j
+              FROM occ JOIN dup USING (gh)
+              CROSS JOIN (SELECT UNNEST(range(0, {_PASSAGE_L})) AS u) u),
+    runs AS (SELECT doc_id, j,
+                    j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS run
+             FROM cover),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS dup_words,
+                  CAST(COUNT(DISTINCT run) AS INT) AS n_dup_spans
+           FROM runs GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(pd.dup_words, 0) AS dup_words,
+           CAST(COALESCE(pd.dup_words, 0) AS DOUBLE) / b.n_words AS dup_frac
+    FROM base b LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("text", "dedup", "passages", "llmdata"),
+    doc="Per-document exact duplicated-passage coverage (substring dedup).",
+)
+def text_duplicate_passages(spark: SparkSession, sf_dir: str):
+    return D.duplicate_passage_stats(
+        read_table(spark, sf_dir, "documents"), gram_len=_PASSAGE_L
+    )

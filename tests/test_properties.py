@@ -1389,3 +1389,35 @@ def test_tfidf_topterms_rarest_term_wins(spark):
         for r in tfidf_top_terms(docs, k=2).collect()
     }
     assert top[(0, 1)] == "zebra"
+
+
+def test_duplicate_passages_hand_computed(spark):
+    """Two docs sharing one 8-word passage inside otherwise-unique text:
+    exactly that passage (plus any window-overlap spill) is flagged in
+    both; a fully-unique doc reports zero; a doc repeating its own
+    passage twice is flagged via the within-doc occurrence rule."""
+    from fotmobdatapipeline_spark.operators.dedup import duplicate_passage_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    docs = _docs_df(
+        spark,
+        [
+            f"u0 u1 u2 {shared} u3 u4",            # doc 0: 8 dup of 14
+            f"v0 {shared} v1 v2 v3 v4 v5",          # doc 1: 8 dup of 15
+            "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",        # doc 2: unique
+            f"{shared} {shared}",                    # doc 3: all 16 dup
+            "short doc",                             # doc 4: < gram_len
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicate_passage_stats(docs, gram_len=8).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert (out[0]["dup_words"], out[0]["n_dup_spans"]) == (8, 1)
+    assert (out[1]["dup_words"], out[1]["n_dup_spans"]) == (8, 1)
+    assert (out[2]["dup_words"], out[2]["n_dup_spans"]) == (0, 0)
+    # doc 3: every 8-window of the 16 words repeats?  The rolling windows
+    # crossing the boundary occur once — but windows [0..8] == [8..16]
+    # start positions 0 and 8 duplicate, covering 0..7 and 8..15: all 16.
+    assert (out[3]["dup_words"], out[3]["n_dup_spans"]) == (16, 1)
+    assert out[3]["dup_frac"] == 1.0
+    assert (out[4]["dup_words"], out[4]["n_dup_spans"]) == (0, 0)
+    assert out[4]["n_words"] == 2
