@@ -63,6 +63,9 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "text_intradoc_dedup",
     "embedding_top_component",
+    "text_duplicate_passages",
+    "sim_pq_adc_topk",
+    "dedup_simhash_pairs",
 ]
 
 

@@ -659,32 +659,123 @@ def pq_train_codebooks(
     are bit-reproducible and an oracle can replay them as unrolled SQL,
     the ``sim_ivf_kmeans_topk`` technique.
 
-    Scale: each subspace train is the kmeans_lloyd shape — data never
-    leaves executors, only codes*(dim/m) doubles move per iteration —
-    and the m trains share the input scan per round.  The returned
-    codebook table is m*codes rows (tiny; plan-literal sized).
+    Scale: ALL m subspace trains advance together — one scan of the
+    (checkpointed) exploded (id, sub, subvector) frame per iteration,
+    one combinable fixed-point aggregate keyed by (sub, code, dim), and
+    ONE driver collect of m*codes*(dim/m) doubles per round (the
+    kmeans_lloyd shape, m-way batched; training m subspaces is not m
+    jobs).  At corpus scale feed a ``hash_sample`` of the vectors — PQ
+    codebooks need ~10^5 training vectors, not the full 10^10 (the
+    standard recipe); the codebook table is m*codes rows either way.
+    Semantics are exactly m independent :func:`kmeans_lloyd` runs on
+    the slices (seeds = first ``codes`` vectors' slices, cosine
+    assignment with lowest-code ties, DECIMAL(38,0) fixed-point means,
+    empty cells keep their centroid) — the unrolled-SQL oracle replays
+    the per-slice form and matches bit-for-bit.
 
     Output: (sub, code, c_vec) with code densely 0..codes-1 per sub.
     """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    spark = vectors.sparkSession
     sub_d = dim // m
-    books = None
-    for s in range(m):
-        sliced = vectors.select(
+    seed_rows = (
+        vectors.orderBy(id_col).limit(codes).select(F.col(vec_col)).collect()
+    )
+    books: dict[tuple[int, int], list[float]] = {
+        (s, i): [float(x) for x in row[vec_col][s * sub_d : (s + 1) * sub_d]]
+        for i, row in enumerate(seed_rows)
+        for s in range(m)
+    }
+    schema = StructType(
+        [
+            StructField("sub", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("c_vec", ArrayType(DoubleType())),
+        ]
+    )
+    parts = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * sub_d + 1, sub_d),
+            )
+        ).alias("sub", "sv"),
+    ).withColumn("nrm", l2_norm(F.col("sv")))
+    if iterations > 1:
+        # Re-read per iteration; materialize the explode once.
+        parts = parts.localCheckpoint(eager=False)
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(books.items())], schema
+        )
+        c = cdf.select(
+            "sub", "code", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm")
+        )
+        scored = parts.join(F.broadcast(c), "sub").select(
             F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias(vec_col),
+            "sub",
+            "sv",
+            (
+                dot(F.col("sv"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
+            ).alias("cs"),
+            "code",
         )
-        cb = kmeans_lloyd(
-            sliced, k=codes, iterations=iterations, id_col=id_col, vec_col=vec_col
+        # Ties on cs break to the lowest code (ivf_assign semantics) via
+        # a combinable min(struct); sv rides along (constant per group,
+        # so it never influences which row wins).
+        best = (
+            scored.groupBy(id_col, "sub")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cs")).alias("neg"),
+                        F.col("code").alias("code"),
+                        F.col("sv").alias("sv"),
+                    )
+                ).alias("b")
+            )
+            .select("sub", F.col("b.code").alias("code"), F.col("b.sv").alias("sv"))
         )
-        part = cb.select(
-            F.lit(s).alias("sub"),
-            F.col("centroid_id").cast("int").alias("code"),
-            F.col(vec_col).alias("c_vec"),
+        new_means = (
+            best.select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "code", "dim")
+            .agg(
+                F.sum(
+                    (F.col("val").cast("double") * F.lit(1.0e9))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).alias("qs"),
+                F.count("*").alias("n"),
+            )
+            .withColumn(
+                "mv",
+                F.col("qs").cast("double")
+                / (F.col("n").cast("double") * F.lit(1.0e9)),
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda x: x["mv"],
+                ).alias("mean_vec")
+            )
+            .collect()
         )
-        books = part if books is None else books.unionByName(part)
-    return books
+        for row in new_means:
+            books[(row["sub"], row["code"])] = [float(x) for x in row["mean_vec"]]
+    return spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(books.items())], schema
+    )
 
 
 def pq_encode(

@@ -448,3 +448,54 @@ def test_tfidf_pairs_never_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_duplicate_passages_scans_corpus_once(spark):
+    """The gram explode is the dominant cost; the exploded
+    (doc, n_words, pos, ghash) frame has two consumers (occurrence
+    counts, join-back) plus the per-doc n_words aggregate — all must
+    read the one checkpointed materialization: zero parquet scans,
+    zero Generate nodes downstream, and the only Window partitions by
+    doc (the islands row_number), never by gram."""
+    df = _q("text_duplicate_passages")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    for sub in _tree_subtrees(plan, "Window"):
+        assert "doc_id" in sub[0], sub[0]
+
+
+def test_simhash_pairs_banded_equijoin_one_scan(spark):
+    """Candidates must meet through the (band_id, band_key) equi-join —
+    never cartesian — and the signature subtree must be checkpointed
+    (one execution for both join sides): no parquet scan downstream."""
+    df = _q("dedup_simhash_pairs")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_pq_encode_no_window_and_adc_broadcasts_luts(spark):
+    """PQ encoding's per-(vector, sub) argmax must be an aggregate (a
+    window would sort per key); ADC scoring must broadcast the |Q|-row
+    LUT side, never shuffle the candidate codes for the join."""
+    from fotmobdatapipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    cb = pq_train_codebooks(emb, dim=64, m=4, codes=4, iterations=1)
+    enc = pq_encode(emb, cb, dim=64, m=4)
+    enc_plan = _plan(enc)
+    assert "Window" not in enc_plan, enc_plan
+    top = pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), cb, enc, dim=64, m=4, codes=4, k=5
+    )
+    plan = _plan(top)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

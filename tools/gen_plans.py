@@ -34,6 +34,9 @@ PICKS = [
     ("text_inverted_index", "Index build: checkpointed tf table — one corpus scan for three consumers"),
     ("text_sentence_neardup", "Fuzzy sentence dedup: checkpointed explode+sign, one corpus scan, combinable min-struct"),
     ("dedup_semantic_clusters", "SemDeDup: cell-confined pair join (never a global cross join), combinable max verdict"),
+    ("text_duplicate_passages", "Substring dedup: checkpointed gram explode (one corpus scan), doc-partitioned islands window only"),
+    ("dedup_simhash_pairs", "Banded SimHash: checkpointed signatures, (band, key) equi-join candidates, integer Hamming verify"),
+    ("sim_pq_adc_topk", "PQ ADC: broadcast LUTs over encoded codes, fixed-order score fold, no SortMergeJoin"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
