@@ -86,3 +86,34 @@ def langid_pred(s_en: Column, s_es: Column, s_de: Column) -> Column:
         .when(s_es > 0, F.lit("es"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style quality rule flags (Rae et al. 2021, table A1,
+    thresholds adapted to this corpus's scale): each flag is True when
+    the document PASSES the rule.  All flags are exact integer/double
+    compares over per-row HOF counts — scan-speed, no shuffle, and
+    bit-replayable in SQL.
+
+    Rules: word count in [10, 1000]; mean word length in [3, 10];
+    >= 2 stopword hits across the en/es/de lists (the multilingual
+    form of Gopher's stop-word rule); lexical diversity >= 0.3
+    (repetition proxy); numeric-token fraction <= 0.2.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    awl = avg_word_len(text)
+    stop_hits = (
+        _count_in(text, STOPWORDS_EN)
+        + _count_in(text, STOPWORDS_ES)
+        + _count_in(text, STOPWORDS_DE)
+    )
+    div = distinct_word_ratio(text)
+    num_frac = n_numeric_tokens(text).cast("double") / n.cast("double")
+    return {
+        "r_word_count": (n >= 10) & (n <= 1000),
+        "r_word_len": (awl >= 3.0) & (awl <= 10.0),
+        "r_stopwords": stop_hits >= 2,
+        "r_diversity": div >= 0.3,
+        "r_numeric": num_frac <= 0.2,
+    }

@@ -940,3 +940,60 @@ def pq_adc_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    tau: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every TRAIN vector whose
+    cosine to some EVAL vector reaches ``tau`` — the semantic tier of
+    benchmark decontamination (catches paraphrased/reformatted eval
+    leakage that the shingle-overlap tier in ``operators/dedup.py``
+    cannot see, because a paraphrase shares no n-grams).
+
+    Scale shape mirrors the shingle decontaminator: the eval side is
+    benchmark-sized (thousands), so it rides an explicit broadcast and
+    the 100 TB train corpus is scanned ONCE, map-side only — never
+    shuffled, never joined at scale.  Candidates are confined to
+    sign-LSH bucket mates (bucket equality checked inside the broadcast
+    join); like every LSH tier this trades recall near the bucket
+    boundary for linear cost — widen with multi-probe (flip one sign)
+    when the eval set demands higher recall.  The per-train verdict is
+    a map-side-combinable max.
+
+    Output: one row per train vector — (vec_id, bucket, max_eval_cos
+    NULL when no eval bucket-mate exists, contaminated).
+    """
+    t = train.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    e = evals.select(
+        F.col(vec_col).alias("e_vec"),
+        l2_norm(F.col(vec_col)).alias("e_nrm"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    sims = (
+        t.join(F.broadcast(e), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                dot(F.col("vec"), F.col("e_vec")) / (F.col("nrm") * F.col("e_nrm"))
+            ).alias("max_eval_cos")
+        )
+    )
+    return t.join(sims, id_col, "left").select(
+        F.col(id_col),
+        "bucket",
+        "max_eval_cos",
+        F.coalesce(F.col("max_eval_cos") >= F.lit(tau), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )

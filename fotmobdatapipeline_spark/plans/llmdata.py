@@ -4016,3 +4016,167 @@ def text_duplicate_passages(spark: SparkSession, sf_dir: str):
     return D.duplicate_passage_stats(
         read_table(spark, sf_dir, "documents"), gram_len=_PASSAGE_L
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (Rae et al. 2021): per-doc
+# pass/fail flags, all exact integer/double compares over HOF counts.
+# --------------------------------------------------------------------------
+_SQL_STOPHITS = (
+    "len(list_filter(string_split(text, ' '), x -> x IN "
+    "('the', 'a', 'of', 'and', 'to'))) + "
+    "len(list_filter(string_split(text, ' '), x -> x IN "
+    "('el', 'la', 'de', 'los', 'y'))) + "
+    "len(list_filter(string_split(text, ' '), x -> x IN "
+    "('der', 'die', 'das', 'und', 'zu')))"
+)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n,
+             CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS awl,
+             {_SQL_STOPHITS} AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS div,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS num_frac
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             (n >= 10 AND n <= 1000) AS r_word_count,
+             (awl >= 3.0 AND awl <= 10.0) AS r_word_len,
+             (stop_hits >= 2) AS r_stopwords,
+             (div >= 0.3) AS r_diversity,
+             (num_frac <= 0.2) AS r_numeric
+      FROM f
+    )
+    SELECT doc_id, r_word_count, r_word_len, r_stopwords, r_diversity, r_numeric,
+           CAST((NOT r_word_count) AS INT) + CAST((NOT r_word_len) AS INT)
+           + CAST((NOT r_stopwords) AS INT) + CAST((NOT r_diversity) AS INT)
+           + CAST((NOT r_numeric) AS INT) AS n_failed,
+           (r_word_count AND r_word_len AND r_stopwords AND r_diversity
+            AND r_numeric) AS keep
+    FROM r
+    """,
+    tags=("text", "quality", "llmdata"),
+    doc="Gopher-style rule flags with an n_failed count and keep verdict.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    rules = T.gopher_rules(F.col("text"))
+    out = docs.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+    n_failed = sum(
+        (~F.col(n)).cast("int") for n in rules
+    )
+    keep = None
+    for n in rules:
+        keep = F.col(n) if keep is None else (keep & F.col(n))
+    return out.select(
+        "doc_id", *rules.keys(), n_failed.alias("n_failed"), keep.alias("keep")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens-per-word under the trained BPE
+# merges — the number that decides per-language token budgets (a
+# high-fertility language consumes its budget in fewer words).
+# --------------------------------------------------------------------------
+def _token_fertility_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    toks = "regexp_extract_all(seq, '<([a-z]+)>', 1)"
+    return (
+        _bpe_ctes("FROM documents", n_rounds)
+        + f""",
+    wmap AS (SELECT w AS word, CAST(array_length({toks}) AS INT) AS wt
+             FROM words{n_rounds}),
+    occ AS (SELECT doc_id, lang,
+                   UNNEST(regexp_extract_all(text, '[a-z]+')) AS word
+            FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wt) AS BIGINT) AS n_tokens,
+           CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS fertility
+    FROM occ JOIN wmap USING (word) GROUP BY lang"""
+    )
+
+
+@register(
+    "text_token_fertility",
+    oracle=_token_fertility_oracle(),
+    tags=("text", "tokens", "bpe", "llmdata"),
+    doc="Tokens-per-word by language under the trained BPE tokenizer.",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str):
+    """Scale shape of text_tokenize_docs: the vocab-sized word->tokens
+    map broadcasts into the exploded word stream; the per-language
+    aggregate is map-side combinable; fertility is one exact-integer
+    ratio in double."""
+    docs = read_table(spark, sf_dir, "documents")
+    wmap = bpe_encode_words(docs, _BPE_TRAIN_ROUNDS).select(
+        "word", F.col("n_tokens").alias("wt")
+    )
+    occ = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    )
+    return (
+        occ.join(F.broadcast(wmap), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wt").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_words")).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination: train vectors with an eval bucket-mate at
+# cosine >= tau (the embedding tier of benchmark decontamination; the
+# shingle tier is decontaminate_train/decontaminate_matrix).
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ),
+    t AS (SELECT * FROM v WHERE vec_id >= 20),
+    e AS (SELECT * FROM v WHERE vec_id < 20),
+    s AS (
+      SELECT t.vec_id,
+             MAX({_sql_dot('t.embedding', 'e.embedding')} / (t.nrm * e.nrm))
+               AS max_eval_cos
+      FROM t JOIN e USING (bucket)
+      GROUP BY t.vec_id
+    )
+    SELECT t.vec_id, t.bucket, s.max_eval_cos,
+           COALESCE(s.max_eval_cos >= 0.9, FALSE) AS contaminated
+    FROM t LEFT JOIN s USING (vec_id)
+    """,
+    tags=("similarity", "decontamination", "llmdata"),
+    doc="Embedding-space eval decontamination over sign-LSH buckets.",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        tau=0.9,
+    )
