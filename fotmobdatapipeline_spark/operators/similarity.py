@@ -997,3 +997,121 @@ def semantic_decontaminate(
             "contaminated"
         ),
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the Jégou et al. composition, and the layout every
+    billion-scale ANN service runs): the coarse quantizer confines each
+    query's candidates to ONE cell's inverted list, and within the cell
+    candidates are scored from their m-code PQ representation via ADC
+    lookup tables — sublinear candidate count AND compressed candidate
+    reads.  At 100 TB the vector table is *stored* partitioned by cell
+    with only (id, codes) columns hot, so a probe is a partition-pruned
+    scan of a few-byte-per-vector file, never a full-vector shuffle.
+
+    Determinism is pq_adc_topk's: fixed sub-order folds, sequential-fold
+    dots, id tiebreaks — replayed by the composed SQL oracle (coarse
+    k-means chain + m subspace chains).
+
+    Scale shape: both assignment passes are broadcast map-side stages;
+    the candidate assignment feeds two consumers (encoder, cell map) so
+    it is checkpointed; the LUT side is |Q| rows broadcast into a
+    cell-keyed equi-join (never cartesian); the only window partitions
+    by query.
+
+    Output: (query_id, cell, neighbor_id, approx_cos, rk).
+    """
+    from pyspark.sql import Window
+
+    sub_d = dim // m
+    ca = ivf_assign(candidates, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    enc = pq_encode(
+        ca.select(F.col("vid").alias(id_col), F.col("vec").alias(vec_col)),
+        codebooks,
+        dim,
+        m,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    enc_cells = enc.join(ca.select(F.col("vid").alias(id_col), "cell"), id_col)
+    qa = ivf_assign(queries, centroids, id_col, vec_col)
+    entries = (
+        qa.select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+            "cell",
+        )
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "q_norm",
+            "cell",
+            "sub",
+            "code",
+            dot(
+                F.slice(F.col("q_vec"), F.col("sub") * sub_d + 1, sub_d),
+                F.col("c_vec"),
+            ).alias("pdot"),
+            dot(F.col("c_vec"), F.col("c_vec")).alias("csq"),
+        )
+    )
+    sorted_entries = F.array_sort(
+        F.collect_list(F.struct("sub", "code", "pdot", "csq"))
+    )
+    luts = entries.groupBy("query_id", "cell").agg(
+        F.max("q_norm").alias("q_norm"),
+        F.transform(sorted_entries, lambda s: s["pdot"]).alias("lut"),
+        F.transform(sorted_entries, lambda s: s["csq"]).alias("csqs"),
+    )
+
+    def fold(arr_name: str):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col(arr_name), s * codes + F.element_at(F.col("codes"), s + 1) + 1
+            ),
+        )
+
+    scored = (
+        enc_cells.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            (fold("lut") / (F.col("q_norm") * F.sqrt(fold("csqs")))).alias(
+                "approx_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            "approx_cos",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -3759,14 +3759,12 @@ def text_tokenize_docs(spark: SparkSession, sf_dir: str):
 _PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_DIM = 4, 4, 2, 64
 
 
-def _pq_oracle(m: int = _PQ_M, codes: int = _PQ_CODES, iters: int = _PQ_ITERS,
-               d: int = _PQ_DIM, k: int = 5) -> str:
+def _pq_chain_ctes(m: int, codes: int, iters: int, d: int) -> list[str]:
+    """The per-subspace unrolled k-means chains (sd{s}, c{s}_i, enc{s})
+    — they reference an ``en(vec_id, v, nrm)`` CTE the caller provides,
+    so the plain-PQ and IVF-PQ oracles share them."""
+    parts: list[str] = []
     sub_d = d // m
-    parts = [
-        "WITH en AS (SELECT vec_id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
-        f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM embeddings),",
-    ]
     qs = ", ".join(
         f"SUM(CAST(trunc(sv[{j}] * 1000000000.0) AS HUGEINT))"
         for j in range(1, sub_d + 1)
@@ -3807,15 +3805,35 @@ def _pq_oracle(m: int = _PQ_M, codes: int = _PQ_CODES, iters: int = _PQ_ITERS,
     enc_union = " UNION ALL ".join(
         f"SELECT vec_id, {s} AS sub, code FROM enc{s}" for s in range(m)
     )
-    lut_union = " UNION ALL ".join(
+    parts.append(f"enc AS ({enc_union}),")
+    return parts
+
+
+def _pq_lut_union(m: int, codes: int, iters: int, d: int, q_from: str) -> str:
+    """Per-(query, sub, code) LUT rows; ``q_from`` supplies the query
+    relation aliased ``q`` with columns (vec_id, v, nrm, ...)."""
+    sub_d = d // m
+    return " UNION ALL ".join(
         f"SELECT q.vec_id AS query_id, q.nrm AS q_norm, {s} AS sub, c.code, "
         f"{_sql_dot(f'q.v[{s * sub_d + 1}:{(s + 1) * sub_d}]', 'c.cv')} AS pdot, "
         f"{_sql_dot('c.cv', 'c.cv')} AS csq "
-        f"FROM (SELECT * FROM en WHERE vec_id < 10) q CROSS JOIN c{s}_{iters} c"
+        f"FROM {q_from} q CROSS JOIN c{s}_{iters} c"
         for s in range(m)
     )
+
+
+def _pq_oracle(m: int = _PQ_M, codes: int = _PQ_CODES, iters: int = _PQ_ITERS,
+               d: int = _PQ_DIM, k: int = 5) -> str:
+    parts = [
+        "WITH en AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM embeddings),",
+    ]
+    parts += _pq_chain_ctes(m, codes, iters, d)
+    lut_union = _pq_lut_union(
+        m, codes, iters, d, "(SELECT * FROM en WHERE vec_id < 10)"
+    )
     parts += [
-        f"enc AS ({enc_union}),",
         f"lut AS ({lut_union}),",
         "sc AS (SELECT l.query_id, e.vec_id AS neighbor_id, "
         "list_reduce(list(l.pdot ORDER BY l.sub), (p, q) -> p + q) AS adot, "
@@ -4179,4 +4197,61 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") >= 20),
         emb.filter(F.col("vec_id") < 20),
         tau=0.9,
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse k-means cells confine candidates, PQ codes + ADC score
+# them — the billion-scale ANN layout.  Oracle composes the coarse
+# unrolled chain (sim_ivf_kmeans_topk's) with the m subspace chains
+# (sim_pq_adc_topk's); both trains are fixed-point bit-reproducible.
+# --------------------------------------------------------------------------
+def _ivfpq_oracle(
+    k_cells: int = 8, c_iters: int = 3, d: int = _PQ_DIM,
+    m: int = _PQ_M, codes: int = _PQ_CODES, pq_iters: int = _PQ_ITERS,
+    topk: int = 5,
+) -> str:
+    parts = _kmeans_fin_ctes(k_cells, c_iters, d)
+    parts[-1] = parts[-1] + ","
+    parts += _pq_chain_ctes(m, codes, pq_iters, d)
+    lut = _pq_lut_union(
+        m, codes, pq_iters, d, "(SELECT * FROM fin WHERE vec_id < 10)"
+    )
+    parts += [
+        f"lut0 AS ({lut}),",
+        "lut AS (SELECT l.*, f.cell FROM lut0 l JOIN fin f ON l.query_id = f.vec_id),",
+        "cand AS (SELECT f.vec_id, f.cell, e.sub, e.code "
+        "FROM fin f JOIN enc e USING (vec_id)),",
+        "sc AS (SELECT l.query_id, MAX(l.cell) AS cell, c.vec_id AS neighbor_id, "
+        "list_reduce(list(l.pdot ORDER BY l.sub), (p, q) -> p + q) AS adot, "
+        "list_reduce(list(l.csq ORDER BY l.sub), (p, q) -> p + q) AS csum, "
+        "MAX(l.q_norm) AS q_norm "
+        "FROM cand c JOIN lut l ON c.cell = l.cell AND c.sub = l.sub "
+        "AND c.code = l.code "
+        "WHERE l.query_id <> c.vec_id GROUP BY l.query_id, c.vec_id)",
+        "SELECT query_id, cell, neighbor_id, approx_cos, CAST(rk AS INT) AS rk "
+        "FROM (SELECT query_id, cell, neighbor_id, "
+        "adot / (q_norm * sqrt(csum)) AS approx_cos, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "adot / (q_norm * sqrt(csum)) DESC, neighbor_id ASC) AS rk FROM sc) "
+        f"WHERE rk <= {topk}",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ivf", "pq", "ann", "kmeans"),
+    doc="IVF-PQ: cell-confined candidates scored from PQ codes via ADC.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    cb = S.pq_train_codebooks(
+        emb, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, iterations=_PQ_ITERS
+    )
+    return S.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, centroids, cb,
+        dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, k=5,
     )

@@ -499,3 +499,14 @@ def test_pq_encode_no_window_and_adc_broadcasts_luts(spark):
     plan = _plan(top)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_candidates_cell_confined(spark):
+    """IVF-PQ candidates must meet through the cell equi-join (LUT side
+    broadcast); no cartesian product anywhere, and the candidate
+    assignment subtree must be checkpointed (one execution for encoder
+    and cell map: no parquet scan of embeddings downstream)."""
+    df = _q("sim_ivfpq_topk")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
