@@ -117,13 +117,20 @@ def ivf_assign(
     use n_probes>1 to widen the search — the recall lever.
 
     The centroid set is tiny (k ~ sqrt(N) cells, kept well under the
-    broadcast threshold), so assignment is a broadcast nested-loop over k
-    candidates per row followed by a per-vector top-p — a map-side-only
-    stage, no shuffle until someone aggregates by cell.  Output:
-    (id, vec, norm, cell), one row per probed cell.
+    broadcast threshold), so scoring is a broadcast nested-loop over k
+    candidates per row.  The n_probes=1 argmax is a MAP-SIDE-COMBINABLE
+    ``min(struct(neg_sim, cell, vec, nrm))`` aggregate — exactly the
+    (cosine DESC, cell ASC) tie rule, with the payload columns riding
+    the struct (they can never influence the winner: (neg, cell) is
+    unique per group).  The k scored copies of a row are born in ONE
+    map task, so the partial aggregate collapses k -> 1 before the
+    exchange: the shuffle carries N rows, not N*k, and nothing is ever
+    sorted — the row_number-window alternative shuffles AND sorts all
+    N*k rows on every assignment pass (every IVF query, every k-means
+    iteration, every storage-partitioning job).  n_probes>1 (query-side
+    only; the probe set is small) keeps the per-vector top-p window.
+    Output: (id, vec, norm, cell), one row per probed cell.
     """
-    from pyspark.sql import Window
-
     c = centroids.select(
         F.col(centroid_id_col).alias("cell"),
         F.col(vec_col).alias("c_vec"),
@@ -134,14 +141,33 @@ def ivf_assign(
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
+    neg = -(
+        dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
+    )
+    if n_probes == 1:
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "vid",
+            F.struct(
+                neg.alias("neg"),
+                F.col("cell").alias("cell"),
+                F.col("vec").alias("vec"),
+                F.col("nrm").alias("nrm"),
+            ).alias("sc"),
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(F.min("sc").alias("b"))
+            .select(
+                "vid",
+                F.col("b.vec").alias("vec"),
+                F.col("b.nrm").alias("nrm"),
+                F.col("b.cell").alias("cell"),
+            )
+        )
+    from pyspark.sql import Window
+
     scored = v.crossJoin(F.broadcast(c)).select(
-        "vid",
-        "vec",
-        "nrm",
-        "cell",
-        (dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))).alias(
-            "c_sim"
-        ),
+        "vid", "vec", "nrm", "cell", (-neg).alias("c_sim")
     )
     w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("cell"))
     return (
