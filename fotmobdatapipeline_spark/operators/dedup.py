@@ -1302,3 +1302,58 @@ def duplicate_passage_stats(
             "dup_frac"
         ),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: how many exact-duplicate
+    document PAIRS exist between every pair of sources — the curation
+    report that answers "which feeds copy from each other" (mirror
+    detection, syndication mapping, crawl-overlap budgeting).
+
+    Pairs are NEVER materialized: with per-(fingerprint, source) counts
+    n_{f,s}, the pair count between sources s<t is sum_f n_{f,s} *
+    n_{f,t} and within s is sum_f C(n_{f,s}, 2) — so a fingerprint
+    shared by a million documents contributes arithmetic on a
+    #sources-sized row group, not 10^12 join rows.  Two map-side-
+    combinable aggregates plus a fingerprint-keyed self-join whose
+    per-key fan-out is bounded by #sources (a constant), never by
+    corpus size.
+
+    Output: (source_a, source_b, dup_pairs) with source_a <= source_b,
+    dup_pairs >= 1.
+    """
+    counts = (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(source_col))
+        .groupBy("fp", source_col)
+        .agg(F.count("*").alias("n"))
+    )
+    a = counts.select(
+        "fp", F.col(source_col).alias("source_a"), F.col("n").alias("na")
+    )
+    b = counts.select(
+        "fp", F.col(source_col).alias("source_b"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                (F.col("na") * (F.col("na") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("na") * F.col("nb"))
+            .alias("p"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("p").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") >= 1)
+    )

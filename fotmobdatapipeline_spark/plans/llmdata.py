@@ -4255,3 +4255,36 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") < 10), emb, centroids, cb,
         dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, k=5,
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: exact-dup pairs per source pair,
+# computed from per-(fingerprint, source) counts — pairs never
+# materialized (a corpus-sized dup group is #sources rows of integer
+# arithmetic, not 10^12 join rows).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    ),
+    c AS (SELECT fp, source, COUNT(*) AS n FROM fp GROUP BY fp, source),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source
+                  THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+                  ELSE a.n * b.n END AS p
+      FROM c a JOIN c b ON a.fp = b.fp AND a.source <= b.source
+    )
+    SELECT source_a, source_b, SUM(p) AS dup_pairs
+    FROM p GROUP BY source_a, source_b HAVING SUM(p) >= 1
+    """,
+    tags=("dedup", "profiling", "llmdata"),
+    doc="Exact-dup pair counts between every source pair, pair-free arithmetic.",
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str):
+    return D.source_overlap_matrix(read_table(spark, sf_dir, "documents"))

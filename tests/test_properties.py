@@ -1421,3 +1421,20 @@ def test_duplicate_passages_hand_computed(spark):
     assert out[3]["dup_frac"] == 1.0
     assert (out[4]["dup_words"], out[4]["n_dup_spans"]) == (0, 0)
     assert out[4]["n_words"] == 2
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """3 copies of doc X in src A, 2 in src B; 1 unique doc in B:
+    pairs(A,A)=3, pairs(A,B)=6, pairs(B,B)=1 — from counting arithmetic
+    only, no materialized pairs."""
+    from fotmobdatapipeline_spark.operators.dedup import source_overlap_matrix
+
+    x, u = "alpha beta gamma", "totally unique text"
+    rows = [(0, x, "A"), (1, x, "A"), (2, x, "A"), (3, x, "B"), (4, x, "B"),
+            (5, u, "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r["dup_pairs"]
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert out == {("A", "A"): 3, ("A", "B"): 6, ("B", "B"): 1}
