@@ -685,3 +685,48 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str):
             "retention_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed top-k: the k busiest event types per hour — the standard
+# streaming-analytics leaderboard shape (tumbling window + per-window
+# ranked truncation).  The rank window partitions by TIME BUCKET, whose
+# row count is bounded by the distinct event types — skew-safe at any
+# corpus size; ties break on event_type so the cut is total.
+# --------------------------------------------------------------------------
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type ASC) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+    tags=("events", "window-agg", "topk"),
+    doc="Top-3 event types per tumbling hour.",
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").start.cast("string").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start", "event_type", "n_events",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
