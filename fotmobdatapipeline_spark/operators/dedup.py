@@ -1221,6 +1221,238 @@ def simhash_pairs(
     )
 
 
+def _passage_base(
+    df: DataFrame, text_col: str, id_col: str, gram_len: int
+) -> DataFrame:
+    """Checkpointed (doc, n_words, pos, ghash) gram-hash explosion —
+    the shared scan of the passage-dedup family.  posexplode_outer
+    keeps sub-gram_len documents in the frame (null gram row) so stats
+    can cover every document without a second raw scan."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+
+    def gram_at(i):
+        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
+
+    gram_arr = F.when(
+        n_words >= gram_len,
+        F.transform(F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.posexplode_outer(gram_arr).alias("pos", "ghash"),
+    ).localCheckpoint(eager=False)
+
+
+def _passage_stats(
+    base: DataFrame, dup_keys: DataFrame, gram_len: int, id_col: str
+) -> DataFrame:
+    """Coverage + islands + per-doc stats over a checkpointed
+    ``_passage_base`` frame, given the set of DUPLICATED gram hashes:
+    the join-back fans out linearly per gram, positions covered by any
+    duplicated window are merged into maximal runs by a DOC-partitioned
+    window (bounded by document length), and every document appears in
+    the output (zero stats when nothing is duplicated)."""
+    from pyspark.sql import Window
+
+    occ = base.filter(F.col("ghash").isNotNull())
+    cover = (
+        occ.join(dup_keys, "ghash")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("j")
+    runs = cover.withColumn("run", F.col("j") - F.row_number().over(w))
+    per_doc = runs.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("dup_words"),
+        F.countDistinct("run").cast("int").alias("n_dup_spans"),
+    )
+    nw = base.groupBy(id_col).agg(F.max("n_words").alias("n_words"))
+    return nw.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+        (F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")).alias(
+            "dup_frac"
+        ),
+    )
+
+
+def duplicate_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """EXACT duplicated-passage detection (the substring-dedup tier of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", relationalized): a word position is DUPLICATED when some
+    ``gram_len``-word window covering it occurs 2+ times in the whole
+    corpus (within- or cross-document), and per document we report how
+    much of it is duplicated passage — the trim/drop signal document-
+    and sentence-level dedup both miss (a lifted paragraph inside an
+    otherwise-unique page).
+
+    The suffix-array formulation of the paper is replaced by a pure
+    dataflow one: k-gram hashes -> global occurrence counts (map-side
+    combinable; a boilerplate gram collapses per map task) -> gram-keyed
+    join back (fan-out linear in that gram's own positions) -> position
+    coverage -> islands per document (window partitioned by DOC, bounded
+    by document length — never by gram).  Gram keys are md5 hashes so
+    the shuffle carries 32 chars instead of gram_len words.  The
+    exploded (doc, n_words, pos, ghash) frame is checkpointed once for
+    its consumers — ONE corpus scan (pinned in test_plan_shapes.py).
+
+    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_frac) —
+    n_dup_spans maximal duplicated runs covering dup_words positions.
+    """
+    base = _passage_base(df, text_col, id_col, gram_len)
+    occ = base.filter(F.col("ghash").isNotNull())
+    dup = (
+        occ.groupBy("ghash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ghash")
+    )
+    return _passage_stats(base, dup, gram_len, id_col)
+
+
+def incremental_passage_stats(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """PRODUCTION-shape passage dedup (the per-crawl increment of
+    :func:`duplicate_passage_stats`, same pattern as
+    :func:`incremental_dedup_flags`): flag the NEW batch's duplicated
+    passages against the EXISTING corpus without re-scanning history
+    per batch doc — a batch gram is duplicated when it exists in the
+    corpus gram INDEX at all, or occurs 2+ times within the batch
+    itself.
+
+    Scale shape: the corpus side reduces to DISTINCT gram hashes before
+    anything else (at steady state that index is precomputed and stored,
+    updated by appending each accepted batch's grams); the batch's
+    checkpointed explosion joins the index + its own multi-occurrence
+    set through one gram-keyed equi-join; coverage/islands/stats are
+    the shared doc-partitioned machinery.  History is never
+    re-deduplicated.
+
+    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_frac) per
+    BATCH document.
+    """
+    base = _passage_base(batch, text_col, id_col, gram_len)
+    occ = base.filter(F.col("ghash").isNotNull())
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+
+    def gram_at(i):
+        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
+
+    corpus_idx = (
+        corpus.select(
+            F.explode(
+                F.when(
+                    n_words >= gram_len,
+                    F.transform(
+                        F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("ghash")
+        )
+        .distinct()
+    )
+    batch_multi = (
+        occ.groupBy("ghash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ghash")
+    )
+    dup = corpus_idx.unionByName(batch_multi).distinct()
+    return _passage_stats(base, dup, gram_len, id_col)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the :func:`simhash_signatures`
+    bit-string into ``n_bands`` equal slices, generate candidate pairs
+    only between documents sharing a band (the Charikar/Manku
+    multi-table trick), then verify with the EXACT Hamming distance —
+    by pigeonhole, any pair within ``max_hamming <= n_bands - 1`` bit
+    flips shares at least one identical band, so recall at the
+    threshold is 100% and banding is purely a candidate pruner.
+
+    Scale shape: the signature table is computed once (checkpoint; the
+    band explode and the verify both read it), candidates meet through
+    a (band_id, band_key)-keyed equi-join — never all-pairs — and the
+    verify is fixed integer arithmetic over the two 16-char strings
+    already riding the join (no third scan).  Band selectivity is
+    2^-(n_bits/n_bands) per band: at corpus scale use 64-bit
+    signatures with 16-bit bands (65 536 keys/band); ``max_band_df``
+    optionally drops bands hotter than the cap before pair generation
+    (the jaccard_pairs df-cap semantics — a band shared by half the
+    corpus is a stop-pattern, not a dedup signal).
+
+    Output: (doc_a, doc_b, hamming), hamming <= ``max_hamming``.
+    """
+    w = n_bits // n_bands
+    sigs = simhash_signatures(df, text_col, id_col, n_bits).localCheckpoint(
+        eager=False
+    )
+    band_arr = F.array(
+        *[F.substring("simhash", b * w + 1, w) for b in range(n_bands)]
+    )
+    bands = sigs.select(
+        F.col(id_col), "simhash", F.posexplode(band_arr).alias("band_id", "band_key")
+    )
+    if max_band_df is not None:
+        cool = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(cool, ["band_id", "band_key"])
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_a", i, 1) != F.substring("sig_b", i, 1)).cast("int")
+        for i in range(1, n_bits + 1)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def duplicate_passage_stats(
     df: DataFrame,
     text_col: str = "text",

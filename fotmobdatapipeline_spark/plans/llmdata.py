@@ -4288,3 +4288,52 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
 )
 def dedup_source_overlap(spark: SparkSession, sf_dir: str):
     return D.source_overlap_matrix(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Incremental passage dedup: the batch (doc_id < 50) flagged against
+# the corpus gram index (doc_id >= 50) — per-crawl production form.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_passages_incremental",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok WHERE doc_id < 50),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    cb AS (SELECT doc_id, len(t) AS n_words, t FROM tok WHERE doc_id >= 50),
+    cg AS (SELECT UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+           FROM cb WHERE n_words >= {_PASSAGE_L}),
+    cidx AS (SELECT DISTINCT
+                    md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+             FROM cg),
+    bmulti AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    dup AS (SELECT gh FROM cidx UNION SELECT gh FROM bmulti),
+    cover AS (SELECT DISTINCT doc_id, pos + u.u AS j
+              FROM occ JOIN dup USING (gh)
+              CROSS JOIN (SELECT UNNEST(range(0, {_PASSAGE_L})) AS u) u),
+    runs AS (SELECT doc_id, j,
+                    j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS run
+             FROM cover),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS dup_words,
+                  CAST(COUNT(DISTINCT run) AS INT) AS n_dup_spans
+           FROM runs GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(pd.dup_words, 0) AS dup_words,
+           CAST(COALESCE(pd.dup_words, 0) AS DOUBLE) / b.n_words AS dup_frac
+    FROM base b LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("dedup", "passages", "incremental", "llmdata"),
+    doc="Batch passage dedup against the corpus gram index (per-crawl form).",
+)
+def dedup_passages_incremental(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return D.incremental_passage_stats(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        gram_len=_PASSAGE_L,
+    )
