@@ -3887,6 +3887,10 @@ _SIMHASH_HAMMING = " + ".join(
     f"(CASE WHEN substr(sig_a, {i}, 1) <> substr(sig_b, {i}, 1) THEN 1 ELSE 0 END)"
     for i in range(1, _SIMHASH_BITS + 1)
 )
+# Band-occupancy cap: bands hotter than this are stop patterns and are
+# excluded from pair generation (bounds fan-out at max_band_df^2/2 per
+# band key at ANY corpus size).
+_SIMHASH_BAND_DF = 50
 
 
 @register(
@@ -3901,9 +3905,12 @@ _SIMHASH_HAMMING = " + ".join(
     bands AS (SELECT doc_id, simhash, UNNEST([0, 1, 2, 3]) AS band_id FROM sig),
     keyed AS (SELECT doc_id, simhash, band_id,
                      substr(simhash, band_id * 4 + 1, 4) AS band_key FROM bands),
+    cool AS (SELECT band_id, band_key FROM keyed
+             GROUP BY band_id, band_key HAVING COUNT(*) <= {_SIMHASH_BAND_DF}),
+    kk AS (SELECT k.* FROM keyed k JOIN cool USING (band_id, band_key)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.simhash AS sig_a, b.simhash AS sig_b
-             FROM keyed a JOIN keyed b
+             FROM kk a JOIN kk b
                ON a.band_id = b.band_id AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM (
@@ -3912,17 +3919,25 @@ _SIMHASH_HAMMING = " + ".join(
     ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 50
     """,
     tags=("dedup", "simhash", "lsh"),
-    doc="Banded SimHash candidates verified by exact Hamming distance.",
+    doc="Banded SimHash candidates (df-capped bands) + exact Hamming verify.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """With 16-bit signatures a 4-bit band has 16 keys, so band
+    occupancy grows linearly with the corpus and uncapped pair fan-out
+    grows QUADRATICALLY — measured 27.9 s at sf0.1 before the cap.
+    ``max_band_df`` drops bands hotter than the cap before pair
+    generation (the jaccard/fingerprint df-cap doctrine: a band shared
+    by everyone is a stop pattern, not a dedup signal; production
+    widens bands instead — 64-bit/16-bit bands — which this operator
+    also supports).  The catalog row is the bounded closest-50 report.
+    """
     pairs = D.simhash_pairs(
         read_table(spark, sf_dir, "documents"),
         n_bits=_SIMHASH_BITS,
         n_bands=4,
         max_hamming=3,
+        max_band_df=_SIMHASH_BAND_DF,
     )
-    # 16-bit signatures over this tiny-vocab corpus collide broadly
-    # (~15k pairs at sf0.01); the catalog row is the closest-50 report.
     return pairs.orderBy(
         F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(50)

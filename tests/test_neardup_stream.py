@@ -197,3 +197,56 @@ def test_sentence_neardup_stream_equals_batch_set(spark, tmp_path):
     assert sig_multiset(got) == sig_multiset(want)
     n_signable = sum(1 for s in sig_multiset(got) if s != "")
     assert n_signable > 0
+
+
+def test_gopher_rules_stream_equals_batch(spark, tmp_path):
+    """The Gopher rule filter is stateless per-row HOF work, so it must
+    be applicable unchanged to a readStream frame and produce the exact
+    batch verdicts — the filter a streaming ingest pipeline applies
+    before any stateful dedup tier."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.functions.text import gopher_rules
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+
+    feed = str(tmp_path / "gfeed")
+    _feed_with_dups(spark, feed)
+    register_python_sources(spark)
+
+    def apply_rules(df):
+        rules = gopher_rules(F.col("text"))
+        keep = None
+        for n in rules:
+            keep = rules[n] if keep is None else (keep & rules[n])
+        return df.select("doc_id", *[c.alias(n) for n, c in rules.items()],
+                         keep.alias("keep"))
+
+    batch = apply_rules(spark.read.format("jsonl_docs").load(feed))
+    stream = apply_rules(
+        spark.readStream.format("jsonl_docs")
+        .option("maxrowsperbatch", "400")
+        .load(feed)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gopher_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        want = sorted(map(str, batch.collect()))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM gopher_out").count() >= len(want):
+                break
+            time.sleep(1)
+        got = sorted(
+            map(str, spark.sql(f"SELECT {', '.join(batch.columns)} FROM gopher_out").collect())
+        )
+        assert got == want
+    finally:
+        q.stop()

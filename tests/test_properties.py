@@ -1438,3 +1438,27 @@ def test_source_overlap_matrix_hand_computed(spark):
         for r in source_overlap_matrix(df).collect()
     }
     assert out == {("A", "A"): 3, ("A", "B"): 6, ("B", "B"): 1}
+
+
+def test_incremental_passages_hand_computed(spark):
+    """A batch doc lifting a corpus passage is flagged; a batch doc
+    repeating its own passage is flagged by the within-batch rule; a
+    unique batch doc is clean even when the corpus has internal dups."""
+    from fotmobdatapipeline_spark.operators.dedup import incremental_passage_stats
+
+    p1 = "alpha bravo charlie delta echo foxtrot golf hotel"   # in corpus
+    p2 = "india juliet kilo lima mike nov oscar papa"          # batch-only
+    corpus = _docs_df(spark, [f"c0 c1 {p1} c2", "c3 c4 c5 c6 c7 c8 c9 c10"])
+    batch = _docs_df(
+        spark,
+        [
+            f"b0 {p1} b1 b2",       # lifts the corpus passage (index rule)
+            f"{p2} {p2}",            # self-repeat, gram absent from corpus
+            "u0 u1 u2 u3 u4 u5 u6 u7 u8",  # clean
+        ],
+    )
+    out = {r["doc_id"]: r for r in incremental_passage_stats(corpus, batch, gram_len=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["dup_words"], out[0]["n_dup_spans"]) == (8, 1)
+    assert out[1]["dup_words"] == 16 and out[1]["dup_frac"] == 1.0
+    assert (out[2]["dup_words"], out[2]["n_dup_spans"]) == (0, 0)
