@@ -1589,3 +1589,47 @@ def source_overlap_matrix(
         .agg(F.sum("p").alias("dup_pairs"))
         .filter(F.col("dup_pairs") >= 1)
     )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """The span-level output of :func:`duplicate_passage_stats` — one
+    row per maximal duplicated run with its word-position bounds, which
+    is what a trimming pass actually consumes (cut [start, end] out of
+    the document, keep the rest).  Same one-scan machinery; the islands
+    window partitions by DOC.
+
+    Output: (doc_id, span_start, span_end, span_len), word positions
+    0-based inclusive.
+    """
+    from pyspark.sql import Window
+
+    base = _passage_base(df, text_col, id_col, gram_len)
+    occ = base.filter(F.col("ghash").isNotNull())
+    dup = (
+        occ.groupBy("ghash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ghash")
+    )
+    cover = (
+        occ.join(dup, "ghash")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("j")
+    runs = cover.withColumn("run", F.col("j") - F.row_number().over(w))
+    return runs.groupBy(id_col, "run").agg(
+        F.min("j").cast("int").alias("span_start"),
+        F.max("j").cast("int").alias("span_end"),
+        (F.max("j") - F.min("j") + 1).cast("int").alias("span_len"),
+    ).select(id_col, "span_start", "span_end", "span_len")

@@ -4352,3 +4352,42 @@ def dedup_passages_incremental(spark: SparkSession, sf_dir: str):
         docs.filter(F.col("doc_id") < 50),
         gram_len=_PASSAGE_L,
     )
+
+
+# --------------------------------------------------------------------------
+# Passage spans: the row-per-run form of text_duplicate_passages — the
+# trimming pass's input.  Catalog row: the 50 longest spans.
+# --------------------------------------------------------------------------
+@register(
+    "text_passage_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    cover AS (SELECT DISTINCT doc_id, pos + u.u AS j
+              FROM occ JOIN dup USING (gh)
+              CROSS JOIN (SELECT UNNEST(range(0, {_PASSAGE_L})) AS u) u),
+    runs AS (SELECT doc_id, j,
+                    j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS run
+             FROM cover)
+    SELECT doc_id, CAST(MIN(j) AS INT) AS span_start,
+           CAST(MAX(j) AS INT) AS span_end,
+           CAST(MAX(j) - MIN(j) + 1 AS INT) AS span_len
+    FROM runs GROUP BY doc_id, run
+    ORDER BY span_len DESC, doc_id ASC, span_start ASC LIMIT 50
+    """,
+    tags=("text", "dedup", "passages", "llmdata"),
+    doc="The 50 longest duplicated passage spans (trimming input).",
+)
+def text_passage_spans(spark: SparkSession, sf_dir: str):
+    spans = D.duplicate_passage_spans(
+        read_table(spark, sf_dir, "documents"), gram_len=_PASSAGE_L
+    )
+    return spans.orderBy(
+        F.desc("span_len"), F.asc("doc_id"), F.asc("span_start")
+    ).limit(50)
