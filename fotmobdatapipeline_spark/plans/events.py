@@ -730,3 +730,37 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str):
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix: per-user consecutive event-type bigrams
+# (ordered by ts, event_id tiebreak) summed corpus-wide — the Markov
+# view behind funnel design and next-event prediction features.  The
+# lag window partitions by USER (bounded by a user's own history); the
+# matrix aggregate is map-side combinable.
+# --------------------------------------------------------------------------
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("events", "window", "markov"),
+    doc="Corpus-wide event-type transition counts from per-user lag.",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

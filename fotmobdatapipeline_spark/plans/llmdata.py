@@ -4391,3 +4391,46 @@ def text_passage_spans(spark: SparkSession, sf_dir: str):
     return spans.orderBy(
         F.desc("span_len"), F.asc("doc_id"), F.asc("span_start")
     ).limit(50)
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (the CCNet-style idea: keep
+# probability proportional to a quality signal), hash-thresholded so a
+# document's fate is content-stable across reruns/partitionings: keep
+# iff hash_bucket_256(doc_id) < diversity * 256.
+# --------------------------------------------------------------------------
+@register(
+    "sample_quality_weighted",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS div,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, div AS quality, CAST(bucket AS INT) AS bucket,
+           (bucket < div * 256.0) AS kept
+    FROM q
+    """,
+    tags=("sampling", "quality", "llmdata"),
+    doc="Keep-probability proportional to quality, hash-thresholded (rerun-stable).",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str):
+    """Scale shape: pure per-row arithmetic over one scan — no shuffle,
+    no RNG, no seed; the same row keeps the same fate on any cluster,
+    partitioning, or engine (the sampling module's doctrine), which is
+    what makes quality-weighted subsets reproducible across re-crawls."""
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    div = T.distinct_word_ratio(F.col("text"))
+    bucket = hash_bucket_256(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        div.alias("quality"),
+        bucket.alias("bucket"),
+        (bucket.cast("double") < div * F.lit(256.0)).alias("kept"),
+    )
