@@ -1633,3 +1633,63 @@ def duplicate_passage_spans(
         F.max("j").cast("int").alias("span_end"),
         (F.max("j") - F.min("j") + 1).cast("int").alias("span_len"),
     ).select(id_col, "span_start", "span_end", "span_len")
+
+
+def trim_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+) -> DataFrame:
+    """APPLY the substring-dedup decision: rebuild every document with
+    its duplicated passages (per :func:`duplicate_passage_stats`
+    semantics) removed — the Lee et al. 2022 trim step, closing the
+    detect -> trim loop.
+
+    Plan shape: the gram pipeline runs once over the checkpointed
+    explosion (as in the stats form); the per-doc covered-position SET
+    is a doc-length-bounded sorted array joined back onto a second,
+    column-pruned (id, text) scan — rebuilding needs the original words
+    in order, and carrying the full word array through every gram row
+    would multiply the checkpoint by the document length, so the
+    deliberate shape is ONE gram scan + ONE narrow rebuild scan.  The
+    per-word membership probe is array_contains over the doc's own
+    covered set (quadratic in a single document's length — fine to a
+    few thousand words; swap for a bitmap column beyond that).
+
+    Output: (doc_id, n_words, n_kept, text_trimmed) for EVERY document
+    (text_trimmed empty when everything was duplicated).
+    """
+    base = _passage_base(df, text_col, id_col, gram_len)
+    occ = base.filter(F.col("ghash").isNotNull())
+    dup = (
+        occ.groupBy("ghash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ghash")
+    )
+    cover = (
+        occ.join(dup, "ghash")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    cov_arr = cover.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("j")).alias("cov")
+    )
+    words = F.split(F.col(text_col), " ")
+    rebuilt = df.select(F.col(id_col), words.alias("w")).join(
+        cov_arr, id_col, "left"
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("w"), lambda x, i: ~F.array_contains(cov, i))
+    return rebuilt.select(
+        F.col(id_col),
+        F.size("w").alias("n_words"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("text_trimmed"),
+    )

@@ -4434,3 +4434,43 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str):
         bucket.alias("bucket"),
         (bucket.cast("double") < div * F.lit(256.0)).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Passage trim applied: rebuild each doc with duplicated passages
+# removed (the Lee et al. trim step) — detect -> trim, end to end.
+# --------------------------------------------------------------------------
+@register(
+    "text_trim_passages",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    cover AS (SELECT DISTINCT doc_id, pos + u.u AS j
+              FROM occ JOIN dup USING (gh)
+              CROSS JOIN (SELECT UNNEST(range(0, {_PASSAGE_L})) AS u) u),
+    cv AS (SELECT doc_id, list(j) AS cov FROM cover GROUP BY doc_id),
+    w AS (SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS p, t FROM tok),
+    kw AS (SELECT w.doc_id, w.p, w.t[w.p] AS word
+           FROM w LEFT JOIN cv USING (doc_id)
+           WHERE cv.cov IS NULL OR NOT list_contains(cv.cov, w.p - 1)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                   array_to_string(list(word ORDER BY p), ' ') AS text_trimmed
+            FROM kw GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.text_trimmed, '') AS text_trimmed
+    FROM base b LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("text", "dedup", "passages", "llmdata"),
+    doc="Documents rebuilt with duplicated passages removed (trim applied).",
+)
+def text_trim_passages(spark: SparkSession, sf_dir: str):
+    return D.trim_duplicate_passages(
+        read_table(spark, sf_dir, "documents"), gram_len=_PASSAGE_L
+    )

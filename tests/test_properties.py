@@ -1462,3 +1462,26 @@ def test_incremental_passages_hand_computed(spark):
     assert (out[0]["dup_words"], out[0]["n_dup_spans"]) == (8, 1)
     assert out[1]["dup_words"] == 16 and out[1]["dup_frac"] == 1.0
     assert (out[2]["dup_words"], out[2]["n_dup_spans"]) == (0, 0)
+
+
+def test_trim_agrees_with_passage_stats(spark):
+    """The applied trim and the stats view of the same detection must
+    agree document-by-document: n_kept == n_words - dup_words."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        duplicate_passage_stats,
+        trim_duplicate_passages,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    stats = {
+        r["doc_id"]: r for r in duplicate_passage_stats(docs, gram_len=8).collect()
+    }
+    trims = {
+        r["doc_id"]: r for r in trim_duplicate_passages(docs, gram_len=8).collect()
+    }
+    assert set(stats) == set(trims)
+    for d in stats:
+        assert trims[d]["n_kept"] == stats[d]["n_words"] - stats[d]["dup_words"], d
+        assert trims[d]["n_words"] == stats[d]["n_words"], d
