@@ -66,6 +66,7 @@ HEADLINE = [
     "text_duplicate_passages",
     "sim_pq_adc_topk",
     "dedup_simhash_pairs",
+    "llm_prep_pipeline_v2",
 ]
 
 

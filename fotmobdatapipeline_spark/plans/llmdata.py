@@ -4474,3 +4474,101 @@ def text_trim_passages(spark: SparkSession, sf_dir: str):
     return D.trim_duplicate_passages(
         read_table(spark, sf_dir, "documents"), gram_len=_PASSAGE_L
     )
+
+
+# --------------------------------------------------------------------------
+# Prep pipeline v2: the modern tier order — Gopher rule filter ->
+# passage trim -> exact dedup on the TRIMMED text -> quality-weighted
+# admission.  Every stage is a proven catalog operator; the oracle
+# composes their SQL twins over the same filtered corpus.
+# --------------------------------------------------------------------------
+_SQL_GOPHER_KEEP = f"""
+      len(string_split(text, ' ')) BETWEEN 10 AND 1000
+      AND CAST(len(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+      AND ({_SQL_STOPHITS}) >= 2
+      AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.3
+      AND CAST(len(regexp_extract_all(text, '[0-9]+')) AS DOUBLE)
+          / len(string_split(text, ' ')) <= 0.2
+"""
+
+
+@register(
+    "llm_prep_pipeline_v2",
+    oracle=f"""
+    WITH kept_docs AS (SELECT doc_id, text FROM documents WHERE {_SQL_GOPHER_KEEP}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept_docs),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    cover AS (SELECT DISTINCT doc_id, pos + u.u AS j
+              FROM occ JOIN dup USING (gh)
+              CROSS JOIN (SELECT UNNEST(range(0, {_PASSAGE_L})) AS u) u),
+    cv AS (SELECT doc_id, list(j) AS cov FROM cover GROUP BY doc_id),
+    w AS (SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS p, t FROM tok),
+    kw AS (SELECT w.doc_id, w.p, w.t[w.p] AS word
+           FROM w LEFT JOIN cv USING (doc_id)
+           WHERE cv.cov IS NULL OR NOT list_contains(cv.cov, w.p - 1)),
+    tr AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                  array_to_string(list(word ORDER BY p), ' ') AS text_trimmed
+           FROM kw GROUP BY doc_id),
+    td AS (SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+                  tr.n_kept, tr.text_trimmed
+           FROM base b JOIN tr USING (doc_id) WHERE tr.n_kept > 0),
+    fst AS (SELECT text_trimmed, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+            FROM td GROUP BY text_trimmed)
+    SELECT td.doc_id, td.n_words, td.n_kept, fst.n_copies,
+           CAST(len(list_distinct(string_split(td.text_trimmed, ' '))) AS DOUBLE)
+             / len(string_split(td.text_trimmed, ' ')) AS quality,
+           ((strpos('0123456789abcdef', substr(md5(CAST(td.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(td.doc_id AS VARCHAR)), 2, 1)) - 1)
+            < CAST(len(list_distinct(string_split(td.text_trimmed, ' '))) AS DOUBLE)
+              / len(string_split(td.text_trimmed, ' ')) * 256.0) AS admitted
+    FROM td JOIN fst ON td.text_trimmed = fst.text_trimmed
+    WHERE td.doc_id = fst.keeper
+    """,
+    tags=("llmdata", "pipeline", "dedup", "quality"),
+    doc="Gopher filter -> passage trim -> exact dedup on trimmed text -> hash-quality admission.",
+)
+def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str):
+    """Every stage is a proven operator; stage order is the modern LLM
+    prep doctrine (filter cheap rules first, trim duplicated passages,
+    THEN dedup on the post-trim text — two docs differing only in
+    boilerplate collapse — then admit by quality).  Scale: the gopher
+    filter is scan-speed and cuts everything downstream; the trim is
+    the one-gram-scan shape; the dedup is a hash groupBy on trimmed
+    text; admission is per-row arithmetic.  Two corpus scans total
+    (gram pipeline + rebuild), both filter-pruned."""
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    rules = T.gopher_rules(F.col("text"))
+    keep = None
+    for name in rules:
+        keep = rules[name] if keep is None else (keep & rules[name])
+    filtered = docs.filter(keep)
+    trimmed = D.trim_duplicate_passages(filtered, gram_len=_PASSAGE_L).filter(
+        F.col("n_kept") > 0
+    )
+    fst = trimmed.groupBy("text_trimmed").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    quality = T.distinct_word_ratio(F.col("text_trimmed"))
+    bucket = hash_bucket_256(F.col("doc_id"))
+    return (
+        trimmed.join(fst, "text_trimmed")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_kept",
+            "n_copies",
+            quality.alias("quality"),
+            (bucket.cast("double") < quality * F.lit(256.0)).alias("admitted"),
+        )
+    )
