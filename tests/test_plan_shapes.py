@@ -510,3 +510,22 @@ def test_ivfpq_candidates_cell_confined(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_trim_passages_two_pruned_scans(spark):
+    """The applied trim deliberately has TWO scans: the checkpointed
+    gram pipeline (ExistingRDD downstream) and one column-pruned
+    (doc_id, text) rebuild scan — carrying the word array through every
+    gram row would multiply the checkpoint by document length.  Pin:
+    exactly one parquet scan, and its ReadSchema carries only the two
+    rebuild columns."""
+    df = _q("text_trim_passages")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ExistingRDD" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
