@@ -4572,3 +4572,73 @@ def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str):
             (bucket.cast("double") < quality * F.lit(256.0)).alias("admitted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup/filter funnel: documents surviving each curation tier — the
+# one-pane report a curation engineer reads before choosing caps and
+# mixtures.  Tiers 00-30 come from ONE scan (combinable aggregates on a
+# single row, exploded into tier rows); the passage tier reuses the
+# one-scan gram pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_tier_funnel",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_words, t FROM tok),
+    g AS (SELECT doc_id, UNNEST(range(0, n_words - {_PASSAGE_L} + 1)) AS pos, t
+          FROM base WHERE n_words >= {_PASSAGE_L}),
+    occ AS (SELECT doc_id, pos,
+                   md5(array_to_string(t[pos + 1 : pos + {_PASSAGE_L}], ' ')) AS gh
+            FROM g),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+    dirty AS (SELECT DISTINCT doc_id FROM occ JOIN dup USING (gh))
+    SELECT '00_raw' AS tier, COUNT(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT '10_gopher_keep', COUNT(*) FROM documents WHERE {_SQL_GOPHER_KEEP}
+    UNION ALL
+    SELECT '20_exact_distinct', COUNT(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT '30_fingerprint_distinct', COUNT(DISTINCT fp) FROM fp
+    UNION ALL
+    SELECT '40_passage_clean', COUNT(*) FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    tags=("dedup", "profiling", "llmdata"),
+    doc="Documents surviving each curation tier (raw/rules/exact/fingerprint/passage).",
+)
+def dedup_tier_funnel(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    rules = T.gopher_rules(F.col("text"))
+    keep = None
+    for name in rules:
+        keep = rules[name] if keep is None else (keep & rules[name])
+    one = docs.agg(
+        F.count("*").alias("raw"),
+        F.sum(keep.cast("long")).alias("gopher"),
+        F.countDistinct("text").alias("exact"),
+        F.countDistinct(D.fingerprint(F.col("text"))).alias("fng"),
+    )
+    stats = D.duplicate_passage_stats(docs, gram_len=_PASSAGE_L)
+    clean = stats.filter(F.col("dup_words") == 0).agg(
+        F.count("*").alias("n")
+    )
+    tiers = None
+    for tier, col, frame in [
+        ("00_raw", "raw", one),
+        ("10_gopher_keep", "gopher", one),
+        ("20_exact_distinct", "exact", one),
+        ("30_fingerprint_distinct", "fng", one),
+        ("40_passage_clean", "n", clean),
+    ]:
+        row = frame.select(
+            F.lit(tier).alias("tier"), F.col(col).cast("long").alias("n_docs")
+        )
+        tiers = row if tiers is None else tiers.unionByName(row)
+    return tiers
