@@ -4642,3 +4642,104 @@ def dedup_tier_funnel(spark: SparkSession, sf_dir: str):
         )
         tiers = row if tiers is None else tiers.unionByName(row)
     return tiers
+
+
+# --------------------------------------------------------------------------
+# Token-frequency Gini per document: inequality of the doc's token
+# distribution — 0 = perfectly even vocabulary use, ->1 = one token
+# dominating (a repetition/boilerplate signal that complements Simpson
+# diversity).  G = 2*sum(i * c_(i)) / (m * sum(c)) - (m + 1)/m over the
+# ascending-sorted counts; the weighted sum is INVARIANT to tie order
+# (equal counts contribute identically under any permutation), so a
+# (count, token) rank is deterministic and the whole statistic is
+# exact-integer until two final double divisions.  The only window
+# partitions by DOC.
+# --------------------------------------------------------------------------
+@register(
+    "text_token_gini",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    r AS (
+      SELECT doc_id, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, tok) AS rn
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(rn * c) AS BIGINT) AS ws
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id, m AS n_distinct, total AS n_tokens,
+           CAST(2 * ws AS DOUBLE) / (m * total) - CAST(m + 1 AS DOUBLE) / m
+             AS gini
+    FROM s
+    """,
+    tags=("text", "quality", "repetition", "llmdata"),
+    doc="Per-doc token-frequency Gini coefficient (exact integer ranks).",
+)
+def text_token_gini(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("c", "tok")
+    r = c.withColumn("rn", F.row_number().over(w))
+    s = r.groupBy("doc_id").agg(
+        F.count("*").alias("m"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("rn") * F.col("c")).alias("ws"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("m").alias("n_distinct"),
+        F.col("total").alias("n_tokens"),
+        (
+            (F.lit(2) * F.col("ws")).cast("double")
+            / (F.col("m") * F.col("total"))
+            - (F.col("m") + F.lit(1)).cast("double") / F.col("m")
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus dashboard: volume, exact-dup rate, mean length —
+# the slice view mixtures and caps are chosen from.  One scan, all
+# combinable aggregates; the mean is an exact integer-sum ratio.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_source_dashboard",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    tags=("profiling", "dedup", "llmdata"),
+    doc="Per-source volume, exact-dup rate, and mean length.",
+)
+def corpus_source_dashboard(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("text").cast("double") / F.count("*")
+        ).alias("dup_rate"),
+        (
+            F.sum(F.col("n_chars").cast("long")).cast("double") / F.count("*")
+        ).alias("avg_chars"),
+    )

@@ -185,3 +185,36 @@ def neardup_stream(
     else:
         deduped = dedupable.dropDuplicates(["minhash_sig"])
     return deduped.unionByName(short)
+
+
+def prep_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The streaming INGEST form of the curation pipeline: Gopher rule
+    filter (stateless, scan-speed — cuts state pressure before any
+    keyed stage) -> online near-duplicate suppression keyed on the
+    minhash signature.  Composes two proven pieces; the filter runs
+    first for the same reason the batch v2 pipeline orders it first —
+    everything downstream, including the dedup STATE, shrinks.
+    """
+    from fotmobdatapipeline_spark.functions.text import gopher_rules
+
+    rules = gopher_rules(F.col(text_col))
+    keep = None
+    for name in rules:
+        keep = rules[name] if keep is None else (keep & rules[name])
+    return neardup_stream(
+        docs.filter(keep),
+        text_col=text_col,
+        ts_col=ts_col,
+        watermark=watermark,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        id_col=id_col,
+    )

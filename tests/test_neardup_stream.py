@@ -250,3 +250,58 @@ def test_gopher_rules_stream_equals_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_prep_stream_equals_batch_composition(spark, tmp_path):
+    """The composed ingest pipeline (Gopher filter -> near-dup stream)
+    must produce the batch composition's signature multiset — filter
+    first, so rule-failing docs never reach (or pollute) dedup state."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.functions.text import gopher_rules
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+    from fotmobdatapipeline_spark.streaming.documents import (
+        neardup_stream,
+        prep_stream,
+    )
+
+    feed = str(tmp_path / "pfeed")
+    _feed_with_dups(spark, feed)
+    register_python_sources(spark)
+
+    rules = gopher_rules(F.col("text"))
+    keep = None
+    for n in rules:
+        keep = rules[n] if keep is None else (keep & rules[n])
+    batch = neardup_stream(
+        spark.read.format("jsonl_docs").load(feed).filter(keep)
+    )
+    stream = prep_stream(
+        spark.readStream.format("jsonl_docs")
+        .option("maxrowsperbatch", "300")
+        .load(feed)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("prep_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        want_n = batch.count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM prep_out").count() >= want_n:
+                break
+            time.sleep(1)
+        got_sigs = sorted(
+            r["minhash_sig"] for r in spark.sql("SELECT * FROM prep_out").collect()
+        )
+        want_sigs = sorted(r["minhash_sig"] for r in batch.collect())
+        assert got_sigs == want_sigs
+    finally:
+        q.stop()
