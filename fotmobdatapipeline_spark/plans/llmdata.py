@@ -4743,3 +4743,173 @@ def corpus_source_dashboard(spark: SparkSession, sf_dir: str):
             F.sum(F.col("n_chars").cast("long")).cast("double") / F.count("*")
         ).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lang-ID confusion matrix: heuristic prediction vs the labeled lang —
+# the evaluation view of text_langid (precision/recall per language
+# read straight off the cells).  One scan, combinable counts.
+# --------------------------------------------------------------------------
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS s_en,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('el', 'la', 'de', 'los', 'y'))) AS INT) AS s_es,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ('der', 'die', 'das', 'und', 'zu'))) AS INT) AS s_de
+      FROM documents
+    )
+    SELECT lang AS true_lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+    tags=("text", "langid", "audit"),
+    doc="Heuristic lang-ID confusion matrix vs the labeled language.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    scores = T.langid_scores(F.col("text"))
+    pred = T.langid_pred(scores["en"], scores["es"], scores["de"])
+    return (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DQ: primary-key uniqueness across the id-bearing tables — one report
+# row per table.  Combinable count/count-distinct per table; the union
+# is #tables rows.
+# --------------------------------------------------------------------------
+@register(
+    "dq_pk_uniqueness",
+    oracle="""
+    SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_keys,
+           (COUNT(*) = COUNT(DISTINCT doc_id)) AS pk_unique
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id),
+           COUNT(*) = COUNT(DISTINCT vec_id) FROM embeddings
+    UNION ALL
+    SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+           COUNT(*) = COUNT(DISTINCT event_id) FROM events
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+           COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+           COUNT(*) = COUNT(DISTINCT c_custkey) FROM customer
+    """,
+    tags=("dq", "profiling"),
+    doc="PK-uniqueness report across the id-bearing tables.",
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str):
+    out = None
+    for tbl, key in [
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+    ]:
+        t = read_table(spark, sf_dir, tbl)
+        row = t.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") == F.col("n_keys")).alias("pk_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Embedding QA: per-label robust norm outliers — broken/degenerate
+# vectors show up as extreme L2 norms; the lower-median/MAD rule of
+# quality_length_outliers applied to the (bit-deterministic) norm fold.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH lens AS (
+      SELECT label, vec_id,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS v
+      FROM embeddings
+    ),
+    med AS (
+      SELECT label, v AS med_v FROM (
+        SELECT label, v,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY v, vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM lens
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT l.label, l.vec_id, l.v, m.med_v, abs(l.v - m.med_v) AS adev
+      FROM lens l JOIN med m ON l.label = m.label
+    ),
+    mad AS (
+      SELECT label, adev AS mad FROM (
+        SELECT label, adev,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY adev, vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM dev
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ANY_VALUE(d.med_v) AS med_norm,
+           ANY_VALUE(m.mad) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.label = m.label
+    GROUP BY d.label
+    """,
+    tags=("similarity", "quality", "audit", "llmdata"),
+    doc="Per-label robust L2-norm outliers (lower-median/MAD).",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lens = emb.select(
+        "label", "vec_id", S.l2_norm(F.col("embedding")).alias("v")
+    )
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("label").orderBy(val_col, "vec_id")
+        wn = Window.partitionBy("label")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("rk") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+            .select("label", F.col(val_col).alias(out_col))
+        )
+
+    med = lower_median(lens, "v", "med_v")
+    dev = lens.join(med, "label").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med_v"))
+    )
+    mad = lower_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.any_value("med_v").alias("med_norm"),
+            F.any_value("mad").alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )
