@@ -4913,3 +4913,79 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
             F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall report: recall@5 of each approximate tier against the
+# exact brute-force truth — the speed/recall trade measured as DATA,
+# so the choice between tiers is a query away instead of folklore.
+# The oracle composes each tier's full replayed SQL (nested WITH
+# subqueries) against the brute-force oracle — deferred to oracle_sql()
+# time via the callable-oracle hook so the referenced specs exist.
+# --------------------------------------------------------------------------
+_RECALL_TIERS = {
+    "ivf_kmeans": "sim_ivf_kmeans_topk",
+    "pq_adc": "sim_pq_adc_topk",
+    "ivf_pq": "sim_ivfpq_topk",
+}
+
+
+def _recall_oracle() -> str:
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES
+
+    bf = QUERIES["sim_bruteforce_topk"].oracle_text()
+    parts = []
+    for tier, name in _RECALL_TIERS.items():
+        t = QUERIES[name].oracle_text()
+        parts.append(
+            f"SELECT '{tier}' AS tier, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ({bf}) x) AS n_total, "
+            f"CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ({bf}) y) "
+            f"AS recall_at_5 "
+            f"FROM ({t}) a JOIN ({bf}) b "
+            f"ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "sim_recall_report",
+    oracle=_recall_oracle,
+    tags=("similarity", "ann", "audit", "llmdata"),
+    doc="Recall@5 of each ANN tier vs the exact brute-force baseline.",
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str):
+    """Scale note: each tier is its production shape (cell-confined /
+    compressed); the truth set is |Q|*k pairs (bounded), so the hit
+    joins are trivially broadcast.  The count() is a bounded driver
+    scalar (the n_docs pattern).
+
+    Measured at sf0.01: ivf_kmeans 0.70, pq_adc 0.12, ivf_pq 0.14 —
+    the (m=4, codes=4) toy codebooks quantize 64 random dims to 8 bits
+    total, so low PQ recall here is the compression trade made visible
+    (production PQ uses m=8..16 with 256 codes per subspace); sizing
+    codebooks IS what this report is for."""
+    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    total = bf.count()
+    builders = {
+        "ivf_kmeans": sim_ivf_kmeans_topk,
+        "pq_adc": sim_pq_adc_topk,
+        "ivf_pq": sim_ivfpq_topk,
+    }
+    out = None
+    for tier, fn in builders.items():
+        t = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        row = (
+            t.join(bf, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(tier).alias("tier"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.lit(total).cast("long").alias("n_total"),
+                (F.col("n_hits").cast("double") / F.lit(float(total))).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
