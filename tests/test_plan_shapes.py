@@ -529,3 +529,46 @@ def test_trim_passages_two_pruned_scans(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}, cols
+
+
+ROUND5_SWEEP = [
+    # Entries without driver-side training loops (those have their own
+    # pins; building their plans runs the trainers).
+    "text_duplicate_passages",
+    "text_passage_spans",
+    "text_trim_passages",
+    "dedup_passages_incremental",
+    "dedup_simhash_pairs",
+    "text_tfidf_topterms",
+    "mixture_temperature_weights",
+    "text_gopher_rules",
+    "text_token_fertility",
+    "decontaminate_semantic",
+    "dedup_source_overlap",
+    "events_windowed_topk",
+    "events_type_transitions",
+    "sample_quality_weighted",
+    "text_token_gini",
+    "corpus_source_dashboard",
+    "text_lang_confusion",
+    "dq_pk_uniqueness",
+    "dedup_tier_funnel",
+    "embedding_norm_outliers",
+    "llm_prep_pipeline_v2",
+]
+
+
+def test_round5_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-5 additions: no
+    CartesianProduct anywhere (broadcast nested-loop over tiny literal
+    sides is the only allowed cross shape) and no row-at-a-time Python
+    UDF node (BatchEvalPython / ArrowEvalPython) in any plan — all
+    logic stays JVM-side."""
+    bad = []
+    for name in ROUND5_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
