@@ -37,6 +37,7 @@ PICKS = [
     ("text_duplicate_passages", "Substring dedup: checkpointed gram explode (one corpus scan), doc-partitioned islands window only"),
     ("dedup_simhash_pairs", "Banded SimHash: checkpointed signatures, (band, key) equi-join candidates, integer Hamming verify"),
     ("sim_pq_adc_topk", "PQ ADC: broadcast LUTs over encoded codes, fixed-order score fold, no SortMergeJoin"),
+    ("llm_prep_pipeline_v2", "Prep v2: Gopher filter pushed into both scans, one gram pipeline, hash-dedup on trimmed text"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
