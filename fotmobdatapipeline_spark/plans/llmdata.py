@@ -4989,3 +4989,76 @@ def sim_recall_report(spark: SparkSession, sf_dir: str):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# CMS mergeability as DATA: two half-corpus sketches cell-summed must
+# equal the whole-corpus sketch — the property that lets per-shard /
+# per-day sketches compose without rescans.  Bloom and HLL have merge
+# pins as tests; this makes the CMS guarantee a queryable report.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_cms_merge",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS k FROM documents),
+    keyed AS (SELECT doc_id, k, UNNEST({_CMS_SQL_DEPTH_ROWS}) AS r FROM tok),
+    kb AS (
+      SELECT doc_id, r,
+             ({_sql_hex32("substr(md5('cms' || CAST(r AS VARCHAR) || ':' || k), 1, 8)")})
+               % 256 AS b
+      FROM keyed
+    ),
+    full_cms AS (SELECT r, b, COUNT(*) AS cnt FROM kb GROUP BY r, b),
+    a_cms AS (SELECT r, b, COUNT(*) AS cnt FROM kb WHERE doc_id < 250 GROUP BY r, b),
+    b_cms AS (SELECT r, b, COUNT(*) AS cnt FROM kb WHERE doc_id >= 250 GROUP BY r, b),
+    merged AS (
+      SELECT r, b, SUM(cnt) AS cnt FROM (
+        SELECT * FROM a_cms UNION ALL SELECT * FROM b_cms
+      ) GROUP BY r, b
+    ),
+    cmp AS (
+      SELECT COALESCE(f.r, m.r) AS r,
+             CASE WHEN f.cnt IS NULL OR m.cnt IS NULL OR f.cnt <> m.cnt
+                  THEN 1 ELSE 0 END AS mismatch,
+             COALESCE(f.cnt, 0) AS fcnt
+      FROM full_cms f FULL OUTER JOIN merged m ON f.r = m.r AND f.b = m.b
+    )
+    SELECT r AS sketch_row, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(fcnt) AS BIGINT) AS total_cnt,
+           CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+           (SUM(mismatch) = 0) AS mergeable
+    FROM cmp GROUP BY r
+    """,
+    tags=("sketch", "merge", "llmdata"),
+    doc="Two half-corpus CMS sketches cell-summed == whole-corpus sketch, per row.",
+)
+def sketch_cms_merge(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import count_min_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("k")
+    ).localCheckpoint(eager=False)
+    full = count_min_table(tok, "k")
+    a = count_min_table(tok.filter(F.col("doc_id") < 250), "k")
+    b = count_min_table(tok.filter(F.col("doc_id") >= 250), "k")
+    merged = (
+        a.unionByName(b)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cmp = full.withColumnsRenamed({"cnt": "fcnt"}).join(
+        merged, ["sketch_row", "bucket"], "full"
+    )
+    mismatch = F.when(
+        F.col("fcnt").isNull()
+        | F.col("cnt").isNull()
+        | (F.col("fcnt") != F.col("cnt")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return cmp.groupBy("sketch_row").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.coalesce("fcnt", F.lit(0))).alias("total_cnt"),
+        F.sum(mismatch).alias("n_mismatch"),
+        (F.sum(mismatch) == 0).alias("mergeable"),
+    )
