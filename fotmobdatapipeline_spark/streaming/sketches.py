@@ -1,0 +1,117 @@
+"""Incremental sketch maintenance over a stream: keep a count-min
+sketch of an unbounded feed up to date per micro-batch, so "how often
+has this key been seen, ever" is answerable at any moment without
+rescanning history — the streaming face of the mergeable-sketch family
+(``operators/sketches.py``; mergeability is what makes per-batch
+increments correct: cell-summing a batch's sketch into the stored one
+equals the sketch of the union, pinned as data by ``sketch_cms_merge``).
+
+Exactly-once: ``foreachBatch`` may REPLAY a batch after failure, and a
+replayed cell-sum would double-count.  The sink stores the last applied
+batch id inside the versioned table and skips batches it has already
+applied — the standard idempotent-foreachBatch pattern (state lives in
+the table, not the operator).
+
+Concurrent reads: each batch writes a NEW version directory
+(``v{batch_id}``) and atomically swings a ``CURRENT`` pointer file, so
+a reader never observes a half-written or deleted version; the
+previous version is retained for in-flight readers and older ones are
+garbage-collected (retention = 1 prior version — raise it for slower
+readers).  This is the Delta-less table-swap pattern; with Delta
+available the whole sink is a MERGE.
+
+At 100 TB: the stored table is depth*width rows regardless of feed
+size; each batch does one bounded-shuffle sketch build plus a
+cell-keyed merge of two tiny tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.sketches import count_min_table
+
+
+def _current_version(path: str) -> str | None:
+    cur = os.path.join(path, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return f.read().strip()
+
+
+def read_cms_state(spark, path: str) -> DataFrame | None:
+    """The CURRENT version of the stored sketch, or None before the
+    first batch commits.  Versions are immutable once pointed at, so
+    no listing-cache race is possible."""
+    v = _current_version(path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(path, v))
+
+
+def cms_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "k",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Start a stream that folds each micro-batch into the stored CMS
+    idempotently.  Stored schema: (sketch_row, bucket, cnt, last_batch)
+    — last_batch rides every row (constant within a version) so replay
+    detection needs no side table."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_v = _current_version(path)
+        prev = (
+            spark.read.parquet(os.path.join(path, prev_v))
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = count_min_table(
+            batch_df.select(F.col(key_col)), key_col, depth, width
+        )
+        if prev is not None:
+            merged = (
+                prev.select("sketch_row", "bucket", "cnt")
+                .unionByName(inc)
+                .groupBy("sketch_row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, new_v)
+        )
+        tmp = os.path.join(path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(new_v)
+        os.replace(tmp, os.path.join(path, "CURRENT"))
+        # GC: keep the new and the immediately-prior version only.
+        for d in os.listdir(path):
+            if (
+                d.startswith("v")
+                and d not in (new_v, prev_v)
+                and os.path.isdir(os.path.join(path, d))
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    os.makedirs(path, exist_ok=True)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
