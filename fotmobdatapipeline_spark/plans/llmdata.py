@@ -5062,3 +5062,65 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str):
         F.sum(mismatch).alias("n_mismatch"),
         (F.sum(mismatch) == 0).alias("mergeable"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV mergeability as DATA (the cms-merge sibling for the bottom-k
+# family): bottom-k of the union of two shard sketches must equal the
+# whole-corpus sketch — hash for hash, not just in estimate.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_kmv_merge",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS k FROM documents),
+    ha AS (SELECT DISTINCT {_sql_hex32("substr(md5('kmv:' || k), 1, 8)")} AS h
+           FROM w WHERE doc_id < 250),
+    hb AS (SELECT DISTINCT {_sql_hex32("substr(md5('kmv:' || k), 1, 8)")} AS h
+           FROM w WHERE doc_id >= 250),
+    hf AS (SELECT DISTINCT {_sql_hex32("substr(md5('kmv:' || k), 1, 8)")} AS h FROM w),
+    ba AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    bb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    bf AS (SELECT h FROM hf ORDER BY h LIMIT {_KMV_K}),
+    bm AS (SELECT h FROM (SELECT DISTINCT h FROM (
+             SELECT h FROM ba UNION ALL SELECT h FROM bb))
+           ORDER BY h LIMIT {_KMV_K}),
+    diff AS (
+      SELECT COUNT(*) AS n_diff FROM (
+        SELECT h FROM bm EXCEPT SELECT h FROM bf
+        UNION ALL
+        SELECT h FROM bf EXCEPT SELECT h FROM bm
+      )
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS n_full,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bm) AS n_merged,
+           CAST(n_diff AS BIGINT) AS n_diff,
+           (n_diff = 0) AS mergeable
+    FROM diff
+    """,
+    tags=("sketch", "merge", "distinct", "llmdata"),
+    doc="Bottom-k of two shard KMV sketches == whole-corpus sketch, hash for hash.",
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import kmv_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).localCheckpoint(eager=False)
+    full = kmv_sketch(words, "w", k=_KMV_K)
+    a = kmv_sketch(words.filter(F.col("doc_id") < 250), "w", k=_KMV_K)
+    b = kmv_sketch(words.filter(F.col("doc_id") >= 250), "w", k=_KMV_K)
+    merged = (
+        a.unionByName(b).select("h").distinct().orderBy("h").limit(_KMV_K)
+    )
+    n_diff = (
+        merged.exceptAll(full.select("h"))
+        .unionByName(full.select("h").exceptAll(merged))
+        .count()
+    )
+    n_full = full.count()
+    n_merged = merged.count()
+    return docs.sparkSession.createDataFrame(
+        [(n_full, n_merged, n_diff, n_diff == 0)],
+        "n_full bigint, n_merged bigint, n_diff bigint, mergeable boolean",
+    )
