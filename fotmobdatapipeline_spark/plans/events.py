@@ -764,3 +764,82 @@ def events_type_transitions(spark: SparkSession, sf_dir: str):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# --------------------------------------------------------------------------
+# Robust time-series anomaly flags: hourly event-rate outliers per type
+# by the exact lower-median/MAD rule (the quality_length_outliers
+# doctrine — no float quantiles, no distribution assumption).  Scale
+# shape: the raw stream collapses to (type, hour) counts in ONE
+# map-side-combinable aggregate; the median/MAD windows then run on the
+# aggregated table (|types| x |hours| rows — bounded by the calendar,
+# not the event volume), so nothing event-sized ever hits a window.
+# --------------------------------------------------------------------------
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH hrs AS (
+      SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, n_events AS med FROM (
+        SELECT event_type, n_events,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n_events, window_start) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hrs
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT h.event_type, h.window_start, h.n_events, m.med,
+             abs(h.n_events - m.med) AS adev
+      FROM hrs h JOIN med m ON h.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, adev AS mad FROM (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, window_start) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type, d.window_start, d.n_events, d.med, m.mad,
+           (d.adev > 3 * m.mad) AS is_anomaly
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+    tags=("events", "window-agg", "audit"),
+    doc="Hourly event-rate anomalies per type: exact lower-median/MAD rule.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    hrs = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").start.cast("string").alias("window_start"),
+    ).agg(F.count("*").alias("n_events"))
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(val_col, "window_start")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("rk") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+            .select("event_type", F.col(val_col).alias(out_col))
+        )
+
+    med = lower_median(hrs, "n_events", "med")
+    dev = hrs.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = lower_median(dev, "adev", "mad")
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "window_start",
+        "n_events",
+        "med",
+        "mad",
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )

@@ -5124,3 +5124,318 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str):
         [(n_full, n_merged, n_diff, n_diff == 0)],
         "n_full bigint, n_merged bigint, n_diff bigint, mergeable boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# HLL mergeability as DATA (closing the sketch-merge family: CMS =
+# cell-sum, KMV = bottom-k-of-union, Bloom = bit_or, HLL = register
+# max): two half-corpus register tables max-merged must equal the
+# whole-corpus register table, register for register.  Max is a
+# semilattice join, so per-shard/per-day HLLs compose without rescans —
+# this makes that guarantee a queryable report instead of a docstring
+# claim.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_hll_merge",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS k FROM tok),
+    h AS (SELECT doc_id, {_sql_hex32("substr(md5('hll:' || k), 1, 8)")} AS h FROM sh),
+    rw AS (SELECT doc_id, CAST(h % 64 AS INT) AS reg_idx, h // 64 AS w FROM h),
+    rr AS (SELECT doc_id, reg_idx, {_HLL_RHO_CASE} AS rho FROM rw),
+    fl AS (SELECT reg_idx, MAX(rho) AS full_rho FROM rr GROUP BY reg_idx),
+    ar AS (SELECT reg_idx, MAX(rho) AS max_rho FROM rr
+           WHERE doc_id < 250 GROUP BY reg_idx),
+    br AS (SELECT reg_idx, MAX(rho) AS max_rho FROM rr
+           WHERE doc_id >= 250 GROUP BY reg_idx),
+    mg AS (SELECT reg_idx, MAX(max_rho) AS max_rho
+           FROM (SELECT * FROM ar UNION ALL SELECT * FROM br) GROUP BY reg_idx),
+    cmp AS (
+      SELECT CASE WHEN f.full_rho IS NULL OR m.max_rho IS NULL
+                       OR f.full_rho <> m.max_rho THEN 1 ELSE 0 END AS mismatch
+      FROM fl f FULL OUTER JOIN mg m ON f.reg_idx = m.reg_idx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+           (SUM(mismatch) = 0) AS mergeable
+    FROM cmp
+    """,
+    tags=("sketch", "merge", "hll", "llmdata"),
+    doc="Two half-corpus HLL register tables max-merged == whole-corpus registers.",
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+
+    docs = read_table(spark, sf_dir, "documents")
+    # One explode serves all three sketches (the multi-consumer
+    # checkpoint rule); register build is a map-side-combinable MAX.
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("w")
+    ).localCheckpoint(eager=False)
+    full = hll_registers(sh, "w").withColumnsRenamed({"max_rho": "full_rho"})
+    a = hll_registers(sh.filter(F.col("doc_id") < 250), "w")
+    b = hll_registers(sh.filter(F.col("doc_id") >= 250), "w")
+    merged = (
+        a.unionByName(b).groupBy("reg_idx").agg(F.max("max_rho").alias("max_rho"))
+    )
+    cmp = full.join(merged, "reg_idx", "full")
+    mismatch = F.when(
+        F.col("full_rho").isNull()
+        | F.col("max_rho").isNull()
+        | (F.col("full_rho") != F.col("max_rho")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return cmp.agg(
+        F.count("*").alias("n_regs"),
+        F.sum(mismatch).alias("n_mismatch"),
+        (F.sum(mismatch) == 0).alias("mergeable"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom mergeability as DATA: bit_or of two half-corpus filters must
+# equal the whole-corpus filter word for word (OR is idempotent, so a
+# text landing in both halves merges cleanly).  The per-shard filter is
+# what a 100 TB decontamination probe actually ships — each crawl
+# snapshot builds its own m/32-row filter and the union is one bit_or.
+# --------------------------------------------------------------------------
+_BLOOM_MERGE_POS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {_sql_bloom_pos('k', j)} AS p FROM kall" for j in range(3)
+)
+
+
+@register(
+    "sketch_bloom_merge",
+    oracle=f"""
+    WITH kall AS (SELECT doc_id, text AS k FROM documents),
+    pp AS (
+      {_BLOOM_MERGE_POS}
+    ),
+    bff AS (SELECT CAST(p // 32 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS full_bits
+            FROM pp GROUP BY 1),
+    bfa AS (SELECT CAST(p // 32 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+            FROM pp WHERE doc_id < 250 GROUP BY 1),
+    bfb AS (SELECT CAST(p // 32 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+            FROM pp WHERE doc_id >= 250 GROUP BY 1),
+    mg AS (SELECT word_idx, bit_or(bits) AS bits
+           FROM (SELECT * FROM bfa UNION ALL SELECT * FROM bfb) GROUP BY 1),
+    cmp AS (
+      SELECT CASE WHEN f.full_bits IS NULL OR m.bits IS NULL
+                       OR f.full_bits <> m.bits THEN 1 ELSE 0 END AS mismatch
+      FROM bff f FULL OUTER JOIN mg m ON f.word_idx = m.word_idx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+           (SUM(mismatch) = 0) AS mergeable
+    FROM cmp
+    """,
+    tags=("sketch", "merge", "bloom", "llmdata"),
+    doc="Two half-corpus Bloom filters bit_or-merged == whole-corpus filter.",
+)
+def sketch_bloom_merge(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import bloom_filter_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    keys = docs.select("doc_id", F.col("text").alias("k")).localCheckpoint(
+        eager=False
+    )
+    # No distinct: bit_or is idempotent, so duplicate keys cost one extra
+    # explode row and nothing else.
+    full = bloom_filter_table(keys, "k", m_bits=_BLOOM_M).withColumnsRenamed(
+        {"bits": "full_bits"}
+    )
+    a = bloom_filter_table(keys.filter(F.col("doc_id") < 250), "k", m_bits=_BLOOM_M)
+    b = bloom_filter_table(keys.filter(F.col("doc_id") >= 250), "k", m_bits=_BLOOM_M)
+    merged = (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    cmp = full.join(merged, "word_idx", "full")
+    mismatch = F.when(
+        F.col("full_bits").isNull()
+        | F.col("bits").isNull()
+        | (F.col("full_bits") != F.col("bits")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return cmp.agg(
+        F.count("*").alias("n_words"),
+        F.sum(mismatch).alias("n_mismatch"),
+        (F.sum(mismatch) == 0).alias("mergeable"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution stage 2: fuzzy pair graph -> entity clusters.  The
+# blocked-Levenshtein pairs (fuzzy_name_pairs) are edges; connected
+# components give each name its canonical representative (min name in
+# the component) — the same iterative min-label + pointer-jumping
+# operator the LSH dup clusters use (operators/dedup.py::
+# connected_dup_clusters), proven against a recursive-CTE transitive
+# closure.  String labels work unchanged: MIN is lexicographic in both
+# engines.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_entity_clusters",
+    oracle="""
+    WITH RECURSIVE n AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk FROM part
+    ),
+    pairs AS (
+      SELECT a.p_name AS doc_a, b.p_name AS doc_b
+      FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT v AS p_name, MIN(r) AS entity_id FROM reach GROUP BY v
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution", "iterative"),
+    doc="Entity clusters over the blocked-Levenshtein pair graph (min-name label).",
+)
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("blk", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b"))
+    ).filter(F.levenshtein("name_a", "name_b") <= 3)
+    return D.connected_dup_clusters(pairs, "name_a", "name_b").select(
+        F.col("doc_id").alias("p_name"), F.col("cluster_id").alias("entity_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup-aware sharding: shard by the shuffle-hash of each document's
+# dup-cluster REPRESENTATIVE (own id when un-clustered), so every
+# duplicate group lands whole in one shard.  Downstream per-shard work
+# (final dedup pass, sequence packing, shard-local stats) then never
+# splits a group across files — at 100 TB that turns a global
+# cross-shard reconciliation into embarrassingly parallel per-shard
+# jobs.  Co-location is BY CONSTRUCTION (shard is a function of the
+# representative), so the report only needs the balance stats.
+# --------------------------------------------------------------------------
+@register(
+    "shards_cluster_aligned",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    reps AS (SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v),
+    lab AS (
+      SELECT d.doc_id, COALESCE(rp.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN reps rp ON d.doc_id = rp.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, rep,
+             ({_sql_hex32("substr(md5('7:' || CAST(rep AS VARCHAR)), 1, 8)")})
+               % {_N_SHUFFLE_SHARDS} AS shard_big
+      FROM lab
+    )
+    SELECT CAST(shard_big AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) FILTER (WHERE rep <> doc_id) AS BIGINT) AS n_dup_members
+    FROM sh GROUP BY 1
+    """,
+    tags=("training-data", "shuffle", "dedup", "iterative"),
+    doc="Shards keyed by dup-cluster representative: groups never straddle shards.",
+)
+def shards_cluster_aligned(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import shuffle_shard
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
+    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    reps = D.connected_dup_clusters(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep")
+        )
+    )
+    return (
+        lab.select(
+            "doc_id",
+            "rep",
+            shuffle_shard(F.col("rep"), _N_SHUFFLE_SHARDS, _SHUFFLE_SALT).alias(
+                "shard"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.count_if(F.col("rep") != F.col("doc_id")).alias("n_dup_members"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K-fold cross-validation assignment: fold = content-hash bucket mod k —
+# the split_assignment doctrine (no RNG; a document keeps its fold
+# across re-crawls, repartitions, and engines, so CV never leaks).  The
+# report is the fold x source balance matrix a practitioner eyeballs
+# before trusting the folds.
+# --------------------------------------------------------------------------
+_N_FOLDS = 5
+
+
+@register(
+    "split_kfold",
+    oracle=f"""
+    SELECT CAST({_SQL_DOC_BUCKET} % {_N_FOLDS} AS INT) AS fold, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("training-data", "split"),
+    doc="Deterministic k-fold CV folds (hash-bucket mod k), fold x source balance.",
+)
+def split_kfold(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (hash_bucket_256(F.col("doc_id")) % _N_FOLDS).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "source")
+        .groupBy("fold", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
