@@ -555,6 +555,13 @@ ROUND5_SWEEP = [
     "dedup_tier_funnel",
     "embedding_norm_outliers",
     "llm_prep_pipeline_v2",
+    "sketch_hll_merge",
+    "sketch_bloom_merge",
+    "split_kfold",
+    "events_anomaly_mad",
+    # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
+    # building the plan runs the label-propagation loop; covered by the
+    # oracle parity suite instead.
 ]
 
 
