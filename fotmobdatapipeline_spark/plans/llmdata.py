@@ -5439,3 +5439,97 @@ def split_kfold(spark: SparkSession, sf_dir: str):
         .groupBy("fold", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Dup-cluster keep policy: production dedup doesn't keep the MIN-id copy
+# — it keeps the BEST copy (highest lexical diversity here; any
+# deterministic score slots in) with id as the tiebreak.  Composes the
+# proven cluster operator with the quality column; the per-cluster
+# argmax is a map-side-combinable max(struct(score, -id)) — no window
+# over the corpus, so a pathological million-member boilerplate cluster
+# still aggregates in partial passes.  Singleton docs (no dup pair) are
+# their own cluster and keep themselves.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    reps AS (SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity
+      FROM documents
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(rp.rep, d.doc_id) AS cluster_id, q.diversity
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      LEFT JOIN reps rp ON d.doc_id = rp.doc_id
+    ),
+    rk AS (
+      SELECT cluster_id, doc_id, diversity,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY diversity DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM lab
+    )
+    SELECT cluster_id, doc_id AS kept_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           diversity AS best_diversity
+    FROM rk WHERE rn = 1
+    """,
+    tags=("dedup", "lsh", "quality", "iterative"),
+    doc="Keep the highest-diversity copy per dup cluster (combinable argmax).",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
+    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    reps = D.connected_dup_clusters(pairs)
+    lab = (
+        docs.select("doc_id", T.distinct_word_ratio(F.col("text")).alias("diversity"))
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "diversity",
+        )
+    )
+    best = lab.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("diversity"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).alias("kept_doc"),
+        "n_members",
+        F.col("b.diversity").alias("best_diversity"),
+    )

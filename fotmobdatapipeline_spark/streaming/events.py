@@ -333,3 +333,42 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     — no state, no watermark needed; this is the streaming twin of the
     star build's fact-dim lookups."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def anomaly_flag_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Streaming event-rate anomaly flags against a BATCH-TRAINED
+    baseline — the production split for robust statistics: the exact
+    lower-median/MAD rule needs two global passes and cannot stream, so
+    the batch op (plans/events.py::events_anomaly_mad) trains the
+    per-type ``(event_type, med, mad)`` baseline on history, and the
+    stream pays only a broadcast stream-static join plus one combinable
+    windowed count.  The baseline joins BEFORE the aggregate (med/mad
+    ride along as constant-per-type grouping keys), so the plan stays a
+    plain watermarked window aggregate — no post-aggregation join, valid
+    in every output mode.
+
+    Works identically on a batch frame (the twin the contract test
+    pins).  Output: (window_start, event_type, n_events, med, mad,
+    is_anomaly)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    enriched = events.join(F.broadcast(baseline), "event_type", "left")
+    counts = enriched.groupBy(
+        F.window("ts", window).alias("w"), "event_type", "med", "mad"
+    ).agg(F.count("*").alias("n_events"))
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "med",
+        "mad",
+        (F.abs(F.col("n_events") - F.col("med")) > k_mad * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -389,3 +389,30 @@ def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
     # And the final state is exactly the batch sketch (asserted above),
     # so no batch was double-applied during the live run either.
     assert sorted(got.items()) == sorted(want.items())
+
+
+def test_anomaly_flag_stream_matches_batch_rule(spark, events_dir, events_batch):
+    """Stream anomaly flags against the batch-trained MAD baseline must
+    equal the all-batch op (plans/events.py::events_anomaly_mad) window
+    for window: same counts, same flags.  Pins the train-batch/score-
+    stream split — the stream never recomputes the median."""
+    from fotmobdatapipeline_spark.plans.events import events_anomaly_mad
+    from fotmobdatapipeline_spark.streaming.events import (
+        anomaly_flag_stream,
+        read_events_stream,
+    )
+
+    batch = events_anomaly_mad(spark, SF_SMALL)
+    baseline = batch.select("event_type", "med", "mad").distinct()
+    stream = read_events_stream(spark, events_dir)
+    _drain(anomaly_flag_stream(stream, baseline), "anomaly_flags", "complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM anomaly_flags").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["is_anomaly"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 0
