@@ -2056,3 +2056,128 @@ def sim_rp_bucket_join(spark: SparkSession, sf_dir: str):
     return S.rp_bucket_topk_pairs(
         emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT, limit=20
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantiles: fixed-width histogram estimate vs exact
+# PERCENTILE_CONT, side by side.  The histogram is the 100 TB path —
+# constant bucket edges (literals, no data-dependent bounds pass) make
+# per-shard histograms cell-summable exactly like the CMS, and the
+# estimate needs only the bucket counts: one map + one combinable
+# aggregate, no sort anywhere near the fact.  The exact twin (per-group
+# rank arithmetic, groups fit a partition) prices the estimate's error
+# as data.  The tiny histogram table feeds both quantile picks through
+# one checkpoint; two scans of lineitem are inherent to an
+# estimate-vs-truth report (the sketch_kmv_distinct precedent).
+# --------------------------------------------------------------------------
+_HQ_W = 5000.0
+
+
+def _sql_hq_est(q: float) -> str:
+    # CAST the q literal: DuckDB parses 0.9 as DECIMAL(2,1) and decimal
+    # arithmetic diverges from the engine's double path in the last bits.
+    qd = f"CAST({q} AS DOUBLE)"
+    return f"""SELECT l_returnflag, {qd} AS q,
+         CAST(bucket AS DOUBLE) * {_HQ_W} + {_HQ_W} * (({qd} * n - cum_prev) / cnt)
+           AS est_value
+  FROM h WHERE cum_prev < {qd} * n AND {qd} * n <= cum"""
+
+
+def _sql_pct_hq(p: float) -> str:
+    pos = f"(n - 1) * {p}"
+    flo, frac = f"FLOOR({pos})", f"({pos} - FLOOR({pos}))"
+    return (
+        f"SUM(CASE WHEN rn = {flo} THEN v * (1 - {frac}) "
+        f"WHEN {frac} > 0 AND rn = {flo} + 1 THEN v * {frac} "
+        f"ELSE 0.0 END)"
+    )
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT l_returnflag, CAST(FLOOR(l_extendedprice / {_HQ_W}) AS INT) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT l_returnflag, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) - cnt
+               AS cum_prev,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist
+    ),
+    est AS (
+      {_sql_hq_est(0.5)}
+      UNION ALL
+      {_sql_hq_est(0.9)}
+    ),
+    r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    ex AS (
+      SELECT l_returnflag, {_sql_pct_hq(0.5)} AS p50, {_sql_pct_hq(0.9)} AS p90
+      FROM r GROUP BY l_returnflag
+    ),
+    exr AS (
+      SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, p50 AS exact_value FROM ex
+      UNION ALL
+      SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS q, p90 AS exact_value FROM ex
+    )
+    SELECT e.l_returnflag, e.q, e.est_value, x.exact_value,
+           e.est_value - x.exact_value AS err
+    FROM est e JOIN exr x ON e.l_returnflag = x.l_returnflag AND e.q = x.q
+    """,
+    tags=("sketch", "quantiles", "histogram"),
+    doc="Mergeable fixed-bucket histogram quantile estimate vs exact, error as data.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(_HQ_W)).cast("int")
+    hist = li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bucket")
+    h = hist.select(
+        "*",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+    ).localCheckpoint(eager=False)
+    parts = []
+    for q in (0.5, 0.9):
+        qn = F.lit(q) * F.col("n")
+        est = F.col("bucket").cast("double") * F.lit(_HQ_W) + F.lit(_HQ_W) * (
+            (qn - F.col("cum_prev")) / F.col("cnt")
+        )
+        parts.append(
+            h.filter((F.col("cum_prev") < qn) & (qn <= F.col("cum"))).select(
+                "l_returnflag", F.lit(q).alias("q"), est.alias("est_value")
+            )
+        )
+    est_df = parts[0].unionByName(parts[1])
+    ex = exact_group_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], ps=(0.5, 0.9)
+    )
+    exact_rows = ex.select(
+        "l_returnflag", F.lit(0.5).alias("q"), F.col("p50").alias("exact_value")
+    ).unionByName(
+        ex.select(
+            "l_returnflag", F.lit(0.9).alias("q"), F.col("p90").alias("exact_value")
+        )
+    )
+    return est_df.join(exact_rows, ["l_returnflag", "q"]).select(
+        "l_returnflag",
+        "q",
+        "est_value",
+        "exact_value",
+        (F.col("est_value") - F.col("exact_value")).alias("err"),
+    )

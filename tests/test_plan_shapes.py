@@ -559,6 +559,7 @@ ROUND5_SWEEP = [
     "sketch_bloom_merge",
     "split_kfold",
     "events_anomaly_mad",
+    "sketch_histogram_quantiles",
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
     # building the plan runs the label-propagation loop; covered by the
     # oracle parity suite instead.
