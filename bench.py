@@ -67,6 +67,9 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "dedup_simhash_pairs",
     "llm_prep_pipeline_v2",
+    "events_anomaly_mad",
+    "sketch_histogram_quantiles",
+    "dedup_cluster_keep_best",
 ]
 
 

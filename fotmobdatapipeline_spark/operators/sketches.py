@@ -173,7 +173,11 @@ def _rho_trailing(w: Column, w_bits: int) -> Column:
 
 
 def hll_registers(
-    df: DataFrame, key_col: str, m: int = HLL_M, salt: str = "hll"
+    df: DataFrame,
+    key_col: str,
+    m: int = HLL_M,
+    salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """HyperLogLog register table: (reg_idx, max_rho) — max over keys of
     the geometric rank of the key's hash suffix, register chosen by the
@@ -184,6 +188,10 @@ def hll_registers(
     map-side combinable, so the shuffle is bounded by m rows per task),
     and bit-reproducible in ANSI SQL.
 
+    ``group_cols`` builds one sketch per group (e.g. per day): the
+    rollup pattern — re-merging the grouped sketches (per-register max
+    across groups) gives the whole-input sketch without a rescan.
+
     Registers no key touched are ABSENT (estimators coalesce rho=0)."""
     if m & (m - 1):
         raise ValueError("m must be a power of two")
@@ -191,15 +199,21 @@ def hll_registers(
     h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))))
     idx = (h % m).cast("int")
     w = F.floor(h / m).cast("bigint")
+    g = list(group_cols)
     return (
-        df.select(idx.alias("reg_idx"), _rho_trailing(w, w_bits).alias("rho"))
-        .groupBy("reg_idx")
+        df.select(
+            *g, idx.alias("reg_idx"), _rho_trailing(w, w_bits).alias("rho")
+        )
+        .groupBy(*g, "reg_idx")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
 def hll_estimate(
-    registers: DataFrame, m: int = HLL_M, alpha: float = HLL_ALPHA_64
+    registers: DataFrame,
+    m: int = HLL_M,
+    alpha: float = HLL_ALPHA_64,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Raw HLL estimate: alpha_m * m^2 / sum_j 2^(-M_j), with absent
     registers contributing 2^0 = 1 each.  Every term is an exact power
@@ -212,12 +226,14 @@ def hll_estimate(
     correction needs ln (not bit-portable); the KMV sketch covers the
     small range exactly.
 
-    Output (one row): n_touched, sum_inv, est_distinct."""
+    Output (one row per group; one row total without ``group_cols``):
+    n_touched, sum_inv, est_distinct."""
+    g = list(group_cols)
     inv = F.lit(1.0) / F.expr(
         "shiftleft(CAST(1 AS BIGINT), max_rho)"
     ).cast("double")
-    per_reg = registers.select("reg_idx", inv.alias("inv"))
-    folded = per_reg.agg(
+    per_reg = registers.select(*g, "reg_idx", inv.alias("inv"))
+    aggs = [
         F.count("*").alias("n_touched"),
         F.aggregate(
             F.transform(
@@ -227,9 +243,11 @@ def hll_estimate(
             F.lit(0.0),
             lambda acc, v: acc + v,
         ).alias("sum_touched"),
-    )
+    ]
+    folded = per_reg.groupBy(*g).agg(*aggs) if g else per_reg.agg(*aggs)
     sum_inv = F.col("sum_touched") + (F.lit(m) - F.col("n_touched")).cast("double")
     return folded.select(
+        *g,
         "n_touched",
         sum_inv.alias("sum_inv"),
         (F.lit(alpha * m * m) / sum_inv).alias("est_distinct"),

@@ -5533,3 +5533,86 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str):
         "n_members",
         F.col("b.diversity").alias("best_diversity"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL rollup: per-day sketches merged to a whole-period sketch WITHOUT
+# re-scanning the raw stream — the pre-aggregated-sketch pattern that
+# makes distinct-count dashboards feasible at 100 TB (store m rows per
+# day per dimension cell; answer any date-range distinct query by
+# max-merging the stored sketches).  The '__total__' row's registers
+# derive from the daily register table, never from events; the exact
+# twin rides along so the estimate's error is priced per day AND on the
+# merged range.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_hll_daily_rollup",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS day, user_id
+      FROM events
+    ),
+    h AS (
+      SELECT day,
+             {_sql_hex32("substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)")} AS h
+      FROM k
+    ),
+    rw AS (SELECT day, CAST(h % 64 AS INT) AS reg_idx, h // 64 AS w FROM h),
+    rr AS (SELECT day, reg_idx, {_HLL_RHO_CASE} AS rho FROM rw),
+    daily AS (SELECT day, reg_idx, MAX(rho) AS max_rho FROM rr GROUP BY day, reg_idx),
+    total AS (SELECT '__total__' AS day, reg_idx, MAX(max_rho) AS max_rho
+              FROM daily GROUP BY reg_idx),
+    regs AS (SELECT * FROM daily UNION ALL SELECT * FROM total),
+    f AS (
+      SELECT day, COUNT(*) AS n_touched,
+             list_reduce(
+               list_transform(list(max_rho ORDER BY reg_idx),
+                              r -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)),
+               (p, q) -> p + q) AS sum_touched
+      FROM regs GROUP BY day
+    ),
+    exd AS (
+      SELECT day, COUNT(DISTINCT user_id) AS exact_distinct FROM k GROUP BY day
+      UNION ALL
+      SELECT '__total__', COUNT(DISTINCT user_id) FROM k
+    )
+    SELECT f.day, n_touched,
+           sum_touched + CAST(64 - n_touched AS DOUBLE) AS sum_inv,
+           CAST({_HLL_ALPHA_M2} AS DOUBLE)
+             / (sum_touched + CAST(64 - n_touched AS DOUBLE)) AS est_distinct,
+           exact_distinct
+    FROM f JOIN exd ON f.day = exd.day
+    """,
+    tags=("sketch", "distinct", "hll", "rollup", "events"),
+    doc="Per-day HLL user sketches + no-rescan merged total, exact twins alongside.",
+)
+def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        "user_id",
+    ).localCheckpoint(eager=False)
+    daily = hll_registers(keyed, "user_id", group_cols=("day",)).localCheckpoint(
+        eager=False
+    )
+    # The merged sketch reads the DAILY REGISTER TABLE, not events.
+    total = (
+        daily.groupBy("reg_idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("__total__").alias("day"), "reg_idx", "max_rho")
+    )
+    regs = daily.unionByName(total)
+    est = hll_estimate(regs, group_cols=("day",))
+    ex_day = keyed.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    ex_tot = keyed.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+        F.lit("__total__").alias("day"), "exact_distinct"
+    )
+    exact = ex_day.unionByName(ex_tot)
+    return est.join(exact, "day")

@@ -560,6 +560,7 @@ ROUND5_SWEEP = [
     "split_kfold",
     "events_anomaly_mad",
     "sketch_histogram_quantiles",
+    "sketch_hll_daily_rollup",
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
     # building the plan runs the label-propagation loop; covered by the
     # oracle parity suite instead.

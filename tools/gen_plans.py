@@ -38,6 +38,8 @@ PICKS = [
     ("dedup_simhash_pairs", "Banded SimHash: checkpointed signatures, (band, key) equi-join candidates, integer Hamming verify"),
     ("sim_pq_adc_topk", "PQ ADC: broadcast LUTs over encoded codes, fixed-order score fold, no SortMergeJoin"),
     ("llm_prep_pipeline_v2", "Prep v2: Gopher filter pushed into both scans, one gram pipeline, hash-dedup on trimmed text"),
+    ("events_anomaly_mad", "MAD anomaly flags: raw events collapse to one combinable (type, hour) count; median/MAD windows run on the calendar-bounded aggregate"),
+    ("sketch_histogram_quantiles", "Mergeable quantiles: constant-edge histogram (map + combinable agg, no sort near the fact); quantile picks read the checkpointed bucket table"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
