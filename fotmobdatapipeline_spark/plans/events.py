@@ -815,10 +815,18 @@ def events_type_transitions(spark: SparkSession, sf_dir: str):
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events")
-    hrs = ev.groupBy(
-        "event_type",
-        F.window("ts", "1 hour").start.cast("string").alias("window_start"),
-    ).agg(F.count("*").alias("n_events"))
+    # The hourly aggregate is the only subtree that touches raw events;
+    # it feeds the median, the deviation join, and the final projection,
+    # so checkpoint it (calendar-bounded rows) — ONE events scan total.
+    # Same for dev, which feeds both the MAD median and the output.
+    hrs = (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").start.cast("string").alias("window_start"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
 
     def lower_median(df, val_col, out_col):
         w = Window.partitionBy("event_type").orderBy(val_col, "window_start")
@@ -831,8 +839,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str):
         )
 
     med = lower_median(hrs, "n_events", "med")
-    dev = hrs.join(med, "event_type").withColumn(
-        "adev", F.abs(F.col("n_events") - F.col("med"))
+    dev = (
+        hrs.join(med, "event_type")
+        .withColumn("adev", F.abs(F.col("n_events") - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     mad = lower_median(dev, "adev", "mad")
     return dev.join(mad, "event_type").select(

@@ -1616,11 +1616,15 @@ def length_outlier_stats(
     tests): exact lower-median/MAD length outliers per group."""
     from pyspark.sql import Window
 
+    # lens feeds the median window, the deviation join, and the final
+    # aggregate; checkpoint the narrow (group, id, dl) projection so the
+    # corpus text is scanned ONCE (the sentence_dedup doctrine), and dev
+    # likewise for its two consumers.
     lens = docs.select(
         group_col,
         id_col,
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"),
-    )
+    ).localCheckpoint(eager=False)
 
     def lower_median(df, val_col, out_col):
         w = Window.partitionBy(group_col).orderBy(val_col, id_col)
@@ -1635,8 +1639,10 @@ def length_outlier_stats(
         )
 
     med = lower_median(lens, "dl", "med_len")
-    dev = lens.join(med, group_col).withColumn(
-        "adev", F.abs(F.col("dl") - F.col("med_len"))
+    dev = (
+        lens.join(med, group_col)
+        .withColumn("adev", F.abs(F.col("dl") - F.col("med_len")))
+        .localCheckpoint(eager=False)
     )
     mad = lower_median(dev, "adev", "mad")
     return (
@@ -4884,9 +4890,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # Checkpoint the narrow norm projection (and dev below): the norm
+    # fold over the embedding arrays is the dominant cost and feeds
+    # three consumers — one embeddings scan total.
     lens = emb.select(
         "label", "vec_id", S.l2_norm(F.col("embedding")).alias("v")
-    )
+    ).localCheckpoint(eager=False)
 
     def lower_median(df, val_col, out_col):
         w = Window.partitionBy("label").orderBy(val_col, "vec_id")
@@ -4899,8 +4908,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
         )
 
     med = lower_median(lens, "v", "med_v")
-    dev = lens.join(med, "label").withColumn(
-        "adev", F.abs(F.col("v") - F.col("med_v"))
+    dev = (
+        lens.join(med, "label")
+        .withColumn("adev", F.abs(F.col("v") - F.col("med_v")))
+        .localCheckpoint(eager=False)
     )
     mad = lower_median(dev, "adev", "mad")
     return (

@@ -581,3 +581,20 @@ def test_round5_entries_no_cartesian_no_python_udf(spark):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             bad.append((name, "PythonUDF"))
     assert not bad, bad
+
+
+def test_mad_outlier_entries_scan_source_once(spark):
+    """The lower-median/MAD family (events_anomaly_mad,
+    quality_length_outliers, embedding_norm_outliers) feeds one base
+    projection/aggregate to three consumers (median window, deviation
+    join, final aggregate) — it must be checkpointed so the raw source
+    is scanned exactly once: zero parquet scans downstream, the plan
+    reads the checkpointed RDD."""
+    for name in (
+        "events_anomaly_mad",
+        "quality_length_outliers",
+        "embedding_norm_outliers",
+    ):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "Scan parquet" not in plan, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
