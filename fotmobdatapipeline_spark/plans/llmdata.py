@@ -5627,3 +5627,70 @@ def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str):
     )
     exact = ex_day.unionByName(ex_tot)
     return est.join(exact, "day")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-structure census: the cluster-size distribution (how much
+# of the corpus sits in 2-doc pairs vs 50-doc boilerplate blobs) — the
+# first chart anyone asks for after a dedup pass, and the input to
+# choosing df caps / keep policies.  Sizes come from one combinable
+# count over the CC labels; the census is a second tiny aggregate over
+# the (distinct-cluster)-sized table.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_census",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    reps AS (SELECT v AS doc_id, MIN(r) AS rep FROM reach GROUP BY v),
+    lab AS (
+      SELECT d.doc_id, COALESCE(rp.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN reps rp ON d.doc_id = rp.doc_id
+    ),
+    sizes AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "lsh", "audit", "iterative"),
+    doc="Cluster-size distribution over CC dup clusters (singletons included).",
+)
+def dedup_cluster_census(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
+    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    reps = D.connected_dup_clusters(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(reps, "doc_id", "left")
+        .select(F.coalesce("cluster_id", F.col("doc_id")).alias("rep"))
+    )
+    sizes = lab.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )
