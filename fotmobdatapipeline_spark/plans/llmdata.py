@@ -5694,3 +5694,43 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str):
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer round-trip gate as DATA: concatenating a word's BPE tokens
+# must reproduce the word exactly, for every word in the vocab — the
+# validation a production pipeline runs after every vocab update
+# (a lossy tokenizer silently corrupts the training corpus).  True by
+# construction here (merges only fuse adjacent spans), which is exactly
+# why it belongs in the catalog: the report turning red is the first
+# sign a merge-table edit broke segmentation.
+# --------------------------------------------------------------------------
+def _bpe_roundtrip_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    recon = "array_to_string(regexp_extract_all(seq, '<([a-z]+)>', 1), '')"
+    return (
+        _bpe_ctes("FROM documents", n_rounds)
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN {recon} = w THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_mismatch,
+           (SUM(CASE WHEN {recon} = w THEN 0 ELSE 1 END) = 0) AS roundtrip_ok
+    FROM words{n_rounds}"""
+    )
+
+
+@register(
+    "text_bpe_roundtrip",
+    oracle=_bpe_roundtrip_oracle(),
+    tags=("text", "tokens", "bpe", "audit", "llmdata"),
+    doc="BPE decode(encode(word)) == word for the whole vocab, as one report row.",
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    enc = bpe_encode_words(docs, _BPE_TRAIN_ROUNDS)
+    recon = F.replace(F.col("tokens"), F.lit(" "), F.lit(""))
+    mism = F.when(recon == F.col("word"), F.lit(0)).otherwise(F.lit(1))
+    return enc.agg(
+        F.count("*").alias("n_words"),
+        F.sum(mism).alias("n_mismatch"),
+        (F.sum(mism) == 0).alias("roundtrip_ok"),
+    )
