@@ -115,3 +115,80 @@ def cms_maintenance_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_hll_state(spark, path: str) -> DataFrame | None:
+    """CURRENT version of the stored HLL register table, or None before
+    the first batch commits (same versioned-immutable layout as the
+    CMS sink)."""
+    v = _current_version(path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(path, v))
+
+
+def hll_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "k",
+    m: int = 64,
+):
+    """Start a stream that folds each micro-batch's HLL registers into
+    the stored register table idempotently — "how many DISTINCT keys
+    has this feed ever carried" at any moment, without rescanning
+    history.  The merge is the per-register MAX pinned as data by
+    ``sketch_hll_merge``; max is idempotent as well as commutative, so
+    even a non-detected replay could not corrupt the sketch (the
+    batch-id guard still skips it, keeping last_batch truthful).
+
+    Stored schema: (reg_idx, max_rho, last_batch).  At 100 TB the
+    stored table is m rows forever; each batch does one bounded
+    register build plus a register-keyed merge of two m-row tables."""
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_v = _current_version(path)
+        prev = (
+            spark.read.parquet(os.path.join(path, prev_v))
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already folded in
+        inc = hll_registers(batch_df.select(F.col(key_col)), key_col, m=m)
+        if prev is not None:
+            merged = (
+                prev.select("reg_idx", "max_rho")
+                .unionByName(inc)
+                .groupBy("reg_idx")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, new_v)
+        )
+        tmp = os.path.join(path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(new_v)
+        os.replace(tmp, os.path.join(path, "CURRENT"))
+        for d in os.listdir(path):
+            if (
+                d.startswith("v")
+                and d not in (new_v, prev_v)
+                and os.path.isdir(os.path.join(path, d))
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    os.makedirs(path, exist_ok=True)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

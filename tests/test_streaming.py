@@ -416,3 +416,64 @@ def test_anomaly_flag_stream_matches_batch_rule(spark, events_dir, events_batch)
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_hll_maintenance_stream_equals_batch(spark, tmp_path):
+    """The stream-maintained HLL register table, after the feed drains,
+    must be REGISTER-IDENTICAL to the batch sketch of the whole feed
+    (per-register max-merge correctness, the sketch_hll_merge property
+    driving a live sink), and carry the replay-guard batch id."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.sketches import (
+        hll_maintenance_sink,
+        read_hll_state,
+    )
+    from tests.conftest import SF_SMALL
+
+    feed = str(tmp_path / "hllfeed")
+    docs = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    docs.repartition(4).write.mode("overwrite").json(feed)
+    register_python_sources(spark)
+
+    toks = lambda df: df.select(F.explode(F.split("text", " ")).alias("k"))
+    state_path = str(tmp_path / "hll_state")
+    q = hll_maintenance_sink(
+        toks(
+            spark.readStream.format("jsonl_docs")
+            .option("maxrowsperbatch", "40")
+            .load(feed)
+        ),
+        path=state_path,
+        checkpoint=str(tmp_path / "hll_ckpt"),
+    )
+    try:
+        want = {
+            r["reg_idx"]: r["max_rho"]
+            for r in hll_registers(
+                toks(spark.read.format("jsonl_docs").load(feed)), "k"
+            ).collect()
+        }
+        got = {}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            state = read_hll_state(spark, state_path)
+            if state is not None:
+                got = {r["reg_idx"]: r["max_rho"] for r in state.collect()}
+                if got == want:
+                    break
+            time.sleep(1)
+        assert got == want
+        last = state.agg(F.max("last_batch")).first()[0]
+        assert last is not None and last >= 0
+    finally:
+        q.stop()
