@@ -5734,3 +5734,92 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str):
         F.sum(mism).alias("n_mismatch"),
         (F.sum(mism) == 0).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical recall -> embedding cosine re-rank —
+# the modern two-stage retrieval pipeline (sparse recall for coverage,
+# dense re-rank for semantics), composed from two proven operators.
+# Query = the fixed term set plus the doc-0 embedding as the dense
+# query vector ("more like this, constrained to term matches").
+#
+# Scale shape: stage 1 is the plan-pinned bm25_topk (query-term filter
+# before any shuffle, TakeOrderedAndProject); stage 2 joins the k-row
+# candidate set (broadcast — it IS tiny by construction) against the
+# embedding table by id and ranks k rows — the only window in the plan
+# is bounded by the stage-1 k, the IVF n_probes precedent.  The
+# embedding side is never scanned beyond the id join.
+# --------------------------------------------------------------------------
+_HYBRID_K1, _HYBRID_K2 = 20, 10
+
+
+def _hybrid_retrieval_oracle() -> str:
+    dot_qe = _sql_dot("q.qe", "e.embedding")
+    return f"""
+    WITH cand AS (
+      SELECT * FROM ({_bm25_oracle(k=_HYBRID_K1)})
+    ),
+    q AS (
+      SELECT embedding AS qe,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS qnrm
+      FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT c.doc_id, c.score AS bm25_score,
+             {dot_qe} / (q.qnrm * e.nrm) AS cos_sim
+      FROM cand c JOIN e ON e.vec_id = c.doc_id CROSS JOIN q
+    )
+    SELECT doc_id, bm25_score, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_HYBRID_K2}
+    """
+
+
+@register(
+    "text_hybrid_retrieval",
+    oracle=_hybrid_retrieval_oracle(),
+    tags=("text", "retrieval", "similarity", "topk", "llmdata"),
+    doc="BM25 recall (k=20) re-ranked by embedding cosine to the doc-0 query vector.",
+)
+def text_hybrid_retrieval(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from fotmobdatapipeline_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = bm25_topk(
+        docs, list(_BM25_TERMS), k=_HYBRID_K1, k1=_BM25_K1, b=_BM25_B
+    ).withColumnRenamed("score", "bm25_score")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        S.l2_norm(F.col("embedding")).alias("qnrm"),
+    )
+    e = emb.select(
+        "vec_id", "embedding", S.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(e, cand["doc_id"] == e["vec_id"])
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25_score",
+            (S.dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    # Window over exactly k1 rows (the candidate set) — bounded by
+    # construction, the n_probes precedent.
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _HYBRID_K2)
+    )
