@@ -372,3 +372,55 @@ def anomaly_flag_stream(
             "is_anomaly"
         ),
     )
+
+
+def interval_left_join_stream(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event emitted,
+    matched rows as they pair, UNMATCHED lefts with null right columns
+    once the watermark proves no match can still arrive (b_ts bound +
+    watermark = the expiry proof Spark requires for outer stream-stream
+    joins).  The purchase-attribution shape: "which purchases had NO
+    preceding view within 10 minutes".
+
+    Caveat a batch twin can't have: an unmatched left parks in state
+    until the watermark passes ``a_ts + window``; if the stream simply
+    ends, the watermark stops advancing and trailing unmatched rows stay
+    unemitted (they are not lost — they emit on the next arriving
+    batch).  The contract test advances the watermark past the feed with
+    one far-future sentinel event and then matches the batch left join
+    exactly.  Batch frames take the same code path (minus watermarks),
+    where the caveat vanishes.
+    """
+    a = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+    )
+    return a.join(b, cond, "left_outer").select(
+        F.col("a_user").alias("user"),
+        "a_id",
+        "b_id",
+        F.when(
+            F.col("b_id").isNotNull(),
+            F.unix_micros("a_ts") - F.unix_micros("b_ts"),
+        ).alias("gap_us"),
+    )

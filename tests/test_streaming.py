@@ -477,3 +477,73 @@ def test_hll_maintenance_stream_equals_batch(spark, tmp_path):
         assert last is not None and last >= 0
     finally:
         q.stop()
+
+
+def test_interval_left_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join drained to completion must
+    equal the batch left join: matched pairs identical AND every
+    no-view purchase emitted with null right side.  Far-future sentinel
+    events (excluded from the compare) advance both sides' watermarks
+    past the real feed so Spark can prove the unmatched lefts are final
+    — without them the trailing unmatched rows legitimately stay parked
+    in state (the documented outer-join caveat)."""
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        interval_left_join_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path / "louter"
+    d.mkdir()
+    _sh.copy(f"{SF_SMALL}/events.parquet", d / "a.parquet")
+    raw = spark.read.parquet(str(d / "a.parquet"))
+    ts_type = raw.schema["ts"].dataType
+    max_ts = raw.agg(F.max("ts")).first()[0]
+
+    def sentinels(days, eid):
+        base = raw.limit(1)
+        rows = []
+        for off, etype in ((0, "purchase"), (1, "view")):
+            rows.append(
+                base.select(
+                    F.lit(eid + off).cast("long").alias("event_id"),
+                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast(
+                        ts_type
+                    ).alias("ts"),
+                    F.lit(-999).cast("long").alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+            )
+        return rows[0].unionByName(rows[1])
+
+    # Two sentinel batches: the first advances the watermark past the
+    # feed (evicting unmatched lefts), the second forces one more
+    # micro-batch so the eviction results are actually emitted.
+    _time.sleep(1.1)
+    sentinels(10, 9_000_000).coalesce(1).write.mode("append").parquet(str(d))
+    _time.sleep(1.1)
+    sentinels(20, 9_000_002).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = read_events_stream(spark, str(d))
+    _drain(interval_left_join_stream(stream), "louter_join", "append")
+    got = sorted(
+        (r["user"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in spark.sql(
+            "SELECT * FROM louter_join WHERE user <> -999"
+        ).collect()
+    )
+    batch = interval_left_join_stream(read_table(spark, SF_SMALL, "events"))
+    want = sorted(
+        (r["user"], r["a_id"], r["b_id"], r["gap_us"]) for r in batch.collect()
+    )
+    assert got == want
+    assert len(want) > 0
+    # The left-outer contract bit: at least one purchase with no view.
+    assert any(b is None for _, _, b, _ in want)
