@@ -561,6 +561,9 @@ ROUND5_SWEEP = [
     "events_anomaly_mad",
     "sketch_histogram_quantiles",
     "sketch_hll_daily_rollup",
+    "text_hybrid_retrieval",
+    # dedup_cluster_census / text_bpe_roundtrip: CC loop / BPE trainer
+    # run at plan-build time — covered by the oracle parity suite.
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
     # building the plan runs the label-propagation loop; covered by the
     # oracle parity suite instead.
