@@ -5823,3 +5823,71 @@ def text_hybrid_retrieval(spark: SparkSession, sf_dir: str):
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _HYBRID_K2)
     )
+
+
+# --------------------------------------------------------------------------
+# Label-centroid confusion map: pairwise cosine between per-label mean
+# embeddings — the class-level semantic audit (near-identical centroids
+# = merge candidates or label noise; the embedding-space sibling of
+# text_lang_confusion).  Determinism at scale: centroid components are
+# ORDER-INSENSITIVE exact decimal sums of round(x, 6) per (label, dim)
+# — a combinable groupBy over the exploded components, never an
+# ordered fold over a label's (possibly millions of) vectors; only the
+# k x d centroid table is re-assembled into arrays, and the pairwise
+# stage is k^2/2 rows of sequential-fold cosine.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_label_confusion",
+    oracle=f"""
+    WITH e AS (SELECT CAST(label AS INT) AS label, embedding FROM embeddings),
+    x AS (
+      SELECT label, d, embedding[d + 1] AS x
+      FROM e, (SELECT UNNEST(range(0, 64)) AS d)
+    ),
+    cent AS (
+      SELECT label, d,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS c
+      FROM x GROUP BY label, d
+    ),
+    ca AS (
+      SELECT label,
+             list_transform(list(struct_pack(d := d, c := c) ORDER BY d),
+                            s -> s.c) AS cv
+      FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {_sql_dot('a.cv', 'b.cv')}
+             / (sqrt({_sql_dot('a.cv', 'a.cv')})
+                * sqrt({_sql_dot('b.cv', 'b.cv')})) AS cos_sim
+    FROM ca a JOIN ca b ON a.label < b.label
+    """,
+    tags=("similarity", "audit", "llmdata"),
+    doc="Pairwise cosine between per-label centroid embeddings (exact decimal means).",
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("d", "x"),
+    )
+    cent = x.groupBy("label", "d").agg(
+        (
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    ca = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    a = ca.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
+    b = ca.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    cos = S.dot(F.col("cva"), F.col("cvb")) / (
+        S.l2_norm(F.col("cva")) * S.l2_norm(F.col("cvb"))
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", cos.alias("cos_sim"))
+    )
