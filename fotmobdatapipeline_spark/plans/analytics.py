@@ -623,3 +623,72 @@ def agg_time_weighted(spark: SparkSession, sf_dir: str):
             / F.lit(100.0)
         ).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together, with
+# support and lift — the frequent-itemset light (k=2) every commerce
+# warehouse runs.  Scale shape: the self-join fans out per ORDER and a
+# basket has at most a handful of items (TPC-H <= 7 -> <= 21 pairs per
+# order, any real cart similarly bounded), so the pair stream is
+# O(orders x basket^2), never O(parts^2); the support filter trims the
+# singleton tail before the marginals join, and the distinct item table
+# is checkpointed for its three consumers (both join sides + the
+# marginals + the order total).  Lift is one double division of exact
+# integer products.
+# --------------------------------------------------------------------------
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+    SELECT b.part_a, b.part_b, b.n_both, ma.n AS n_a, mb.n AS n_b,
+           CAST(b.n_both * t.n_orders AS DOUBLE)
+             / CAST(ma.n * mb.n AS DOUBLE) AS lift
+    FROM pr b
+    JOIN marg ma ON b.part_a = ma.l_partkey
+    JOIN marg mb ON b.part_b = mb.l_partkey
+    CROSS JOIN tot t
+    """,
+    tags=("analytics", "basket", "pairs"),
+    doc="Part-pair co-occurrence with support >= 3 and lift (basket-bounded fan-out).",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str):
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    both = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    lift = (F.col("n_both") * F.col("n_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        both.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "n_both", "n_a", "n_b", lift.alias("lift"))
+    )
