@@ -1052,3 +1052,52 @@ def fotmob_json_ingest(spark: SparkSession, sf_dir: str):
 
     path = fotmob.ensure_landing_zone()
     return fotmob.clean_shots(fotmob.flatten_shots(fotmob.read_matches(spark, path)))
+
+
+# --------------------------------------------------------------------------
+# Shot-map grid: the reference dashboard's signature visual (readme:5 —
+# xG shot maps) as an engine aggregate.  Pitch coordinates binned to a
+# fixed grid, per-team shot/goal counts and exact-decimal xG mass per
+# cell — one map + one combinable aggregate over the ingested shots;
+# the heatmap any BI tool renders directly.  Grid edges are literals
+# (the pitch doesn't grow with data), so per-match/per-day cell tables
+# merge by cell-sum like every other fixed-geometry sketch here.
+# --------------------------------------------------------------------------
+def _fotmob_shot_grid_oracle() -> str:
+    return f"""
+    WITH ingest AS ({_fotmob_ingest_oracle()})
+    SELECT "teamId",
+           CAST(FLOOR(shot_from_x) AS INT) AS gx,
+           CAST(FLOOR(shot_from_y / 5.0) AS INT) AS gy,
+           CAST(COUNT(*) AS BIGINT) AS n_shots,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'Goal') AS BIGINT) AS n_goals,
+           CAST(SUM(CAST(ROUND("xG", 6) AS DECIMAL(18,6))) AS DOUBLE) AS xg_sum
+    FROM ingest
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "fotmob_shot_grid",
+    oracle=_fotmob_shot_grid_oracle,
+    tags=("analytics", "reference-surface", "grid"),
+    doc="Per-team pitch-grid shot heatmap: counts, goals, exact-decimal xG mass.",
+)
+def fotmob_shot_grid(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark import fotmob
+
+    path = fotmob.ensure_landing_zone()
+    shots = fotmob.clean_shots(
+        fotmob.flatten_shots(fotmob.read_matches(spark, path))
+    )
+    return shots.groupBy(
+        "teamId",
+        F.floor(F.col("shot_from_x")).cast("int").alias("gx"),
+        F.floor(F.col("shot_from_y") / F.lit(5.0)).cast("int").alias("gy"),
+    ).agg(
+        F.count("*").alias("n_shots"),
+        F.count_if(F.col("event_type") == "Goal").alias("n_goals"),
+        F.sum(F.round(F.col("xG"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("xg_sum"),
+    )

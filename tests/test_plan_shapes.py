@@ -564,6 +564,7 @@ ROUND5_SWEEP = [
     "text_hybrid_retrieval",
     "embedding_label_confusion",
     "basket_part_pairs",
+    "fotmob_shot_grid",
     # dedup_cluster_census / text_bpe_roundtrip: CC loop / BPE trainer
     # run at plan-build time — covered by the oracle parity suite.
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
