@@ -2181,3 +2181,68 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
         "exact_value",
         (F.col("est_value") - F.col("exact_value")).alias("err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact WEIGHTED median per group (lower weighted median: the smallest
+# value whose cumulative weight reaches half the group's total) — the
+# op behind "median price weighted by quantity sold", which the
+# unweighted quantile family cannot express.  Same scale contract as
+# exact_group_quantiles: one per-group sort (groups fit a partition;
+# categorical keys), rank arithmetic instead of a second pass, integer
+# weight sums so the half-total comparison is exact (2*cumw >= totw —
+# no division, no doubles until the output value itself).
+# --------------------------------------------------------------------------
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS totw
+      FROM lineitem
+    ),
+    hit AS (
+      SELECT l_returnflag, v, cumw, totw,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cumw, v) AS rn
+      FROM r WHERE 2 * cumw >= totw
+    )
+    SELECT l_returnflag, v AS weighted_median,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+    tags=("agg", "quantiles", "weighted"),
+    doc="Exact lower weighted median per group (integer cumulative-weight rank).",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_ord).alias("cumw"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_all).alias("totw"),
+    )
+    hit = r.filter(2 * F.col("cumw") >= F.col("totw")).select(
+        "l_returnflag",
+        "v",
+        "totw",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("cumw", "v"))
+        .alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("v").alias("weighted_median"),
+        F.col("totw").alias("total_weight"),
+    )

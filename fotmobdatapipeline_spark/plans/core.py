@@ -1101,3 +1101,144 @@ def fotmob_shot_grid(spark: SparkSession, sf_dir: str):
         .cast("double")
         .alias("xg_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative expectations report (the dbt-test / Great-Expectations
+# runner shape): a constraint list evaluated as ONE aggregate pass per
+# table — every predicate is a count_if in the same scan, so adding an
+# expectation costs a column, not a pass — plus referential checks as
+# anti-join counts.  Output one row per expectation with its violation
+# count; the report any warehouse gates deploys on.
+# --------------------------------------------------------------------------
+@register(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'lineitem' AS table_name, 'quantity_in_1_50' AS expectation,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_in_0_0p1',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'extendedprice_positive',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0 OR l_extendedprice IS NULL)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'status_enum',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'documents', 'n_chars_matches_text',
+           CAST(COUNT(*) FILTER (WHERE n_chars != length(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events', 'value_positive',
+           CAST(COUNT(*) FILTER (WHERE value <= 0 OR value IS NULL) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem->orders', 'fk_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+    tags=("dq", "audit"),
+    doc="Declarative expectations: one count_if pass per table + FK anti-join counts.",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    docs = read_table(spark, sf_dir, "documents")
+    ev = read_table(spark, sf_dir, "events")
+
+    def report(df, table, checks):
+        # One aggregate scan per table: every expectation a count_if.
+        agg = df.agg(
+            *[F.count_if(bad).cast("bigint").alias(name) for name, bad in checks]
+        )
+        out = None
+        for name, _ in checks:
+            row = agg.select(
+                F.lit(table).alias("table_name"),
+                F.lit(name).alias("expectation"),
+                F.col(name).alias("n_violations"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    li_checks = [
+        ("quantity_in_1_50", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("discount_in_0_0p1", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        (
+            "extendedprice_positive",
+            (F.col("l_extendedprice") <= 0) | F.col("l_extendedprice").isNull(),
+        ),
+    ]
+    ord_checks = [
+        ("status_enum", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "totalprice_positive",
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(),
+        ),
+    ]
+    doc_checks = [
+        ("n_chars_matches_text", F.col("n_chars") != F.length("text")),
+    ]
+    ev_checks = [
+        ("value_positive", (F.col("value") <= 0) | F.col("value").isNull()),
+    ]
+    fk = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("lineitem->orders").alias("table_name"),
+            F.lit("fk_orderkey").alias("expectation"),
+            "n_violations",
+        )
+    )
+    return (
+        report(li, "lineitem", li_checks)
+        .unionByName(report(orders, "orders", ord_checks))
+        .unionByName(report(docs, "documents", doc_checks))
+        .unionByName(report(ev, "events", ev_checks))
+        .unionByName(fk)
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers: group sizes for the
+# (lang, source) QI tuple with the re-identification flag (size < k) —
+# the governance gate run before releasing/joining a dataset keyed on
+# demographic-ish columns.  One combinable aggregate; at 100 TB the QI
+# cardinality (not the row count) bounds the output.
+# --------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size,
+           (COUNT(*) < {_K_ANON}) AS at_risk
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("dq", "privacy", "audit"),
+    doc=f"k-anonymity (k={_K_ANON}) group sizes over the (lang, source) quasi-identifiers.",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") < _K_ANON).alias("at_risk"),
+    )

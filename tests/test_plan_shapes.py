@@ -565,6 +565,9 @@ ROUND5_SWEEP = [
     "embedding_label_confusion",
     "basket_part_pairs",
     "fotmob_shot_grid",
+    "agg_weighted_median",
+    "dq_expectations_report",
+    "dq_k_anonymity",
     # dedup_cluster_census / text_bpe_roundtrip: CC loop / BPE trainer
     # run at plan-build time — covered by the oracle parity suite.
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
