@@ -853,3 +853,83 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str):
         "mad",
         (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitor: today's event-type mix vs a pinned
+# baseline snapshot — the alarm that catches an upstream producer
+# silently changing shape (schema drift's statistical sibling).  The
+# baseline is a frozen reference dir (the sf0.001 snapshot), read
+# through the same normalizing reader; each side collapses to
+# #event-types rows in one combinable aggregate, so the compare costs
+# nothing at any scale.  Shares are single exact-integer divisions;
+# deltas one subtraction — deterministic cross-engine, no ln-based
+# PSI (not bit-portable); consumers threshold |share_delta| directly.
+# --------------------------------------------------------------------------
+_DRIFT_BASELINE_DIR = "/root/testdata/sf0.001"
+
+
+@register(
+    "drift_event_type_shares",
+    oracle=f"""
+    WITH cur AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cur FROM events
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base
+      FROM read_parquet('{_DRIFT_BASELINE_DIR}/events.parquet')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n_cur) FROM cur) AS tc,
+             (SELECT SUM(n_base) FROM base) AS tb
+    )
+    SELECT COALESCE(c.event_type, b.event_type) AS event_type,
+           COALESCE(b.n_base, 0) AS n_base,
+           COALESCE(c.n_cur, 0) AS n_cur,
+           CAST(COALESCE(b.n_base, 0) AS DOUBLE) / CAST(t.tb AS DOUBLE)
+             AS share_base,
+           CAST(COALESCE(c.n_cur, 0) AS DOUBLE) / CAST(t.tc AS DOUBLE)
+             AS share_cur,
+           CAST(COALESCE(c.n_cur, 0) AS DOUBLE) / CAST(t.tc AS DOUBLE)
+             - CAST(COALESCE(b.n_base, 0) AS DOUBLE) / CAST(t.tb AS DOUBLE)
+             AS share_delta
+    FROM cur c FULL OUTER JOIN base b ON c.event_type = b.event_type
+    CROSS JOIN tot t
+    """,
+    tags=("events", "dq", "drift", "audit"),
+    doc="Event-type mix vs the pinned baseline snapshot: shares and deltas per type.",
+)
+def drift_event_type_shares(spark: SparkSession, sf_dir: str):
+    cur = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    base = (
+        read_table(spark, _DRIFT_BASELINE_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_base"))
+    )
+    tc = cur.agg(F.sum("n_cur").alias("tc"))
+    tb = base.agg(F.sum("n_base").alias("tb"))
+    j = (
+        cur.join(base, "event_type", "full")
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(tb))
+    )
+    share_base = F.coalesce("n_base", F.lit(0)).cast("double") / F.col("tb").cast(
+        "double"
+    )
+    share_cur = F.coalesce("n_cur", F.lit(0)).cast("double") / F.col("tc").cast(
+        "double"
+    )
+    return j.select(
+        "event_type",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        share_base.alias("share_base"),
+        share_cur.alias("share_cur"),
+        (share_cur - share_base).alias("share_delta"),
+    )

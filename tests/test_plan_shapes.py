@@ -568,6 +568,7 @@ ROUND5_SWEEP = [
     "agg_weighted_median",
     "dq_expectations_report",
     "dq_k_anonymity",
+    "drift_event_type_shares",
     # dedup_cluster_census / text_bpe_roundtrip: CC loop / BPE trainer
     # run at plan-build time — covered by the oracle parity suite.
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —
