@@ -49,7 +49,19 @@ def running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parted.withColumn("_local_run", F.sum(F.col(value_col)).over(w_local))
+    # CHECKPOINT — correctness-critical, not an optimization.  `local`
+    # has two consumers (the offsets aggregate below and the final
+    # join); without a checkpoint each consumer re-executes the
+    # repartitionByRange, whose boundary SAMPLING is not stable when
+    # the input's row order varies across evaluations (join/aggregate
+    # lineages) — the offsets then describe a DIFFERENT partitioning
+    # than the rows they are joined to, silently corrupting the prefix
+    # sums.  Deterministic scan inputs masked this; a full-outer-join
+    # input exposed it (drift_value_ks, round 5).  One materialization
+    # = one set of boundaries = offsets that match their rows.
+    local = parted.withColumn(
+        "_local_run", F.sum(F.col(value_col)).over(w_local)
+    ).localCheckpoint(eager=False)
 
     # Tiny: one row per partition; its exclusive prefix is the offset.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -62,7 +74,9 @@ def running_sum(
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_local_run") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local_run")
+        # Drop ALL helpers — a leaked _offset makes chained running_sum
+        # calls (two cumulative columns over the same order) ambiguous.
+        .drop("_pid", "_local_run", "_offset")
     )
 
 

@@ -933,3 +933,82 @@ def drift_event_type_shares(spark: SparkSession, sf_dir: str):
         share_cur.alias("share_cur"),
         (share_cur - share_base).alias("share_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Numeric-drift monitor: exact two-sample Kolmogorov-Smirnov statistic
+# between today's `value` distribution and the pinned baseline snapshot
+# — the value-distribution sibling of the share-drift entry.  All the
+# work is integer-exact: per-value counts (combinable), cumulative
+# counts via the two-phase distributed prefix sum (operators/prefix.py
+# — no partition-less window over the distinct-value stream), and the
+# sup-distance as max |cumA*NB - cumB*NA| in integers; ONE double
+# division at the end produces D.  Cross-multiplication keeps every
+# comparison exact; at extreme scale (counts beyond ~3e9 per side) the
+# products need DECIMAL — swap the casts, the shape is unchanged.
+# --------------------------------------------------------------------------
+@register(
+    "drift_value_ks",
+    oracle=f"""
+    WITH cur AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS nc FROM events GROUP BY 1),
+    base AS (
+      SELECT value, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM read_parquet('{_DRIFT_BASELINE_DIR}/events.parquet') GROUP BY 1
+    ),
+    m AS (
+      SELECT COALESCE(c.value, b.value) AS v,
+             COALESCE(c.nc, 0) AS nc, COALESCE(b.nb, 0) AS nb
+      FROM cur c FULL OUTER JOIN base b ON c.value = b.value
+    ),
+    cum AS (
+      SELECT v, SUM(nc) OVER (ORDER BY v) AS cnc, SUM(nb) OVER (ORDER BY v) AS cnb
+      FROM m
+    ),
+    tot AS (SELECT (SELECT SUM(nc) FROM m) AS nct, (SELECT SUM(nb) FROM m) AS nbt)
+    SELECT CAST(t.nct AS BIGINT) AS n_cur, CAST(t.nbt AS BIGINT) AS n_base,
+           CAST(MAX(ABS(c.cnc * t.nbt - c.cnb * t.nct)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(c.cnc * t.nbt - c.cnb * t.nct)) AS DOUBLE)
+             / (CAST(t.nct AS DOUBLE) * CAST(t.nbt AS DOUBLE)) AS ks
+    FROM cum c CROSS JOIN tot t GROUP BY t.nct, t.nbt
+    """,
+    tags=("events", "dq", "drift", "audit", "stats"),
+    doc="Exact two-sample KS statistic vs the baseline snapshot (integer sup-distance).",
+)
+def drift_value_ks(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    cur = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("value")
+        .agg(F.count("*").alias("nc"))
+    )
+    base = (
+        read_table(spark, _DRIFT_BASELINE_DIR, "events")
+        .groupBy("value")
+        .agg(F.count("*").alias("nb"))
+    )
+    m = (
+        cur.join(base, "value", "full")
+        .select(
+            F.col("value").alias("v"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c1 = running_sum(m, ["v"], "nc", out_col="cnc")
+    cum = running_sum(c1, ["v"], "nb", out_col="cnb")
+    tot = m.agg(
+        F.sum("nc").alias("nct"), F.sum("nb").alias("nbt")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    d = F.abs(F.col("cnc") * F.col("nbt") - F.col("cnb") * F.col("nct"))
+    return j.groupBy("nct", "nbt").agg(F.max(d).alias("d_num")).select(
+        F.col("nct").alias("n_cur"),
+        F.col("nbt").alias("n_base"),
+        F.col("d_num"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("nct").cast("double") * F.col("nbt").cast("double"))
+        ).alias("ks"),
+    )

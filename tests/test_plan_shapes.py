@@ -569,6 +569,7 @@ ROUND5_SWEEP = [
     "dq_expectations_report",
     "dq_k_anonymity",
     "drift_event_type_shares",
+    "drift_value_ks",
     # dedup_cluster_census / text_bpe_roundtrip: CC loop / BPE trainer
     # run at plan-build time — covered by the oracle parity suite.
     # fuzzy_entity_clusters / shards_cluster_aligned: iterative CC —

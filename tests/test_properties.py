@@ -1575,3 +1575,49 @@ def test_kfold_partitions_disjoint_and_complete(spark):
     assert a.count() == n
     assert a.select("doc_id").distinct().count() == n
     assert a.filter((F.col("fold") < 0) | (F.col("fold") >= 5)).count() == 0
+
+
+def test_running_sum_correct_on_join_sourced_input(spark):
+    """Regression pin for the round-5 running_sum bug: with a
+    full-outer-join lineage (row order nondeterministic across
+    evaluations), the offsets aggregate and the final join used to
+    re-execute repartitionByRange with DIFFERENT sampled boundaries —
+    offsets from one partitioning joined to rows of another, silently
+    corrupting most prefix sums.  The operator now checkpoints the
+    partitioned frame; this test drives the exact triggering lineage
+    (join -> checkpoint -> chained running_sum) and checks every row
+    against a Python fold, twice."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    a = spark.createDataFrame(
+        [((i * 37) % 911 / 7.0, 1 + i % 3) for i in range(911)], "v double, x long"
+    ).groupBy("v").agg(F.sum("x").alias("nc"))
+    b = spark.createDataFrame(
+        [((i * 53) % 1201 / 7.0, 1 + i % 5) for i in range(1201)], "v double, y long"
+    ).groupBy("v").agg(F.sum("y").alias("nb"))
+    m = (
+        a.join(b, "v", "full")
+        .select(
+            "v",
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mm = sorted((r["v"], r["nc"], r["nb"]) for r in m.collect())
+    tc, tb = {}, {}
+    c = d = 0
+    for v, nc, nb in mm:
+        c += nc
+        d += nb
+        tc[v], tb[v] = c, d
+    for _ in range(2):
+        cum = running_sum(
+            running_sum(m, ["v"], "nc", out_col="cnc"), ["v"], "nb", out_col="cnb"
+        )
+        rows = [(r["v"], r["cnc"], r["cnb"]) for r in cum.collect()]
+        assert len(rows) == len(mm)
+        assert all(tc[v] == cc for v, cc, _ in rows)
+        assert all(tb[v] == bb for v, _, bb in rows)
