@@ -1162,19 +1162,21 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events")
 
     def report(df, table, checks):
-        # One aggregate scan per table: every expectation a count_if.
+        # One aggregate scan per table: every expectation a count_if in
+        # the SAME agg, melted to rows with stack() — a union of
+        # per-check selects would re-execute the full-table aggregate
+        # once per branch (the repeated-subtree trap).
         agg = df.agg(
             *[F.count_if(bad).cast("bigint").alias(name) for name, bad in checks]
         )
-        out = None
-        for name, _ in checks:
-            row = agg.select(
-                F.lit(table).alias("table_name"),
-                F.lit(name).alias("expectation"),
-                F.col(name).alias("n_violations"),
-            )
-            out = row if out is None else out.unionByName(row)
-        return out
+        stack_args = ", ".join(f"'{name}', {name}" for name, _ in checks)
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.expr(
+                f"stack({len(checks)}, {stack_args})"
+                " AS (expectation, n_violations)"
+            ),
+        )
 
     li_checks = [
         ("quantity_in_1_50", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
