@@ -4635,19 +4635,24 @@ def dedup_tier_funnel(spark: SparkSession, sf_dir: str):
     clean = stats.filter(F.col("dup_words") == 0).agg(
         F.count("*").alias("n")
     )
-    tiers = None
-    for tier, col, frame in [
-        ("00_raw", "raw", one),
-        ("10_gopher_keep", "gopher", one),
-        ("20_exact_distinct", "exact", one),
-        ("30_fingerprint_distinct", "fng", one),
-        ("40_passage_clean", "n", clean),
-    ]:
-        row = frame.select(
-            F.lit(tier).alias("tier"), F.col(col).cast("long").alias("n_docs")
+    # Melt the one-row aggregate with stack(): a union of per-tier
+    # selects would re-execute the corpus aggregate (with its TWO
+    # countDistincts) once per branch — the repeated-subtree trap.
+    melted = one.select(
+        F.expr(
+            "stack(4, '00_raw', CAST(raw AS LONG),"
+            " '10_gopher_keep', CAST(gopher AS LONG),"
+            " '20_exact_distinct', CAST(exact AS LONG),"
+            " '30_fingerprint_distinct', CAST(fng AS LONG))"
+            " AS (tier, n_docs)"
         )
-        tiers = row if tiers is None else tiers.unionByName(row)
-    return tiers
+    )
+    return melted.unionByName(
+        clean.select(
+            F.lit("40_passage_clean").alias("tier"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4976,7 +4981,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str):
     total, so low PQ recall here is the compression trade made visible
     (production PQ uses m=8..16 with 256 codes per subspace); sizing
     codebooks IS what this report is for."""
-    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # Checkpoint the truth set: it feeds the count AND all three tier
+    # joins — without it the brute-force baseline (the most expensive
+    # subtree here) re-executes once per consumer.
+    bf = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     total = bf.count()
     builders = {
         "ivf_kmeans": sim_ivf_kmeans_topk,
