@@ -118,12 +118,23 @@ def lsh_band_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     rows_per_band: int = 1,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Tier 3: band the signature matrix; docs sharing any band key are
     candidate near-duplicates.  Output (doc_a, doc_b) distinct pairs.
 
-    Shuffle is keyed on (band_id, band_key) — fine-grained; at scale the
-    band join dominates and benefits from AQE skew splitting.
+    Shuffle is keyed on (band_id, band_key) — fine-grained; AQE splits
+    skewed shuffle partitions, but splitting cannot bound the
+    (m choose 2) pairs a boilerplate band key with m members
+    materializes — at corpus scale a single hot band (an empty-doc
+    signature, a shared template) makes the candidate stage quadratic.
+    ``max_band_df`` drops (band_id, band_key) groups hotter than the cap
+    BEFORE pair generation (the :func:`simhash_pairs` /
+    :func:`jaccard_pairs` df-cap doctrine: a band shared by everyone is
+    a stop pattern, not a dedup signal), bounding fan-out at
+    max_band_df²/2 per band key at ANY corpus size.  The hot-band count
+    is a map-side-combinable groupBy — never a per-key window, which
+    would sort the hot band's rows in one task.
     """
     n_bands = num_hashes // rows_per_band
     bands = F.array(
@@ -140,6 +151,14 @@ def lsh_band_pairs(
     exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         F.col(id_col), F.col("band.band_id"), F.col("band.band_key")
     )
+    if max_band_df is not None:
+        cool = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band_id", "band_key")
+        )
+        exploded = exploded.join(cool, ["band_id", "band_key"])
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -750,6 +769,7 @@ def verified_lsh_dups(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     rows_per_band: int = 1,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Tier 3c: the candidate->verify pipeline — LSH band candidates,
     then EXACT n-gram Jaccard computed only over documents that appear
@@ -763,7 +783,10 @@ def verified_lsh_dups(
     a lookup, never a wrong answer.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
-    cands = lsh_band_pairs(sigs, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band)
+    cands = lsh_band_pairs(
+        sigs, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band,
+        max_band_df=max_band_df,
+    )
     in_play = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))

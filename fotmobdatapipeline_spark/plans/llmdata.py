@@ -127,10 +127,25 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str):
 # Dedup tier 3b: LSH banding (4 bands x 1 row) → candidate pairs.
 # --------------------------------------------------------------------------
 _LSH_HASHES = 4
+# Band-occupancy cap shared by every MinHash-LSH catalog entry: a
+# (band_id, band_key) group hotter than this is a stop pattern (empty-doc
+# signature, shared template) and is excluded BEFORE pair generation,
+# bounding per-band fan-out at _LSH_BAND_DF^2/2 at any corpus size — the
+# dedup_simhash_pairs recipe (27.9 s -> 3.2 s at sf0.1) applied to the
+# sibling site VERDICT r5 flagged.  Mirrored between the Spark operator
+# (lsh_band_pairs(max_band_df=...)) and this shared oracle fragment.
+_LSH_BAND_DF = 50
 _lsh_sigs = ",\n             ".join(_sql_sig(j) for j in range(_LSH_HASHES))
-_lsh_bands = "\n      UNION ALL ".join(
+_lsh_bands_raw = "\n        UNION ALL ".join(
     f"SELECT doc_id, {j} AS band_id, sig_{j} AS band_key FROM sig" for j in range(_LSH_HASHES)
 )
+_lsh_bands = f"""
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bdf
+        FROM ({_lsh_bands_raw})
+      ) WHERE bdf <= {_LSH_BAND_DF}
+    """
 
 
 @register(
@@ -156,7 +171,9 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str):
     sigs = D.minhash_signatures(
         read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
     )
-    return D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    return D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
 
 
 # --------------------------------------------------------------------------
@@ -316,7 +333,9 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str):
     sigs = D.minhash_signatures(
         read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
     )
-    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    pairs = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
     return D.connected_dup_clusters(pairs)
 
 
@@ -2293,7 +2312,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str):
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str):
     return D.verified_lsh_dups(
-        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+        read_table(spark, sf_dir, "documents"),
+        num_hashes=_LSH_HASHES,
+        max_band_df=_LSH_BAND_DF,
     )
 
 
@@ -2500,7 +2521,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.lsh_band_pairs(
-        D.minhash_signatures(docs, num_hashes=_LSH_HASHES), num_hashes=_LSH_HASHES
+        D.minhash_signatures(docs, num_hashes=_LSH_HASHES),
+        num_hashes=_LSH_HASHES,
+        max_band_df=_LSH_BAND_DF,
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -3079,7 +3102,9 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str):
     sigs = D.minhash_signatures(
         read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
     )
-    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    pairs = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
     return triangle_counts(pairs)
 
 
@@ -5406,7 +5431,9 @@ def shards_cluster_aligned(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
-    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    pairs = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
     reps = D.connected_dup_clusters(pairs)
     lab = (
         docs.select("doc_id")
@@ -5533,7 +5560,9 @@ def split_kfold(spark: SparkSession, sf_dir: str):
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
-    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    pairs = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
     reps = D.connected_dup_clusters(pairs)
     lab = (
         docs.select("doc_id", T.distinct_word_ratio(F.col("text")).alias("diversity"))
@@ -5694,7 +5723,9 @@ def sketch_hll_daily_rollup(spark: SparkSession, sf_dir: str):
 def dedup_cluster_census(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
-    pairs = D.lsh_band_pairs(sigs, num_hashes=_LSH_HASHES, rows_per_band=1)
+    pairs = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    )
     reps = D.connected_dup_clusters(pairs)
     lab = (
         docs.select("doc_id")

@@ -97,6 +97,42 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     assert (0, 1) in pairs
 
 
+def test_lsh_band_df_cap_excludes_hot_band(spark):
+    """max_band_df bounds the quadratic hot-band fan-out (VERDICT r5 #1):
+    a boilerplate corpus where one band key holds half the docs must
+    produce ZERO pairs among the boilerplate docs once the cap is below
+    the band occupancy, while unrelated cool pairs survive untouched.
+    Also pins the row bound: capped pair count <= n_bands * C(cap, 2)."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "copyright footer all rights reserved contact us terms of service"
+    docs = [boiler] * 10  # ids 0-9: identical -> every band key is hot (df=10)
+    docs += [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again tail",
+    ]  # ids 10, 11: a cool near-dup pair (band df == 2)
+    df = _docs_df(spark, docs)
+    sigs = minhash_signatures(df, num_hashes=4)
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_band_pairs(sigs, num_hashes=4).collect()
+    }
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+
+    cap = 5
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_band_pairs(sigs, num_hashes=4, max_band_df=cap).collect()
+    }
+    assert (10, 11) in capped  # cool pair survives
+    assert all(a >= 10 for a, _ in capped), capped  # hot band fully excluded
+    assert len(capped) <= 4 * cap * (cap - 1) // 2  # n_bands * C(cap, 2)
+
+
 def test_cosine_topk_self_similarity(spark):
     """A vector duplicated exactly must be its copy's top neighbor with
     cos_sim == 1.0 (bit-exact by the sequential-fold determinism)."""
