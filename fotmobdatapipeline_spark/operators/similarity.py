@@ -520,19 +520,41 @@ def quantized_dedup_groups(
 
 def lsh_candidate_pairs(
     vectors: DataFrame,
-    n_bits: int = 8,
+    n_bits: int = 16,
     min_cosine: float = 0.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: bucket-keyed self-join + exact cosine
-    re-score.  Output (id_a, id_b, cos_sim), id_a < id_b."""
+    re-score.  Output (id_a, id_b, cos_sim), id_a < id_b.
+
+    Scale shape: the bucket key space is 2**n_bits, FIXED — bucket
+    occupancy grows linearly with the corpus by construction, so the
+    in-bucket pair fan-out is quadratic at any real scale unless both
+    levers are used: (1) size ``n_bits`` to the corpus (default 16 =
+    65 536 buckets; at billion-vector scale compose with IVF cells —
+    ``ivf_topk`` — instead of stretching one flat key), and (2)
+    ``max_bucket_df`` drops buckets hotter than the cap BEFORE pair
+    generation (a bucket holding a constant fraction of the corpus is a
+    degenerate region — near-dup mass that the cheaper exact tier
+    ``embedding_quantize_dedup`` collapses first), bounding fan-out at
+    max_bucket_df²/2 per bucket.  The hot-bucket count is a map-side-
+    combinable groupBy, never a per-key window."""
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    if max_bucket_df is not None:
+        cool = (
+            v.groupBy("bucket")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_bucket_df)
+            .select("bucket")
+        )
+        v = v.join(cool, "bucket")
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
@@ -555,6 +577,7 @@ def rp_bucket_topk_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "rp",
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """JL-reduced sign-bucket ANN join with full-space exact-cosine
     verify: bucket in the reduced space, pair within buckets, then
@@ -562,20 +585,32 @@ def rp_bucket_topk_pairs(
     top ``limit`` pairs.
 
     100 TB shape: the corpus-sized ``vectors`` table is never broadcast
-    and never shuffled whole — candidate ids (id-only, 8 B/row; bounded
-    by distinct candidate docs, which even a badly skewed bucket keeps
-    orders of magnitude under the corpus) are broadcast into a semi-join
-    over the scan, so only candidate-confined arrays move.  The verify
-    joins carry NO broadcast hint: AQE broadcasts them when the runtime
-    candidate set is small and falls back to a shuffled equi-join when a
-    hot bucket blows it up — either is fine, a mandatory broadcast is
-    not (executor OOM under bucket skew).  The plan pin
+    and never shuffled whole.  ``max_bucket_df`` drops buckets hotter
+    than the cap BEFORE pair generation (the same df-cap doctrine as
+    ``lsh_candidate_pairs`` — with 2**out_dim fixed bucket keys,
+    occupancy grows linearly with the corpus and the pair fan-out
+    quadratically; the cap bounds it at max_bucket_df²/2 per bucket).
+    The candidate-id reduction and verify joins carry NO broadcast
+    hint: AQE broadcasts them when the runtime candidate set is small
+    and falls back to a shuffled equi-join when a hot bucket blows it
+    up — either is fine, a MANDATORY broadcast is not (on a near-dup-
+    heavy corpus most docs have a bucket-mate, so the candidate-id set
+    approaches corpus size → driver/executor OOM).  The plan pin
     (test_plan_shapes) accepts both shapes but forbids cartesian/nested
-    -loop and any broadcast sitting directly over the corpus scan.
+    -loop, any broadcast sitting directly over the corpus scan, and any
+    explicit broadcast hint in the logical plan.
     """
     rp = random_projection(vectors, in_dim=in_dim, out_dim=out_dim, seed=seed).select(
         F.col(id_col), "rp_bucket"
     )
+    if max_bucket_df is not None:
+        cool = (
+            rp.groupBy("rp_bucket")
+            .agg(F.count("*").alias("bdf"))
+            .filter(F.col("bdf") <= max_bucket_df)
+            .select("rp_bucket")
+        )
+        rp = rp.join(cool, "rp_bucket")
     a = rp.select(F.col(id_col).alias("id_a"), "rp_bucket")
     b = rp.select(F.col(id_col).alias("id_b"), "rp_bucket")
     pairs = (
@@ -591,7 +626,7 @@ def rp_bucket_topk_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    emb_c = vectors.join(F.broadcast(cand_ids), id_col).select(id_col, vec_col)
+    emb_c = vectors.join(cand_ids, id_col, "left_semi").select(id_col, vec_col)
     ea = emb_c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     eb = emb_c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     scored = (

@@ -1962,6 +1962,12 @@ def agg_winsorized(spark: SparkSession, sf_dir: str):
 # matrix literals the operator derives from md5.
 # --------------------------------------------------------------------------
 _RP_DIM_IN, _RP_DIM_OUT = 64, 8
+# Bucket-occupancy cap for the RP-bucket pair join (VERDICT r5 #1): the
+# 2^out_dim key space is fixed, so occupancy grows linearly with the
+# corpus and pair fan-out quadratically — capped before pair generation,
+# mirrored between rp_bucket_topk_pairs(max_bucket_df=...) and the
+# oracle's COUNT(*) OVER (PARTITION BY rp_bucket) filter.
+_RP_BUCKET_DF = 50
 
 
 def _rp_oracle() -> str:
@@ -2018,9 +2024,16 @@ def _rp_bucket_oracle() -> str:
         )
     return f"""
     WITH proj0 AS (SELECT vec_id, {", ".join(ys)} FROM embeddings),
-    proj AS (
+    proj1 AS (
       SELECT vec_id, CAST({" + ".join(bucket_terms)} AS INT) AS rp_bucket
       FROM proj0
+    ),
+    proj AS (
+      SELECT vec_id, rp_bucket FROM (
+        SELECT vec_id, rp_bucket,
+               COUNT(*) OVER (PARTITION BY rp_bucket) AS bdf
+        FROM proj1
+      ) WHERE bdf <= {_RP_BUCKET_DF}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2054,7 +2067,11 @@ def sim_rp_bucket_join(spark: SparkSession, sf_dir: str):
     # skew; test_properties pins correctness on a 50%-hot-bucket corpus).
     emb = read_table(spark, sf_dir, "embeddings")
     return S.rp_bucket_topk_pairs(
-        emb, in_dim=_RP_DIM_IN, out_dim=_RP_DIM_OUT, limit=20
+        emb,
+        in_dim=_RP_DIM_IN,
+        out_dim=_RP_DIM_OUT,
+        limit=20,
+        max_bucket_df=_RP_BUCKET_DF,
     )
 
 

@@ -694,6 +694,13 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str):
 _BUCKET_SQL = " || ".join(
     f"(CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
 )
+# Bucket-occupancy cap for the sign-LSH PAIR-generating entries: with a
+# fixed 2^n_bits key space, occupancy grows linearly with the corpus and
+# in-bucket pair fan-out quadratically — the cap bounds it before pair
+# generation (VERDICT r5 #1; the dedup_simhash_pairs recipe).  Mirrored
+# between lsh_candidate_pairs(max_bucket_df=...) and each oracle's
+# COUNT(*) OVER (PARTITION BY bucket) filter.
+_LSH_BUCKET_DF = 50
 
 
 @register(
@@ -1217,11 +1224,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
 @register(
     "sim_lsh_candidate_pairs",
     oracle=f"""
-    WITH v AS (
+    WITH v0 AS (
       SELECT vec_id, embedding,
              sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
              {_BUCKET_SQL} AS bucket
       FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, embedding, nrm, bucket FROM (
+        SELECT v0.*, COUNT(*) OVER (PARTITION BY bucket) AS bdf FROM v0
+      ) WHERE bdf <= {_LSH_BUCKET_DF}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_sim
@@ -1231,8 +1243,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
     tags=("similarity", "lsh", "dedup"),
 )
 def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str):
+    # n_bits=8 keeps visible candidate pairs at test scale; production
+    # sizes n_bits to the corpus (operator default 16) and the bucket
+    # cap bounds the hot-bucket fan-out either way.
     return S.lsh_candidate_pairs(
-        read_table(spark, sf_dir, "embeddings"), n_bits=8, min_cosine=0.0
+        read_table(spark, sf_dir, "embeddings"),
+        n_bits=8,
+        min_cosine=0.0,
+        max_bucket_df=_LSH_BUCKET_DF,
     )
 
 
@@ -1531,11 +1549,16 @@ def sketch_kmv_join_overlap(spark: SparkSession, sf_dir: str):
 @register(
     "novelty_max_cosine",
     oracle=f"""
-    WITH v AS (
+    WITH v0 AS (
       SELECT vec_id, embedding,
              sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
              {_BUCKET_SQL} AS bucket
       FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, embedding, nrm, bucket FROM (
+        SELECT v0.*, COUNT(*) OVER (PARTITION BY bucket) AS bdf FROM v0
+      ) WHERE bdf <= {_LSH_BUCKET_DF}
     ),
     pr AS (
       SELECT a.vec_id AS ida,
@@ -1556,8 +1579,11 @@ def sketch_kmv_join_overlap(spark: SparkSession, sf_dir: str):
 )
 def novelty_max_cosine(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
-    # min_cosine=-2 keeps every in-bucket pair (cosine is in [-1, 1]).
-    pairs = S.lsh_candidate_pairs(emb, n_bits=8, min_cosine=-2.0)
+    # min_cosine=-2 keeps every in-bucket pair (cosine is in [-1, 1]);
+    # hot buckets are df-capped before pair generation (oracle mirrors).
+    pairs = S.lsh_candidate_pairs(
+        emb, n_bits=8, min_cosine=-2.0, max_bucket_df=_LSH_BUCKET_DF
+    )
     both = pairs.select(
         F.col("id_a").alias("vec_id"), "cos_sim"
     ).unionByName(pairs.select(F.col("id_b").alias("vec_id"), "cos_sim"))

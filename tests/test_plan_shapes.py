@@ -373,11 +373,14 @@ def test_rp_bucket_verify_never_broadcasts_the_corpus(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # The id-only semi-join keeps its explicit broadcast (that is the
-    # never-shuffle-the-corpus pattern).
-    assert "BroadcastHashJoin" in plan, plan
+    # No MANDATORY broadcast anywhere in the pipeline: the logical plan
+    # must be hint-free (on a near-dup-heavy corpus the candidate-id set
+    # approaches corpus size, so a forced broadcast OOMs — AQE must be
+    # the one deciding broadcast vs shuffle from runtime sizes).
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+    assert "UnresolvedHint" not in logical, logical
     broadcasts = _tree_subtrees(plan, "BroadcastExchange")
-    assert broadcasts, plan
     for sub in broadcasts:
         text = "\n".join(sub)
         if "embeddings" in text and "Scan parquet" in text:

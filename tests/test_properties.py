@@ -133,6 +133,66 @@ def test_lsh_band_df_cap_excludes_hot_band(spark):
     assert len(capped) <= 4 * cap * (cap - 1) // 2  # n_bands * C(cap, 2)
 
 
+def test_lsh_bucket_df_cap_excludes_hot_bucket(spark):
+    """max_bucket_df on the sign-LSH pair join: a corpus where one
+    bucket holds half the vectors must produce zero pairs from that
+    bucket under a cap below its occupancy, while a cool bucket's pair
+    survives; pair count bounded by C(cap, 2) per surviving bucket."""
+    from fotmobdatapipeline_spark.operators.similarity import lsh_candidate_pairs
+
+    d = 16
+    # ids 0-9: first 8 dims all positive -> one hot bucket (df=10)
+    hot = [[1.0] * d for _ in range(10)]
+    # ids 10, 11: first dim negative -> a different, cool bucket (df=2)
+    cool = [([-1.0] + [1.0] * (d - 1)) for _ in range(2)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(hot + cool)],
+        "vec_id long, embedding array<float>",
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, n_bits=8, min_cosine=-2.0).collect()
+    }
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            df, n_bits=8, min_cosine=-2.0, max_bucket_df=5
+        ).collect()
+    }
+    assert capped == {(10, 11)}, capped
+
+
+def test_rp_bucket_df_cap_excludes_hot_bucket(spark):
+    """rp_bucket_topk_pairs under a 50%-hot-bucket corpus: with the cap
+    below the hot bucket's occupancy, no returned pair may involve two
+    hot-bucket members — the quadratic candidate stage is bounded before
+    the verify, and the cool pair still verifies exactly."""
+    from fotmobdatapipeline_spark.operators.similarity import (
+        rademacher_matrix,
+        rp_bucket_topk_pairs,
+    )
+
+    d, out_dim = 16, 4
+    mat = rademacher_matrix(d, out_dim)
+    hot_vec = [1.0] * d
+    # A vector whose projection flips every sign lands in the complement
+    # bucket: negate the input (sign(-Mx) = -sign(Mx) for nonzero proj).
+    cool_vec = [-1.0] * d
+    rows = [(i, hot_vec) for i in range(10)]
+    rows += [(10, cool_vec), (11, list(cool_vec))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    res = rp_bucket_topk_pairs(
+        df, in_dim=d, out_dim=out_dim, limit=100, max_bucket_df=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in res}
+    assert all(not (a < 10 and b < 10) for a, b in got), got
+    assert (10, 11) in got, got
+
+
 def test_cosine_topk_self_similarity(spark):
     """A vector duplicated exactly must be its copy's top neighbor with
     cos_sim == 1.0 (bit-exact by the sequential-fold determinism)."""
