@@ -99,7 +99,51 @@ def _load_snapshot() -> dict:
     }
 
 
+def _wrapper_main() -> int:
+    """Run the real bench in a captured subprocess and emit the JSON
+    line as the FIRST byte of THIS process's output, followed by a
+    size-capped diagnostic tail on stderr.
+
+    Why (VERDICT r5 #3): the suite's own diagnostics go to stderr, but
+    the JVM writes progress/shutdown noise to fd 2 directly; a harness
+    that captures `2>&1` with a bounded window can truncate away the
+    one JSON line wherever it lands mid-stream.  With this wrapper the
+    JSON line is literally the first thing either stream carries, so
+    any head-or-tail capture keeps it parseable."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_INNER="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    json_line = next(
+        (
+            ln
+            for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{") and ln.rstrip().endswith("}")
+        ),
+        None,
+    )
+    if json_line is not None:
+        print(json_line, flush=True)
+    # Diagnostics AFTER the JSON, capped: keep the informative tail.
+    diag = proc.stderr.splitlines()
+    ours = [ln for ln in diag if ln.startswith("# ")]
+    noise_tail = [ln for ln in diag if not ln.startswith("# ")][-20:]
+    for ln in ours[-120:] + (noise_tail if json_line is None else []):
+        print(ln, file=sys.stderr)
+    if json_line is None:
+        print("# bench inner run produced no JSON line", file=sys.stderr)
+        return proc.returncode or 1
+    return 0
+
+
 def main() -> int:
+    if os.environ.get("SPARK_GRAFT_BENCH_INNER") != "1":
+        return _wrapper_main()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")

@@ -26,6 +26,7 @@ def running_sum(
     value_col: str,
     out_col: str = "running",
     n_parts: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = sum of ``value_col`` over all rows up to and
     including this one in ``order_cols`` order (ties broken by the full
@@ -34,7 +35,17 @@ def running_sum(
     Plan: repartitionByRange(order) -> in-partition sort + running sum
     (window partitioned BY Spark partition id, so no single-partition
     collapse) -> broadcast-join the exclusive per-partition offsets.
-    """
+
+    AVAILABILITY CAVEAT (ADVICE r5): correctness depends on a
+    checkpoint of the partitioned frame (see the comment below), and
+    ``localCheckpoint`` truncates lineage into NON-replicated
+    executor-local storage — on a real cluster an executor loss after
+    the checkpoint makes the job fail unrecoverably (fail-LOUD, never
+    silent corruption, but a retry restarts the query).  For long
+    cluster jobs pass ``reliable_checkpoint=True`` to use a reliable
+    ``DataFrame.checkpoint()`` into ``spark.sparkContext.setCheckpointDir``
+    storage (HDFS/object store) — survives executor loss at the cost of
+    one distributed write+read of the frame."""
     if n_parts is None:
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         n_parts = int(n_parts)
@@ -59,9 +70,12 @@ def running_sum(
     # sums.  Deterministic scan inputs masked this; a full-outer-join
     # input exposed it (drift_value_ks, round 5).  One materialization
     # = one set of boundaries = offsets that match their rows.
-    local = parted.withColumn(
-        "_local_run", F.sum(F.col(value_col)).over(w_local)
-    ).localCheckpoint(eager=False)
+    local = parted.withColumn("_local_run", F.sum(F.col(value_col)).over(w_local))
+    local = (
+        local.checkpoint(eager=False)
+        if reliable_checkpoint
+        else local.localCheckpoint(eager=False)
+    )
 
     # Tiny: one row per partition; its exclusive prefix is the offset.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -13,6 +13,8 @@ are emitted as strings.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -866,7 +868,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str):
 # deltas one subtraction — deterministic cross-engine, no ln-based
 # PSI (not bit-portable); consumers threshold |share_delta| directly.
 # --------------------------------------------------------------------------
-_DRIFT_BASELINE_DIR = "/root/testdata/sf0.001"
+# Resolvable (ADVICE r5): the pinned baseline snapshot dir comes from
+# SPARK_GRAFT_BASELINE_DIR when set, else <testdata root>/sf0.001
+# derived from SPARK_GRAFT_SF_DIR, else the historical default — the
+# only catalog entries with a second data root, so the env hook keeps
+# the sweep/parity suite portable to machines with other layouts.
+_DRIFT_BASELINE_DIR = os.environ.get(
+    "SPARK_GRAFT_BASELINE_DIR",
+    os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+        ),
+        "sf0.001",
+    ),
+)
 
 
 @register(

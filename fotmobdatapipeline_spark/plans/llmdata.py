@@ -789,6 +789,45 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
     return "\n".join(parts)
 
 
+# Trained-model memos (VERDICT r5 #4): kmeans_lloyd and
+# pq_train_codebooks are deterministic by construction (fixed seeds,
+# fixed-point means), so their output for a given (sf_dir, params) is a
+# VALUE — k×d / m×codes×sub_d floats — not a computation worth repeating.
+# Five catalog entries train the same models (sim_ivf_kmeans_topk,
+# dedup_semantic_clusters, sim_pq_adc_topk, sim_ivfpq_topk, and all
+# three tiers nested inside sim_recall_report); the memo collects the
+# tiny trained frame once per process and replays it as a local
+# relation, cutting the parity suite's heaviest repeated subtree.
+# Value-transparent: cold or warm, every consumer sees bit-identical
+# centroids (the oracles replay the same fixed-point train).
+_TRAINED_MEMO: dict = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
+                       iterations: int = 3):
+    key = ("kmeans", sf_dir, k, iterations)
+    if key not in _TRAINED_MEMO:
+        df = S.kmeans_lloyd(
+            read_table(spark, sf_dir, "embeddings"), k=k, iterations=iterations
+        )
+        _TRAINED_MEMO[key] = (df.schema, df.collect())
+    schema, rows = _TRAINED_MEMO[key]
+    return spark.createDataFrame(rows, schema)
+
+
+def _trained_codebooks(spark: SparkSession, sf_dir: str, dim: int, m: int,
+                       codes: int, iterations: int):
+    key = ("pq", sf_dir, dim, m, codes, iterations)
+    if key not in _TRAINED_MEMO:
+        df = S.pq_train_codebooks(
+            read_table(spark, sf_dir, "embeddings"),
+            dim=dim, m=m, codes=codes, iterations=iterations,
+        )
+        _TRAINED_MEMO[key] = (df.schema, df.collect())
+    schema, rows = _TRAINED_MEMO[key]
+    return spark.createDataFrame(rows, schema)
+
+
 @register(
     "sim_ivf_kmeans_topk",
     oracle=_ivf_kmeans_oracle(),
@@ -796,7 +835,7 @@ def _ivf_kmeans_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
 )
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
     return S.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, centroids, k=5)
 
 
@@ -918,6 +957,87 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
             (matches.cast("double") / F.lit(8.0)).alias("est_jaccard"),
             "exact_jaccard",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-dedup recall gate (VERDICT r5 #5): banded-LSH recall vs the
+# EXACT n-gram Jaccard truth set, per Jaccard decile, at the catalog's
+# own (bands, rows, band-df-cap) settings — the dedup twin of
+# sim_recall_report, pricing the speed/recall trade as data.  The truth
+# side is the labeled exact baseline (all shingle-sharing pairs) — at
+# 100 TB this report runs on a sampled stratum, not the full corpus;
+# the LSH side is the production candidate path, INCLUDING the hot-band
+# cap, so a cap set too low shows up here as lost recall in the high-J
+# bins.  The decile key floor(jaccard*10) is portable double math: both
+# engines compute jaccard as the same CAST/CAST division, so the
+# product and floor agree bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_recall_report",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS j
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    lab AS (
+      SELECT CAST(FLOOR(t.j * 10) AS INT) AS jbin,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM lab GROUP BY jbin
+    """,
+    tags=("dedup", "lsh", "jaccard", "calibration", "recall"),
+    doc="Banded-LSH recall vs exact Jaccard truth, per Jaccard decile.",
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j")
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
+    cand = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    ).withColumn("hit", F.lit(1))
+    lab = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("j") * 10).cast("int").alias("jbin"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    return lab.groupBy("jbin").agg(
+        F.count("*").alias("n_truth"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("recall"),
     )
 
 
@@ -1104,7 +1224,7 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
     assigned = S.ivf_assign(emb, centroids)
     c = centroids.select(
         F.col("centroid_id").alias("cell"),
@@ -1212,7 +1332,7 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
     return S.semantic_dedup(emb, centroids, tau=_SEMDEDUP_TAU)
 
 
@@ -3925,8 +4045,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str):
     entry scores the full corpus to make approximation error visible
     against sim_bruteforce_topk on identical queries."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cb = S.pq_train_codebooks(
-        emb, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, iterations=_PQ_ITERS
+    cb = _trained_codebooks(
+        spark, sf_dir, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES,
+        iterations=_PQ_ITERS,
     )
     enc = S.pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
     return S.pq_adc_topk(
@@ -4319,9 +4440,10 @@ def _ivfpq_oracle(
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = S.kmeans_lloyd(emb, k=8, iterations=3)
-    cb = S.pq_train_codebooks(
-        emb, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, iterations=_PQ_ITERS
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
+    cb = _trained_codebooks(
+        spark, sf_dir, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES,
+        iterations=_PQ_ITERS,
     )
     return S.ivfpq_topk(
         emb.filter(F.col("vec_id") < 10), emb, centroids, cb,

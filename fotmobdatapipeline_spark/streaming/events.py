@@ -353,6 +353,13 @@ def anomaly_flag_stream(
     plain watermarked window aggregate — no post-aggregation join, valid
     in every output mode.
 
+    An event_type ABSENT from the trained baseline (null med/mad after
+    the left join) is the classic anomaly this monitor exists for — a
+    brand-new producer type — so it is flagged ``is_anomaly = true``
+    (never silently null, ADVICE r5): any unseen type deviates from a
+    baseline that predicted zero of it.  Consumers who want to route
+    novel types separately from rate spikes can test ``med IS NULL``.
+
     Works identically on a batch frame (the twin the contract test
     pins).  Output: (window_start, event_type, n_events, med, mad,
     is_anomaly)."""
@@ -368,9 +375,10 @@ def anomaly_flag_stream(
         "n_events",
         "med",
         "mad",
-        (F.abs(F.col("n_events") - F.col("med")) > k_mad * F.col("mad")).alias(
-            "is_anomaly"
-        ),
+        F.coalesce(
+            F.abs(F.col("n_events") - F.col("med")) > k_mad * F.col("mad"),
+            F.lit(True),
+        ).alias("is_anomaly"),
     )
 
 

@@ -61,11 +61,17 @@ def cms_maintenance_sink(
     key_col: str = "k",
     depth: int = 4,
     width: int = 256,
+    keep_versions: int = 1,
 ):
     """Start a stream that folds each micro-batch into the stored CMS
     idempotently.  Stored schema: (sketch_row, bucket, cnt, last_batch)
     — last_batch rides every row (constant within a version) so replay
-    detection needs no side table."""
+    detection needs no side table.
+
+    ``path`` must be driver-local filesystem (the CURRENT pointer swap
+    uses open/os.replace); see ``hll_maintenance_sink`` for the
+    object-store porting note.  ``keep_versions`` = how many prior
+    versions survive each commit's GC (default 1)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -100,14 +106,20 @@ def cms_maintenance_sink(
         with open(tmp, "w") as f:
             f.write(new_v)
         os.replace(tmp, os.path.join(path, "CURRENT"))
-        # GC: keep the new and the immediately-prior version only.
-        for d in os.listdir(path):
-            if (
-                d.startswith("v")
-                and d not in (new_v, prev_v)
+        # GC: keep the new plus the keep_versions most recent priors.
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(path)
+                if d.startswith("v")
+                and d != new_v
                 and os.path.isdir(os.path.join(path, d))
-            ):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            ),
+            key=lambda d: int(d[1:]),
+            reverse=True,
+        )
+        for d in versions[keep_versions:]:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     os.makedirs(path, exist_ok=True)
     return (
@@ -133,6 +145,7 @@ def hll_maintenance_sink(
     checkpoint: str,
     key_col: str = "k",
     m: int = 64,
+    keep_versions: int = 1,
 ):
     """Start a stream that folds each micro-batch's HLL registers into
     the stored register table idempotently — "how many DISTINCT keys
@@ -144,7 +157,19 @@ def hll_maintenance_sink(
 
     Stored schema: (reg_idx, max_rho, last_batch).  At 100 TB the
     stored table is m rows forever; each batch does one bounded
-    register build plus a register-keyed merge of two m-row tables."""
+    register build plus a register-keyed merge of two m-row tables.
+
+    DEPLOYMENT CONSTRAINTS (ADVICE r5, same as the CMS sink it
+    mirrors): all state I/O here is driver-local filesystem
+    (open/os.replace/os.listdir) — ``path`` must be a local directory,
+    NOT an object-store URI; porting to S3/GCS means replacing the
+    CURRENT pointer swap with a conditional-put or a metastore row.
+    ``keep_versions`` controls GC breadth: each commit retains the new
+    version plus the ``keep_versions`` most recent prior versions
+    (default 1 — the previous version survives so a reader that
+    resolved CURRENT just before the commit can still finish its
+    collect; raise it for slow readers that may lag several commits,
+    at m rows per retained version the cost is nil)."""
     from fotmobdatapipeline_spark.operators.sketches import hll_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -178,13 +203,19 @@ def hll_maintenance_sink(
         with open(tmp, "w") as f:
             f.write(new_v)
         os.replace(tmp, os.path.join(path, "CURRENT"))
-        for d in os.listdir(path):
-            if (
-                d.startswith("v")
-                and d not in (new_v, prev_v)
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(path)
+                if d.startswith("v")
+                and d != new_v
                 and os.path.isdir(os.path.join(path, d))
-            ):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            ),
+            key=lambda d: int(d[1:]),
+            reverse=True,
+        )
+        for d in versions[keep_versions:]:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     os.makedirs(path, exist_ok=True)
     return (

@@ -1584,10 +1584,15 @@ def test_trim_agrees_with_passage_stats(spark):
 
 
 def test_histogram_quantile_within_bucket_width(spark):
-    """The fixed-bucket histogram estimate can never be farther from the
-    exact PERCENTILE_CONT than one bucket width (both live inside the
-    same bucket's range, or adjacent ones at an interpolation boundary),
-    and the invariant must hold regardless of input partitioning."""
+    """The fixed-bucket histogram estimate stays within one bucket width
+    of the exact PERCENTILE_CONT *on this pinned dataset* — NOT a
+    universal invariant (ADVICE r5): the estimate uses the q*n rank
+    convention while PERCENTILE_CONT interpolates at (n-1)*q, so a large
+    value gap between the two adjacent ranks can legitimately push the
+    error past one bucket width.  On the pinned sf0.01 lineitem data the
+    ranks land well inside dense buckets, so the bound holds; if the
+    fixture is regenerated and this fails, loosen to 2*width before
+    suspecting the estimator."""
     from tests.conftest import SF_ORACLE
     from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
 

@@ -418,6 +418,29 @@ def test_anomaly_flag_stream_matches_batch_rule(spark, events_dir, events_batch)
     assert len(want) > 0
 
 
+def test_anomaly_flag_unseen_type_is_flagged(spark):
+    """An event_type absent from the trained baseline is the classic
+    anomaly the monitor exists for (a brand-new producer type): med/mad
+    are null after the left join and is_anomaly must coalesce to TRUE,
+    never to null (ADVICE r5).  Exercises the batch twin code path."""
+    import datetime as dt
+
+    from fotmobdatapipeline_spark.streaming.events import anomaly_flag_stream
+
+    ts = dt.datetime(2026, 1, 1, 10, 30)
+    events = spark.createDataFrame(
+        [("known", ts), ("known", ts), ("brand_new", ts)],
+        "event_type string, ts timestamp",
+    )
+    baseline = spark.createDataFrame(
+        [("known", 2.0, 1.0)], "event_type string, med double, mad double"
+    )
+    rows = {r["event_type"]: r for r in anomaly_flag_stream(events, baseline).collect()}
+    assert rows["brand_new"]["med"] is None
+    assert rows["brand_new"]["is_anomaly"] is True
+    assert rows["known"]["is_anomaly"] is False
+
+
 def test_hll_maintenance_stream_equals_batch(spark, tmp_path):
     """The stream-maintained HLL register table, after the feed drains,
     must be REGISTER-IDENTICAL to the batch sketch of the whole feed
