@@ -70,6 +70,10 @@ HEADLINE = [
     "events_anomaly_mad",
     "sketch_histogram_quantiles",
     "dedup_cluster_keep_best",
+    # round-6 additions
+    "dedup_recall_report",
+    "sim_lsh_candidate_pairs",
+    "sim_rp_bucket_join",
 ]
 
 
@@ -264,6 +268,10 @@ def main() -> int:
             streaming["neardup"] = _neardup_stream_bench(spark, sf_dir)
         except Exception as e:
             print(f"# neardup stream bench skipped: {e}", file=sys.stderr)
+        try:
+            streaming["semantic"] = _semantic_stream_bench(spark, sf_dir)
+        except Exception as e:
+            print(f"# semantic stream bench skipped: {e}", file=sys.stderr)
 
     # Scale section: regenerate the headline comparison at sf1-class
     # volume (synthetic, deterministic, schema-identical — sources/
@@ -501,6 +509,71 @@ def _neardup_stream_bench(spark, sf_dir: str, target_rows: int = 100_000) -> dic
     )
     shutil.rmtree(staged, ignore_errors=True)
     return out
+
+
+def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dict:
+    """Streaming SEMANTIC dedup throughput (the round-6 tier): an
+    embedding ingest feed (the sf embeddings table replicated) drained
+    through the stateless cell-assign + cell-keyed anti-join filter
+    against a batch-trained index of the base corpus.  No dedup state —
+    the whole pipeline is a per-row filter against static state — so
+    one drain, no provider variants.  Reported as rows/sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        semantic_dedup_stream,
+        semantic_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    reps = max(1, -(-target_rows // n_emb))  # ceil
+    feed = (
+        emb.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"), "embedding"
+        )
+    )
+    staged = tempfile.mkdtemp(prefix="fotmob_bench_semantic_")
+    feed.repartition(64).write.mode("overwrite").parquet(f"{staged}/files")
+    n_rows = n_emb * reps
+    schema = spark.read.parquet(f"{staged}/files").schema
+
+    cents = kmeans_lloyd(emb, k=8, iterations=2)
+    index = semantic_index(emb, cents).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{staged}/files")
+    )
+    out_df = semantic_dedup_stream(stream, cents, index, tau=0.3)
+    q = (
+        out_df.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", f"{staged}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = round(time.perf_counter() - t0, 3)
+    print(
+        f"# semantic_stream {wall:.3f}s ({n_rows} rows / 8 batches)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(staged, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "n_batches": 8,
+        "wall_sec": wall,
+        "rows_per_sec": round(n_rows / wall),
+    }
 
 
 def _pandas_star_build(sf_dir: str) -> float:

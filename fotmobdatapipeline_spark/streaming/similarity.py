@@ -1,0 +1,124 @@
+"""Streaming twin of the SEMANTIC dedup tier (VERDICT r5 #7): score an
+embedding ingest stream against a batch-trained k-means index and drop
+semantic near-duplicates of the historical corpus AT INGEST — the
+train-batch / score-stream split of ``operators/similarity.py::
+semantic_dedup`` (the ``anomaly_flag_stream`` pattern applied to the
+SemDeDup tier).
+
+Why the split: SemDeDup's trainer (``kmeans_lloyd``) needs global
+passes and cannot stream; its verdict ("does this vector have a
+cluster-mate at cosine >= tau?") needs only (a) a cell assignment and
+(b) a lookup against the at-rest corpus — both stateless per row.  So
+the batch side trains centroids and materializes the cell-keyed corpus
+index, and the stream pays:
+
+1. a STATELESS cell assignment — the k trained centroids are collected
+   driver-side (k x d floats, the "centroids live on the driver" bound
+   of kmeans_lloyd) and embedded as array literals; per-row cosine to
+   each is the same sequential-fold ``dot`` as the batch path, and the
+   argmax-with-lowest-cell-tie is ``F.least`` over (neg_sim, cell)
+   structs — bit-identical to ivf_assign's ``min(struct(neg, cell))``
+   aggregate without its (stateful-on-a-stream) groupBy;
+2. a stream-static LEFT ANTI join against the index on (same cell AND
+   cosine >= tau) — stateless, re-reads the static side per micro-batch
+   so a refreshed index is picked up between batches.
+
+Semantics note (matches batch SemDeDup's per-pair rule): the stream
+compares against the HISTORICAL corpus only, not against other streamed
+rows — two near-identical vectors arriving in the same micro-batch both
+survive if neither has a corpus mate.  Cross-batch self-dedup is the
+(signature-keyed) ``neardup_stream`` tier's job; the semantic tier's
+state is the index, maintained in batch.
+
+At 100 TB: the index is cell-partitioned storage (one parquet partition
+per cell — the same layout ``ivf_topk`` queries), the anti join is
+cell-keyed so each micro-batch row probes one cell's list, and k grows
+with the corpus to keep cells bounded (SemDeDup used 50k cells for
+LAION).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.similarity import dot, ivf_assign, l2_norm
+
+
+def semantic_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-keyed corpus index for streaming semantic dedup: one row per
+    historical vector, (cell, p_vid, p_vec, p_nrm).  Built with the
+    batch broadcast-IVF pass; write it partitioned by cell for
+    partition-pruned probes."""
+    return ivf_assign(corpus, centroids, id_col, vec_col).select(
+        "cell",
+        F.col("vid").alias("p_vid"),
+        F.col("vec").alias("p_vec"),
+        F.col("nrm").alias("p_nrm"),
+    )
+
+
+def assign_cell_stateless(
+    vec: Column, centroid_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell id as ONE stateless projection — the
+    streaming form of ``ivf_assign``'s n_probes=1 argmax (highest
+    cosine, ties -> lowest cell id), for use where a groupBy would make
+    the query stateful.  ``centroid_rows`` = [(cell_id, components)];
+    each per-cell cosine is the same sequential-fold ``dot`` over an
+    array literal as the batch broadcast join computes, and ``F.least``
+    over (neg_sim, cell) structs is exactly ``min(struct(neg, cell))``
+    — so stream and batch assignments agree bit-for-bit."""
+    nrm = l2_norm(vec)
+    scored = []
+    for cell_id, comps in sorted(centroid_rows, key=lambda r: r[0]):
+        carr = F.array(*[F.lit(float(x)) for x in comps])
+        sim = dot(vec, carr) / (nrm * l2_norm(carr))
+        scored.append(
+            F.struct(
+                (-sim).alias("neg"), F.lit(int(cell_id)).alias("cell")
+            )
+        )
+    return F.least(*scored)["cell"]
+
+
+def semantic_dedup_stream(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Emit only the streamed vectors with NO semantic near-duplicate in
+    the historical corpus: assign each arriving vector to its trained
+    cell statelessly, then LEFT ANTI join the cell-keyed ``index``
+    (from :func:`semantic_index`) on (same cell AND cosine >= tau).
+
+    Works identically on a batch frame — the twin the contract test
+    pins (stream == batch exactly: the whole pipeline is a pure per-row
+    filter against static state, no arrival-order dependence).
+
+    Output: the input columns plus ``cell``.
+    """
+    rows = [
+        (r[centroid_id_col], list(r[vec_col]))
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    ]
+    assigned = vectors.withColumn(
+        "cell", assign_cell_stateless(F.col(vec_col), rows)
+    )
+    is_dup = (
+        dot(F.col(vec_col), F.col("p_vec"))
+        / (l2_norm(F.col(vec_col)) * F.col("p_nrm"))
+        >= F.lit(float(tau))
+    )
+    return assigned.join(
+        index, on=(assigned["cell"] == index["cell"]) & is_dup, how="left_anti"
+    )

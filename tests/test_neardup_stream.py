@@ -305,3 +305,85 @@ def test_prep_stream_equals_batch_composition(spark, tmp_path):
         assert got_sigs == want_sigs
     finally:
         q.stop()
+
+
+def test_semantic_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming SEMANTIC dedup (streaming/similarity.py): the stream
+    scored against a batch-trained index must equal (a) the batch twin
+    through the same code path AND (b) an independent recomputation via
+    the batch operators (ivf_assign + cell join + max-cosine rule) —
+    and both verdicts must occur on the feed, or the test proves
+    nothing."""
+    import time
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        kmeans_lloyd,
+        l2_norm,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        semantic_dedup_stream,
+        semantic_index,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 250)
+    feed_df = emb.filter(F.col("vec_id") >= 250)
+    feed_dir = str(tmp_path / "emb_feed")
+    feed_df.repartition(5).write.mode("overwrite").parquet(feed_dir)
+
+    cents = kmeans_lloyd(corpus, k=4, iterations=2)
+    index = semantic_index(corpus, cents).localCheckpoint(eager=False)
+    tau = 0.2
+
+    batch = semantic_dedup_stream(
+        spark.read.parquet(feed_dir), cents, index, tau=tau
+    )
+    batch_ids = sorted(r["vec_id"] for r in batch.collect())
+
+    # Independent recomputation with the batch operators.
+    assigned = ivf_assign(feed_df, cents)
+    dup_ids = {
+        r["vid"]
+        for r in assigned.join(index, "cell")
+        .filter(
+            dot(F.col("vec"), F.col("p_vec")) / (F.col("nrm") * F.col("p_nrm"))
+            >= tau
+        )
+        .select("vid")
+        .distinct()
+        .collect()
+    }
+    all_ids = {r["vec_id"] for r in feed_df.collect()}
+    want_ids = sorted(all_ids - dup_ids)
+    assert batch_ids == want_ids
+    assert 0 < len(batch_ids) < len(all_ids)  # both verdicts occur
+
+    stream = semantic_dedup_stream(
+        spark.readStream.schema(feed_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents,
+        index,
+        tau=tau,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("semantic_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM semantic_out").count() >= len(batch_ids):
+                break
+            time.sleep(1)
+        got_ids = sorted(
+            r["vec_id"] for r in spark.sql("SELECT * FROM semantic_out").collect()
+        )
+        assert got_ids == batch_ids
+    finally:
+        q.stop()
