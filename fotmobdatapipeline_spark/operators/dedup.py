@@ -152,13 +152,24 @@ def lsh_band_pairs(
         F.col(id_col), F.col("band.band_id"), F.col("band.band_key")
     )
     if max_band_df is not None:
-        cool = (
+        # The cap adds a third consumer of the banded frame (the df
+        # count, plus the two self-join sides) — checkpoint so the
+        # upstream signature pipeline materializes once, not 3x (the
+        # simhash_pairs shape; the frame is slim: id + band key).
+        # Exclusion is an ANTI join against the HOT band set — one
+        # row per over-cap (band_id, band_key), typically tiny and at
+        # most rows/cap — hint-free, so AQE broadcasts it when small
+        # (the common case) and falls back to a shuffled anti join on
+        # a pathological corpus; joining the complementary COOL set
+        # instead would shuffle a band-cardinality table.
+        exploded = exploded.localCheckpoint(eager=False)
+        hot = (
             exploded.groupBy("band_id", "band_key")
             .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_band_df)
+            .filter(F.col("bdf") > max_band_df)
             .select("band_id", "band_key")
         )
-        exploded = exploded.join(cool, ["band_id", "band_key"])
+        exploded = exploded.join(hot, ["band_id", "band_key"], "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

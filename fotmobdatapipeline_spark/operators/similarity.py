@@ -548,13 +548,18 @@ def lsh_candidate_pairs(
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     if max_bucket_df is not None:
-        cool = (
+        # Third consumer of the bucketed projection (df count + the two
+        # self-join sides) — checkpoint so norms/buckets compute once.
+        # Hot buckets leave via a hint-free ANTI join (tiny hot set →
+        # AQE broadcast; see lsh_band_pairs for the shape rationale).
+        v = v.localCheckpoint(eager=False)
+        hot = (
             v.groupBy("bucket")
             .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_bucket_df)
+            .filter(F.col("bdf") > max_bucket_df)
             .select("bucket")
         )
-        v = v.join(cool, "bucket")
+        v = v.join(hot, "bucket", "left_anti")
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
@@ -604,13 +609,17 @@ def rp_bucket_topk_pairs(
         F.col(id_col), "rp_bucket"
     )
     if max_bucket_df is not None:
-        cool = (
+        # Checkpoint: the 8-dot projection feeds the df count plus both
+        # self-join sides — materialize the slim (id, bucket) frame once.
+        # Hot buckets leave via a hint-free ANTI join (AQE broadcast).
+        rp = rp.localCheckpoint(eager=False)
+        hot = (
             rp.groupBy("rp_bucket")
             .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_bucket_df)
+            .filter(F.col("bdf") > max_bucket_df)
             .select("rp_bucket")
         )
-        rp = rp.join(cool, "rp_bucket")
+        rp = rp.join(hot, "rp_bucket", "left_anti")
     a = rp.select(F.col(id_col).alias("id_a"), "rp_bucket")
     b = rp.select(F.col(id_col).alias("id_b"), "rp_bucket")
     pairs = (
