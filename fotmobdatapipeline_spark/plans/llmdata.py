@@ -1042,6 +1042,64 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Hot-band observability: the top bands by occupancy with their df and
+# the is_hot verdict vs the catalog cap — the report that SIZES
+# _LSH_BAND_DF (the df-cap sizing twin of text_stopshingle_discovery).
+# Always non-empty (top-10 regardless of hotness), so a corpus with no
+# hot bands still shows the margin to the cap.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_lsh_hotband_report",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands_raw}
+    ),
+    df AS (
+      SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS bdf
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT band_id, band_key, bdf, bdf > {_LSH_BAND_DF} AS is_hot
+    FROM df
+    ORDER BY bdf DESC, band_id ASC, band_key ASC
+    LIMIT 10
+    """,
+    tags=("dedup", "lsh", "profiling", "audit"),
+    doc="Top-10 LSH bands by occupancy with the is_hot verdict vs the cap.",
+)
+def dedup_lsh_hotband_report(spark: SparkSession, sf_dir: str):
+    sigs = D.minhash_signatures(
+        read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+    )
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"sig_{b}").alias("band_key"))
+            for b in range(_LSH_HASHES)
+        ]
+    )
+    exploded = sigs.select(F.explode(bands).alias("b")).select(
+        "b.band_id", "b.band_key"
+    )
+    return (
+        exploded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("bdf"))
+        .select(
+            "band_id",
+            "band_key",
+            "bdf",
+            (F.col("bdf") > _LSH_BAND_DF).alias("is_hot"),
+        )
+        .orderBy(F.desc("bdf"), F.asc("band_id"), F.asc("band_key"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Sparse TF-IDF cosine pairs (operators/retrieval.py): the classic
 # bag-of-words near-match join — doc pairs meet only through shared
 # df-capped shingle terms (term-keyed equi-join, never all-pairs);
@@ -5015,6 +5073,71 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str):
             "n_rows",
             "n_keys",
             (F.col("n_rows") == F.col("n_keys")).alias("pk_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# DQ: join/groupBy-key skew report — the top-5 heaviest keys per
+# (table, key) with their share of rows and multiple-of-mean-occupancy:
+# the diagnostic that decides salting, AQE skew thresholds, and df caps
+# BEFORE a shuffle melts down at scale.  Per table: two combinable
+# aggregates (per-key count; global total+distinct) + a top-k
+# TakeOrderedAndProject — nothing row-scale is sorted or windowed.
+# x_mean = n * n_keys / n_rows is exact-integer arithmetic until one
+# final double division per row.
+# --------------------------------------------------------------------------
+def _skew_sql(tbl: str, key: str) -> str:
+    return f"""
+    SELECT '{tbl}' AS tbl, '{key}' AS key_col, k AS key,
+           n, CAST(n AS DOUBLE) / t.n_rows AS share,
+           CAST(n * t.n_keys AS DOUBLE) / t.n_rows AS x_mean
+    FROM (
+      SELECT CAST({key} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {tbl} GROUP BY 1
+      ORDER BY n DESC, k ASC LIMIT 5
+    )
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_keys
+      FROM {tbl}
+    ) t"""
+
+
+_SKEW_TABLES = [("events", "user_id"), ("lineitem", "l_suppkey"),
+                ("documents", "source")]
+
+
+@register(
+    "dq_key_skew_report",
+    oracle="\nUNION ALL\n".join(_skew_sql(t, k) for t, k in _SKEW_TABLES),
+    tags=("dq", "profiling", "skew"),
+    doc="Top-5 heaviest keys per (table, key): share and multiple-of-mean.",
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str):
+    out = None
+    for tbl, key in _SKEW_TABLES:
+        t = read_table(spark, sf_dir, tbl)
+        tot = t.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+        )
+        top = (
+            t.groupBy(F.col(key).cast("string").alias("key"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(5)
+        )
+        row = top.crossJoin(F.broadcast(tot)).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(key).alias("key_col"),
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("n_rows")).alias("share"),
+            ((F.col("n") * F.col("n_keys")).cast("double") / F.col("n_rows")).alias(
+                "x_mean"
+            ),
         )
         out = row if out is None else out.unionByName(row)
     return out
