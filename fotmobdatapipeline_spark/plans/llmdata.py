@@ -18,6 +18,7 @@ from fotmobdatapipeline_spark.functions import text as T
 from fotmobdatapipeline_spark.operators import dedup as D
 from fotmobdatapipeline_spark.operators import similarity as S
 from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.plans.events import _DRIFT_BASELINE_DIR
 from fotmobdatapipeline_spark.sources.registry import read_table
 
 # Shared oracle fragments -------------------------------------------------
@@ -872,6 +873,93 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data): for each query
+# vector, the top-3 most-similar vectors with a DIFFERENT label —
+# similar-but-not-same examples, the negatives that make contrastive /
+# retrieval training work.  Cell-confined like every ANN tier here
+# (candidates meet only inside a trained k-means cell — the production
+# approximation; global hard negatives need multi-probe, the
+# sim_ivf_multiprobe lever), trained centroids from the shared memo.
+# --------------------------------------------------------------------------
+def _hard_negatives_oracle(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_fin_ctes(k, iters, d)
+    parts[-1] += ","
+    parts += [
+        "lf AS (SELECT f.vec_id, f.v, f.nrm, f.cell, CAST(e.label AS INT) AS label "
+        "FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id)",
+        "SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, "
+        "CAST(rk AS INT) AS rk FROM ("
+        "SELECT q.vec_id AS query_id, q.label AS query_label, "
+        "c.vec_id AS neighbor_id, c.label AS neighbor_label, "
+        f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rk "
+        "FROM lf q JOIN lf c ON q.cell = c.cell "
+        "AND q.vec_id < 10 AND q.label <> c.label) WHERE rk <= 3",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("similarity", "ivf", "kmeans", "training-data", "contrastive"),
+    doc="Top-3 most-similar DIFFERENT-label vectors per query (cell-confined).",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    assigned = (
+        S.ivf_assign(emb, centroids)
+        .join(labels, F.col("vid") == F.col("vec_id"))
+        .select("vid", "vec", "nrm", "cell", "label")
+        .localCheckpoint(eager=False)
+    )
+    q = assigned.filter(F.col("vid") < 10).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("query_label"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("label").alias("neighbor_label"),
+        "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                S.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cos_sim", F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Stop-shingle discovery: the top-k shingles by document frequency with
 # their corpus fractions — the report that SETS the df caps every
 # bucketed dedup/similarity tier consumes (a shingle in >x% of docs
@@ -1499,6 +1587,89 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # Array ops: posexplode normalized vector components (unit vectors).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# EMBEDDING drift monitor: per-label centroid rotation vs the pinned
+# baseline snapshot — the embedding-modality sibling of
+# drift_event_type_shares / drift_value_ks (a silent encoder swap or
+# upstream distribution shift shows up as the label centroid turning).
+# Determinism: per-(label, pos) component sums are FIXED-POINT BIGINT
+# (trunc(val*1e4) — the kmeans_lloyd technique at a coarser scale), and
+# cosine is scale-invariant so the SUM vectors stand in for the means:
+# the dot and squared-norm folds over the 64 per-position products are
+# exact int64 arithmetic (bounded ~1e15), with ONE double
+# division/sqrt at the end.  The scale is 1e4, not 1e9, so every
+# intermediate stays under 2^63 AND under the int64 range where both
+# engines' int->double conversion is correctly rounded (DuckDB's
+# HUGEINT->DOUBLE is two-step and can be off by an ulp — measured);
+# 1e-4 component quantization is far below drift-alarm resolution.
+# --------------------------------------------------------------------------
+def _centroid_sums_sql(src: str) -> str:
+    return f"""
+      SELECT CAST(label AS INT) AS label, CAST(i AS INT) AS pos,
+             SUM(CAST(trunc(CAST(embedding[i] AS DOUBLE) * 10000.0)
+                 AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {src}, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY 1, 2"""
+
+
+@register(
+    "drift_embedding_centroid",
+    oracle=f"""
+    WITH cur AS ({_centroid_sums_sql('embeddings')}),
+    base AS ({_centroid_sums_sql(f"read_parquet('{_DRIFT_BASELINE_DIR}/embeddings.parquet')")}),
+    j AS (
+      SELECT c.label, c.s AS sc, b.s AS sb, c.n AS n_cur, b.n AS n_base
+      FROM cur c JOIN base b ON c.label = b.label AND c.pos = b.pos
+    )
+    SELECT label, MIN(n_cur) AS n_cur, MIN(n_base) AS n_base,
+           CAST(SUM(sc * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(sc * sc) AS DOUBLE))
+                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) AS centroid_cos
+    FROM j GROUP BY label
+    """,
+    tags=("similarity", "dq", "drift", "audit"),
+    doc="Per-label centroid cosine vs the pinned baseline snapshot.",
+)
+def drift_embedding_centroid(spark: SparkSession, sf_dir: str):
+    def sums(df):
+        return (
+            df.select(
+                F.col("label").cast("int").alias("label"),
+                F.posexplode("embedding").alias("pos0", "val"),
+            )
+            .select(
+                "label",
+                (F.col("pos0") + 1).cast("int").alias("pos"),
+                # double->long cast truncates toward zero == SQL trunc
+                # (the kmeans_lloyd quantize idiom; floor would differ
+                # on negative components).
+                (F.col("val").cast("double") * F.lit(1.0e4))
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("label", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        )
+
+    cur = sums(read_table(spark, sf_dir, "embeddings"))
+    base = sums(read_table(spark, _DRIFT_BASELINE_DIR, "embeddings")).select(
+        "label", "pos", F.col("s").alias("sb"), F.col("n").alias("n_base")
+    )
+    j = cur.join(base, ["label", "pos"])
+    return j.groupBy("label").agg(
+        F.min("n").alias("n_cur"),
+        F.min("n_base").alias("n_base"),
+        (
+            F.sum(F.col("s") * F.col("sb")).cast("double")
+            / (
+                F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double"))
+                * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+            )
+        ).alias("centroid_cos"),
+    )
+
+
 @register(
     "embedding_unit_components",
     oracle=f"""
@@ -1568,6 +1739,96 @@ _SQL_DOC_BUCKET = (
     "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
     " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
 )
+
+
+# --------------------------------------------------------------------------
+# LEAKAGE-SAFE split: assign whole near-dup clusters to one split by
+# hashing the cluster REPRESENTATIVE, not the document — the eval-
+# hygiene rule (dedup before split) as an operator: a near-duplicate of
+# a training doc can never land in test, by construction, because both
+# hash the same representative.  Uses the shared CC labels; singletons
+# represent themselves.  Output is the split-level census (n_docs,
+# n_clusters per split); the no-cluster-spans-splits invariant is
+# pinned in test_properties.
+# --------------------------------------------------------------------------
+def _sql_rep_bucket(col: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 2, 1)) - 1)"
+    )
+
+
+@register(
+    "split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE tok AS ({_SQL_TOK}),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    reps AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+    lab AS (
+      SELECT d.doc_id, COALESCE(p.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN reps p ON d.doc_id = p.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, rep,
+             CASE WHEN {_sql_rep_bucket('rep')} < 205 THEN 'train'
+                  WHEN {_sql_rep_bucket('rep')} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY split
+    """,
+    tags=("training-data", "split", "dedup", "leakage"),
+    doc="Cluster-safe train/val/test split: whole near-dup clusters per split.",
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+
+    docs = read_table(spark, sf_dir, "documents")
+    reps = _dup_cluster_reps_shared(spark, sf_dir)
+    lab = (
+        docs.select("doc_id")
+        .join(reps, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep"))
+    )
+    bucket = hash_bucket_256(F.col("rep"))
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        lab.select("rep", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+    )
 
 
 @register(

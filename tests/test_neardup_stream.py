@@ -46,6 +46,11 @@ def test_neardup_stream_equals_batch(spark, tmp_path):
         import time
 
         want_n = batch.count()
+        # processAllAvailable blocks until every staged input file has
+        # been through a micro-batch — no 1s poll quantization; the
+        # bounded poll below only covers the (rare) case of a source
+        # that reports availability lazily.
+        q.processAllAvailable()
         deadline = time.time() + 120
         while time.time() < deadline:
             if spark.sql("SELECT * FROM neardup_out").count() >= want_n:
@@ -239,6 +244,11 @@ def test_gopher_rules_stream_equals_batch(spark, tmp_path):
         import time
 
         want = sorted(map(str, batch.collect()))
+        # processAllAvailable blocks until every staged input file has
+        # been through a micro-batch — no 1s poll quantization; the
+        # bounded poll below only covers the (rare) case of a source
+        # that reports availability lazily.
+        q.processAllAvailable()
         deadline = time.time() + 120
         while time.time() < deadline:
             if spark.sql("SELECT * FROM gopher_out").count() >= len(want):
@@ -293,6 +303,11 @@ def test_prep_stream_equals_batch_composition(spark, tmp_path):
         import time
 
         want_n = batch.count()
+        # processAllAvailable blocks until every staged input file has
+        # been through a micro-batch — no 1s poll quantization; the
+        # bounded poll below only covers the (rare) case of a source
+        # that reports availability lazily.
+        q.processAllAvailable()
         deadline = time.time() + 120
         while time.time() < deadline:
             if spark.sql("SELECT * FROM prep_out").count() >= want_n:
@@ -376,6 +391,11 @@ def test_semantic_dedup_stream_equals_batch(spark, tmp_path):
         .start()
     )
     try:
+        # processAllAvailable blocks until every staged input file has
+        # been through a micro-batch — no 1s poll quantization; the
+        # bounded poll below only covers the (rare) case of a source
+        # that reports availability lazily.
+        q.processAllAvailable()
         deadline = time.time() + 120
         while time.time() < deadline:
             if spark.sql("SELECT * FROM semantic_out").count() >= len(batch_ids):

@@ -1657,6 +1657,43 @@ def test_keep_best_picks_cluster_member_with_max_diversity(spark):
         assert (r["kept"], r["bd"]) in grp
 
 
+def test_cluster_safe_split_never_splits_a_cluster(spark):
+    """The leakage invariant behind split_cluster_safe: every member of
+    a near-dup cluster lands in the SAME split (a near-duplicate of a
+    training doc can never reach test).  Recomputed per-doc on the
+    sf0.01 corpus: group doc-level split assignments by cluster rep and
+    assert one distinct split per rep; also all three splits occur."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sampling import hash_bucket_256
+    from fotmobdatapipeline_spark.plans.llmdata import _dup_cluster_reps_shared
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    reps = _dup_cluster_reps_shared(spark, SF_ORACLE)
+    lab = (
+        docs.select("doc_id")
+        .join(reps, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep"))
+    )
+    bucket = hash_bucket_256(F.col("rep"))
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_doc = lab.select("rep", split.alias("split"))
+    spans = (
+        per_doc.groupBy("rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    assert per_doc.select("split").distinct().count() == 3
+
+
 def test_kfold_partitions_disjoint_and_complete(spark):
     """split_kfold's folds must partition the corpus: every doc in
     exactly one fold, fold counts summing to the corpus size, and fold
