@@ -211,6 +211,35 @@ def jaccard_pairs(
     feeds both sizes and pairs; at 100 TB persist or stage-write it
     (operators/star.py pattern) instead of recomputing the lineage.
     """
+    sizes, common = _shingle_pair_commons(df, text_col, id_col, shingle_n, max_df)
+    return (
+        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _shingle_pair_commons(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_df: int | None,
+):
+    """Shared core of the exact pair tier (jaccard_pairs /
+    containment_pairs): ONE shuffle of the exploded shingles (groupBy
+    shingle -> sorted posting list), map-side in-group pair generation,
+    one pair-keyed aggregate.  Returns (sizes, common): per-doc shingle
+    counts over the (optionally df-capped) shingle universe, and the
+    per-pair shared-shingle counts."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
@@ -248,18 +277,41 @@ def jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
-    return (
-        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "common",
-            (
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
-            ).alias("jaccard"),
+    return sizes, common
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / |A| per ordered
+    (contained, container) pair — Broder's containment coefficient:
+    catches a small document quoted whole inside a large one, which
+    symmetric Jaccard dilutes toward zero.  Same posting-list shape and
+    ``max_df`` semantics as :func:`jaccard_pairs` (one shingle shuffle,
+    map-side pair generation); each unordered pair emits both
+    directions.  Output (contained, container, common, containment)."""
+    sizes, common = _shingle_pair_commons(df, text_col, id_col, shingle_n, max_df)
+    directed = common.select(
+        F.col("doc_a").alias("contained"), F.col("doc_b").alias("container"), "common"
+    ).unionByName(
+        common.select(
+            F.col("doc_b").alias("contained"), F.col("doc_a").alias("container"), "common"
         )
+    )
+    return directed.join(
+        F.broadcast(sizes.withColumnsRenamed({id_col: "contained", "n_sh": "n_sh"})),
+        "contained",
+    ).select(
+        "contained",
+        "container",
+        "common",
+        (F.col("common").cast("double") / F.col("n_sh").cast("double")).alias(
+            "containment"
+        ),
     )
 
 

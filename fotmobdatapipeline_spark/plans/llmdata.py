@@ -1159,6 +1159,54 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Asymmetric n-gram CONTAINMENT: |A∩B| / |A| per ordered (contained,
+# container) pair — catches a small doc quoted whole inside a large one,
+# which symmetric Jaccard dilutes toward 0 (the winnowing copy-pairs
+# rationale at the shingle tier; Broder's containment coefficient).
+# Same one-shuffle posting-list shape as jaccard_pairs; top-20 report.
+# --------------------------------------------------------------------------
+@register(
+    "text_containment_pairs",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT doc_a AS contained, doc_b AS container, common FROM common
+      UNION ALL
+      SELECT doc_b, doc_a, common FROM common
+    )
+    SELECT d.contained, d.container, CAST(d.common AS BIGINT) AS common,
+           CAST(d.common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.contained
+    ORDER BY containment DESC, contained ASC, container ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard", "containment"),
+    doc="Top-20 ordered pairs by n-gram containment |A∩B|/|A| (quote detection).",
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        D.containment_pairs(docs)
+        .select(
+            "contained",
+            "container",
+            F.col("common").cast("long").alias("common"),
+            "containment",
+        )
+        .orderBy(F.desc("containment"), F.asc("contained"), F.asc("container"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Hot-band observability: the top bands by occupancy with their df and
 # the is_hot verdict vs the catalog cap — the report that SIZES
 # _LSH_BAND_DF (the df-cap sizing twin of text_stopshingle_discovery).

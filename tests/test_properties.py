@@ -1657,6 +1657,32 @@ def test_keep_best_picks_cluster_member_with_max_diversity(spark):
         assert (r["kept"], r["bd"]) in grp
 
 
+def test_containment_catches_quote_that_jaccard_dilutes(spark):
+    """A small doc quoted whole inside a much larger one: containment of
+    the small doc must be 1.0 while symmetric Jaccard is far below —
+    the asymmetric coefficient's reason to exist.  Both directions
+    present; container-side containment = |A∩B|/|container| small."""
+    from fotmobdatapipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, quote), (1, quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in containment_pairs(df).collect()
+    }
+    assert cont[(0, 1)] == 1.0
+    assert cont[(1, 0)] < 0.1
+    jac = {r["doc_a"]: r["jaccard"] for r in jaccard_pairs(df).collect()}
+    assert jac[0] < 0.1  # symmetric measure dilutes the full quote
+
+
 def test_cluster_safe_split_never_splits_a_cluster(spark):
     """The leakage invariant behind split_cluster_safe: every member of
     a near-dup cluster lands in the SAME split (a near-duplicate of a
