@@ -159,3 +159,127 @@ def semantic_dedup_stream(
     return assigned.join(
         index, on=(assigned["cell"] == index["cell"]) & is_dup, how="left_anti"
     ).drop("__nrm")
+
+
+def semantic_ingest_sink(
+    stream: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    checkpoint: str,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    seed_index: DataFrame | None = None,
+    keep_versions: int = 1,
+):
+    """SELF-MAINTAINING semantic dedup at ingest: each micro-batch is
+    scored against the stored index (``semantic_dedup_stream``'s anti
+    join), and the batch's SURVIVORS are appended to the index so later
+    batches dedup against them too — the production form, where the
+    index is not a frozen snapshot but the set of everything admitted
+    so far.
+
+    Within one micro-batch rows are scored against the PRIOR index
+    only (two near-identical vectors arriving in the same batch are
+    both admitted — the same per-pair, non-transitive contract as batch
+    SemDeDup); across batches the first admitted copy suppresses the
+    rest.  For exact-duplicate relations this makes the admitted
+    QUANTIZED-KEY set independent of batch boundaries — the contract
+    the test pins.
+
+    Exactly-once: the stored index carries ``last_batch``; a replayed
+    batch id is skipped (the CMS/HLL sink pattern — state lives in the
+    table).  Versioned-immutable layout behind an atomic CURRENT
+    pointer; ``path`` must be driver-local filesystem (see
+    ``hll_maintenance_sink`` for the object-store porting note).  At
+    100 TB each version append is survivor-sized and the stored table
+    is cell-partitioned for pruned probes.
+    """
+    import os
+    import shutil
+
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    rows = [
+        (r[centroid_id_col], list(r[vec_col]))
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_v = _current_version(path)
+        if prev_v is not None:
+            prev = spark.read.parquet(os.path.join(path, prev_v))
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already admitted
+            index = prev.select("cell", "p_vid", "p_vec", "p_nrm")
+        elif seed_index is not None:
+            index = seed_index
+        else:
+            index = None
+        assigned = batch_df.withColumn("__nrm", l2_norm(F.col(vec_col)))
+        assigned = assigned.withColumn(
+            "cell", assign_cell_stateless(F.col(vec_col), rows, nrm=F.col("__nrm"))
+        )
+        if index is not None:
+            is_dup = (
+                dot(F.col(vec_col), F.col("p_vec"))
+                / (F.col("__nrm") * F.col("p_nrm"))
+                >= F.lit(float(tau))
+            )
+            survivors = assigned.join(
+                index, on=(assigned["cell"] == index["cell"]) & is_dup,
+                how="left_anti",
+            )
+        else:
+            survivors = assigned
+        admitted = survivors.select(
+            "cell",
+            F.col(id_col).alias("p_vid"),
+            F.col(vec_col).alias("p_vec"),
+            F.col("__nrm").alias("p_nrm"),
+        )
+        out = (
+            index.unionByName(admitted) if index is not None else admitted
+        ).withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.write.mode("overwrite").parquet(os.path.join(path, new_v))
+        tmp = os.path.join(path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(new_v)
+        os.replace(tmp, os.path.join(path, "CURRENT"))
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(path)
+                if d.startswith("v")
+                and d != new_v
+                and os.path.isdir(os.path.join(path, d))
+            ),
+            key=lambda d: int(d[1:]),
+            reverse=True,
+        )
+        for d in versions[keep_versions:]:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    os.makedirs(path, exist_ok=True)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_semantic_index(spark, path: str) -> DataFrame | None:
+    """CURRENT version of the admitted-vector index, or None before the
+    first batch commits."""
+    import os
+
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    v = _current_version(path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(path, v))

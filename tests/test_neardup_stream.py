@@ -407,3 +407,69 @@ def test_semantic_dedup_stream_equals_batch(spark, tmp_path):
         assert got_ids == batch_ids
     finally:
         q.stop()
+
+
+def test_semantic_ingest_sink_self_maintains_index(spark, tmp_path):
+    """The self-maintaining ingest sink: survivors join the index, so a
+    copy arriving in a LATER micro-batch is suppressed by the first
+    copy's admission — and exact copies of seed-corpus vectors never
+    enter at all.  Copies are staged in separate files with one file
+    per trigger, so every duplicate relation spans batches and the
+    admitted set (and count) is exactly determined."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        read_semantic_index,
+        semantic_index,
+        semantic_ingest_sink,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 100)
+    fresh = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    cents = kmeans_lloyd(seed, k=4, iterations=2)
+    seed_idx = semantic_index(seed, cents).localCheckpoint(eager=True)
+
+    feed_dir = str(tmp_path / "ingest_feed")
+    # file 1: 50 fresh vectors; file 2: copies of 10 of them under new
+    # ids + copies of 5 SEED vectors under new ids.
+    fresh.coalesce(1).write.mode("append").parquet(feed_dir)
+    copies = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        .select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 20_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    copies.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    q = semantic_ingest_sink(
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents,
+        str(tmp_path / "sem_index"),
+        str(tmp_path / "sem_ckpt"),
+        tau=0.9,  # only exact copies exceed it on this corpus
+        seed_index=seed_idx,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    idx = read_semantic_index(spark, str(tmp_path / "sem_index"))
+    assert idx is not None
+    got_keys = {tuple(r["p_vec"]) for r in idx.collect()}
+    n_index = idx.count()
+
+    seed_keys = {tuple(r["embedding"]) for r in seed.collect()}
+    fresh_keys = {tuple(r["embedding"]) for r in fresh.collect()}
+    # Admitted = distinct fresh keys not already in the seed corpus;
+    # copies (same key, later batch) and seed copies never enter.
+    assert got_keys == seed_keys | (fresh_keys - seed_keys)
+    assert n_index == seed.count() + len(fresh_keys - seed_keys)
