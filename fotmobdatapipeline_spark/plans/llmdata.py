@@ -1135,7 +1135,13 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
     )
     SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_truth,
            CAST(SUM(hit) AS BIGINT) AS n_hit,
-           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall,
+           CAST(1.0 AS DOUBLE) - (
+             (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+           ) AS p_theory
     FROM lab GROUP BY jbin
     """,
     tags=("dedup", "lsh", "jaccard", "calibration", "recall"),
@@ -1151,11 +1157,20 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
         F.floor(F.col("j") * 10).cast("int").alias("jbin"),
         F.coalesce("hit", F.lit(0)).alias("hit"),
     )
+    # Theoretical banded-LSH S-curve at the bin midpoint: with b bands
+    # of r=1 row, P(candidate | J=j) = 1 - (1 - j)^b — the power
+    # expanded as an explicit 4-factor product so both engines compute
+    # the identical IEEE sequence (no pow(), which libm implements
+    # differently).  Observed recall below theory flags the band cap
+    # biting; above theory flags correlated shingles.
+    jmid = (F.col("jbin").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    miss = F.lit(1.0) - jmid
+    p_theory = F.lit(1.0) - (miss * miss * miss * miss)
     return lab.groupBy("jbin").agg(
         F.count("*").alias("n_truth"),
         F.sum("hit").cast("long").alias("n_hit"),
         (F.sum("hit").cast("double") / F.count("*")).alias("recall"),
-    )
+    ).withColumn("p_theory", p_theory)
 
 
 # --------------------------------------------------------------------------

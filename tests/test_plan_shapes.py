@@ -612,3 +612,35 @@ def test_mad_outlier_entries_scan_source_once(spark):
         plan = _plan(_q(name)(spark, SF_ORACLE))
         assert "Scan parquet" not in plan, (name, plan)
         assert "ExistingRDD" in plan, (name, plan)
+
+
+def test_semantic_index_cell_layout_prunes_partitions(spark, tmp_path):
+    """The semantic index's documented storage layout (one partition
+    per cell — semantic_index docstring) must actually buy pruned
+    probes: a single-cell read of the partitioned index shows the cell
+    in PartitionFilters and scans only that directory, which is what
+    makes per-row probes at 100 TB touch one cell's list instead of
+    the corpus."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import semantic_index
+    from tests.conftest import SF_ORACLE
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    cents = kmeans_lloyd(emb, k=4, iterations=2)
+    out = str(tmp_path / "cell_index")
+    semantic_index(emb, cents).write.partitionBy("cell").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("cell") == 2)
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # And the filter is partition-level, not a post-scan row filter.
+    assert probe.count() == semantic_index(emb, cents).filter(
+        F.col("cell") == 2
+    ).count()
