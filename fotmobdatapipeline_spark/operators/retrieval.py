@@ -270,6 +270,79 @@ def bm25_topk(
     )
 
 
+def bm25_topk_wide(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WIDE-query BM25: same scoring model as :func:`bm25_topk` but the
+    per-doc score is a sequential fold over the doc's matched-term
+    contributions sorted BY TERM — the plan width no longer grows with
+    |Q| (bm25_topk builds one column per term, quadratic-ish plan size
+    past ~20 terms; this form handles 100-term queries at one extra
+    per-doc sort of <= |Q| tiny elements).
+
+    Determinism contract: contributions are collected per doc, sorted
+    by term (collect_list -> array_sort on (term, contrib) structs —
+    term is unique per doc, so the sort is total), and summed by the
+    sequential ``F.aggregate`` fold from 0.0 — a FIXED, engine-
+    replayable addition order (the oracle's ``list(contrib ORDER BY
+    term)`` + ``list_reduce`` is the same sequence; 0.0 + c == c
+    exactly for the strictly-positive contributions, so the differing
+    init conventions agree bit-for-bit).  Same checkpointed one-scan
+    shape and TakeOrderedAndProject top-k as bm25_topk.
+
+    Output: (doc_id, n_matched, score)."""
+    tf = (
+        term_frequencies(docs, text_col, id_col)
+        .filter(F.col("term").isin(list(query_terms)))
+        .localCheckpoint(eager=False)
+    )
+    doc_len = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    ).localCheckpoint(eager=False)
+    corpus = doc_len.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored_terms = (
+        tf.join(F.broadcast(df_by_term), "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    avglen = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf_r = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avglen)
+    )
+    contrib = idf_r * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_term = scored_terms.select(
+        F.col(id_col), F.col("term"), contrib.alias("contrib")
+    )
+    folded = per_term.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_matched"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                lambda s: s["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    return (
+        folded.select(F.col(id_col), "n_matched", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

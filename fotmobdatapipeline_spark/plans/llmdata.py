@@ -3871,6 +3871,76 @@ def _bm25_oracle(terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=10) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# WIDE-query BM25: the per-term-column limit of text_bm25_topk
+# (COVERAGE "Known limits" — plan width grows with |Q|) closed: the
+# per-doc score folds the matched contributions sorted by term, so a
+# 100-term query costs one tiny per-doc sort instead of 100 plan
+# columns.  12-term query here; fold order = term order, replayed by
+# the oracle's list(contrib ORDER BY term) + list_reduce (0.0-init vs
+# first-element-init agree exactly on strictly-positive contributions).
+# --------------------------------------------------------------------------
+_BM25_WIDE_TERMS = (
+    "join", "hash", "row", "batch", "scan", "column",
+    "filter", "merge", "vector", "key", "stream", "window",
+)
+
+
+def _bm25_wide_oracle(terms=_BM25_WIDE_TERMS, k1=_BM25_K1, b=_BM25_B,
+                      k=10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    avglen = "(CAST(c.total_len AS DOUBLE) / CAST(c.n_docs AS DOUBLE))"
+    idf = f"(c.n_docs - f.df + {_D(0.5)}) / (f.df + {_D(0.5)})"
+    denom = (
+        f"t.tf + {_D(k1)} * ({_D(1.0)} - {_D(b)} + {_D(b)} * "
+        f"(CAST(d.dl AS DOUBLE) / {avglen}))"
+    )
+    return f"""
+    WITH occ AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+           WHERE term IN ({in_list}) GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    dfb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    per AS (
+      SELECT t.doc_id, t.term,
+             (({idf}) * (t.tf * {_D(k1 + 1.0)})) / ({denom}) AS contrib
+      FROM tf t JOIN dfb f ON t.term = f.term
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN corpus c
+    ),
+    folded AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_matched,
+             list_reduce(list(contrib ORDER BY term), (a, v) -> a + v)
+               AS score
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched, score FROM folded
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "text_bm25_wide",
+    oracle=_bm25_wide_oracle(),
+    tags=("text", "retrieval", "topk", "llmdata"),
+    doc="Wide-query BM25: term-sorted sequential fold, plan width O(1) in |Q|.",
+)
+def text_bm25_wide(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import bm25_topk_wide
+
+    return bm25_topk_wide(
+        read_table(spark, sf_dir, "documents"),
+        list(_BM25_WIDE_TERMS),
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @register(
     "text_inverted_index",
     oracle="""

@@ -1657,6 +1657,28 @@ def test_keep_best_picks_cluster_member_with_max_diversity(spark):
         assert (r["kept"], r["bd"]) in grp
 
 
+def test_bm25_wide_matches_narrow_on_same_query(spark):
+    """bm25_topk_wide on the narrow entry's own 3-term query must
+    return the same ranked documents as the per-term-column bm25_topk
+    (addition ORDER differs — fixed query order vs sorted-term fold —
+    so scores may differ in the last ulp; ranking and near-equality
+    are the contract)."""
+    from fotmobdatapipeline_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_wide,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    terms = ["dup", "vector", "key"]
+    narrow = bm25_topk(docs, terms, k=10).collect()
+    wide = bm25_topk_wide(docs, terms, k=10).collect()
+    assert [r["doc_id"] for r in narrow] == [r["doc_id"] for r in wide]
+    for a, b in zip(narrow, wide):
+        assert abs(a["score"] - b["score"]) < 1e-12 * max(1.0, abs(a["score"]))
+
+
 def test_containment_catches_quote_that_jaccard_dilutes(spark):
     """A small doc quoted whole inside a much larger one: containment of
     the small doc must be 1.0 while symmetric Jaccard is far below —
