@@ -432,3 +432,123 @@ def interval_left_join_stream(
             F.unix_micros("a_ts") - F.unix_micros("b_ts"),
         ).alias("gap_us"),
     )
+
+
+def type_mix_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    type_col: str = "event_type",
+    keep_versions: int = 1,
+):
+    """Streaming face of the drift monitor (plans/events.py::
+    drift_event_type_shares): maintain cumulative per-type event counts
+    over an unbounded feed, so "today's mix vs the pinned baseline" is
+    answerable at any moment without rescanning history.  Counts are
+    exact mergeable integers (the CMS-sink shape with the sketch
+    replaced by the true per-type tally — type cardinality is tiny, so
+    exactness is free); replay-idempotent via the stored last_batch
+    guard; versioned-immutable state behind an atomic CURRENT pointer
+    (driver-local filesystem, same constraint as the sketch sinks).
+
+    Each batch: one combinable groupBy of the micro-batch + a
+    type-keyed merge of two #types-row tables."""
+    import os
+    import shutil
+
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_v = _current_version(path)
+        prev = (
+            spark.read.parquet(os.path.join(path, prev_v))
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already counted
+        inc = batch_df.groupBy(F.col(type_col).alias("event_type")).agg(
+            F.count("*").alias("n")
+        )
+        if prev is not None:
+            merged = (
+                prev.select("event_type", "n")
+                .unionByName(inc)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, new_v)
+        )
+        tmp = os.path.join(path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(new_v)
+        os.replace(tmp, os.path.join(path, "CURRENT"))
+        versions = sorted(
+            (
+                d
+                for d in os.listdir(path)
+                if d.startswith("v")
+                and d != new_v
+                and os.path.isdir(os.path.join(path, d))
+            ),
+            key=lambda d: int(d[1:]),
+            reverse=True,
+        )
+        for d in versions[keep_versions:]:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_type_mix_drift(spark, path: str, baseline: DataFrame) -> DataFrame | None:
+    """Drift report from the maintained state: shares and deltas per
+    event type vs a (event_type, n_base) baseline frame — the same
+    exact-integer-division columns as the batch drift entry, derived
+    from stored counts (the feed is never rescanned).  None before the
+    first commit."""
+    import os
+
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    v = _current_version(path)
+    if v is None:
+        return None
+    cur = spark.read.parquet(os.path.join(path, v)).select(
+        "event_type", F.col("n").alias("n_cur")
+    )
+    tot_c = cur.agg(F.sum("n_cur").alias("tc"))
+    tot_b = baseline.agg(F.sum("n_base").alias("tb"))
+    joined = (
+        cur.join(baseline, "event_type", "full_outer")
+        .crossJoin(F.broadcast(tot_c))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    share_base = F.coalesce("n_base", F.lit(0)).cast("double") / F.col("tb").cast(
+        "double"
+    )
+    share_cur = F.coalesce("n_cur", F.lit(0)).cast("double") / F.col("tc").cast(
+        "double"
+    )
+    return joined.select(
+        "event_type",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        share_base.alias("share_base"),
+        share_cur.alias("share_cur"),
+        (share_cur - share_base).alias("share_delta"),
+    )

@@ -570,3 +570,48 @@ def test_interval_left_join_stream_matches_batch(spark, tmp_path):
     assert len(want) > 0
     # The left-outer contract bit: at least one purchase with no view.
     assert any(b is None for _, _, b, _ in want)
+
+
+def test_type_mix_sink_equals_batch_drift(spark, tmp_path, events_dir):
+    """The maintained per-type count state, after the feed drains, must
+    equal the batch groupBy of the whole feed, and the drift report
+    derived from state must equal the exact batch share computation vs
+    the same baseline — the drift monitor's streaming face, feed never
+    rescanned."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        read_events_stream,
+        read_type_mix_drift,
+        type_mix_maintenance_sink,
+    )
+    from tests.conftest import SF_SMALL
+
+    state = str(tmp_path / "mix_state")
+    q = type_mix_maintenance_sink(
+        read_events_stream(spark, events_dir),
+        path=state,
+        checkpoint=str(tmp_path / "mix_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    feed = read_table(spark, SF_SMALL, "events")
+    want_counts = {
+        r["event_type"]: r["n"]
+        for r in feed.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    baseline = feed.groupBy("event_type").agg(
+        (F.count("*") + F.lit(7)).alias("n_base")  # perturbed baseline
+    )
+    report = read_type_mix_drift(spark, state, baseline)
+    assert report is not None
+    rows = {r["event_type"]: r for r in report.collect()}
+    assert {t: r["n_cur"] for t, r in rows.items()} == want_counts
+    tb = sum(v + 7 for v in want_counts.values())
+    tc = sum(want_counts.values())
+    for t, r in rows.items():
+        assert r["share_base"] == (want_counts[t] + 7) / tb
+        assert r["share_cur"] == want_counts[t] / tc
+        assert r["share_delta"] == r["share_cur"] - r["share_base"]
