@@ -74,6 +74,8 @@ HEADLINE = [
     "dedup_recall_report",
     "sim_lsh_candidate_pairs",
     "sim_rp_bucket_join",
+    "text_bm25_wide",
+    "events_retention_cohorts",
 ]
 
 
