@@ -5672,6 +5672,92 @@ def _recall_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+# --------------------------------------------------------------------------
+# IVF probe-recall curve: recall@5 of the TRAINED-centroid IVF at
+# n_probes = 1, 2, 4 vs exact brute force — the tuning chart that sets
+# the probe count (recall rises monotonically with probes at probe-
+# multiplied cost; sim_recall_report prices tiers, this prices the
+# within-tier knob).  Shares the memoized trained centroids and the
+# checkpointed truth set.
+# --------------------------------------------------------------------------
+_PROBE_CURVE = (1, 2, 4)
+
+
+def _ivf_probe_sql(p: int, k: int = 8, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_fin_ctes(k, iters, d)
+    parts[-1] += ","
+    parts += [
+        "q AS (SELECT vec_id, v, nrm FROM en WHERE vec_id < 10),",
+        "pa AS (SELECT vec_id, cell, rk FROM ("
+        "SELECT q.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {_sql_dot('q.v', 'c.cv')} / (q.nrm * c.cnorm) DESC, c.cell ASC) AS rk "
+        f"FROM q CROSS JOIN c{iters} c))",
+        "SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, f.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{_sql_dot('q.v', 'f.v')} / (q.nrm * f.nrm) DESC, f.vec_id ASC) AS nrk "
+        f"FROM q JOIN pa ON pa.vec_id = q.vec_id AND pa.rk <= {p} "
+        "JOIN fin f ON f.cell = pa.cell AND f.vec_id <> q.vec_id"
+        ") WHERE nrk <= 5",
+    ]
+    return "\n".join(parts)
+
+
+def _probe_curve_oracle() -> str:
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES
+
+    bf = QUERIES["sim_bruteforce_topk"].oracle_text()
+    parts = []
+    for p in _PROBE_CURVE:
+        t = _ivf_probe_sql(p)
+        parts.append(
+            f"SELECT {p} AS n_probes, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ({bf}) x) AS n_total, "
+            f"CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ({bf}) y) "
+            f"AS recall_at_5 "
+            f"FROM ({t}) a JOIN ({bf}) b "
+            f"ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "sim_ivf_probe_curve",
+    oracle=_probe_curve_oracle,
+    tags=("similarity", "ivf", "kmeans", "ann", "audit"),
+    doc="Recall@5 of trained IVF at n_probes 1/2/4 vs brute force.",
+)
+def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
+    bf = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    total = bf.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = None
+    for p in _PROBE_CURVE:
+        t = S.ivf_topk(queries, emb, centroids, k=5, n_probes=p).select(
+            "query_id", "neighbor_id"
+        )
+        row = (
+            t.join(bf, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(p).alias("n_probes"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.lit(total).cast("long").alias("n_total"),
+                (F.col("n_hits").cast("double") / F.lit(float(total))).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register(
     "sim_recall_report",
     oracle=_recall_oracle,
