@@ -644,3 +644,31 @@ def test_semantic_index_cell_layout_prunes_partitions(spark, tmp_path):
     assert probe.count() == semantic_index(emb, cents).filter(
         F.col("cell") == 2
     ).count()
+
+
+ROUND6_SWEEP = [
+    # Trainer-bearing entries excluded as in ROUND5_SWEEP (their plans
+    # run the memoized trainers; they carry their own pins).
+    "dedup_recall_report",
+    "dedup_lsh_hotband_report",
+    "dq_key_skew_report",
+    "split_cluster_safe",
+    "drift_embedding_centroid",
+    "events_retention_cohorts",
+    "text_containment_pairs",
+    "text_bm25_wide",
+]
+
+
+def test_round6_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-6 additions: no
+    CartesianProduct and no row-at-a-time Python UDF node anywhere —
+    same contract as the round-5 sweep."""
+    bad = []
+    for name in ROUND6_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
