@@ -171,7 +171,7 @@ def semantic_ingest_sink(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     seed_index: DataFrame | None = None,
-    keep_versions: int = 1,
+    keep_manifests: int = 1,
 ):
     """SELF-MAINTAINING semantic dedup at ingest: each micro-batch is
     scored against the stored index (``semantic_dedup_stream``'s anti
@@ -188,18 +188,26 @@ def semantic_ingest_sink(
     QUANTIZED-KEY set independent of batch boundaries — the contract
     the test pins.
 
-    Exactly-once: the stored index carries ``last_batch``; a replayed
-    batch id is skipped (the CMS/HLL sink pattern — state lives in the
-    table).  Versioned-immutable layout behind an atomic CURRENT
-    pointer; ``path`` must be driver-local filesystem (see
-    ``hll_maintenance_sink`` for the object-store porting note).  At
-    100 TB each version append is survivor-sized and the stored table
-    is cell-partitioned for pruned probes.
+    Storage is APPEND-ONLY DELTAS, not a rewritten snapshot: each
+    commit writes only the batch's admitted rows to ``d{batch_id}``
+    (the seed corpus lands once as ``dseed``) and swings the CURRENT
+    pointer to a new immutable manifest listing the live delta dirs —
+    so per-commit write cost is survivor-sized at ANY index size (a
+    full-index rewrite per batch would be O(index), unusable at
+    100 TB).  The index at any moment is the union of the manifest's
+    deltas; compaction (folding many small deltas into one, bucketed by
+    cell for pruned probes) is an offline job against an immutable
+    prefix, exactly like parquet table compaction.
+
+    Exactly-once: the manifest records applied batch ids; a replayed id
+    is skipped (the CMS/HLL sink doctrine — state lives in storage).
+    ``path`` must be driver-local filesystem (CURRENT swap uses
+    open/os.replace; see ``hll_maintenance_sink`` for the object-store
+    porting note).  ``keep_manifests`` = prior manifests retained for
+    in-flight readers (delta dirs are never GC'd — they ARE the index).
     """
     import os
     import shutil
-
-    from fotmobdatapipeline_spark.streaming.sketches import _current_version
 
     rows = [
         (r[centroid_id_col], list(r[vec_col]))
@@ -208,17 +216,27 @@ def semantic_ingest_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev_v = _current_version(path)
-        if prev_v is not None:
-            prev = spark.read.parquet(os.path.join(path, prev_v))
-            applied = prev.agg(F.max("last_batch")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replayed batch: already admitted
-            index = prev.select("cell", "p_vid", "p_vec", "p_nrm")
-        elif seed_index is not None:
-            index = seed_index
-        else:
-            index = None
+        deltas, applied = _read_manifest(path)
+        if deltas is None:
+            # First commit: persist the seed corpus as the base delta
+            # (schema normalized so every delta dir unions cleanly).
+            if seed_index is not None:
+                _norm_index_schema(seed_index).write.mode("overwrite").parquet(
+                    os.path.join(path, "dseed")
+                )
+                deltas = ["dseed"]
+            else:
+                deltas = []
+            applied = set()
+        if batch_id in applied:
+            return  # replayed batch: already admitted
+        index = (
+            spark.read.parquet(*[os.path.join(path, d) for d in deltas]).select(
+                "cell", "p_vid", "p_vec", "p_nrm"
+            )
+            if deltas
+            else None
+        )
         assigned = batch_df.withColumn("__nrm", l2_norm(F.col(vec_col)))
         assigned = assigned.withColumn(
             "cell", assign_cell_stateless(F.col(vec_col), rows, nrm=F.col("__nrm"))
@@ -235,34 +253,41 @@ def semantic_ingest_sink(
             )
         else:
             survivors = assigned
-        admitted = survivors.select(
-            "cell",
-            F.col(id_col).alias("p_vid"),
-            F.col(vec_col).alias("p_vec"),
-            F.col("__nrm").alias("p_nrm"),
+        admitted = _norm_index_schema(
+            survivors.select(
+                "cell",
+                F.col(id_col).alias("p_vid"),
+                F.col(vec_col).alias("p_vec"),
+                F.col("__nrm").alias("p_nrm"),
+            )
         )
-        out = (
-            index.unionByName(admitted) if index is not None else admitted
-        ).withColumn("last_batch", F.lit(batch_id))
-        new_v = f"v{batch_id}"
-        out.write.mode("overwrite").parquet(os.path.join(path, new_v))
+        new_delta = f"d{batch_id}"
+        admitted.write.mode("overwrite").parquet(os.path.join(path, new_delta))
+        new_manifest = f"m{batch_id}"
+        with open(os.path.join(path, new_manifest + ".tmp"), "w") as f:
+            f.write("\n".join(deltas + [new_delta]))
+        os.replace(
+            os.path.join(path, new_manifest + ".tmp"),
+            os.path.join(path, new_manifest),
+        )
         tmp = os.path.join(path, "CURRENT.tmp")
         with open(tmp, "w") as f:
-            f.write(new_v)
+            f.write(new_manifest)
         os.replace(tmp, os.path.join(path, "CURRENT"))
-        versions = sorted(
+        manifests = sorted(
             (
-                d
-                for d in os.listdir(path)
-                if d.startswith("v")
-                and d != new_v
-                and os.path.isdir(os.path.join(path, d))
+                m
+                for m in os.listdir(path)
+                if m.startswith("m")
+                and m != new_manifest
+                and not m.endswith(".tmp")
+                and os.path.isfile(os.path.join(path, m))
             ),
-            key=lambda d: int(d[1:]),
+            key=lambda m: int(m[1:]),
             reverse=True,
         )
-        for d in versions[keep_versions:]:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        for m in manifests[keep_manifests:]:
+            os.remove(os.path.join(path, m))
 
     os.makedirs(path, exist_ok=True)
     return (
@@ -272,14 +297,40 @@ def semantic_ingest_sink(
     )
 
 
-def read_semantic_index(spark, path: str) -> DataFrame | None:
-    """CURRENT version of the admitted-vector index, or None before the
-    first batch commits."""
+def _norm_index_schema(df: DataFrame) -> DataFrame:
+    """One storage schema for every delta dir (seed and per-batch
+    admissions union cleanly): cell int, p_vid long, p_vec as-is,
+    p_nrm double."""
+    return df.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("p_vid").cast("long").alias("p_vid"),
+        F.col("p_vec"),
+        F.col("p_nrm").cast("double").alias("p_nrm"),
+    )
+
+
+def _read_manifest(path: str):
+    """(delta dir list, applied batch-id set) from the CURRENT manifest,
+    or (None, None) before the first commit."""
     import os
 
-    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+    cur = os.path.join(path, "CURRENT")
+    if not os.path.exists(cur):
+        return None, None
+    with open(cur) as f:
+        manifest = f.read().strip()
+    with open(os.path.join(path, manifest)) as f:
+        deltas = [ln for ln in f.read().splitlines() if ln]
+    applied = {int(d[1:]) for d in deltas if d != "dseed"}
+    return deltas, applied
 
-    v = _current_version(path)
-    if v is None:
+
+def read_semantic_index(spark, path: str) -> DataFrame | None:
+    """The admitted-vector index = union of the CURRENT manifest's
+    delta dirs, or None before the first commit."""
+    import os
+
+    deltas, _ = _read_manifest(path)
+    if not deltas:
         return None
-    return spark.read.parquet(os.path.join(path, v))
+    return spark.read.parquet(*[os.path.join(path, d) for d in deltas])
