@@ -473,3 +473,22 @@ def test_semantic_ingest_sink_self_maintains_index(spark, tmp_path):
     # copies (same key, later batch) and seed copies never enter.
     assert got_keys == seed_keys | (fresh_keys - seed_keys)
     assert n_index == seed.count() + len(fresh_keys - seed_keys)
+
+    # Replay idempotence end-to-end: a FRESH checkpoint re-delivers the
+    # whole feed under the same batch ids; the manifest's applied set
+    # must skip every one — index byte-identical, no double admission.
+    q2 = semantic_ingest_sink(
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents,
+        str(tmp_path / "sem_index"),
+        str(tmp_path / "sem_ckpt_replay"),
+        tau=0.9,
+        seed_index=seed_idx,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    idx2 = read_semantic_index(spark, str(tmp_path / "sem_index"))
+    assert idx2.count() == n_index
+    assert {tuple(r["p_vec"]) for r in idx2.collect()} == got_keys
