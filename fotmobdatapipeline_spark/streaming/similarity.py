@@ -311,7 +311,10 @@ def _norm_index_schema(df: DataFrame) -> DataFrame:
 
 def _read_manifest(path: str):
     """(delta dir list, applied batch-id set) from the CURRENT manifest,
-    or (None, None) before the first commit."""
+    or (None, None) before the first commit.  Lines starting with
+    ``#applied d{N}`` are annotations a compaction writes to preserve
+    the applied-id set after folding the per-batch dirs away — they are
+    parsed into ``applied`` but are NOT delta dirs."""
     import os
 
     cur = os.path.join(path, "CURRENT")
@@ -320,8 +323,15 @@ def _read_manifest(path: str):
     with open(cur) as f:
         manifest = f.read().strip()
     with open(os.path.join(path, manifest)) as f:
-        deltas = [ln for ln in f.read().splitlines() if ln]
-    applied = {int(d[1:]) for d in deltas if d != "dseed"}
+        lines = [ln for ln in f.read().splitlines() if ln]
+    deltas = [ln for ln in lines if not ln.startswith("#")]
+    applied = set()
+    for d in deltas:
+        if d != "dseed" and not d.startswith("dcompact"):
+            applied.add(int(d[1:]))
+    for ln in lines:
+        if ln.startswith("#applied d"):
+            applied.add(int(ln.split("#applied d", 1)[1]))
     return deltas, applied
 
 
@@ -334,3 +344,47 @@ def read_semantic_index(spark, path: str) -> DataFrame | None:
     if not deltas:
         return None
     return spark.read.parquet(*[os.path.join(path, d) for d in deltas])
+
+
+def compact_semantic_index(spark, path: str) -> int:
+    """OFFLINE compaction of the ingest index: fold the CURRENT
+    manifest's delta dirs into ONE cell-partitioned dir and swing the
+    manifest to it — the parquet-table compaction pattern the sink's
+    docstring promises.  Partitioning by cell buys pruned probes
+    (pinned by test_semantic_index_cell_layout_prunes_partitions) and
+    many-small-files consolidation; the folded dir name encodes the
+    max applied batch id so the replay guard still holds after
+    compaction.  Safe against concurrent readers (old deltas are left
+    on disk for ``keep_manifests`` generations of readers; a follow-up
+    GC may remove dirs no live manifest references) but must not run
+    concurrently with the SINK itself (both swing CURRENT — coordinate
+    like any table-maintenance job).
+
+    Returns the number of delta dirs folded (0 = nothing to do)."""
+    import os
+
+    deltas, applied = _read_manifest(path)
+    if not deltas or len(deltas) <= 1:
+        return 0
+    max_batch = max(applied) if applied else 0
+    folded = spark.read.parquet(*[os.path.join(path, d) for d in deltas])
+    new_delta = f"dcompact{max_batch}"
+    folded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, new_delta)
+    )
+    # The compacted dir carries every applied id; encode them in the
+    # manifest as explicit lines so _read_manifest's applied-set parse
+    # keeps working (one synthetic d{batch} marker per applied id,
+    # pointing at no dir — only the first line is read as data).
+    new_manifest = f"m{max_batch}c"
+    with open(os.path.join(path, new_manifest + ".tmp"), "w") as f:
+        f.write("\n".join([new_delta] + [f"#applied d{b}" for b in sorted(applied)]))
+    os.replace(
+        os.path.join(path, new_manifest + ".tmp"),
+        os.path.join(path, new_manifest),
+    )
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_manifest)
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+    return len(deltas)

@@ -492,3 +492,60 @@ def test_semantic_ingest_sink_self_maintains_index(spark, tmp_path):
     idx2 = read_semantic_index(spark, str(tmp_path / "sem_index"))
     assert idx2.count() == n_index
     assert {tuple(r["p_vec"]) for r in idx2.collect()} == got_keys
+
+
+def test_semantic_index_compaction_preserves_index_and_replay_guard(spark, tmp_path):
+    """compact_semantic_index folds the delta dirs into one
+    cell-partitioned dir: the index key set must be unchanged, a
+    single-cell probe of the compacted layout must partition-prune, and
+    a full-feed replay after compaction must still be skipped (the
+    applied-id annotations survive the fold)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        compact_semantic_index,
+        read_semantic_index,
+        semantic_index,
+        semantic_ingest_sink,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 100)
+    fresh = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    cents = kmeans_lloyd(seed, k=4, iterations=2)
+    seed_idx = semantic_index(seed, cents).localCheckpoint(eager=True)
+
+    feed_dir = str(tmp_path / "cfeed")
+    fresh.coalesce(1).write.mode("append").parquet(feed_dir)
+    state = str(tmp_path / "cidx")
+
+    q = semantic_ingest_sink(
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents, state, str(tmp_path / "cck"), tau=0.9, seed_index=seed_idx,
+    )
+    q.processAllAvailable(); q.stop()
+
+    before = {tuple(r["p_vec"]) for r in read_semantic_index(spark, state).collect()}
+    folded = compact_semantic_index(spark, state)
+    assert folded >= 2  # dseed + at least one batch delta
+    after_df = read_semantic_index(spark, state)
+    assert {tuple(r["p_vec"]) for r in after_df.collect()} == before
+
+    # Compacted layout prunes: single-cell probe carries PartitionFilters.
+    plan = after_df.filter(F.col("cell") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    # Replay after compaction: fresh checkpoint re-delivers batch 0;
+    # the annotation-preserved applied set must skip it.
+    q2 = semantic_ingest_sink(
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents, state, str(tmp_path / "cck2"), tau=0.9, seed_index=seed_idx,
+    )
+    q2.processAllAvailable(); q2.stop()
+    assert {tuple(r["p_vec"]) for r in read_semantic_index(spark, state).collect()} == before
