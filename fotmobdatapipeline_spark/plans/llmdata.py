@@ -5143,6 +5143,122 @@ _SQL_GOPHER_KEEP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-stratified mixture PLAN: the curation artifact a data team
+# actually ships — per (source, quality band): doc/token inventory,
+# the source's temperature-2 target share, its token target under a
+# global budget (half the PASSING tokens — a fixed policy constant),
+# and the deterministic keep_rate that hits the target from the
+# passing stratum (failing docs are never admitted; an over-subscribed
+# target caps at 1.0).  Composes three proven pieces (Gopher bands,
+# temperature weights with the fold-deterministic denominator, exact
+# integer token sums); one corpus scan + group-cardinality aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "mixture_quality_plan",
+    oracle=f"""
+    WITH banded AS (
+      SELECT source,
+             CASE WHEN {_SQL_GOPHER_KEEP} THEN 'pass' ELSE 'fail' END AS band,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM banded GROUP BY source, band
+    ),
+    src AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN band = 'pass' THEN n_docs ELSE 0 END) AS BIGINT)
+               AS pass_docs,
+             CAST(SUM(CASE WHEN band = 'pass' THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS pass_tokens
+      FROM cells GROUP BY source
+    ),
+    tot AS (
+      SELECT list_reduce(list(sqrt(CAST(pass_docs AS DOUBLE)) ORDER BY source),
+                         (p, q) -> p + q) AS denom,
+             CAST(SUM(pass_tokens) AS BIGINT) AS total_pass_tokens
+      FROM src
+    )
+    SELECT c.source, c.band, c.n_docs, c.n_tokens,
+           sqrt(CAST(s.pass_docs AS DOUBLE)) / t.denom AS target_share,
+           CASE WHEN c.band = 'pass' THEN
+             LEAST(CAST(1.0 AS DOUBLE),
+               (sqrt(CAST(s.pass_docs AS DOUBLE)) / t.denom)
+                 * (CAST(t.total_pass_tokens AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                 / CAST(s.pass_tokens AS DOUBLE))
+           ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
+    FROM cells c
+    JOIN src s ON s.source = c.source
+    CROSS JOIN tot t
+    """,
+    tags=("sampling", "mixture", "quality", "llmdata"),
+    doc="Per-(source, quality band) inventory with temperature targets and keep rates.",
+)
+def mixture_quality_plan(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    rules = T.gopher_rules(F.col("text"))
+    keep = None
+    for n in rules:
+        keep = rules[n] if keep is None else (keep & rules[n])
+    banded = docs.select(
+        "source",
+        F.when(keep, F.lit("pass")).otherwise(F.lit("fail")).alias("band"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    cells = banded.groupBy("source", "band").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    src = cells.groupBy("source").agg(
+        F.sum(F.when(F.col("band") == "pass", F.col("n_docs")).otherwise(0)).alias(
+            "pass_docs"
+        ),
+        F.sum(
+            F.when(F.col("band") == "pass", F.col("n_tokens")).otherwise(0)
+        ).alias("pass_tokens"),
+    )
+    # Fold-deterministic denominator: sqrt weights summed in source
+    # order (the temperature_mixture_weights doctrine).
+    tot = src.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", "pass_docs"))
+                ),
+                lambda s: F.sqrt(s["pass_docs"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("denom"),
+        F.sum("pass_tokens").alias("total_pass_tokens"),
+    )
+    share = F.sqrt(F.col("pass_docs").cast("double")) / F.col("denom")
+    keep_rate = F.when(
+        F.col("band") == "pass",
+        F.least(
+            F.lit(1.0),
+            share
+            * (F.col("total_pass_tokens").cast("double") / F.lit(2.0))
+            / F.col("pass_tokens").cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        cells.join(src, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "band",
+            "n_docs",
+            "n_tokens",
+            share.alias("target_share"),
+            keep_rate.alias("keep_rate"),
+        )
+    )
+
+
+
 @register(
     "llm_prep_pipeline_v2",
     oracle=f"""
