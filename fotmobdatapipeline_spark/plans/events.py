@@ -145,6 +145,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# User-LTV deciles: users ranked by total purchase value into ten
+# equal-count buckets, with each decile's share of total revenue — the
+# whale-curve report.  The window ranks USERS (bounded cardinality,
+# ~sqrt of event volume), never events; revenue per user is one
+# combinable decimal aggregate over the scan.  NTILE is deterministic
+# under the (revenue DESC, user ASC) total order.
+# --------------------------------------------------------------------------
+@register(
+    "events_ltv_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, revenue,
+             NTILE(10) OVER (ORDER BY revenue DESC, user_id ASC) AS decile
+      FROM rev
+    ),
+    tot AS (SELECT SUM(CAST(revenue AS DECIMAL(14,2))) AS t FROM ranked)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(revenue AS DECIMAL(14,2))) AS DOUBLE) AS decile_revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(14,2))) AS DOUBLE)
+             / CAST(t.t AS DOUBLE) AS revenue_share
+    FROM ranked CROSS JOIN tot t GROUP BY decile, t.t
+    """,
+    tags=("events", "analytics", "window"),
+    doc="Whale curve: users in LTV deciles with each decile's revenue share.",
+)
+def events_ltv_deciles(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("user_id"))
+    ranked = rev.withColumn("decile", F.ntile(10).over(w))
+    tot = ranked.agg(
+        F.sum(F.col("revenue").cast("decimal(14,2)")).alias("t")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("revenue").cast("decimal(14,2)")).cast("double").alias(
+                "decile_revenue"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "decile_revenue",
+            (F.col("decile_revenue") / F.col("t").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization: 30-min inactivity gap, gaps-and-islands.
 # --------------------------------------------------------------------------
 @register(
