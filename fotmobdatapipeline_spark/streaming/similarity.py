@@ -230,13 +230,7 @@ def semantic_ingest_sink(
             applied = set()
         if batch_id in applied:
             return  # replayed batch: already admitted
-        index = (
-            spark.read.parquet(*[os.path.join(path, d) for d in deltas]).select(
-                "cell", "p_vid", "p_vec", "p_nrm"
-            )
-            if deltas
-            else None
-        )
+        index = _read_deltas(spark, path, deltas)
         assigned = batch_df.withColumn("__nrm", l2_norm(F.col(vec_col)))
         assigned = assigned.withColumn(
             "cell", assign_cell_stateless(F.col(vec_col), rows, nrm=F.col("__nrm"))
@@ -264,8 +258,18 @@ def semantic_ingest_sink(
         new_delta = f"d{batch_id}"
         admitted.write.mode("overwrite").parquet(os.path.join(path, new_delta))
         new_manifest = f"m{batch_id}"
+        # Carry forward applied ids that are NOT derivable from a delta
+        # dir name (a compaction folds per-batch dirs into dcompact{N}
+        # and preserves their ids as #applied annotations — dropping
+        # them here would erase the replay guard for every compacted
+        # batch, breaking the exactly-once contract).
+        derivable = {
+            int(d[1:]) for d in deltas
+            if d != "dseed" and not d.startswith("dcompact")
+        }
+        notes = [f"#applied d{b}" for b in sorted(applied - derivable)]
         with open(os.path.join(path, new_manifest + ".tmp"), "w") as f:
-            f.write("\n".join(deltas + [new_delta]))
+            f.write("\n".join(deltas + [new_delta] + notes))
         os.replace(
             os.path.join(path, new_manifest + ".tmp"),
             os.path.join(path, new_manifest),
@@ -283,7 +287,9 @@ def semantic_ingest_sink(
                 and not m.endswith(".tmp")
                 and os.path.isfile(os.path.join(path, m))
             ),
-            key=lambda m: int(m[1:]),
+            # m{N} and compaction's m{N}c both GC'able; the c-suffixed
+            # manifest is newer than its same-numbered plain sibling.
+            key=lambda m: (int(m[1:].rstrip("c")), m.endswith("c")),
             reverse=True,
         )
         for m in manifests[keep_manifests:]:
@@ -307,6 +313,38 @@ def _norm_index_schema(df: DataFrame) -> DataFrame:
         F.col("p_vec"),
         F.col("p_nrm").cast("double").alias("p_nrm"),
     )
+
+
+def _read_deltas(spark, path: str, deltas) -> DataFrame | None:
+    """Union the manifest's delta dirs into one index DataFrame with
+    columns (cell, p_vid, p_vec, p_nrm).  Per-batch deltas are FLAT
+    parquet dirs while compaction's ``dcompact{N}`` is partitioned by
+    cell (hive layout) — Spark refuses to mix the two layouts in one
+    multi-path read ([CONFLICTING_DIRECTORY_STRUCTURES]), so each
+    layout is read in its own scan and unioned by name.  Partition
+    pruning on ``cell`` still applies to the compacted scan."""
+    import os
+
+    if not deltas:
+        return None
+    flat = [d for d in deltas if not d.startswith("dcompact")]
+    parts = [d for d in deltas if d.startswith("dcompact")]
+    cols = ["cell", "p_vid", "p_vec", "p_nrm"]
+    pieces = []
+    if flat:
+        pieces.append(
+            spark.read.parquet(*[os.path.join(path, d) for d in flat]).select(*cols)
+        )
+    for d in parts:
+        pieces.append(
+            spark.read.parquet(os.path.join(path, d))
+            .withColumn("cell", F.col("cell").cast("int"))
+            .select(*cols)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_manifest(path: str):
@@ -343,7 +381,7 @@ def read_semantic_index(spark, path: str) -> DataFrame | None:
     deltas, _ = _read_manifest(path)
     if not deltas:
         return None
-    return spark.read.parquet(*[os.path.join(path, d) for d in deltas])
+    return _read_deltas(spark, path, deltas)
 
 
 def compact_semantic_index(spark, path: str) -> int:
@@ -367,7 +405,7 @@ def compact_semantic_index(spark, path: str) -> int:
     if not deltas or len(deltas) <= 1:
         return 0
     max_batch = max(applied) if applied else 0
-    folded = spark.read.parquet(*[os.path.join(path, d) for d in deltas])
+    folded = _read_deltas(spark, path, deltas)
     new_delta = f"dcompact{max_batch}"
     folded.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, new_delta)

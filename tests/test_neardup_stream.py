@@ -549,3 +549,72 @@ def test_semantic_index_compaction_preserves_index_and_replay_guard(spark, tmp_p
     )
     q2.processAllAvailable(); q2.stop()
     assert {tuple(r["p_vec"]) for r in read_semantic_index(spark, state).collect()} == before
+
+
+def test_semantic_ingest_fresh_batch_after_compaction(spark, tmp_path):
+    """A NEW micro-batch committed AFTER compact_semantic_index must
+    (a) not crash the sink's manifest GC on the m{N}c manifest name,
+    and (b) carry the compaction's #applied annotations forward into
+    the rewritten manifest, so a later full-feed replay still skips
+    every pre-compaction batch (ADVICE r6 high + medium)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        compact_semantic_index,
+        read_semantic_index,
+        semantic_index,
+        semantic_ingest_sink,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 100)
+    first = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    second = emb.filter((F.col("vec_id") >= 130) & (F.col("vec_id") < 160))
+    cents = kmeans_lloyd(seed, k=4, iterations=2)
+    seed_idx = semantic_index(seed, cents).localCheckpoint(eager=True)
+
+    feed_dir = str(tmp_path / "pfeed")
+    state = str(tmp_path / "pidx")
+    first.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    def run(ckpt: str) -> None:
+        q = semantic_ingest_sink(
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir),
+            cents, state, str(tmp_path / ckpt), tau=0.9, seed_index=seed_idx,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("pck")  # batch 0 admitted
+    assert compact_semantic_index(spark, state) >= 2  # dseed + d0 folded
+
+    # Fresh data arrives post-compaction: the SAME checkpoint delivers
+    # it as batch 1; apply_batch must GC past the m{N}c manifest and
+    # rewrite the manifest without losing batch 0's applied annotation.
+    second.coalesce(1).write.mode("append").parquet(feed_dir)
+    run("pck")
+
+    idx = read_semantic_index(spark, state)
+    expect = {tuple(r["embedding"]) for r in seed.collect()}
+    expect |= {tuple(r["embedding"]) for r in first.collect()}
+    expect |= {tuple(r["embedding"]) for r in second.collect()}
+    got = {tuple(r["p_vec"]) for r in idx.collect()}
+    assert got == expect
+    n = idx.count()
+
+    # The rewritten manifest still guards batch 0: a fresh-checkpoint
+    # replay of the whole feed (batches 0 and 1) admits nothing new.
+    run("pck_replay")
+    idx2 = read_semantic_index(spark, state)
+    assert idx2.count() == n
+    assert {tuple(r["p_vec"]) for r in idx2.collect()} == got
+
+    cur = open(os.path.join(state, "CURRENT")).read().strip()
+    manifest = open(os.path.join(state, cur)).read()
+    assert "#applied d0" in manifest, manifest
