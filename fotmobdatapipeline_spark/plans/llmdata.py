@@ -151,8 +151,23 @@ _lsh_sigs = ",\n             ".join(_sql_sig(j) for j in range(_LSH_HASHES))
 _SUBTREE_MEMO: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable session identity for memo keys (ADVICE r6: id(spark) can
+    be REUSED by CPython after a stopped session is collected, handing
+    a new session a checkpoint bound to dead executors).  applicationId
+    is unique per SparkContext; inserting under a new application also
+    EVICTS entries from prior applications — their localCheckpoints
+    died with their executors, so they are unusable and would otherwise
+    accumulate for the process lifetime."""
+    app = spark.sparkContext.applicationId
+    stale = [k for k in _SUBTREE_MEMO if k[0] != app]
+    for k in stale:
+        del _SUBTREE_MEMO[k]
+    return app
+
+
 def _lsh_pairs_shared(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir, "lsh_pairs", _LSH_HASHES, _LSH_BAND_DF)
+    key = (_session_key(spark), sf_dir, "lsh_pairs", _LSH_HASHES, _LSH_BAND_DF)
     if key not in _SUBTREE_MEMO:
         sigs = D.minhash_signatures(
             read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
@@ -167,7 +182,7 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str):
 def _dup_cluster_reps_shared(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.operators.dedup import connected_dup_clusters
 
-    key = (id(spark), sf_dir, "cc_reps", _LSH_HASHES, _LSH_BAND_DF)
+    key = (_session_key(spark), sf_dir, "cc_reps", _LSH_HASHES, _LSH_BAND_DF)
     if key not in _SUBTREE_MEMO:
         # connected_dup_clusters checkpoints per round internally; the
         # returned labels frame is already lineage-truncated.
@@ -1092,17 +1107,44 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
 # bins.  The decile key floor(jaccard*10) is portable double math: both
 # engines compute jaccard as the same CAST/CAST division, so the
 # product and floor agree bit-for-bit.
+#
+# The truth side is df-CAPPED (VERDICT r6 #3): shingles with document
+# frequency above _RECALL_TRUTH_CAP are dropped before pair generation,
+# so even the audit itself has the max_df^2/2 fan-out bound and is
+# 100x-safe.  Semantics: recall is measured against exact Jaccard IN
+# THE CAPPED UNIVERSE — stop shingles (df > cap) carry no dedup signal,
+# and the production LSH path excludes the same mass via its band cap,
+# so the capped truth is the relevant denominator.  The cap is far
+# above any test-sf df (no value change at sf<=0.1); it exists to bind
+# at corpus scale.
 # --------------------------------------------------------------------------
+_RECALL_TRUTH_CAP = 1000
+
+# Theoretical banded-LSH S-curve P(candidate | J=j) = 1 - (1-j)^b with
+# b = _LSH_HASHES bands of 1 row, expanded as an explicit left-assoc
+# factor product GENERATED from _LSH_HASHES on both sides (ADVICE r6:
+# a hardcoded 4-factor literal would silently diverge from the curve if
+# the band count changed) — no pow(), which libm implements differently.
+_SQL_JMID = (
+    "(CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / CAST(10.0 AS DOUBLE))"
+)
+_SQL_P_THEORY = "CAST(1.0 AS DOUBLE) - (\n             " + "\n             * ".join(
+    [_SQL_JMID] * _LSH_HASHES
+) + "\n           )"
 @register(
     "dedup_recall_report",
     oracle=f"""
     WITH tok AS ({_SQL_TOK}),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
     ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s)
+             WHERE df <= {_RECALL_TRUTH_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     truth AS (
@@ -1136,12 +1178,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
     SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_truth,
            CAST(SUM(hit) AS BIGINT) AS n_hit,
            CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall,
-           CAST(1.0 AS DOUBLE) - (
-             (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
-             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
-             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
-             * (CAST(1.0 AS DOUBLE) - (CAST(jbin AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
-           ) AS p_theory
+           {_SQL_P_THEORY} AS p_theory
     FROM lab GROUP BY jbin
     """,
     tags=("dedup", "lsh", "jaccard", "calibration", "recall"),
@@ -1149,7 +1186,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str):
 )
 def dedup_recall_report(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    truth = D.jaccard_pairs(docs).select(
+    # Truth side df-capped: exact Jaccard in the capped shingle
+    # universe (see the block comment above) — the audit's own fan-out
+    # is bounded at _RECALL_TRUTH_CAP^2/2 per shingle at any sf.
+    truth = D.jaccard_pairs(docs, max_df=_RECALL_TRUTH_CAP).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j")
     )
     cand = _lsh_pairs_shared(spark, sf_dir).withColumn("hit", F.lit(1))
@@ -1157,15 +1197,16 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
         F.floor(F.col("j") * 10).cast("int").alias("jbin"),
         F.coalesce("hit", F.lit(0)).alias("hit"),
     )
-    # Theoretical banded-LSH S-curve at the bin midpoint: with b bands
-    # of r=1 row, P(candidate | J=j) = 1 - (1 - j)^b — the power
-    # expanded as an explicit 4-factor product so both engines compute
-    # the identical IEEE sequence (no pow(), which libm implements
-    # differently).  Observed recall below theory flags the band cap
-    # biting; above theory flags correlated shingles.
+    # S-curve factor product generated from _LSH_HASHES — the same
+    # left-assoc IEEE sequence as the oracle's _SQL_P_THEORY (observed
+    # recall below theory flags the band cap biting; above theory
+    # flags correlated shingles).
     jmid = (F.col("jbin").cast("double") + F.lit(0.5)) / F.lit(10.0)
     miss = F.lit(1.0) - jmid
-    p_theory = F.lit(1.0) - (miss * miss * miss * miss)
+    prod = miss
+    for _ in range(_LSH_HASHES - 1):
+        prod = prod * miss
+    p_theory = F.lit(1.0) - prod
     return lab.groupBy("jbin").agg(
         F.count("*").alias("n_truth"),
         F.sum("hit").cast("long").alias("n_hit"),

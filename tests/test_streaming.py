@@ -441,6 +441,37 @@ def test_anomaly_flag_unseen_type_is_flagged(spark):
     assert rows["known"]["is_anomaly"] is False
 
 
+def test_anomaly_flag_unseen_type_is_flagged_streaming(spark, tmp_path):
+    """The STREAMING path of the same contract (VERDICT r6 #5): a
+    brand-new producer type arriving on a live stream — absent from the
+    trained baseline — must be SURFACED with is_anomaly=true, not
+    dropped or left null, through the real watermarked windowed
+    aggregate."""
+    import datetime as dt
+
+    from fotmobdatapipeline_spark.streaming.events import anomaly_flag_stream
+
+    ts = dt.datetime(2026, 1, 1, 10, 30)
+    feed = spark.createDataFrame(
+        [("known", ts), ("known", ts), ("brand_new", ts)],
+        "event_type string, ts timestamp",
+    )
+    feed_dir = str(tmp_path / "unseen_feed")
+    feed.coalesce(1).write.parquet(feed_dir)
+    baseline = spark.createDataFrame(
+        [("known", 2.0, 1.0)], "event_type string, med double, mad double"
+    )
+    stream = spark.readStream.schema(feed.schema).parquet(feed_dir)
+    _drain(anomaly_flag_stream(stream, baseline), "unseen_flags", "complete")
+    rows = {
+        r["event_type"]: r
+        for r in spark.sql("SELECT * FROM unseen_flags").collect()
+    }
+    assert rows["brand_new"]["med"] is None
+    assert rows["brand_new"]["is_anomaly"] is True
+    assert rows["known"]["is_anomaly"] is False
+
+
 def test_hll_maintenance_stream_equals_batch(spark, tmp_path):
     """The stream-maintained HLL register table, after the feed drains,
     must be REGISTER-IDENTICAL to the batch sketch of the whole feed
@@ -615,3 +646,65 @@ def test_type_mix_sink_equals_batch_drift(spark, tmp_path, events_dir):
         assert r["share_base"] == (want_counts[t] + 7) / tb
         assert r["share_cur"] == want_counts[t] / tc
         assert r["share_delta"] == r["share_cur"] - r["share_base"]
+
+
+def test_sketch_sink_retention_survives_slow_reader(spark, tmp_path):
+    """Version-retention contract of the sketch maintenance sinks
+    (VERDICT r6 #7): a reader that resolved CURRENT and then lagged
+    behind TWO further commits must still be able to read its pinned
+    version when ``keep_versions=2`` — and the GC must still collect
+    versions beyond the retention horizon (bounded storage)."""
+    import datetime as dt
+    import os
+
+    from fotmobdatapipeline_spark.streaming.sketches import (
+        _current_version,
+        cms_maintenance_sink,
+    )
+
+    feed_dir = str(tmp_path / "retfeed")
+    schema = "k string, ts timestamp"
+    ts = dt.datetime(2026, 1, 1)
+
+    def push(keys):
+        spark.createDataFrame(
+            [(k, ts) for k in keys], schema
+        ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    def drain():
+        q = cms_maintenance_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir),
+            path=str(tmp_path / "ret_state"),
+            checkpoint=str(tmp_path / "ret_ckpt"),
+            keep_versions=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    state = str(tmp_path / "ret_state")
+    push(["a", "b"])
+    drain()
+    pinned = _current_version(state)  # the slow reader resolves CURRENT here
+    pinned_path = os.path.join(state, pinned)
+
+    push(["c"])
+    push(["d"])
+    drain()  # two further commits land
+
+    # The lagging reader's version is still on disk and readable.
+    assert os.path.isdir(pinned_path)
+    assert spark.read.parquet(pinned_path).count() > 0
+    # CURRENT moved on; retention kept exactly new + 2 priors.
+    cur = _current_version(state)
+    assert cur != pinned
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(versions) == 3, versions
+
+    # One more commit pushes the pinned version past the horizon: GC
+    # collects it (storage stays bounded at 1 + keep_versions dirs).
+    push(["e"])
+    drain()
+    assert not os.path.exists(pinned_path)
+    assert len([d for d in os.listdir(state) if d.startswith("v")]) == 3
