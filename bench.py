@@ -76,6 +76,8 @@ HEADLINE = [
     "sim_rp_bucket_join",
     "text_bm25_wide",
     "events_retention_cohorts",
+    # round-7 additions
+    "multimodal_bmp_decode",
 ]
 
 
