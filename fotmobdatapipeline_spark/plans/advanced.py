@@ -2093,11 +2093,15 @@ _HQ_W = 5000.0
 def _sql_hq_est(q: float) -> str:
     # CAST the q literal: DuckDB parses 0.9 as DECIMAL(2,1) and decimal
     # arithmetic diverges from the engine's double path in the last bits.
+    # Target rank (n-1)*q + 1, 1-based — the SAME convention
+    # PERCENTILE_CONT interpolates at (ADVICE r6 alignment; the earlier
+    # q*n rank carried a systematic half-step offset vs the exact twin).
     qd = f"CAST({q} AS DOUBLE)"
+    rk = f"({qd} * (n - 1) + 1)"
     return f"""SELECT l_returnflag, {qd} AS q,
-         CAST(bucket AS DOUBLE) * {_HQ_W} + {_HQ_W} * (({qd} * n - cum_prev) / cnt)
+         CAST(bucket AS DOUBLE) * {_HQ_W} + {_HQ_W} * (({rk} - cum_prev) / cnt)
            AS est_value
-  FROM h WHERE cum_prev < {qd} * n AND {qd} * n <= cum"""
+  FROM h WHERE cum_prev < {rk} AND {rk} <= cum"""
 
 
 def _sql_pct_hq(p: float) -> str:
@@ -2171,12 +2175,15 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=False)
     parts = []
     for q in (0.5, 0.9):
-        qn = F.lit(q) * F.col("n")
+        # Target rank (n-1)*q + 1: PERCENTILE_CONT's interpolation
+        # convention (mirrored in _sql_hq_est), so estimate vs exact
+        # differ only by bucket coarseness, not by a rank offset.
+        rk = F.lit(q) * (F.col("n") - F.lit(1)) + F.lit(1)
         est = F.col("bucket").cast("double") * F.lit(_HQ_W) + F.lit(_HQ_W) * (
-            (qn - F.col("cum_prev")) / F.col("cnt")
+            (rk - F.col("cum_prev")) / F.col("cnt")
         )
         parts.append(
-            h.filter((F.col("cum_prev") < qn) & (qn <= F.col("cum"))).select(
+            h.filter((F.col("cum_prev") < rk) & (rk <= F.col("cum"))).select(
                 "l_returnflag", F.lit(q).alias("q"), est.alias("est_value")
             )
         )

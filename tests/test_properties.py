@@ -1585,14 +1585,14 @@ def test_trim_agrees_with_passage_stats(spark):
 
 def test_histogram_quantile_within_bucket_width(spark):
     """The fixed-bucket histogram estimate stays within one bucket width
-    of the exact PERCENTILE_CONT *on this pinned dataset* — NOT a
-    universal invariant (ADVICE r5): the estimate uses the q*n rank
-    convention while PERCENTILE_CONT interpolates at (n-1)*q, so a large
-    value gap between the two adjacent ranks can legitimately push the
-    error past one bucket width.  On the pinned sf0.01 lineitem data the
-    ranks land well inside dense buckets, so the bound holds; if the
-    fixture is regenerated and this fails, loosen to 2*width before
-    suspecting the estimator."""
+    of the exact PERCENTILE_CONT *on this pinned dataset*.  Since the
+    r7 alignment both sides target the SAME rank (n-1)*q + 1, so there
+    is no systematic rank-convention offset; residual error is bucket
+    coarseness, plus (still not a universal invariant) a large value
+    gap straddling a bucket boundary can legitimately exceed one width.
+    On the pinned sf0.01 lineitem data the bound holds; if the fixture
+    is regenerated and this fails, loosen to 2*width before suspecting
+    the estimator."""
     from tests.conftest import SF_ORACLE
     from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
 
