@@ -480,19 +480,24 @@ def _stream_state_bench(spark, sf_dir: str) -> dict:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return round(time.perf_counter() - t0, 3)
 
+    # Min of 2 drains per provider (the suite-wide doctrine): the first
+    # drain on a fresh session pays one-time streaming-engine/codegen/
+    # state-store init that a long-lived streaming job amortizes to
+    # zero — the min measures steady-state throughput, the number the
+    # ≥25k rows/s target (BASELINE.md row 10) is about.
     out: dict = {"rows": n_rows, "n_batches": 8}
-    default_sec = drain("default")
+    default_sec = min(drain("default_a"), drain("default_b"))
     out["default_provider"] = {
         "wall_sec": default_sec, "rows_per_sec": round(n_rows / default_sec)
     }
     with rocksdb_state(spark):
-        rocks_sec = drain("rocksdb")
+        rocks_sec = min(drain("rocksdb_a"), drain("rocksdb_b"))
     out["rocksdb_provider"] = {
         "wall_sec": rocks_sec, "rows_per_sec": round(n_rows / rocks_sec)
     }
     print(
         f"# stream_state default={default_sec:.3f}s rocksdb={rocks_sec:.3f}s "
-        f"({n_rows} rows / 8 batches)",
+        f"({n_rows} rows / 8 batches, min of 2 drains)",
         file=sys.stderr,
     )
     shutil.rmtree(staged, ignore_errors=True)

@@ -449,20 +449,23 @@ def type_mix_maintenance_sink(
     replaced by the true per-type tally — type cardinality is tiny, so
     exactness is free); replay-idempotent via the stored last_batch
     guard; versioned-immutable state behind an atomic CURRENT pointer
-    (driver-local filesystem, same constraint as the sketch sinks).
+    (Hadoop FileSystem API via streaming/statefs.py — local or any
+    warehouse URI, same protocol as the sketch sinks).
 
     Each batch: one combinable groupBy of the micro-batch + a
     type-keyed merge of two #types-row tables."""
-    import os
-    import shutil
-
-    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+    from fotmobdatapipeline_spark.streaming.sketches import (
+        _current_version,
+        _publish_version,
+    )
+    from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev_v = _current_version(path)
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
         prev = (
-            spark.read.parquet(os.path.join(path, prev_v))
+            spark.read.parquet(f"{path}/{prev_v}")
             if prev_v is not None
             else None
         )
@@ -484,30 +487,10 @@ def type_mix_maintenance_sink(
             merged = inc
         out = merged.withColumn("last_batch", F.lit(batch_id))
         new_v = f"v{batch_id}"
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, new_v)
-        )
-        tmp = os.path.join(path, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(new_v)
-        os.replace(tmp, os.path.join(path, "CURRENT"))
-        versions = sorted(
-            (
-                d
-                for d in os.listdir(path)
-                if d.startswith("v")
-                and d != new_v
-                and os.path.isdir(os.path.join(path, d))
-            ),
-            key=lambda d: int(d[1:]),
-            reverse=True,
-        )
-        for d in versions[keep_versions:]:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
 
-    import os as _os
-
-    _os.makedirs(path, exist_ok=True)
+    StateFs(events.sparkSession, path).mkdirs()
     return (
         events.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
@@ -521,14 +504,12 @@ def read_type_mix_drift(spark, path: str, baseline: DataFrame) -> DataFrame | No
     exact-integer-division columns as the batch drift entry, derived
     from stored counts (the feed is never rescanned).  None before the
     first commit."""
-    import os
-
     from fotmobdatapipeline_spark.streaming.sketches import _current_version
 
-    v = _current_version(path)
+    v = _current_version(path, spark)
     if v is None:
         return None
-    cur = spark.read.parquet(os.path.join(path, v)).select(
+    cur = spark.read.parquet(f"{path}/{v}").select(
         "event_type", F.col("n").alias("n_cur")
     )
     tot_c = cur.agg(F.sum("n_cur").alias("tc"))

@@ -201,13 +201,13 @@ def semantic_ingest_sink(
 
     Exactly-once: the manifest records applied batch ids; a replayed id
     is skipped (the CMS/HLL sink doctrine — state lives in storage).
-    ``path`` must be driver-local filesystem (CURRENT swap uses
-    open/os.replace; see ``hll_maintenance_sink`` for the object-store
-    porting note).  ``keep_manifests`` = prior manifests retained for
-    in-flight readers (delta dirs are never GC'd — they ARE the index).
+    ``path`` may be a local dir or any warehouse URI: manifest/pointer
+    I/O goes through the Hadoop FileSystem API (streaming/statefs.py;
+    atomic rename on hdfs/local, atomic PUT on object stores).
+    ``keep_manifests`` = prior manifests retained for in-flight readers
+    (delta dirs are never GC'd — they ARE the index).
     """
-    import os
-    import shutil
+    from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
     rows = [
         (r[centroid_id_col], list(r[vec_col]))
@@ -216,13 +216,14 @@ def semantic_ingest_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        deltas, applied = _read_manifest(path)
+        sfs = StateFs(spark, path)
+        deltas, applied = _read_manifest(path, spark)
         if deltas is None:
             # First commit: persist the seed corpus as the base delta
             # (schema normalized so every delta dir unions cleanly).
             if seed_index is not None:
                 _norm_index_schema(seed_index).write.mode("overwrite").parquet(
-                    os.path.join(path, "dseed")
+                    f"{path}/dseed"
                 )
                 deltas = ["dseed"]
             else:
@@ -256,7 +257,7 @@ def semantic_ingest_sink(
             )
         )
         new_delta = f"d{batch_id}"
-        admitted.write.mode("overwrite").parquet(os.path.join(path, new_delta))
+        admitted.write.mode("overwrite").parquet(f"{path}/{new_delta}")
         new_manifest = f"m{batch_id}"
         # Carry forward applied ids that are NOT derivable from a delta
         # dir name (a compaction folds per-batch dirs into dcompact{N}
@@ -268,24 +269,17 @@ def semantic_ingest_sink(
             if d != "dseed" and not d.startswith("dcompact")
         }
         notes = [f"#applied d{b}" for b in sorted(applied - derivable)]
-        with open(os.path.join(path, new_manifest + ".tmp"), "w") as f:
-            f.write("\n".join(deltas + [new_delta] + notes))
-        os.replace(
-            os.path.join(path, new_manifest + ".tmp"),
-            os.path.join(path, new_manifest),
+        sfs.write_text_atomic(
+            new_manifest, "\n".join(deltas + [new_delta] + notes)
         )
-        tmp = os.path.join(path, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(new_manifest)
-        os.replace(tmp, os.path.join(path, "CURRENT"))
+        sfs.write_text_atomic("CURRENT", new_manifest)
         manifests = sorted(
             (
                 m
-                for m in os.listdir(path)
+                for m in sfs.listdir()
                 if m.startswith("m")
                 and m != new_manifest
                 and not m.endswith(".tmp")
-                and os.path.isfile(os.path.join(path, m))
             ),
             # m{N} and compaction's m{N}c both GC'able; the c-suffixed
             # manifest is newer than its same-numbered plain sibling.
@@ -293,9 +287,9 @@ def semantic_ingest_sink(
             reverse=True,
         )
         for m in manifests[keep_manifests:]:
-            os.remove(os.path.join(path, m))
+            sfs.delete(m)
 
-    os.makedirs(path, exist_ok=True)
+    StateFs(stream.sparkSession, path).mkdirs()
     return (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
@@ -347,21 +341,35 @@ def _read_deltas(spark, path: str, deltas) -> DataFrame | None:
     return out
 
 
-def _read_manifest(path: str):
+def _read_manifest(path: str, spark=None):
     """(delta dir list, applied batch-id set) from the CURRENT manifest,
     or (None, None) before the first commit.  Lines starting with
     ``#applied d{N}`` are annotations a compaction writes to preserve
     the applied-id set after folding the per-batch dirs away — they are
-    parsed into ``applied`` but are NOT delta dirs."""
+    parsed into ``applied`` but are NOT delta dirs.
+
+    With a SparkSession the reads go through the Hadoop FileSystem API
+    (any warehouse scheme); the spark-less form is a driver-local
+    convenience for tests/diagnostics on plain paths."""
     import os
 
-    cur = os.path.join(path, "CURRENT")
-    if not os.path.exists(cur):
-        return None, None
-    with open(cur) as f:
-        manifest = f.read().strip()
-    with open(os.path.join(path, manifest)) as f:
-        lines = [ln for ln in f.read().splitlines() if ln]
+    if spark is not None:
+        from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+        sfs = StateFs(spark, path)
+        manifest = sfs.read_text("CURRENT")
+        if manifest is None:
+            return None, None
+        body = sfs.read_text(manifest.strip()) or ""
+        lines = [ln for ln in body.splitlines() if ln]
+    else:
+        cur = os.path.join(path, "CURRENT")
+        if not os.path.exists(cur):
+            return None, None
+        with open(cur) as f:
+            manifest = f.read().strip()
+        with open(os.path.join(path, manifest)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
     deltas = [ln for ln in lines if not ln.startswith("#")]
     applied = set()
     for d in deltas:
@@ -376,9 +384,7 @@ def _read_manifest(path: str):
 def read_semantic_index(spark, path: str) -> DataFrame | None:
     """The admitted-vector index = union of the CURRENT manifest's
     delta dirs, or None before the first commit."""
-    import os
-
-    deltas, _ = _read_manifest(path)
+    deltas, _ = _read_manifest(path, spark)
     if not deltas:
         return None
     return _read_deltas(spark, path, deltas)
@@ -399,30 +405,26 @@ def compact_semantic_index(spark, path: str) -> int:
     like any table-maintenance job).
 
     Returns the number of delta dirs folded (0 = nothing to do)."""
-    import os
+    from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
-    deltas, applied = _read_manifest(path)
+    deltas, applied = _read_manifest(path, spark)
     if not deltas or len(deltas) <= 1:
         return 0
     max_batch = max(applied) if applied else 0
     folded = _read_deltas(spark, path, deltas)
     new_delta = f"dcompact{max_batch}"
     folded.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, new_delta)
+        f"{path}/{new_delta}"
     )
     # The compacted dir carries every applied id; encode them in the
     # manifest as explicit lines so _read_manifest's applied-set parse
     # keeps working (one synthetic d{batch} marker per applied id,
     # pointing at no dir — only the first line is read as data).
+    sfs = StateFs(spark, path)
     new_manifest = f"m{max_batch}c"
-    with open(os.path.join(path, new_manifest + ".tmp"), "w") as f:
-        f.write("\n".join([new_delta] + [f"#applied d{b}" for b in sorted(applied)]))
-    os.replace(
-        os.path.join(path, new_manifest + ".tmp"),
-        os.path.join(path, new_manifest),
+    sfs.write_text_atomic(
+        new_manifest,
+        "\n".join([new_delta] + [f"#applied d{b}" for b in sorted(applied)]),
     )
-    tmp = os.path.join(path, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(new_manifest)
-    os.replace(tmp, os.path.join(path, "CURRENT"))
+    sfs.write_text_atomic("CURRENT", new_manifest)
     return len(deltas)

@@ -28,15 +28,23 @@ cell-keyed merge of two tiny tables.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fotmobdatapipeline_spark.operators.sketches import count_min_table
+from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
 
-def _current_version(path: str) -> str | None:
+def _current_version(path: str, spark=None) -> str | None:
+    """CURRENT pointer content, or None before the first commit.  With
+    a SparkSession the read goes through the Hadoop FileSystem API so
+    any warehouse scheme (hdfs://, s3a://, ...) resolves; the
+    spark-less form is a driver-local convenience for tests and
+    diagnostics on plain paths."""
+    if spark is not None:
+        txt = StateFs(spark, path).read_text("CURRENT")
+        return txt.strip() if txt else None
     cur = os.path.join(path, "CURRENT")
     if not os.path.exists(cur):
         return None
@@ -44,14 +52,32 @@ def _current_version(path: str) -> str | None:
         return f.read().strip()
 
 
+def _publish_version(sfs: StateFs, new_v: str, keep_versions: int) -> None:
+    """Swing CURRENT to ``new_v`` (atomic per the statefs scheme rules)
+    and GC version dirs beyond the retention horizon: the new version
+    plus the ``keep_versions`` most recent priors survive."""
+    sfs.write_text_atomic("CURRENT", new_v)
+    versions = sorted(
+        (
+            d
+            for d in sfs.listdir(dirs_only=True)
+            if d.startswith("v") and d != new_v
+        ),
+        key=lambda d: int(d[1:]),
+        reverse=True,
+    )
+    for d in versions[keep_versions:]:
+        sfs.delete(d, recursive=True)
+
+
 def read_cms_state(spark, path: str) -> DataFrame | None:
     """The CURRENT version of the stored sketch, or None before the
     first batch commits.  Versions are immutable once pointed at, so
     no listing-cache race is possible."""
-    v = _current_version(path)
+    v = _current_version(path, spark)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(path, v))
+    return spark.read.parquet(f"{path}/{v}")
 
 
 def cms_maintenance_sink(
@@ -68,16 +94,19 @@ def cms_maintenance_sink(
     — last_batch rides every row (constant within a version) so replay
     detection needs no side table.
 
-    ``path`` must be driver-local filesystem (the CURRENT pointer swap
-    uses open/os.replace); see ``hll_maintenance_sink`` for the
-    object-store porting note.  ``keep_versions`` = how many prior
-    versions survive each commit's GC (default 1)."""
+    ``path`` may be any warehouse URI the cluster's Hadoop configuration
+    resolves (hdfs://, s3a://, local, ...): all pointer/listing/GC I/O
+    goes through the Hadoop FileSystem API (``streaming/statefs.py``;
+    see its docstring for per-scheme pointer-swap atomicity).
+    ``keep_versions`` = how many prior versions survive each commit's
+    GC (default 1)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev_v = _current_version(path)
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
         prev = (
-            spark.read.parquet(os.path.join(path, prev_v))
+            spark.read.parquet(f"{path}/{prev_v}")
             if prev_v is not None
             else None
         )
@@ -99,29 +128,10 @@ def cms_maintenance_sink(
             merged = inc
         out = merged.withColumn("last_batch", F.lit(batch_id))
         new_v = f"v{batch_id}"
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, new_v)
-        )
-        tmp = os.path.join(path, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(new_v)
-        os.replace(tmp, os.path.join(path, "CURRENT"))
-        # GC: keep the new plus the keep_versions most recent priors.
-        versions = sorted(
-            (
-                d
-                for d in os.listdir(path)
-                if d.startswith("v")
-                and d != new_v
-                and os.path.isdir(os.path.join(path, d))
-            ),
-            key=lambda d: int(d[1:]),
-            reverse=True,
-        )
-        for d in versions[keep_versions:]:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
 
-    os.makedirs(path, exist_ok=True)
+    StateFs(stream.sparkSession, path).mkdirs()
     return (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
@@ -133,10 +143,10 @@ def read_hll_state(spark, path: str) -> DataFrame | None:
     """CURRENT version of the stored HLL register table, or None before
     the first batch commits (same versioned-immutable layout as the
     CMS sink)."""
-    v = _current_version(path)
+    v = _current_version(path, spark)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(path, v))
+    return spark.read.parquet(f"{path}/{v}")
 
 
 def hll_maintenance_sink(
@@ -159,24 +169,25 @@ def hll_maintenance_sink(
     stored table is m rows forever; each batch does one bounded
     register build plus a register-keyed merge of two m-row tables.
 
-    DEPLOYMENT CONSTRAINTS (ADVICE r5, same as the CMS sink it
-    mirrors): all state I/O here is driver-local filesystem
-    (open/os.replace/os.listdir) — ``path`` must be a local directory,
-    NOT an object-store URI; porting to S3/GCS means replacing the
-    CURRENT pointer swap with a conditional-put or a metastore row.
-    ``keep_versions`` controls GC breadth: each commit retains the new
-    version plus the ``keep_versions`` most recent prior versions
-    (default 1 — the previous version survives so a reader that
-    resolved CURRENT just before the commit can still finish its
-    collect; raise it for slow readers that may lag several commits,
-    at m rows per retained version the cost is nil)."""
+    DEPLOYMENT (r7, closing the ADVICE r5 constraint): all state I/O
+    goes through the Hadoop FileSystem API (``streaming/statefs.py``),
+    so ``path`` may be a local dir OR any warehouse URI — hdfs:// and
+    local get an atomic FileContext rename of the CURRENT pointer,
+    object stores a single atomic PUT.  ``keep_versions`` controls GC
+    breadth: each commit retains the new version plus the
+    ``keep_versions`` most recent prior versions (default 1 — the
+    previous version survives so a reader that resolved CURRENT just
+    before the commit can still finish its collect; raise it for slow
+    readers that may lag several commits, at m rows per retained
+    version the cost is nil)."""
     from fotmobdatapipeline_spark.operators.sketches import hll_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev_v = _current_version(path)
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
         prev = (
-            spark.read.parquet(os.path.join(path, prev_v))
+            spark.read.parquet(f"{path}/{prev_v}")
             if prev_v is not None
             else None
         )
@@ -196,28 +207,10 @@ def hll_maintenance_sink(
             merged = inc
         out = merged.withColumn("last_batch", F.lit(batch_id))
         new_v = f"v{batch_id}"
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, new_v)
-        )
-        tmp = os.path.join(path, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(new_v)
-        os.replace(tmp, os.path.join(path, "CURRENT"))
-        versions = sorted(
-            (
-                d
-                for d in os.listdir(path)
-                if d.startswith("v")
-                and d != new_v
-                and os.path.isdir(os.path.join(path, d))
-            ),
-            key=lambda d: int(d[1:]),
-            reverse=True,
-        )
-        for d in versions[keep_versions:]:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
 
-    os.makedirs(path, exist_ok=True)
+    StateFs(stream.sparkSession, path).mkdirs()
     return (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
