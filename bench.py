@@ -78,6 +78,7 @@ HEADLINE = [
     "events_retention_cohorts",
     # round-7 additions
     "multimodal_bmp_decode",
+    "sim_pq_rerank_topk",
 ]
 
 

@@ -1012,6 +1012,81 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    codes: int = 4,
+    shortlist: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + EXACT rerank — the standard production ANN
+    retrieval pattern (FAISS's ``IndexRefineFlat`` shape): the ADC
+    scorer scans only compressed codes to produce a ``shortlist`` of
+    candidates per query, then the full float vectors of JUST those
+    candidates are fetched and rescored with exact cosine; the final
+    top-``k`` ranks by the exact score.  Buys back most of the
+    quantization error at the cost of re-reading |Q| x shortlist full
+    vectors instead of the whole corpus.
+
+    Scale: the expensive stage (ADC scan) reads m-int codes only; the
+    rerank join touches ``shortlist`` vectors per query — with |Q|
+    broadcast, the fetch is one semi-join-shaped probe of the vector
+    table, never a second full scan's worth of float I/O.
+
+    Output: (query_id, neighbor_id, cos_sim, rk) — cos_sim is EXACT,
+    so the same (query, neighbor) row is directly comparable to
+    ``brute_force_topk``; recall@k vs brute force measures what the
+    shortlist missed.
+    """
+    from pyspark.sql import Window
+
+    short = pq_adc_topk(
+        queries, codebooks, encoded, dim=dim, m=m, codes=codes,
+        k=shortlist, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    exact = (
+        short.join(cand, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     evals: DataFrame,

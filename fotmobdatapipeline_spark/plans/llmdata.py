@@ -4612,6 +4612,73 @@ def _pq_oracle(m: int = _PQ_M, codes: int = _PQ_CODES, iters: int = _PQ_ITERS,
     return "\n".join(parts)
 
 
+def _pq_rerank_oracle(m: int = _PQ_M, codes: int = _PQ_CODES,
+                      iters: int = _PQ_ITERS, d: int = _PQ_DIM,
+                      shortlist: int = 20, k: int = 5) -> str:
+    """Oracle for the PQ-shortlist + exact-rerank pattern: the ADC
+    score CTEs are the sim_pq_adc_topk chain verbatim; the shortlist's
+    members are then rescored with the EXACT sequential-fold cosine
+    and reranked."""
+    parts = [
+        "WITH en AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"sqrt({_sql_dot('embedding', 'embedding')}) AS nrm FROM embeddings),",
+    ]
+    parts += _pq_chain_ctes(m, codes, iters, d)
+    lut_union = _pq_lut_union(
+        m, codes, iters, d, "(SELECT * FROM en WHERE vec_id < 10)"
+    )
+    parts += [
+        f"lut AS ({lut_union}),",
+        "sc AS (SELECT l.query_id, e.vec_id AS neighbor_id, "
+        "list_reduce(list(l.pdot ORDER BY l.sub), (p, q) -> p + q) AS adot, "
+        "list_reduce(list(l.csq ORDER BY l.sub), (p, q) -> p + q) AS csum, "
+        "MAX(l.q_norm) AS q_norm "
+        "FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code "
+        "WHERE l.query_id <> e.vec_id GROUP BY l.query_id, e.vec_id),",
+        "short AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "adot / (q_norm * sqrt(csum)) DESC, neighbor_id ASC) AS rk FROM sc) "
+        f"WHERE rk <= {shortlist}),",
+        "ex AS (SELECT s.query_id, s.neighbor_id, "
+        f"{_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_sim "
+        "FROM short s JOIN en q ON q.vec_id = s.query_id "
+        "JOIN en c ON c.vec_id = s.neighbor_id)",
+        "SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "cos_sim DESC, neighbor_id ASC) AS rk FROM ex) "
+        f"WHERE rk <= {k}",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "sim_pq_rerank_topk",
+    oracle=_pq_rerank_oracle(),
+    tags=("similarity", "pq", "ann", "rerank"),
+    doc="PQ-ADC shortlist + exact-cosine rerank (the FAISS refine pattern).",
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str):
+    """Two-stage retrieval: the ADC scan (compressed codes only)
+    shortlists 20 candidates per query, then exactly those 20 full
+    vectors are fetched and rescored with exact cosine for the final
+    top-5 — the production recipe that buys back quantization error
+    without a full-corpus float scan.  cos_sim is EXACT, so rows are
+    directly comparable to sim_bruteforce_topk; a (query, rank) row
+    differing between the two is a shortlist miss, priced as data."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = _trained_codebooks(
+        spark, sf_dir, dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES,
+        iterations=_PQ_ITERS,
+    )
+    enc = S.pq_encode(emb, cb, dim=_PQ_DIM, m=_PQ_M)
+    return S.pq_rerank_topk(
+        emb.filter(F.col("vec_id") < 10), cb, enc, emb,
+        dim=_PQ_DIM, m=_PQ_M, codes=_PQ_CODES, shortlist=20, k=5,
+    )
+
+
 @register(
     "sim_pq_adc_topk",
     oracle=_pq_oracle(),
