@@ -672,3 +672,14 @@ def test_round6_entries_no_cartesian_no_python_udf(spark):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             bad.append((name, "PythonUDF"))
     assert not bad, bad
+
+
+def test_pq_rerank_fetch_is_broadcast_probe(spark):
+    """sim_pq_rerank_topk's exact-rerank stage must fetch the shortlist
+    vectors via hash joins with the tiny sides broadcast (shortlist ids
+    and query vectors) — never a cartesian product or a second
+    full-corpus float scan shaped as a nested loop."""
+    df = _q("sim_pq_rerank_topk")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
