@@ -230,3 +230,27 @@ def test_bmp_entry_end_to_end(spark):
         assert got["n_bytes"] == len(payload) == 118
         assert got["header_hex"] == "424D7600"
         assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
+
+
+def test_bmp_decode_arrow_path_matches_pandas_path(spark):
+    """The real BMP decoder must produce row-identical features through
+    mapInArrow and mapInPandas — the scale path (no pandas hop) is not
+    allowed to diverge from the tested default on a real codec."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        bmp_feature_decoder,
+        encode_media_as_bmp,
+        extract_features,
+    )
+    from fotmobdatapipeline_spark.multimodal.binary_ops import (
+        extract_features_arrow,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(60)
+    bmp = encode_media_as_bmp(attach_binary_payload(docs), width=5, height=4)
+    p = sorted(extract_features(bmp, bmp_feature_decoder).collect())
+    a = sorted(extract_features_arrow(bmp, bmp_feature_decoder).collect())
+    assert a == p and len(a) == 60
