@@ -40,6 +40,8 @@ PICKS = [
     ("llm_prep_pipeline_v2", "Prep v2: Gopher filter pushed into both scans, one gram pipeline, hash-dedup on trimmed text"),
     ("events_anomaly_mad", "MAD anomaly flags: raw events collapse to one combinable (type, hour) count; median/MAD windows run on the calendar-bounded aggregate"),
     ("sketch_histogram_quantiles", "Mergeable quantiles: constant-edge histogram (map + combinable agg, no sort near the fact); quantile picks read the checkpointed bucket table"),
+    ("sim_pq_rerank_topk", "PQ shortlist + exact rerank: ADC scan over codes, then broadcast-probe fetch of shortlist vectors only — no second full float scan"),
+    ("multimodal_bmp_decode", "Real-codec decode: two chained Arrow stages (encode, decode) over (doc_id, payload) only — column-pruned, shuffle-free"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
