@@ -24,6 +24,7 @@ isolation, with this exact same logical MERGE underneath.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,3 +108,108 @@ def upsert_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         source.unpersist()
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _partition_file_stats(spark: SparkSession, path: str, partition_col: str):
+    """Per-partition (value → (file_count, total_bytes)) via the Hadoop
+    FileSystem API, so s3://, hdfs:// and local paths all resolve.  Only
+    directory entries named ``partition_col=...`` are counted; data files
+    are non-hidden regular files (Spark's _SUCCESS / .crc are skipped)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    prefix = partition_col + "="
+    stats: dict[str, tuple[int, int]] = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        files = bytes_ = 0
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if f.isFile() and not fname.startswith(("_", ".")):
+                files += 1
+                bytes_ += f.getLen()
+        stats[name[len(prefix):]] = (files, bytes_)
+    return stats
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    partitions: Sequence[str] | None = None,
+) -> list[dict]:
+    """Small-file compaction for a Hive-partitioned parquet table — the
+    OPTIMIZE / bin-packing maintenance pass a long-lived 100 TB table
+    needs after many incremental ``upsert_partitioned`` / streaming
+    appends.  Each selected partition is rewritten into
+    ``ceil(bytes / target_file_bytes)`` files (≥1); partitions already at
+    or under that file count, or under ``min_files``, are left untouched
+    (their files are never read, never rewritten, mtimes preserved).
+
+    One job compacts ALL selected partitions: rows are shuffled once on
+    ``(partition_col, file_bucket)`` where ``file_bucket`` is a per-row
+    hash bounded by that partition's target file count — so a partition
+    needing 3 files lands in ~3 write tasks while its 10 000-file
+    neighbour gets its own fan-in, without a driver loop per partition.
+    Cost is O(selected partitions), independent of table size.
+
+    Returns per-partition stats ``{partition, files_before, bytes,
+    target_files, files_after}`` for the selected partitions.
+    """
+    before = _partition_file_stats(spark, path, partition_col)
+    chosen: dict[str, int] = {}
+    for pval, (files, bytes_) in before.items():
+        if partitions is not None and pval not in set(map(str, partitions)):
+            continue
+        target = max(1, math.ceil(bytes_ / target_file_bytes))
+        if files >= min_files and files > target:
+            chosen[pval] = target
+    if not chosen:
+        return []
+
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).cast("string").isin(list(chosen))
+    )
+    # partition value → target file count, as a broadcast-sized literal map
+    nmap = F.create_map(
+        *[F.lit(x) for kv in chosen.items() for x in kv]
+    )[F.col(partition_col).cast("string")]
+    cols = df.columns
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), nmap)
+    out = (
+        df.withColumn("__file_bucket", bucket)
+        .repartition(F.col(partition_col), F.col("__file_bucket"))
+        .drop("__file_bucket")
+    )
+
+    # Same staging discipline as upsert_partitioned: never overwrite the
+    # files a running read is consuming.
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="fotmob_compact_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        staged = spark.read.parquet(staging)
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    after = _partition_file_stats(spark, path, partition_col)
+    return [
+        {
+            "partition": pval,
+            "files_before": before[pval][0],
+            "bytes": before[pval][1],
+            "target_files": tgt,
+            "files_after": after.get(pval, (0, 0))[0],
+        }
+        for pval, tgt in sorted(chosen.items())
+    ]

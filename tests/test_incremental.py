@@ -130,3 +130,78 @@ def test_upsert_aborts_on_unreadable_target(spark, tmp_path):
     fresh = str(tmp_path / "fresh_target")
     upsert_partitioned(spark, batch, fresh, keys=["o_orderkey"], partition_col="order_month")
     assert spark.read.parquet(fresh).count() == 3
+
+
+def test_compact_partitions_packs_small_files(spark, tmp_path):
+    """Compaction rewrites fragmented partitions into the target file
+    count, preserves content exactly, and never touches partitions that
+    are already packed (or excluded by the ``partitions`` arg)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("day"),
+        (F.col("id") * 7 % 997).alias("v"),
+    )
+    # days 0-2 fragmented into 8 files each; day 3 written packed (1 file)
+    df.filter("day <> '3'").repartition(8).write.partitionBy("day").parquet(path)
+    df.filter("day = '3'").coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert len(files_of("0")) == 8 and len(files_of("3")) == 1
+    day2_before = files_of("2")
+    before = sorted(spark.read.parquet(path).collect())
+
+    # compact only days 0 and 1 → day 2 stays fragmented with the SAME files
+    stats = compact_partitions(
+        spark, path, "day", target_file_bytes=1 << 30, partitions=["0", "1"]
+    )
+    assert {s["partition"] for s in stats} == {"0", "1"}
+    for s in stats:
+        assert s["files_before"] == 8 and s["target_files"] == 1
+        assert s["files_after"] == 1
+    assert len(files_of("0")) == 1 and len(files_of("1")) == 1
+    assert files_of("2") == day2_before  # untouched partition: same files
+    assert sorted(spark.read.parquet(path).collect()) == before  # row-identical
+
+    # second pass over the whole table: packs day 2, leaves 0/1/3 alone
+    stats2 = compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    assert {s["partition"] for s in stats2} == {"2"}
+    assert len(files_of("2")) == 1
+    assert sorted(spark.read.parquet(path).collect()) == before
+
+    # already-packed table → no-op, nothing selected
+    assert compact_partitions(spark, path, "day", target_file_bytes=1 << 30) == []
+
+
+def test_compact_partitions_respects_multi_file_target(spark, tmp_path):
+    """A partition bigger than target_file_bytes is packed into
+    ceil(bytes/target) files, not one giant file."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import (
+        _partition_file_stats,
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "big")
+    df = spark.range(0, 20000).select(
+        F.col("id"), F.lit("a").alias("day"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    df.repartition(16).write.partitionBy("day").parquet(path)
+    bytes_ = _partition_file_stats(spark, path, "day")["a"][1]
+    target = bytes_ // 3  # → ceil = 4 files (±1 packing slack)
+    before = sorted(spark.read.parquet(path).collect())
+
+    stats = compact_partitions(spark, path, "day", target_file_bytes=target)
+    assert len(stats) == 1
+    s = stats[0]
+    assert s["files_before"] == 16
+    assert 1 <= s["files_after"] <= s["target_files"] == 4
+    assert sorted(spark.read.parquet(path).collect()) == before
