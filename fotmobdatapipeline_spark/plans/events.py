@@ -527,6 +527,52 @@ def events_forward_fill(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Exponentially weighted moving average (pandas ewm adjust=True
+# semantics, decay 0.5) over a trailing 10-row frame per user — the
+# smoothing operator time-series monitoring needs next to z-score and
+# forward-fill.  Exactness: the weighted sum is a SEQUENTIAL left fold
+# a*0.5 + v over the frame list (collect_list over a rows-frame window
+# preserves frame order), so every step is either an IEEE exponent
+# shift (a*0.5, exact) or one double add executed in the same order by
+# both engines; the normalizer 2*(1-0.5^m) is a dyadic rational.  The
+# frame cap (W=10) bounds state per row; weights below 0.5^10 ≈ 1e-3
+# are dropped by construction rather than truncated inconsistently.
+# Scale shape: one shuffle on user_id, no join, no UDF.
+# --------------------------------------------------------------------------
+_EWM_W = 10
+
+
+@register(
+    "events_ewm_value",
+    oracle=f"""
+    WITH fr AS (
+      SELECT event_id, user_id,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN {_EWM_W - 1} PRECEDING AND CURRENT ROW) AS vs
+      FROM events
+    )
+    SELECT event_id, user_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                       (a, b) -> a * CAST(0.5 AS DOUBLE) + b)
+             / (CAST(2 AS DOUBLE)
+                * (CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(vs))))
+             AS ewm_value
+    FROM fr
+    """,
+    tags=("events", "window", "time-series"),
+    doc="Per-user trailing EWMA via sequential fold, bit-exact both engines.",
+)
+def events_ewm_value(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-(_EWM_W - 1), 0)
+    vals = F.collect_list(F.col("value").cast("double")).over(w)
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, b: a * F.lit(0.5) + b)
+    norm = F.lit(2.0) * (F.lit(1.0) - F.pow(F.lit(0.5), F.size(vals).cast("double")))
+    return ev.select("event_id", "user_id", (fold / norm).alias("ewm_value"))
+
+
+# --------------------------------------------------------------------------
 # Cumulative distinct count: distinct event types seen so far per user —
 # the "new vs returning behavior" running metric.  Exact distinct over a
 # running window is quadratic done naively; the scalable form flags each
