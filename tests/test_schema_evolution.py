@@ -95,3 +95,32 @@ def test_conform_schema_pushdown_survives(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint>" in plan  # v pruned at the scan
     assert df.count() == 10
+
+
+# -- property: widening is an order-insensitive least upper bound ---------
+try:
+    from hypothesis import given, strategies as st
+
+    _LEAVES = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(),
+    ]
+
+    @given(st.lists(st.sampled_from(_LEAVES), min_size=1, max_size=6))
+    def test_widen_is_order_insensitive_upper_bound(types):
+        import itertools
+
+        from fotmobdatapipeline_spark.sources.evolution import _widen
+
+        import functools as ft
+        results = {
+            repr(ft.reduce(_widen, perm))
+            for perm in itertools.permutations(types)
+        } if len(types) <= 4 else {repr(ft.reduce(_widen, types))}
+        assert len(results) == 1  # order never changes the outcome
+        lub = ft.reduce(_widen, types)
+        for t in types:
+            assert _widen(t, lub) == lub  # true upper bound
+        assert _widen(lub, lub) == lub  # idempotent
+except ImportError:  # pragma: no cover
+    pass
