@@ -205,3 +205,46 @@ def test_compact_partitions_respects_multi_file_target(spark, tmp_path):
     assert s["files_before"] == 16
     assert 1 <= s["files_after"] <= s["target_files"] == 4
     assert sorted(spark.read.parquet(path).collect()) == before
+
+
+def test_collect_table_stats_roundtrip(spark, tmp_path):
+    """One-pass ANALYZE: row/null/ndv/min-max computed and persisted
+    atomically beside the data, invisible to the parquet reader."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_table_stats,
+        read_table_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id").cast("double")).alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("name"),
+    )
+    df.write.parquet(path)
+
+    stats = collect_table_stats(spark, path)
+    assert stats["row_count"] == 1000
+    assert stats["columns"]["id"]["min"] == 0 and stats["columns"]["id"]["max"] == 999
+    assert stats["columns"]["v"]["null_count"] == 250
+    assert abs(stats["columns"]["bucket"]["approx_ndv"] - 10) <= 1
+    assert abs(stats["columns"]["name"]["approx_ndv"] - 50) <= 5
+    assert "min" not in stats["columns"]["name"]  # strings: no min/max
+
+    # persisted copy reads back identically; data files unaffected
+    assert read_table_stats(spark, path) == stats
+    assert spark.read.parquet(path).count() == 1000  # _stats dir ignored
+
+    # refresh after data change overwrites atomically
+    spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("u0").alias("name"),
+    ).write.mode("append").parquet(path)
+    stats2 = collect_table_stats(spark, path)
+    assert stats2["row_count"] == 1100
+    assert read_table_stats(spark, path)["row_count"] == 1100
+    assert read_table_stats(spark, str(tmp_path / "absent")) is None
