@@ -683,3 +683,18 @@ def test_pq_rerank_fetch_is_broadcast_probe(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ewm_single_window_pass_no_udf(spark):
+    """events_ewm_value must be one exchange on user_id + one Window
+    operator with a pruned 3-column scan — the fold is a native
+    expression, never a Python UDF, and there is no partition-less
+    global window."""
+    df = _q("events_ewm_value")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window") == 1
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert bad not in plan

@@ -42,6 +42,7 @@ PICKS = [
     ("sketch_histogram_quantiles", "Mergeable quantiles: constant-edge histogram (map + combinable agg, no sort near the fact); quantile picks read the checkpointed bucket table"),
     ("sim_pq_rerank_topk", "PQ shortlist + exact rerank: ADC scan over codes, then broadcast-probe fetch of shortlist vectors only — no second full float scan"),
     ("multimodal_bmp_decode", "Real-codec decode: two chained Arrow stages (encode, decode) over (doc_id, payload) only — column-pruned, shuffle-free"),
+    ("events_ewm_value", "Trailing EWMA: pruned 3-col scan, one exchange on user_id, a single Window pass, sequential-fold projection — no UDF"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
