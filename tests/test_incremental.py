@@ -248,3 +248,58 @@ def test_collect_table_stats_roundtrip(spark, tmp_path):
     assert stats2["row_count"] == 1100
     assert read_table_stats(spark, path)["row_count"] == 1100
     assert read_table_stats(spark, str(tmp_path / "absent")) is None
+
+
+def test_table_lifecycle_end_to_end(spark, tmp_path):
+    """The full maintenance window on one table: incremental MERGE
+    upserts fragment it, compaction packs it, ANALYZE refreshes stats,
+    and a schema-widened late batch stays readable via read_evolved."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import (
+        compact_partitions,
+        upsert_partitioned,
+    )
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_table_stats,
+        read_table_stats,
+    )
+    from fotmobdatapipeline_spark.sources.evolution import read_evolved
+
+    path = str(tmp_path / "t")
+
+    def batch(lo, hi, status):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(status).alias("status"),
+            (F.col("id") % 3).cast("string").alias("day"),
+        )
+
+    # three incremental upserts, the third revising half of the second
+    upsert_partitioned(spark, batch(0, 300, "new"), path, ["k"], "day")
+    upsert_partitioned(spark, batch(300, 600, "new"), path, ["k"], "day")
+    upsert_partitioned(spark, batch(450, 600, "revised"), path, ["k"], "day")
+    df = spark.read.parquet(path)
+    assert df.count() == 600
+    assert df.filter("status = 'revised'").count() == 150
+
+    # compaction packs every fragmented partition, content unchanged
+    before = sorted(df.collect())
+    stats = compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    assert stats and all(s["files_after"] <= s["target_files"] for s in stats)
+    assert sorted(spark.read.parquet(path).collect()) == before
+
+    # ANALYZE after the window; stats match the table
+    t = collect_table_stats(spark, path)
+    assert t["row_count"] == 600
+    assert t["columns"]["k"]["min"] == 0 and t["columns"]["k"]["max"] == 599
+    assert read_table_stats(spark, path) == t
+
+    # a later producer widens k to a wider physical shape in a NEW
+    # partition dir; the table stays readable end-to-end
+    spark.range(600, 650).select(
+        F.col("id").cast("int").alias("k"), F.lit("v2").alias("status")
+    ).coalesce(1).write.parquet(path + "/day=9")
+    evolved = read_evolved(spark, path, partition_col="day")
+    assert evolved.count() == 650
+    assert dict(evolved.dtypes)["k"] == "bigint"
