@@ -159,6 +159,11 @@ def compact_partitions(
 
     Returns per-partition stats ``{partition, files_before, bytes,
     target_files, files_after}`` for the selected partitions.
+
+    Partition values are matched by their directory-name form; a value
+    Hive escapes in the dir name (spaces, ``/``) will not match its
+    cast-to-string column form — such partitions are safely skipped
+    (never rewritten), not corrupted.
     """
     before = _partition_file_stats(spark, path, partition_col)
     chosen: dict[str, int] = {}

@@ -113,6 +113,11 @@ def read_evolved(
     ``partition_col`` to enumerate the directories.  The fallback plan
     is a union of per-partition scans — each scan still prunes columns
     and pushes filters; the union adds no shuffle.
+
+    Note one fast/fallback asymmetry: the fast path types the partition
+    column via Spark's partition discovery (e.g. int for ``day=3``),
+    while the fallback always emits it as string (the directory-name
+    form) — cast at the call site if a specific type is needed.
     """
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
