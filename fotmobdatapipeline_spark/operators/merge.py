@@ -93,11 +93,16 @@ def upsert_partitioned(
     # Stage the merged partitions to a scratch dir first: the merge reads
     # the same files the final write replaces, and overwriting a path
     # mid-read is undefined for file sources.  Cost: touched partitions
-    # are written twice — still O(batch), never O(table).
-    import shutil
-    import tempfile
+    # are written twice — still O(batch), never O(table).  The staging
+    # dir lives INSIDE the table (underscore-prefixed → invisible to
+    # Spark's file index) so it is on the warehouse filesystem: a
+    # driver-local tempdir would scatter executor output across nodes
+    # on a real cluster and silently lose rows.
+    import uuid
 
-    staging = tempfile.mkdtemp(prefix="fotmob_merge_")
+    from fotmobdatapipeline_spark.sources.fsutil import delete_path
+
+    staging = f"{path}/_merge_staging-{uuid.uuid4().hex}"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -107,31 +112,15 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         source.unpersist()
-        shutil.rmtree(staging, ignore_errors=True)
+        delete_path(spark, staging)
 
 
 def _partition_file_stats(spark: SparkSession, path: str, partition_col: str):
-    """Per-partition (value → (file_count, total_bytes)) via the Hadoop
-    FileSystem API, so s3://, hdfs:// and local paths all resolve.  Only
-    directory entries named ``partition_col=...`` are counted; data files
-    are non-hidden regular files (Spark's _SUCCESS / .crc are skipped)."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    prefix = partition_col + "="
-    stats: dict[str, tuple[int, int]] = {}
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith(prefix)):
-            continue
-        files = bytes_ = 0
-        for f in fs.listStatus(st.getPath()):
-            fname = f.getPath().getName()
-            if f.isFile() and not fname.startswith(("_", ".")):
-                files += 1
-                bytes_ += f.getLen()
-        stats[name[len(prefix):]] = (files, bytes_)
-    return stats
+    """Back-compat shim over :func:`fotmobdatapipeline_spark.sources.
+    fsutil.partition_file_stats` (the shared scheme-aware listing)."""
+    from fotmobdatapipeline_spark.sources.fsutil import partition_file_stats
+
+    return partition_file_stats(spark, path, partition_col)
 
 
 def compact_partitions(
@@ -146,68 +135,80 @@ def compact_partitions(
     OPTIMIZE / bin-packing maintenance pass a long-lived 100 TB table
     needs after many incremental ``upsert_partitioned`` / streaming
     appends.  Each selected partition is rewritten into
-    ``ceil(bytes / target_file_bytes)`` files (≥1); partitions already at
-    or under that file count, or under ``min_files``, are left untouched
-    (their files are never read, never rewritten, mtimes preserved).
+    ``ceil(bytes / target_file_bytes)`` balanced files (>=1);
+    partitions already at or under that file count, or under
+    ``min_files``, are left untouched (their files are never read,
+    never rewritten, mtimes preserved).
 
-    One job compacts ALL selected partitions: rows are shuffled once on
-    ``(partition_col, file_bucket)`` where ``file_bucket`` is a per-row
-    hash bounded by that partition's target file count — so a partition
-    needing 3 files lands in ~3 write tasks while its 10 000-file
-    neighbour gets its own fan-in, without a driver loop per partition.
-    Cost is O(selected partitions), independent of table size.
+    Mechanics: each selected partition DIRECTORY is read directly (no
+    value-typed filter — so lexically distinct values that would
+    collide under partition-type inference, e.g. ``day=0`` vs
+    ``day=00``, stay separate), round-robin ``repartition(n)`` to its
+    own exact target file count, and all legs union into ONE job whose
+    output is staged inside the table (same warehouse filesystem) and
+    swapped in per-partition.  A selected partition whose files hold
+    zero rows is deleted outright (its files contain nothing) so it is
+    not re-selected forever.  With ``partitions`` given, listing cost
+    is O(len(partitions)); otherwise one table listing discovers the
+    fragmentation.  Plan size is O(selected partitions) (one union leg
+    each) — bound a single maintenance run to thousands of partitions,
+    not the whole 100 TB table at once.
+
+    Single-writer assumption (same as ``upsert_partitioned``): no
+    concurrent writer may touch the selected partitions during the
+    swap; readers see old-or-new files per partition.
 
     Returns per-partition stats ``{partition, files_before, bytes,
     target_files, files_after}`` for the selected partitions.
-
-    Partition values are matched by their directory-name form; a value
-    Hive escapes in the dir name (spaces, ``/``) will not match its
-    cast-to-string column form — such partitions are safely skipped
-    (never rewritten), not corrupted.
     """
-    before = _partition_file_stats(spark, path, partition_col)
+    import functools
+    import uuid
+
+    from fotmobdatapipeline_spark.sources.fsutil import (
+        delete_path,
+        partition_dirs,
+        partition_file_stats,
+    )
+
+    before = partition_file_stats(spark, path, partition_col, only=partitions)
     chosen: dict[str, int] = {}
     for pval, (files, bytes_) in before.items():
-        if partitions is not None and pval not in set(map(str, partitions)):
-            continue
         target = max(1, math.ceil(bytes_ / target_file_bytes))
         if files >= min_files and files > target:
             chosen[pval] = target
     if not chosen:
         return []
 
-    df = spark.read.parquet(path).filter(
-        F.col(partition_col).cast("string").isin(list(chosen))
-    )
-    # partition value → target file count, as a broadcast-sized literal map
-    nmap = F.create_map(
-        *[F.lit(x) for kv in chosen.items() for x in kv]
-    )[F.col(partition_col).cast("string")]
-    cols = df.columns
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), nmap)
-    out = (
-        df.withColumn("__file_bucket", bucket)
-        .repartition(F.col(partition_col), F.col("__file_bucket"))
-        .drop("__file_bucket")
-    )
+    dirs = dict(partition_dirs(spark, path, partition_col, only=list(chosen)))
+    legs = [
+        spark.read.parquet(dirs[pval])
+        .repartition(chosen[pval])  # round-robin: exactly n balanced outputs
+        .withColumn(partition_col, F.lit(pval))
+        for pval in sorted(chosen)
+    ]
+    out = functools.reduce(lambda a, b: a.unionByName(b), legs)
 
-    # Same staging discipline as upsert_partitioned: never overwrite the
-    # files a running read is consuming.
-    import shutil
-    import tempfile
-
-    staging = tempfile.mkdtemp(prefix="fotmob_compact_")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # One Spark write into an in-table staging dir, then per-partition
+    # filesystem swap — half the I/O of a second Spark write, and the
+    # same-directory placement guarantees same-filesystem renames.
+    staging = f"{path}/_compact_staging-{uuid.uuid4().hex}"
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     try:
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        staged = spark.read.parquet(staging)
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        out.write.partitionBy(partition_col).parquet(staging)
+        staged = {v: d for v, d in partition_dirs(spark, staging, partition_col)}
+        for pval in sorted(chosen):
+            dst = Path(dirs[pval])
+            fs.delete(dst, True)
+            if pval in staged:
+                if not fs.rename(Path(staged[pval]), dst):
+                    raise IOError(f"cannot swap compacted partition into {dst}")
+            # else: zero rows — the partition is simply gone now.
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(staging, ignore_errors=True)
+        delete_path(spark, staging)
 
-    after = _partition_file_stats(spark, path, partition_col)
+    after = partition_file_stats(spark, path, partition_col, only=list(chosen))
     return [
         {
             "partition": pval,

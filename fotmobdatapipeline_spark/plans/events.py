@@ -537,6 +537,14 @@ def events_forward_fill(spark: SparkSession, sf_dir: str):
 # both engines; the normalizer 2*(1-0.5^m) is a dyadic rational.  The
 # frame cap (W=10) bounds state per row; weights below 0.5^10 ≈ 1e-3
 # are dropped by construction rather than truncated inconsistently.
+# NULL values: Spark's collect_list silently drops NULL elements, so
+# the oracle's windowed list() carries the matching FILTER — both
+# engines compute over the frame's non-null values, and an all-null
+# frame is guarded to NULL on both sides (Spark's empty array vs
+# DuckDB's NULL list both fail the >0 length test; unguarded it would
+# be an ANSI DIVIDE_BY_ZERO on the Spark side).  Verified empirically
+# with a null-heavy synthetic table: 0 mismatches including the
+# all-null-user edge.
 # Scale shape: one shuffle on user_id, no join, no UDF.
 # --------------------------------------------------------------------------
 _EWM_W = 10
@@ -547,17 +555,19 @@ _EWM_W = 10
     oracle=f"""
     WITH fr AS (
       SELECT event_id, user_id,
-             list(CAST(value AS DOUBLE)) OVER (
+             list(CAST(value AS DOUBLE))
+               FILTER (WHERE value IS NOT NULL) OVER (
                PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN {_EWM_W - 1} PRECEDING AND CURRENT ROW) AS vs
       FROM events
     )
     SELECT event_id, user_id,
-           list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
-                       (a, b) -> a * CAST(0.5 AS DOUBLE) + b)
-             / (CAST(2 AS DOUBLE)
-                * (CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(vs))))
-             AS ewm_value
+           CASE WHEN len(vs) > 0 THEN
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                         (a, b) -> a * CAST(0.5 AS DOUBLE) + b)
+               / (CAST(2 AS DOUBLE)
+                  * (CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(vs))))
+           END AS ewm_value
     FROM fr
     """,
     tags=("events", "window", "time-series"),
@@ -569,7 +579,10 @@ def events_ewm_value(spark: SparkSession, sf_dir: str):
     vals = F.collect_list(F.col("value").cast("double")).over(w)
     fold = F.aggregate(vals, F.lit(0.0), lambda a, b: a * F.lit(0.5) + b)
     norm = F.lit(2.0) * (F.lit(1.0) - F.pow(F.lit(0.5), F.size(vals).cast("double")))
-    return ev.select("event_id", "user_id", (fold / norm).alias("ewm_value"))
+    # Empty frame (every value in the window NULL) → NULL, matching the
+    # oracle's CASE; an unguarded 0/0 would raise under ANSI mode.
+    ewm = F.when(F.size(vals) > 0, fold / norm)
+    return ev.select("event_id", "user_id", ewm.alias("ewm_value"))
 
 
 # --------------------------------------------------------------------------

@@ -89,17 +89,27 @@ def conform_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
-def _partition_dirs(spark: SparkSession, path: str, partition_col: str):
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    prefix = partition_col + "="
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(prefix):
-            out.append((name[len(prefix):], str(st.getPath())))
-    return sorted(out)
+_MERGE_ERROR_CLASSES = (
+    "CANNOT_MERGE_SCHEMAS",
+    "CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE",
+)
+
+
+def _is_schema_merge_error(exc: Exception) -> bool:
+    """True iff the exception carries one of Spark's schema-merge error
+    classes — checked via the JVM accessor when present, else via the
+    bracketed class token Spark prefixes to every such message."""
+    je = getattr(exc, "java_exception", None)
+    if je is not None:
+        for accessor in ("getCondition", "getErrorClass"):
+            try:
+                cls = getattr(je, accessor)()
+                if cls:
+                    return cls in _MERGE_ERROR_CLASSES
+            except Exception:
+                pass
+    msg = str(exc)
+    return any(f"[{c}]" in msg for c in _MERGE_ERROR_CLASSES)
 
 
 def read_evolved(
@@ -123,9 +133,13 @@ def read_evolved(
         df = spark.read.option("mergeSchema", "true").parquet(path)
         df.schema  # force footer merge now, not at first action
         return df
-    except Exception as exc:  # Spark surfaces footer-merge failure as
-        # SparkException("Failed to merge fields ..."), not AnalysisException
-        if "merge" not in str(exc).lower():
+    except Exception as exc:
+        # Footer-merge failure surfaces as a raw Py4JJavaError wrapping
+        # SparkException (no python-side getErrorClass), so recognize it
+        # by the stable bracketed ERROR-CLASS tokens in the message —
+        # class identifiers, not prose, per the upsert_partitioned
+        # convention.  Verified on Spark 4: "[CANNOT_MERGE_SCHEMAS]".
+        if not _is_schema_merge_error(exc):
             raise
         if partition_col is None:
             raise ValueError(
@@ -133,7 +147,9 @@ def read_evolved(
                 "per-partition fallback"
             ) from exc
 
-    parts = _partition_dirs(spark, path, partition_col)
+    from fotmobdatapipeline_spark.sources.fsutil import partition_dirs
+
+    parts = partition_dirs(spark, path, partition_col)
     if not parts:
         raise ValueError(f"no {partition_col}=* directories under {path}")
     # One footer read per partition dir: schema inference on a directory

@@ -1,0 +1,71 @@
+"""Shared Hadoop-FileSystem helpers for Hive-partitioned table layout.
+
+One scheme-aware implementation of "list the ``col=value`` partition
+directories (and their data files)" used by the table-lifecycle
+operators (``operators/merge.py`` compaction, ``sources/evolution.py``
+evolved reads) — the same py4j FileSystem route as
+``streaming/statefs.py``, so ``s3a://``, ``hdfs://``, ``gs://`` and
+local paths all resolve through the warehouse's own configuration.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+
+def _fs_and_path(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def partition_dirs(
+    spark, path: str, partition_col: str, only: Sequence[str] | None = None
+) -> list[tuple[str, str]]:
+    """Sorted ``(value, directory-uri)`` for every ``partition_col=...``
+    child directory.  ``only`` restricts the listing to the named
+    values WITHOUT listing the rest of the table — with it the cost is
+    O(len(only)) existence checks, not O(#partitions)."""
+    fs, jpath = _fs_and_path(spark, path)
+    prefix = partition_col + "="
+    if only is not None:
+        Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        out = []
+        for v in only:
+            p = Path(f"{path}/{prefix}{v}")
+            if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+                out.append((str(v), str(p)))
+        return sorted(out)
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append((name[len(prefix):], str(st.getPath())))
+    return sorted(out)
+
+
+def partition_file_stats(
+    spark, path: str, partition_col: str, only: Sequence[str] | None = None
+) -> dict[str, tuple[int, int]]:
+    """Per-partition-value ``(data_file_count, total_bytes)``.  Data
+    files are non-hidden regular files (Spark's ``_SUCCESS`` / dot
+    files are skipped).  ``only`` bounds the walk as in
+    :func:`partition_dirs`."""
+    fs, _ = _fs_and_path(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    stats: dict[str, tuple[int, int]] = {}
+    for pval, pdir in partition_dirs(spark, path, partition_col, only=only):
+        files = bytes_ = 0
+        for f in fs.listStatus(Path(pdir)):
+            fname = f.getPath().getName()
+            if f.isFile() and not fname.startswith(("_", ".")):
+                files += 1
+                bytes_ += f.getLen()
+        stats[pval] = (files, bytes_)
+    return stats
+
+
+def delete_path(spark, path: str, recursive: bool = True) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.delete(jpath, recursive))

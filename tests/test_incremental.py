@@ -303,3 +303,54 @@ def test_table_lifecycle_end_to_end(spark, tmp_path):
     evolved = read_evolved(spark, path, partition_col="day")
     assert evolved.count() == 650
     assert dict(evolved.dtypes)["k"] == "bigint"
+
+
+def test_compact_partitions_no_value_collision(spark, tmp_path):
+    """Lexically distinct partition values that collide under partition
+    type inference (day=0 vs day=00 both parse to int 0) must stay
+    separate: per-directory reads, no cast-to-string filter."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id")).repartition(4).write.parquet(path + "/day=0")
+    spark.range(100, 150).select(F.col("id")).repartition(4).write.parquet(path + "/day=00")
+
+    stats = compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    assert {s["partition"]: s["files_after"] for s in stats} == {"0": 1, "00": 1}
+    # no duplication, no loss, and each dir holds exactly its own rows
+    assert spark.read.parquet(path + "/day=0").count() == 100
+    assert spark.read.parquet(path + "/day=00").count() == 50
+    got = sorted(r[0] for r in spark.read.parquet(path + "/day=0").collect())
+    assert got == list(range(100))
+
+
+def test_compact_partitions_removes_zero_row_partition(spark, tmp_path):
+    """A fragmented partition whose files hold zero rows is deleted,
+    not re-selected forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id")).repartition(3).write.parquet(path + "/day=a")
+    # three genuine 0-row parquet files (footer, no rows) — the shape a
+    # foreign writer or a filtered-out batch leaves behind
+    os.makedirs(path + "/day=b")
+    empty = pa.table({"id": pa.array([], type=pa.int64())})
+    for i in range(3):
+        pq.write_table(empty, f"{path}/day=b/part-{i}.parquet")
+
+    stats = compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    by = {s["partition"]: s for s in stats}
+    assert by["a"]["files_after"] == 1
+    assert by["b"]["files_after"] == 0 and not os.path.exists(path + "/day=b")
+    assert spark.read.parquet(path).count() == 100
+    # second run: nothing left to do
+    assert compact_partitions(spark, path, "day", target_file_bytes=1 << 30) == []

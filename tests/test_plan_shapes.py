@@ -696,5 +696,6 @@ def test_ewm_single_window_pass_no_udf(spark):
     assert "hashpartitioning(user_id" in plan
     assert plan.count("Window") == 1
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>" in plan
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "MapInPandas"):
         assert bad not in plan

@@ -1807,3 +1807,59 @@ def test_running_sum_correct_on_join_sourced_input(spark):
         assert len(rows) == len(mm)
         assert all(tc[v] == cc for v, cc, _ in rows)
         assert all(tb[v] == bb for v, _, bb in rows)
+
+
+def test_ewm_null_semantics_match_oracle(spark, duck):
+    """events_ewm_value on NULL-bearing data: both engines drop NULL
+    frame elements and yield NULL (never DIVIDE_BY_ZERO, never NaN) for
+    an all-NULL frame.  The driver tables carry no NULL values, so this
+    edge is pinned here on a synthetic table."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(0, 16).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 12, F.lit(1)).otherwise(F.lit(2)).alias("user_id"),
+        F.when(
+            (F.col("id") % 3 != 0) & (F.col("id") < 12), F.col("id").cast("double")
+        ).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    vals = F.collect_list(F.col("value").cast("double")).over(w)
+    fold = F.aggregate(vals, F.lit(0.0), lambda a, b: a * F.lit(0.5) + b)
+    norm = F.lit(2.0) * (F.lit(1.0) - F.pow(F.lit(0.5), F.size(vals).cast("double")))
+    ewm = F.when(F.size(vals) > 0, fold / norm)
+    sres = {r.event_id: r.e for r in sdf.select("event_id", ewm.alias("e")).collect()}
+
+    duck.execute(
+        """CREATE OR REPLACE TABLE ewm_null_events AS
+           SELECT i AS event_id,
+                  CASE WHEN i < 12 THEN 1 ELSE 2 END AS user_id,
+                  CASE WHEN i % 3 <> 0 AND i < 12 THEN CAST(i AS DOUBLE) END AS value
+           FROM range(16) t(i)"""
+    )
+    dres = dict(
+        duck.execute(
+            """WITH fr AS (
+                 SELECT event_id,
+                        list(CAST(value AS DOUBLE))
+                          FILTER (WHERE value IS NOT NULL) OVER (
+                          PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+                 FROM ewm_null_events)
+               SELECT event_id, CASE WHEN len(vs) > 0 THEN
+                        list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+                                    (a, b) -> a * CAST(0.5 AS DOUBLE) + b)
+                        / (CAST(2 AS DOUBLE)
+                           * (CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(vs))))
+                      END AS e
+               FROM fr"""
+        ).fetchall()
+    )
+    assert len(sres) == 16
+    for k, v in sres.items():
+        assert not (isinstance(v, float) and math.isnan(v))
+        assert v == dres[k]
+    assert sres[0] is None and sres[12] is None  # empty / all-null frames

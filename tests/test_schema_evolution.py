@@ -124,3 +124,22 @@ try:
         assert _widen(lub, lub) == lub  # idempotent
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_merge_error_detection_is_class_based():
+    """Only Spark's schema-merge ERROR CLASSES trigger the fallback —
+    a path or message merely containing the word 'merge' must not."""
+    from fotmobdatapipeline_spark.sources.evolution import _is_schema_merge_error
+
+    assert _is_schema_merge_error(
+        Exception("[CANNOT_MERGE_SCHEMAS] Failed merging schemas")
+    )
+    assert _is_schema_merge_error(
+        Exception("[CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE] int vs string")
+    )
+    assert not _is_schema_merge_error(
+        Exception("Permission denied: /data/merged/events")
+    )
+    assert not _is_schema_merge_error(
+        Exception("Failed to merge fields")  # prose without a class token
+    )
