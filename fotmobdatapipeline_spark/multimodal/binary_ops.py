@@ -284,6 +284,66 @@ def encode_media_as_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("n_bytes", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_samples", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def encode_media_as_wav(
+    media: DataFrame, sample_rate: int, n_samples: int
+) -> DataFrame:
+    """Re-encode each payload as a REAL RIFF/PCM WAV container (pure
+    Python codec, ``multimodal/wav.py``): payload byte pairs become
+    signed int16 sample material (zero-padded to ``n_samples``), then
+    the full container — RIFF header, ``fmt `` chunk, ``data`` chunk —
+    is written by ``encode_wav``.  Same 1-in-1-out Arrow-batched shape
+    as :func:`encode_media_as_bmp`; downstream :func:`extract_features`
+    with ``wav_feature_decoder`` then performs a genuine chunk-walking,
+    sign-aware byte decode — the audio modality twin of the BMP path."""
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.multimodal.wav import encode_wav, text_samples
+
+    _ship_for_workers(media, encode_wav, text_samples)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            encoded = pdf["payload"].map(
+                lambda b: encode_wav(sample_rate, text_samples(bytes(b), n_samples))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": encoded,
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "n_bytes": len(b),
+                            "sample_rate": sample_rate,
+                            "n_samples": n_samples,
+                        }
+                        for b in encoded
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] = stub_decoder,

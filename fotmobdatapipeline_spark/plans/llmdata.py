@@ -2639,6 +2639,88 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Multimodal AUDIO decode: the WAV/PCM twin of multimodal_bmp_decode, so
+# the tier covers a second real modality.  Each document's byte PAIRS
+# become signed little-endian int16 samples packed into a genuine
+# RIFF/WAVE container (multimodal/wav.py) by one Arrow stage; a second
+# stage DECODES it — walking the RIFF chunks, re-reading the samples
+# sign-correctly — and summarizes them with exact integer stats.  The
+# oracle recomputes the SIGNED sample sums from the text column's hex
+# alone, so a decoder that misses the sign convention, byte order, or
+# chunk layout breaks the position-weighted checksum.  N=32 samples
+# (64 bytes) straddles this corpus's 48..553-byte texts, so both the
+# zero-pad and the truncate paths occur.  Container size 44 + 2N;
+# header 'RIFF' = 52494646 pins the format itself.
+# --------------------------------------------------------------------------
+_WAV_RATE, _WAV_N = 8000, 32
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             (CASE WHEN 2 * j < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 2 AS INT), 1)) - 1)
+              ELSE 0 END)
+           + 256 * (CASE WHEN 2 * j + 1 < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 3 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 4 AS INT), 1)) - 1)
+              ELSE 0 END) AS u
+      FROM b, UNNEST(range(0, {_WAV_N})) AS t(j)
+    ),
+    sgn AS (
+      SELECT doc_id, j,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM smp
+    ),
+    stats AS (
+      SELECT doc_id,
+             MAX(CASE WHEN j = 0 THEN s END) AS first_sample,
+             SUM(s) AS total,
+             SUM((j + 1) * s) AS weighted
+      FROM sgn GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({44 + 2 * _WAV_N} AS INT) AS n_bytes,
+           '52494646' AS header_hex,
+           CAST({_WAV_RATE} AS VARCHAR) || ',' || CAST({_WAV_N} AS VARCHAR) || ','
+             || CAST(first_sample AS VARCHAR) || ','
+             || CAST(total AS VARCHAR) || ','
+             || CAST(weighted AS VARCHAR) AS feature_csv
+    FROM stats
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "decode", "audio"),
+    doc="Real WAV/PCM encode->decode roundtrip, signed-sample checksum oracle.",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_wav,
+        extract_features,
+        wav_feature_decoder,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    wav = encode_media_as_wav(media, sample_rate=_WAV_RATE, n_samples=_WAV_N)
+    feats = extract_features(wav, decoder=wav_feature_decoder)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feature_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal resize: 1-in-1-out Arrow-batched payload transform with the
 # deterministic stand-in scaler (truncate/zero-pad to width*height —
 # shape-correct byte math, so the WHOLE resized payload is verifiable

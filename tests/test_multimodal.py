@@ -254,3 +254,117 @@ def test_bmp_decode_arrow_path_matches_pandas_path(spark):
     p = sorted(extract_features(bmp, bmp_feature_decoder).collect())
     a = sorted(extract_features_arrow(bmp, bmp_feature_decoder).collect())
     assert a == p and len(a) == 60
+
+
+def test_wav_golden_bytes_decode():
+    """Decode a WAV constructed BY HAND from the RIFF spec (independent
+    of encode_wav), with an out-of-order extra chunk and odd-length
+    padding — proves the decoder walks real third-party containers."""
+    import struct
+
+    from fotmobdatapipeline_spark.multimodal.wav import decode_wav
+
+    samples = [100, -100, 32767, -32768]
+    data = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    # LIST chunk FIRST, with odd body length (spec requires a pad byte)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = (
+        b"WAVE" + extra
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, got = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 44100 and got == samples
+
+
+def test_wav_roundtrip_and_rejects_malformed():
+    import pytest
+
+    from fotmobdatapipeline_spark.multimodal.wav import decode_wav, encode_wav
+
+    samples = [((i * 2311) % 65536) - 32768 for i in range(50)]
+    assert decode_wav(encode_wav(16000, samples)) == (16000, samples)
+    assert decode_wav(encode_wav(8000, [])) == (8000, [])
+
+    good = encode_wav(8000, samples)
+    for bad in (
+        b"RIFX" + good[4:],          # wrong magic
+        good[:20],                   # truncated mid-chunk
+        good[:-1],                   # truncated data chunk
+        good[:12],                   # no chunks at all
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    with pytest.raises(ValueError):
+        encode_wav(8000, [40000])    # out of int16 range
+    # non-PCM / stereo / 8-bit all refused
+    import struct
+
+    fmt_bad = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt_bad
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_feature_decoder_sign_and_order_sensitivity():
+    """The feature vector must change if the decoder got the int16 sign
+    convention, byte order, or sample order wrong."""
+    from fotmobdatapipeline_spark.multimodal.wav import (
+        encode_wav,
+        wav_feature_decoder,
+    )
+
+    f = wav_feature_decoder(encode_wav(8000, [-1, 2, 3]))
+    assert f == [8000.0, 3.0, -1.0, 4.0, 12.0]  # signed sums
+    g = wav_feature_decoder(encode_wav(8000, [3, 2, -1]))
+    assert f[3] == g[3] and f[4] != g[4]  # order visible via weighting
+    # unsigned misread of -1 (0xFFFF) would give total 65540, not 4
+    assert f[3] == 4.0
+
+
+def test_wav_entry_end_to_end(spark):
+    """The catalog entry runs the REAL WAV encode->decode pipeline over
+    the documents table; spot-check docs against a driver-side
+    reference computation."""
+    from fotmobdatapipeline_spark.multimodal.wav import (
+        encode_wav,
+        text_samples,
+        wav_feature_decoder,
+    )
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    out = query_map()["multimodal_wav_decode"](spark, SF_SMALL)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = read_table(spark, SF_SMALL, "documents").limit(3).collect()
+    assert len(rows) == read_table(spark, SF_SMALL, "documents").count()
+    for d in docs:
+        payload = encode_wav(8000, text_samples(d["text"].encode("utf-8"), 32))
+        want = wav_feature_decoder(payload)
+        got = rows[d["doc_id"]]
+        assert got["n_bytes"] == len(payload) == 108
+        assert got["header_hex"] == "52494646"
+        assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
+
+
+def test_wav_decode_arrow_path_matches_pandas_path(spark):
+    """Row-identical features through mapInArrow and mapInPandas for
+    the audio codec, like the BMP twin."""
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_wav,
+        extract_features,
+        wav_feature_decoder,
+    )
+    from fotmobdatapipeline_spark.multimodal.binary_ops import (
+        extract_features_arrow,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(60)
+    wav = encode_media_as_wav(attach_binary_payload(docs), sample_rate=8000, n_samples=32)
+    p = sorted(extract_features(wav, wav_feature_decoder).collect())
+    a = sorted(extract_features_arrow(wav, wav_feature_decoder).collect())
+    assert a == p and len(a) == 60
