@@ -152,6 +152,16 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("header_hex", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
 
 def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image resize (real path: PIL/opencv
@@ -242,6 +252,86 @@ def sample_frames(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def encode_media_as_bmp_stream(
+    media: DataFrame, width: int, height: int, n_frames: int
+) -> DataFrame:
+    """Re-encode each payload as a ``n_frames``-frame VIDEO container of
+    complete BMP files (``multimodal/bmp.py`` ``encode_bmp_stream``):
+    frame k's pixel material is the payload's byte window starting at
+    ``k * width*height*3`` (zero-padded), so successive frames pan
+    through the document — every frame differs and a splitter that
+    mis-slices boundaries becomes observable downstream."""
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.multimodal.bmp import (
+        encode_bmp_stream,
+        text_pixels,
+    )
+
+    _ship_for_workers(media, encode_bmp_stream, text_pixels)
+    frame_px = width * height * 3
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            encoded = pdf["payload"].map(
+                lambda b: encode_bmp_stream(
+                    [
+                        (
+                            width,
+                            height,
+                            text_pixels(bytes(b)[k * frame_px :], width, height),
+                        )
+                        for k in range(n_frames)
+                    ]
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": encoded,
+                    "meta": [
+                        {
+                            "mime": "video/x-bmp-stream",
+                            "n_bytes": len(b),
+                            "width": width,
+                            "height": height,
+                        }
+                        for b in encoded
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_frame_features(
+    frames: DataFrame, decoder: Callable[[bytes], list[float]]
+) -> DataFrame:
+    """Per-frame feature extraction over ``sample_frames`` output: same
+    Arrow-batched shape as :func:`extract_features` but provenance
+    (``frame_idx``) rides along, so downstream per-frame work never has
+    to re-split the container."""
+    import pandas as pd
+
+    _ship_for_workers(frames, decoder)
+    pruned = frames.select("doc_id", "frame_idx", "frame")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            fr = pdf["frame"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_bytes": fr.map(len).astype("int32"),
+                    "header_hex": fr.map(lambda b: bytes(b[:4]).hex().upper()),
+                    "feature": fr.map(lambda b: decoder(bytes(b))),
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
 
 
 def encode_media_as_bmp(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -131,3 +131,32 @@ def text_pixels(text_bytes: bytes, width: int, height: int) -> bytes:
     expected decode output from the text column alone."""
     n = width * height * 3
     return text_bytes[:n].ljust(n, b"\x00")
+
+
+def encode_bmp_stream(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """A minimal VIDEO container: the concatenation of complete BMP
+    files, one per frame (the MJPEG idea with BMP as the frame codec).
+    Each frame's extent is self-described by its header's file-size
+    field, which is what makes :func:`split_bmp_stream` a real demuxer
+    rather than fixed-stride chopping."""
+    return b"".join(encode_bmp(w, h, px) for w, h, px in frames)
+
+
+def split_bmp_stream(payload: bytes) -> list[bytes]:
+    """REAL frame splitter for ``sample_frames``: walk the container by
+    each frame's header-declared file size.  Validates the 'BM' magic
+    and bounds at every step — trailing junk or a corrupt size raises
+    instead of yielding garbage frames."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"no BMP magic at frame boundary {pos}")
+        if pos + 6 > len(payload):
+            raise ValueError("truncated frame header")
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        if size < _HEADERS_LEN or pos + size > len(payload):
+            raise ValueError(f"frame at {pos} declares bad size {size}")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames

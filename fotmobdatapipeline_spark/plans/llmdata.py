@@ -2639,6 +2639,91 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Multimodal VIDEO demux + per-frame decode: a container of complete
+# BMP frames (multimodal/bmp.py encode_bmp_stream — the MJPEG idea with
+# BMP as the frame codec) is REALLY demuxed by walking each frame's
+# header-declared file size (split_bmp_stream), sampled every 2nd frame
+# up to 3, and each sampled frame is REALLY decoded to its pixel stats.
+# Frame k's pixels are the document's byte window at k*12 (2x2 px), so
+# a splitter that mis-slices a boundary or a decoder that forgets the
+# row flip shifts the windows and breaks the position-weighted
+# checksums the oracle recomputes from the text column.  Frame size
+# 54 + 2*8 = 70 bytes => header_hex '424D4600' pins the per-frame
+# container; sampled provenance (frame_idx 0,2,4) pins the stride.
+# --------------------------------------------------------------------------
+_VID_W, _VID_H, _VID_FRAMES = 2, 2, 6
+_VID_EVERY, _VID_MAX = 2, 3
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, CAST(j AS INT) AS frame_idx, CAST(i AS INT) AS i,
+             CASE WHEN {_VID_W * _VID_H * 3} * j + i < n THEN
+               (strpos('0123456789abcdef',
+                  substr(hx, CAST(2 * ({_VID_W * _VID_H * 3} * j + i) + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                  substr(hx, CAST(2 * ({_VID_W * _VID_H * 3} * j + i) + 2 AS INT), 1)) - 1)
+             ELSE 0 END AS bv
+      FROM b,
+           UNNEST([0, 2, 4]) AS s(j),
+           UNNEST(range(0, {_VID_W * _VID_H * 3})) AS t(i)
+    ),
+    stats AS (
+      SELECT doc_id, frame_idx,
+             MAX(CASE WHEN i = 0 THEN bv END) AS first_byte,
+             SUM(bv) AS total,
+             SUM((i + 1) * bv) AS weighted
+      FROM fb GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id, frame_idx,
+           CAST(70 AS INT) AS n_bytes,
+           '424D4600' AS header_hex,
+           CAST({_VID_W} AS VARCHAR) || ',' || CAST({_VID_H} AS VARCHAR) || ','
+             || CAST(first_byte AS VARCHAR) || ','
+             || CAST(total AS VARCHAR) || ','
+             || CAST(weighted AS VARCHAR) AS feature_csv
+    FROM stats
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "video", "demux"),
+    doc="Real BMP-stream demux + per-frame decode, window checksum oracle.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        bmp_feature_decoder,
+        encode_media_as_bmp_stream,
+        extract_frame_features,
+        sample_frames,
+        split_bmp_stream,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    video = encode_media_as_bmp_stream(
+        media, width=_VID_W, height=_VID_H, n_frames=_VID_FRAMES
+    )
+    frames = sample_frames(
+        video, every_n=_VID_EVERY, max_frames=_VID_MAX, splitter=split_bmp_stream
+    )
+    feats = extract_frame_features(frames, decoder=bmp_feature_decoder)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feature_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal AUDIO decode: the WAV/PCM twin of multimodal_bmp_decode, so
 # the tier covers a second real modality.  Each document's byte PAIRS
 # become signed little-endian int16 samples packed into a genuine

@@ -368,3 +368,65 @@ def test_wav_decode_arrow_path_matches_pandas_path(spark):
     p = sorted(extract_features(wav, wav_feature_decoder).collect())
     a = sorted(extract_features_arrow(wav, wav_feature_decoder).collect())
     assert a == p and len(a) == 60
+
+
+def test_bmp_stream_demux_golden_and_malformed():
+    """split_bmp_stream walks frames by header-declared size — variable
+    frame geometries demux correctly; junk and truncation raise."""
+    import pytest
+
+    from fotmobdatapipeline_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+        encode_bmp_stream,
+        split_bmp_stream,
+    )
+
+    frames = [
+        (1, 1, bytes(3)),
+        (3, 2, bytes(range(18))),
+        (2, 4, bytes(range(100, 124))),
+    ]
+    stream = encode_bmp_stream(frames)
+    parts = split_bmp_stream(stream)
+    assert len(parts) == 3
+    assert [decode_bmp(p) for p in parts] == frames
+    # frames have DIFFERENT sizes — fixed-stride chopping cannot pass this
+    assert len(set(map(len, parts))) == 3
+
+    with pytest.raises(ValueError, match="magic"):
+        split_bmp_stream(stream + b"JUNKJUNK")
+    with pytest.raises(ValueError, match="bad size"):
+        split_bmp_stream(stream[:-4])
+    one = encode_bmp(1, 1, bytes(3))
+    bad = bytearray(one * 2)
+    bad[2:6] = (10).to_bytes(4, "little")  # corrupt declared size
+    with pytest.raises(ValueError, match="bad size"):
+        split_bmp_stream(bytes(bad))
+
+
+def test_video_entry_end_to_end(spark):
+    """The video catalog entry really demuxes and decodes: spot-check
+    frames against a driver-side reference over the byte windows."""
+    from fotmobdatapipeline_spark.multimodal.bmp import (
+        bmp_feature_decoder,
+        encode_bmp,
+        text_pixels,
+    )
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    out = query_map()["multimodal_video_frames"](spark, SF_SMALL)
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in out.collect()}
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert len(rows) == n_docs * 3  # frames 0, 2, 4 per doc
+    assert {idx for _, idx in rows} == {0, 2, 4}
+    for d in read_table(spark, SF_SMALL, "documents").limit(2).collect():
+        text = d["text"].encode("utf-8")
+        for j in (0, 2, 4):
+            frame = encode_bmp(2, 2, text_pixels(text[j * 12 :], 2, 2))
+            want = bmp_feature_decoder(frame)
+            got = rows[(d["doc_id"], j)]
+            assert got["n_bytes"] == len(frame) == 70
+            assert got["header_hex"] == "424D4600"
+            assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
