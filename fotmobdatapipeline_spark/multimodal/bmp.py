@@ -160,3 +160,23 @@ def split_bmp_stream(payload: bytes) -> list[bytes]:
         frames.append(payload[pos : pos + size])
         pos += size
     return frames
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: decode the BMP, nearest-neighbor sample the
+    pixel grid to ``out_w`` x ``out_h`` (source pixel of output (x, y)
+    is (x * w // out_w, y * h // out_h) — the standard floor mapping),
+    re-encode.  Pure integer byte math, so an oracle can recompute the
+    resized container's pixel content exactly."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dimensions must be positive")
+    w, h, px = decode_bmp(payload)
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            src = (sy * w + sx) * 3
+            dst = (y * out_w + x) * 3
+            out[dst : dst + 3] = px[src : src + 3]
+    return encode_bmp(out_w, out_h, bytes(out))

@@ -2639,6 +2639,84 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Multimodal REAL resize: decode -> nearest-neighbor scale -> re-encode
+# (multimodal/bmp.py resize_bmp), upgrading the resize stage from the
+# shape-correct stand-in to genuine pixel math.  4x2 source images
+# (pixel material = text bytes) scale to 2x1: output pixel p samples
+# source pixel (p*2, 0), i.e. output byte j comes from source byte
+# (j//3)*6 + j%3 — the mapping the oracle replays directly on the text
+# hex.  A resizer that forgot the row flip, channel swap, or floor
+# mapping shifts those positions and breaks the weighted checksum.
+# Resized container: 2x1 => stride 8, size 62, header '424D3E00'.
+# --------------------------------------------------------------------------
+_RSZ_SW, _RSZ_SH, _RSZ_OW, _RSZ_OH = 4, 2, 2, 1
+
+
+@register(
+    "multimodal_bmp_resize",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    ob AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             CAST((j // 3) * 6 + j % 3 AS INT) AS src
+      FROM b, UNNEST(range(0, {_RSZ_OW * _RSZ_OH * 3})) AS t(j)
+    ),
+    bytes AS (
+      SELECT ob.doc_id, ob.j,
+             CASE WHEN ob.src < b.n THEN
+               (strpos('0123456789abcdef', substr(b.hx, CAST(2 * ob.src + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * ob.src + 2 AS INT), 1)) - 1)
+             ELSE 0 END AS bv
+      FROM ob JOIN b USING (doc_id)
+    ),
+    stats AS (
+      SELECT doc_id,
+             MAX(CASE WHEN j = 0 THEN bv END) AS first_byte,
+             SUM(bv) AS total,
+             SUM((j + 1) * bv) AS weighted
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(62 AS INT) AS n_bytes,
+           '424D3E00' AS header_hex,
+           CAST({_RSZ_OW} AS VARCHAR) || ',' || CAST({_RSZ_OH} AS VARCHAR) || ','
+             || CAST(first_byte AS VARCHAR) || ','
+             || CAST(total AS VARCHAR) || ','
+             || CAST(weighted AS VARCHAR) AS feature_csv
+    FROM stats
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "resize"),
+    doc="Real nearest-neighbor BMP resize, source-position checksum oracle.",
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        bmp_feature_decoder,
+        encode_media_as_bmp,
+        extract_features,
+        resize_media,
+    )
+    from fotmobdatapipeline_spark.multimodal.bmp import resize_bmp
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    bmp = encode_media_as_bmp(media, width=_RSZ_SW, height=_RSZ_SH)
+    small = resize_media(bmp, width=_RSZ_OW, height=_RSZ_OH, resizer=resize_bmp)
+    feats = extract_features(small, decoder=bmp_feature_decoder)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feature_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal VIDEO demux + per-frame decode: a container of complete
 # BMP frames (multimodal/bmp.py encode_bmp_stream — the MJPEG idea with
 # BMP as the frame codec) is REALLY demuxed by walking each frame's

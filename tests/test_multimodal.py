@@ -430,3 +430,47 @@ def test_video_entry_end_to_end(spark):
             assert got["n_bytes"] == len(frame) == 70
             assert got["header_hex"] == "424D4600"
             assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
+
+
+def test_bmp_resize_real_pixel_math():
+    """resize_bmp is genuine nearest-neighbor sampling on decoded
+    pixels: identity at same size, floor-mapped picks on downscale,
+    pixel replication on upscale — through full decode/encode."""
+    import pytest
+
+    from fotmobdatapipeline_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    px = bytes((i * 31) % 256 for i in range(4 * 2 * 3))
+    src = encode_bmp(4, 2, px)
+    assert decode_bmp(resize_bmp(src, 4, 2))[2] == px  # identity
+    w, h, down = decode_bmp(resize_bmp(src, 2, 1))
+    assert (w, h) == (2, 1) and down == px[0:3] + px[6:9]
+    w, h, up = decode_bmp(resize_bmp(src, 8, 2))
+    assert (w, h) == (8, 2)
+    assert up[0:3] == up[3:6] == px[0:3]  # replicated columns
+    with pytest.raises(ValueError):
+        resize_bmp(src, 0, 1)
+
+
+def test_bmp_resize_entry_end_to_end(spark):
+    from fotmobdatapipeline_spark.multimodal.bmp import (
+        bmp_feature_decoder,
+        encode_bmp,
+        resize_bmp,
+        text_pixels,
+    )
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    out = query_map()["multimodal_bmp_resize"](spark, SF_SMALL)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for d in read_table(spark, SF_SMALL, "documents").limit(3).collect():
+        src = encode_bmp(4, 2, text_pixels(d["text"].encode("utf-8"), 4, 2))
+        want = bmp_feature_decoder(resize_bmp(src, 2, 1))
+        got = rows[d["doc_id"]]
+        assert got["n_bytes"] == 62 and got["header_hex"] == "424D3E00"
+        assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
