@@ -357,6 +357,7 @@ def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
         ),
         path=state_path,
         checkpoint=str(tmp_path / "ckpt"),
+        keep_versions=2,
     )
     try:
         want = {
@@ -368,14 +369,22 @@ def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
         total = sum(want.values())
         deadline = time.time() + 120
         while time.time() < deadline:
-            state = read_cms_state(spark, state_path)
-            if state is not None:
-                got = {
-                    (r["sketch_row"], r["bucket"]): r["cnt"]
-                    for r in state.collect()
-                }
-                if sum(got.values()) >= total:
-                    break
+            # A POLLING reader can straddle the version-GC horizon when
+            # commits outpace its collect (the documented retention
+            # contract: readers slower than keep_versions commits must
+            # retry) — so a vanished version mid-read is re-polled, not
+            # a failure.
+            try:
+                state = read_cms_state(spark, state_path)
+                if state is not None:
+                    got = {
+                        (r["sketch_row"], r["bucket"]): r["cnt"]
+                        for r in state.collect()
+                    }
+                    if sum(got.values()) >= total:
+                        break
+            except Exception:
+                pass
             time.sleep(1)
         assert got == want
     finally:
@@ -520,17 +529,24 @@ def test_hll_maintenance_stream_equals_batch(spark, tmp_path):
         got = {}
         deadline = time.time() + 120
         while time.time() < deadline:
-            state = read_hll_state(spark, state_path)
-            if state is not None:
-                got = {r["reg_idx"]: r["max_rho"] for r in state.collect()}
-                if got == want:
-                    break
+            # Polling reader vs version GC: a straddled version is
+            # re-polled, not a failure (same retention contract as the
+            # CMS test above).
+            try:
+                state = read_hll_state(spark, state_path)
+                if state is not None:
+                    got = {r["reg_idx"]: r["max_rho"] for r in state.collect()}
+                    if got == want:
+                        break
+            except Exception:
+                pass
             time.sleep(1)
         assert got == want
-        last = state.agg(F.max("last_batch")).first()[0]
-        assert last is not None and last >= 0
     finally:
         q.stop()
+    state = read_hll_state(spark, state_path)
+    last = state.agg(F.max("last_batch")).first()[0]
+    assert last is not None and last >= 0
 
 
 def test_interval_left_join_stream_matches_batch(spark, tmp_path):
