@@ -190,3 +190,183 @@ def read_table_stats(spark, path: str) -> dict | None:
 
     text = StateFs(spark, path.rstrip("/") + "/_stats").read_text(_STATS_FILE)
     return None if text is None else json.loads(text)
+
+
+# -- incremental ANALYZE: per-partition stats + mergeable-HLL NDV ----------
+
+_PART_STATS_DIR = "_stats/parts"
+
+
+def _hll_consts():
+    from fotmobdatapipeline_spark.operators.sketches import HLL_ALPHA_64, HLL_M
+
+    return HLL_M, HLL_ALPHA_64
+
+
+def collect_partition_stats(
+    spark,
+    path: str,
+    partition_col: str,
+    partitions: Sequence[str] | None = None,
+    ndv_cols: Sequence[str] | None = None,
+    persist: bool = True,
+) -> dict:
+    """Incremental ANALYZE: per-PARTITION statistics, refreshable for
+    just the partitions a maintenance window touched (O(touched), never
+    O(table)) — the property :func:`collect_table_stats` cannot have.
+
+    Per partition: row count, per-column null count and min/max
+    (orderable scalars), and for each of ``ndv_cols`` a 64-register
+    HyperLogLog sketch (the repo's portable HLL, operators/sketches.py)
+    stored SPARSELY as {reg_idx: max_rho}.  Registers merge across
+    partitions by per-register max, so :func:`read_merged_table_stats`
+    reassembles exact table-level counts/min/max/nulls and a
+    table-level NDV estimate equal to what a full-table sketch would
+    give — without rescanning untouched partitions.
+
+    Partitions are read per-directory (the ``compact_partitions``
+    collision rule) and aggregated in ONE job; each partition's stats
+    land as ``_stats/parts/<value>.json`` via the scheme-aware StateFs.
+    """
+    import functools
+    import json
+
+    from pyspark.sql import types as T
+
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+    from fotmobdatapipeline_spark.sources.fsutil import partition_dirs
+
+    dirs = partition_dirs(spark, path, partition_col, only=partitions)
+    if not dirs:
+        return {}
+    legs = [
+        spark.read.parquet(pdir).withColumn("__part", F.lit(pval))
+        for pval, pdir in dirs
+    ]
+    df = functools.reduce(lambda a, b: a.unionByName(b), legs)
+
+    ordered = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType,
+    )
+    scalar = ordered + (T.StringType, T.BinaryType)
+    fields = [
+        f for f in df.schema.fields
+        if f.name != "__part" and isinstance(f.dataType, scalar)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for f in fields:
+        c = f.name
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
+        if isinstance(f.dataType, ordered):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+    base = {r["__part"]: r.asDict() for r in df.groupBy("__part").agg(*aggs).collect()}
+
+    ndv_cols = list(ndv_cols or [])
+    sketches: dict[str, dict[str, dict[int, int]]] = {p: {} for p in base}
+    for c in ndv_cols:
+        regs = hll_registers(df, c, m=_hll_consts()[0], group_cols=("__part",)).collect()
+        for r in regs:
+            sketches[r["__part"]].setdefault(c, {})[int(r["reg_idx"])] = int(r["max_rho"])
+
+    def _plain(v):
+        # Merge-safe serialization: Decimal -> float (numeric compare),
+        # date/timestamp -> ISO string (lexical order == chronological);
+        # table-level min/max merging in read_merged_table_stats relies
+        # on these orderings.
+        import decimal
+
+        if v is None or isinstance(v, (int, float, bool, str)):
+            return v
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return str(v)
+
+    out: dict[str, dict] = {}
+    for pval, row in base.items():
+        cols = {}
+        for f in fields:
+            c = f.name
+            entry = {
+                "type": f.dataType.simpleString(),
+                "null_count": row[f"__null__{c}"],
+            }
+            if isinstance(f.dataType, ordered):
+                entry["min"] = _plain(row.get(f"__min__{c}"))
+                entry["max"] = _plain(row.get(f"__max__{c}"))
+            cols[c] = entry
+        out[pval] = {
+            "row_count": row["__n_rows"],
+            "columns": cols,
+            "hll": {
+                c: {str(k): v for k, v in sorted(sketches[pval].get(c, {}).items())}
+                for c in ndv_cols
+            },
+        }
+
+    if persist:
+        from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+        sfs = StateFs(spark, path.rstrip("/") + "/" + _PART_STATS_DIR)
+        sfs.mkdirs()
+        for pval, stats in out.items():
+            sfs.write_text_atomic(f"{pval}.json", json.dumps(stats, sort_keys=True))
+    return out
+
+
+def _hll_estimate_py(registers: dict[int, int]) -> float:
+    """Driver-side replica of operators/sketches.hll_estimate: exact
+    powers of two summed in fixed register order, absent registers
+    contributing 1 each — the merged-table estimate equals what the
+    engine computes on a full-table sketch."""
+    m, alpha = _hll_consts()
+    sum_inv = 0.0
+    for _idx, rho in sorted(registers.items()):
+        sum_inv += 1.0 / (1 << rho)
+    sum_inv += float(m - len(registers))
+    return alpha * m * m / sum_inv
+
+
+def read_merged_table_stats(spark, path: str) -> dict | None:
+    """Merge every persisted per-partition stats file into table-level
+    stats: counts and null counts SUM, min/min and max/max, HLL
+    registers merge by per-register max and yield ``approx_ndv`` per
+    sketched column.  O(#partitions) tiny JSON reads; no data scan."""
+    import json
+
+    from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+    sfs = StateFs(spark, path.rstrip("/") + "/" + _PART_STATS_DIR)
+    names = [n for n in sfs.listdir() if n.endswith(".json")]
+    if not names:
+        return None
+    parts = {
+        n[:-5]: json.loads(sfs.read_text(n)) for n in sorted(names)
+    }
+    row_count = sum(p["row_count"] for p in parts.values())
+    cols: dict[str, dict] = {}
+    regs: dict[str, dict[int, int]] = {}
+    for p in parts.values():
+        for c, e in p["columns"].items():
+            tgt = cols.setdefault(
+                c, {"type": e["type"], "null_count": 0, "min": None, "max": None}
+            )
+            tgt["null_count"] += e["null_count"]
+            for key, pick in (("min", min), ("max", max)):
+                if key in e and e[key] is not None:
+                    tgt[key] = e[key] if tgt[key] is None else pick(tgt[key], e[key])
+        for c, sketch in p.get("hll", {}).items():
+            tgt_r = regs.setdefault(c, {})
+            for k, v in sketch.items():
+                k = int(k)
+                tgt_r[k] = max(tgt_r.get(k, 0), v)
+    for c in cols:
+        if "min" in cols[c] and cols[c]["min"] is None:
+            cols[c].pop("min"); cols[c].pop("max")
+    merged = {"row_count": row_count, "columns": cols}
+    if regs:
+        merged["approx_ndv"] = {c: _hll_estimate_py(r) for c, r in regs.items()}
+    merged["partitions"] = sorted(parts)
+    return merged

@@ -354,3 +354,86 @@ def test_compact_partitions_removes_zero_row_partition(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100
     # second run: nothing left to do
     assert compact_partitions(spark, path, "day", target_file_bytes=1 << 30) == []
+
+
+def test_partition_stats_merge_equals_full(spark, tmp_path):
+    """Incremental ANALYZE: per-partition stats merged by
+    read_merged_table_stats must equal a full-table computation —
+    counts/nulls/min/max exactly, and the HLL NDV estimate EXACTLY
+    (per-register max merge == full-table sketch, the mergeability
+    property), all without rescanning the table at merge time."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        _hll_estimate_py,
+        collect_partition_stats,
+        read_merged_table_stats,
+    )
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") % 700).alias("u"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id").cast("double")).alias("v"),
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    per = collect_partition_stats(spark, path, "day", ndv_cols=["u"])
+    assert set(per) == {"0", "1", "2"}
+    assert sum(p["row_count"] for p in per.values()) == 3000
+
+    merged = read_merged_table_stats(spark, path)
+    assert merged["row_count"] == 3000
+    assert merged["columns"]["k"]["min"] == 0 and merged["columns"]["k"]["max"] == 2999
+    assert merged["columns"]["v"]["null_count"] == 600
+    assert merged["partitions"] == ["0", "1", "2"]
+
+    # register-exact: merged partition sketches == one full-table sketch
+    full = {
+        int(r["reg_idx"]): int(r["max_rho"])
+        for r in hll_registers(df.select("u"), "u").collect()
+    }
+    assert merged["approx_ndv"]["u"] == _hll_estimate_py(full)
+    true_ndv = 700
+    assert abs(merged["approx_ndv"]["u"] - true_ndv) / true_ndv < 0.25  # m=64 rsd
+
+
+def test_partition_stats_incremental_refresh(spark, tmp_path):
+    """Refreshing only the touched partition's stats after an upsert
+    reproduces the same merged stats as recomputing everything."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import upsert_partitioned
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+        read_merged_table_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") % 100).alias("u"),
+    )
+    df.write.partitionBy("day").parquet(path)
+    collect_partition_stats(spark, path, "day", ndv_cols=["u"])
+
+    # upsert touches ONLY day=1 (new keys with fresh u values)
+    batch = spark.range(900, 1100).select(
+        F.col("id").alias("k"), F.lit("1").alias("day"),
+        (F.col("id") % 350).alias("u"),
+    )
+    upsert_partitioned(spark, batch, path, keys=["k"], partition_col="day")
+
+    # refresh just the touched partition — O(touched), not O(table)
+    collect_partition_stats(spark, path, "day", partitions=["1"], ndv_cols=["u"])
+    fast = read_merged_table_stats(spark, path)
+
+    # ground truth: recompute every partition from scratch
+    collect_partition_stats(spark, path, "day", ndv_cols=["u"])
+    full = read_merged_table_stats(spark, path)
+    assert fast == full
+    assert fast["row_count"] == 1100
+    assert fast["columns"]["k"]["max"] == 1099
