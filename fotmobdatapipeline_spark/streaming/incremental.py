@@ -47,3 +47,49 @@ def incremental_partitioned_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def incremental_sink_with_stats(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "event_date",
+    ndv_cols: tuple[str, ...] = (),
+):
+    """:func:`incremental_partitioned_sink` plus incremental ANALYZE:
+    after landing each micro-batch, refresh the persisted per-partition
+    statistics (``operators/profiling.collect_partition_stats``) for
+    exactly the partitions the batch touched — so
+    ``read_merged_table_stats`` stays current for the WHOLE table at a
+    per-batch cost of O(touched partitions), never a table rescan.
+    The stats write is idempotent (recomputed from the partition's
+    on-disk state), so a replayed batch converges to the same files."""
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dated = batch_df.withColumn(partition_col, F.to_date("ts"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            dated.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        touched = [
+            str(r[0])
+            for r in dated.select(partition_col).distinct().collect()
+            if r[0] is not None
+        ]
+        if touched:
+            collect_partition_stats(
+                spark, path, partition_col,
+                partitions=touched, ndv_cols=list(ndv_cols),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -437,3 +437,48 @@ def test_partition_stats_incremental_refresh(spark, tmp_path):
     assert fast == full
     assert fast["row_count"] == 1100
     assert fast["columns"]["k"]["max"] == 1099
+
+
+def test_incremental_sink_with_stats_stays_current(spark, tmp_path):
+    """The stats-maintaining stream sink lands every event AND leaves
+    merged table stats that match the landed table exactly — refreshed
+    per batch for only the touched partitions."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        read_merged_table_stats,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import read_events_stream
+    from fotmobdatapipeline_spark.streaming.incremental import (
+        incremental_sink_with_stats,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _sh.copy(f"{SF_SMALL}/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "table")
+
+    # NDV over event_id (high cardinality): the repo's raw HLL omits
+    # the small-range correction by design (hll_estimate docstring), so
+    # n >> m is the supported estimate regime.
+    q = incremental_sink_with_stats(
+        read_events_stream(spark, str(src)), out, str(tmp_path / "ckpt"),
+        ndv_cols=("event_id",),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    landed = spark.read.parquet(out)
+    stats = read_merged_table_stats(spark, out)
+    assert stats["row_count"] == landed.count() == read_table(spark, SF_SMALL, "events").count()
+    lo, hi = landed.agg(F.min("event_id"), F.max("event_id")).first()
+    assert stats["columns"]["event_id"]["min"] == lo
+    assert stats["columns"]["event_id"]["max"] == hi
+    true_ndv = landed.select("event_id").distinct().count()
+    assert abs(stats["approx_ndv"]["event_id"] - true_ndv) / true_ndv < 0.25
+    assert len(stats["partitions"]) == len(
+        [d for d in __import__("os").listdir(out) if d.startswith("event_date=")]
+    )
