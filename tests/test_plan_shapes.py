@@ -699,3 +699,36 @@ def test_ewm_single_window_pass_no_udf(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                 "MapInPandas"):
         assert bad not in plan
+
+
+ROUND7_SWEEP = (
+    "events_ewm_value",
+    "multimodal_wav_decode",
+    "multimodal_video_frames",
+    "multimodal_bmp_resize",
+)
+
+
+def test_round7_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-7 additions — same
+    contract as the round-5/6 sweeps."""
+    bad = []
+    for name in ROUND7_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
+
+
+def test_multimodal_codec_entries_pruned_shuffle_free(spark):
+    """Every real-codec entry must read ONLY (doc_id, text) from the
+    parquet scan and run as chained Arrow map stages with zero
+    exchanges — the shape that scales to a petabyte media corpus."""
+    for name in ("multimodal_wav_decode", "multimodal_video_frames",
+                 "multimodal_bmp_resize"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, name
+        assert "Exchange" not in plan, name
+        assert plan.count("MapInPandas") >= 2, name  # encode + decode stages
