@@ -52,15 +52,24 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     unsupported channel count/bit depth, or a truncated data chunk."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    # The RIFF header declares the container extent; honor it like
+    # split_bmp_stream honors BMP file sizes — trailing junk and
+    # truncation are both errors, not silently-parsed bytes.
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("truncated RIFF container")
+    if len(payload) > end:
+        raise ValueError(f"{len(payload) - end} trailing bytes beyond RIFF size")
     pos = 12
     fmt_info: tuple[int, int, int, int] | None = None
     data: bytes | None = None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if len(body) < clen:
+        if pos + 8 + clen > end:
             raise ValueError(f"truncated {cid!r} chunk")
+        body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("fmt chunk too short")

@@ -106,6 +106,34 @@ def table_checksum(
 _STATS_FILE = "stats.json"
 
 
+def _stats_type_sets():
+    """(orderable, scalar) leaf-type tuples shared by the table-level
+    and partition-level ANALYZE so their column classification can
+    never drift apart."""
+    from pyspark.sql import types as T
+
+    ordered = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType,
+    )
+    return ordered, ordered + (T.StringType, T.BinaryType)
+
+
+def _column_stat_aggs(fields, ordered):
+    """Per-column null-count and (orderable only) min/max aggregate
+    expressions with the __null__/__min__/__max__ alias scheme both
+    ANALYZE forms read back."""
+    aggs = []
+    for f in fields:
+        c = f.name
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
+        if isinstance(f.dataType, ordered):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+    return aggs
+
+
 def collect_table_stats(
     spark,
     path: str,
@@ -129,26 +157,17 @@ def collect_table_stats(
     """
     import json
 
-    from pyspark.sql import types as T
-
     df = spark.read.parquet(path)
     if columns is not None:
         df = df.select(*columns)
-    ordered = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
-        T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
-        T.TimestampNTZType, T.BooleanType,
-    )
-    scalar = ordered + (T.StringType, T.BinaryType)
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    ordered, scalar = _stats_type_sets()
     fields = [f for f in df.schema.fields if isinstance(f.dataType, scalar)]
-    for f in fields:
-        c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd=0.05).alias(f"__ndv__{c}"))
-        if isinstance(f.dataType, ordered):
-            aggs.append(F.min(c).alias(f"__min__{c}"))
-            aggs.append(F.max(c).alias(f"__max__{c}"))
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    aggs += _column_stat_aggs(fields, ordered)
+    aggs += [
+        F.approx_count_distinct(f.name, rsd=0.05).alias(f"__ndv__{f.name}")
+        for f in fields
+    ]
     row = df.agg(*aggs).first().asDict()
 
     def _plain(v):
@@ -225,13 +244,16 @@ def collect_partition_stats(
     give — without rescanning untouched partitions.
 
     Partitions are read per-directory (the ``compact_partitions``
-    collision rule) and aggregated in ONE job; each partition's stats
-    land as ``_stats/parts/<value>.json`` via the scheme-aware StateFs.
+    collision rule).  Cost: ONE pass over storage — the unioned frame
+    is cached, the base aggregate reads it from disk, and each
+    sketched column's register fold reuses the cache.  Each
+    partition's stats land as ``_stats/parts/<value>.json`` via the
+    scheme-aware StateFs; a FULL refresh (``partitions=None``) also
+    deletes stats files for partitions that no longer exist, so
+    dropped partitions cannot haunt the merged view.
     """
     import functools
     import json
-
-    from pyspark.sql import types as T
 
     from fotmobdatapipeline_spark.operators.sketches import hll_registers
     from fotmobdatapipeline_spark.sources.fsutil import partition_dirs
@@ -243,33 +265,32 @@ def collect_partition_stats(
         spark.read.parquet(pdir).withColumn("__part", F.lit(pval))
         for pval, pdir in dirs
     ]
-    df = functools.reduce(lambda a, b: a.unionByName(b), legs)
+    df = functools.reduce(lambda a, b: a.unionByName(b), legs).persist()
 
-    ordered = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
-        T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
-        T.TimestampNTZType, T.BooleanType,
-    )
-    scalar = ordered + (T.StringType, T.BinaryType)
+    ordered, scalar = _stats_type_sets()
     fields = [
         f for f in df.schema.fields
         if f.name != "__part" and isinstance(f.dataType, scalar)
     ]
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for f in fields:
-        c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
-        if isinstance(f.dataType, ordered):
-            aggs.append(F.min(c).alias(f"__min__{c}"))
-            aggs.append(F.max(c).alias(f"__max__{c}"))
-    base = {r["__part"]: r.asDict() for r in df.groupBy("__part").agg(*aggs).collect()}
-
+    aggs = [F.count(F.lit(1)).alias("__n_rows")] + _column_stat_aggs(fields, ordered)
     ndv_cols = list(ndv_cols or [])
-    sketches: dict[str, dict[str, dict[int, int]]] = {p: {} for p in base}
-    for c in ndv_cols:
-        regs = hll_registers(df, c, m=_hll_consts()[0], group_cols=("__part",)).collect()
-        for r in regs:
-            sketches[r["__part"]].setdefault(c, {})[int(r["reg_idx"])] = int(r["max_rho"])
+    sketches: dict[str, dict[str, dict[int, int]]] = {}
+    try:
+        base = {
+            r["__part"]: r.asDict()
+            for r in df.groupBy("__part").agg(*aggs).collect()
+        }
+        sketches = {p: {} for p in base}
+        for c in ndv_cols:
+            regs = hll_registers(
+                df, c, m=_hll_consts()[0], group_cols=("__part",)
+            ).collect()
+            for r in regs:
+                sketches[r["__part"]].setdefault(c, {})[int(r["reg_idx"])] = int(
+                    r["max_rho"]
+                )
+    finally:
+        df.unpersist()
 
     def _plain(v):
         # Merge-safe serialization: Decimal -> float (numeric compare),
@@ -298,6 +319,7 @@ def collect_partition_stats(
                 entry["max"] = _plain(row.get(f"__max__{c}"))
             cols[c] = entry
         out[pval] = {
+            "partition_col": partition_col,
             "row_count": row["__n_rows"],
             "columns": cols,
             "hll": {
@@ -313,6 +335,13 @@ def collect_partition_stats(
         sfs.mkdirs()
         for pval, stats in out.items():
             sfs.write_text_atomic(f"{pval}.json", json.dumps(stats, sort_keys=True))
+        if partitions is None:
+            # Full refresh is authoritative: drop stats for partitions
+            # that no longer exist on disk.
+            live = {pval for pval, _ in dirs}
+            for name in sfs.listdir():
+                if name.endswith(".json") and name[:-5] not in live:
+                    sfs.delete(name)
     return out
 
 
@@ -333,9 +362,13 @@ def read_merged_table_stats(spark, path: str) -> dict | None:
     """Merge every persisted per-partition stats file into table-level
     stats: counts and null counts SUM, min/min and max/max, HLL
     registers merge by per-register max and yield ``approx_ndv`` per
-    sketched column.  O(#partitions) tiny JSON reads; no data scan."""
+    sketched column.  O(#partitions) tiny JSON reads plus one
+    partition-dir listing to exclude ORPHANS (stats files whose
+    partition was dropped after the last full refresh) — orphaned
+    stats are skipped, never merged."""
     import json
 
+    from fotmobdatapipeline_spark.sources.fsutil import partition_dirs
     from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
     sfs = StateFs(spark, path.rstrip("/") + "/" + _PART_STATS_DIR)
@@ -345,6 +378,16 @@ def read_merged_table_stats(spark, path: str) -> dict | None:
     parts = {
         n[:-5]: json.loads(sfs.read_text(n)) for n in sorted(names)
     }
+    pcols = {p.get("partition_col") for p in parts.values()} - {None}
+    if pcols:
+        live = {
+            pval
+            for pc in pcols
+            for pval, _ in partition_dirs(spark, path, pc)
+        }
+        parts = {pval: p for pval, p in parts.items() if pval in live}
+        if not parts:
+            return None
     row_count = sum(p["row_count"] for p in parts.values())
     cols: dict[str, dict] = {}
     regs: dict[str, dict[int, int]] = {}

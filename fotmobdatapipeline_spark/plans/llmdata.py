@@ -2810,12 +2810,15 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str):
 # sign-correctly — and summarizes them with exact integer stats.  The
 # oracle recomputes the SIGNED sample sums from the text column's hex
 # alone, so a decoder that misses the sign convention, byte order, or
-# chunk layout breaks the position-weighted checksum.  N=32 samples
-# (64 bytes) straddles this corpus's 48..553-byte texts, so both the
-# zero-pad and the truncate paths occur.  Container size 44 + 2N;
-# header 'RIFF' = 52494646 pins the format itself.
+# chunk layout breaks the position-weighted checksum.  N=30 samples
+# (60 bytes) straddles this corpus's 48..553-byte texts, so both the
+# zero-pad and the truncate paths occur — and keeps the worst-case
+# |weighted| = 32768 * N(N+1)/2 = 15,237,120 under float32's exact-
+# integer bound 2^24 (the feature column is ArrayType(FloatType); at
+# N=32 a dense-high-byte document could round).  Container size
+# 44 + 2N; header 'RIFF' = 52494646 pins the format itself.
 # --------------------------------------------------------------------------
-_WAV_RATE, _WAV_N = 8000, 32
+_WAV_RATE, _WAV_N = 8000, 30
 
 
 @register(

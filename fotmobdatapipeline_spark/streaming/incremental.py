@@ -19,6 +19,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _write_partitioned_batch(
+    batch_df: DataFrame, path: str, partition_col: str
+) -> DataFrame:
+    """Land one micro-batch into the date-partitioned table with dynamic
+    partition overwrite (the idempotent-replay mechanism) and return the
+    dated frame for any follow-up work.  Shared by both sink variants so
+    the overwrite-mode handling can never drift between them."""
+    spark = batch_df.sparkSession
+    dated = batch_df.withColumn(partition_col, F.to_date("ts"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        dated.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return dated
+
+
 def incremental_partitioned_sink(
     stream: DataFrame,
     path: str,
@@ -29,18 +47,7 @@ def incremental_partitioned_sink(
     parquet table idempotently (dynamic partition overwrite per batch)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn(partition_col, F.to_date("ts"))
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _write_partitioned_batch(batch_df, path, partition_col)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -70,18 +77,19 @@ def incremental_sink_with_stats(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        dated = batch_df.withColumn(partition_col, F.to_date("ts"))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Pin the batch: both the write and the touched-partition
+        # distinct would otherwise re-execute the batch lineage from
+        # source — two full reads per micro-batch on the hot path.
+        batch_df.persist()
         try:
-            dated.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            dated = _write_partitioned_batch(batch_df, path, partition_col)
+            touched = [
+                str(r[0])
+                for r in dated.select(partition_col).distinct().collect()
+                if r[0] is not None
+            ]
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        touched = [
-            str(r[0])
-            for r in dated.select(partition_col).distinct().collect()
-            if r[0] is not None
-        ]
+            batch_df.unpersist()
         if touched:
             collect_partition_stats(
                 spark, path, partition_col,

@@ -482,3 +482,38 @@ def test_incremental_sink_with_stats_stays_current(spark, tmp_path):
     assert len(stats["partitions"]) == len(
         [d for d in __import__("os").listdir(out) if d.startswith("event_date=")]
     )
+
+
+def test_partition_stats_orphans_never_merge(spark, tmp_path):
+    """Stats for a partition that was dropped must not haunt the merged
+    view: the merged read excludes orphans, and a full refresh deletes
+    their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+        read_merged_table_stats,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    collect_partition_stats(spark, path, "day")
+    assert read_merged_table_stats(spark, path)["row_count"] == 300
+
+    # drop partition day=2 out from under the stats
+    import shutil as _sh
+
+    _sh.rmtree(path + "/day=2")
+    merged = read_merged_table_stats(spark, path)
+    assert merged["row_count"] == 200  # orphan excluded, not merged
+    assert merged["partitions"] == ["0", "1"]
+    assert os.path.exists(path + "/_stats/parts/2.json")  # read never mutates
+
+    # full refresh prunes the orphan file
+    collect_partition_stats(spark, path, "day")
+    assert not os.path.exists(path + "/_stats/parts/2.json")
+    assert read_merged_table_stats(spark, path)["row_count"] == 200

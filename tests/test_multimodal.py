@@ -341,10 +341,10 @@ def test_wav_entry_end_to_end(spark):
     docs = read_table(spark, SF_SMALL, "documents").limit(3).collect()
     assert len(rows) == read_table(spark, SF_SMALL, "documents").count()
     for d in docs:
-        payload = encode_wav(8000, text_samples(d["text"].encode("utf-8"), 32))
+        payload = encode_wav(8000, text_samples(d["text"].encode("utf-8"), 30))
         want = wav_feature_decoder(payload)
         got = rows[d["doc_id"]]
-        assert got["n_bytes"] == len(payload) == 108
+        assert got["n_bytes"] == len(payload) == 104
         assert got["header_hex"] == "52494646"
         assert got["feature_csv"] == ",".join(str(int(v)) for v in want)
 
@@ -364,7 +364,7 @@ def test_wav_decode_arrow_path_matches_pandas_path(spark):
     from fotmobdatapipeline_spark.sources.registry import read_table
 
     docs = read_table(spark, SF_SMALL, "documents").limit(60)
-    wav = encode_media_as_wav(attach_binary_payload(docs), sample_rate=8000, n_samples=32)
+    wav = encode_media_as_wav(attach_binary_payload(docs), sample_rate=8000, n_samples=30)
     p = sorted(extract_features(wav, wav_feature_decoder).collect())
     a = sorted(extract_features_arrow(wav, wav_feature_decoder).collect())
     assert a == p and len(a) == 60

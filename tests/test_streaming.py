@@ -367,6 +367,7 @@ def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
             ).collect()
         }
         total = sum(want.values())
+        got = {}
         deadline = time.time() + 120
         while time.time() < deadline:
             # A POLLING reader can straddle the version-GC horizon when
