@@ -527,6 +527,72 @@ def events_forward_fill(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing, alpha =
+# beta = 0.5) per user: the COUPLED recurrence level/trend is not a
+# windowed sum, so it runs as a sequential struct fold over the user's
+# ordered history — init (x1, 0), then l' = (x + l + t)/2,
+# t' = (l' - l + t)/2; forecast_next = l + t.  With dyadic smoothing
+# constants every step is adds plus an exponent shift executed in the
+# same order by both engines, so values are bit-identical.  Oracle
+# note: DuckDB v1.0's list_reduce mis-evaluates STRUCT accumulators on
+# the third step (verified empirically: trend drifts while level stays
+# right), so the oracle folds a 2-element DOUBLE LIST accumulator
+# instead — same arithmetic, correct engine path.  Scale shape: one
+# shuffle (groupBy user); per-user history bounded by the events-per-
+# user cardinality — for unbounded histories the streaming twin keeps
+# (l, t) as running state instead.
+# --------------------------------------------------------------------------
+@register(
+    "events_holt_forecast",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY event_id) AS vs
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id,
+        list_reduce(
+          list_transform(vs, v -> [v, CAST(0 AS DOUBLE)]),
+          (a, s) -> [
+             (s[1] + a[1] + a[2]) * CAST(0.5 AS DOUBLE),
+             (((s[1] + a[1] + a[2]) * CAST(0.5 AS DOUBLE)) - a[1] + a[2])
+               * CAST(0.5 AS DOUBLE)
+          ]) AS st
+      FROM g
+    )
+    SELECT user_id, st[1] AS holt_level, st[2] AS holt_trend,
+           st[1] + st[2] AS forecast_next
+    FROM f
+    """,
+    tags=("events", "time-series", "forecast"),
+    doc="Per-user Holt linear-trend forecast via sequential fold, bit-exact.",
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    arr0 = F.array_sort(
+        F.collect_list(F.struct("event_id", F.col("value").cast("double").alias("v")))
+    )
+    arr = F.transform(arr0, lambda s: F.struct(s["v"].alias("l"), F.lit(0.0).alias("t")))
+    g = ev.groupBy("user_id").agg(arr.alias("arr"))
+    init = F.element_at(F.col("arr"), 1)
+    rest = F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0)))
+
+    def step(a, s):
+        lnew = (s["l"] + a["l"] + a["t"]) * F.lit(0.5)
+        return F.struct(
+            lnew.alias("l"), ((lnew - a["l"] + a["t"]) * F.lit(0.5)).alias("t")
+        )
+
+    st = F.aggregate(rest, init, step)
+    return g.select(
+        "user_id",
+        st["l"].alias("holt_level"),
+        st["t"].alias("holt_trend"),
+        (st["l"] + st["t"]).alias("forecast_next"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exponentially weighted moving average (pandas ewm adjust=True
 # semantics, decay 0.5) over a trailing 10-row frame per user — the
 # smoothing operator time-series monitoring needs next to z-score and

@@ -703,6 +703,7 @@ def test_ewm_single_window_pass_no_udf(spark):
 
 ROUND7_SWEEP = (
     "events_ewm_value",
+    "events_holt_forecast",
     "multimodal_wav_decode",
     "multimodal_video_frames",
     "multimodal_bmp_resize",
