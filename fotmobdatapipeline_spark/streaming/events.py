@@ -217,6 +217,70 @@ def running_user_counts(events: DataFrame, timeout_minutes: int | None = None) -
     )
 
 
+_HOLT_OUT = (
+    "user_id long, holt_level double, holt_trend double, "
+    "forecast_next double, n_seen long"
+)
+_HOLT_STATE = "l double, t double, started boolean, n long"
+
+
+def holt_state_stream(events: DataFrame) -> DataFrame:
+    """Per-user Holt linear-trend smoothing (alpha = beta = 0.5) as
+    UNBOUNDED running state — the streaming twin of the batch
+    ``events_holt_forecast`` entry.  The batch form folds the whole
+    per-user history (state O(history)); here state is just (level,
+    trend): O(users), constant per event — the shape that survives an
+    unbounded feed.
+
+    Exactness contract: the fold is order-sensitive, so events must
+    arrive per-key in event order ACROSS micro-batches (a file source
+    fed files in event order satisfies this); within a batch rows are
+    sorted by event_id.  Under that contract the per-batch partial
+    folds compose into arithmetic identical to the batch fold, so the
+    final emitted (level, trend, forecast) equals the batch entry
+    bit-for-bit — pinned in tests/test_streaming.py."""
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            lvl, trd, started, n = state.get
+        else:
+            lvl, trd, started, n = 0.0, 0.0, False, 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("event_id")
+            for v in batch["value"]:
+                v = float(v)
+                if not started:
+                    lvl, trd, started = v, 0.0, True
+                else:
+                    lnew = (v + lvl + trd) * 0.5
+                    trd = (lnew - lvl + trd) * 0.5
+                    lvl = lnew
+                n += 1
+        state.update((lvl, trd, started, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "holt_level": [lvl],
+                "holt_trend": [trd],
+                "forecast_next": [lvl + trd],
+                "n_seen": [n],
+            }
+        )
+
+    return events.select("event_id", "user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_HOLT_OUT,
+        stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # --------------------------------------------------------------------------
 # State-store scale path: RocksDB provider.
 # --------------------------------------------------------------------------

@@ -725,3 +725,66 @@ def test_sketch_sink_retention_survives_slow_reader(spark, tmp_path):
     drain()
     assert not os.path.exists(pinned_path)
     assert len([d for d in os.listdir(state) if d.startswith("v")]) == 3
+
+
+def test_holt_state_stream_equals_batch_fold(spark, tmp_path):
+    """Per-user Holt state across MULTIPLE in-order micro-batches must
+    end bit-identical to the batch entry's whole-history fold — the
+    O(users) running state replaces the O(history) batch fold without
+    changing a single bit of the answer."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        holt_state_stream,
+        read_events_stream,
+    )
+
+    # split the feed into 3 plain FILES by event_id range, mtime-ordered,
+    # so the file source delivers them as separate IN-ORDER micro-batches
+    import glob as _glob
+    import shutil as _sh
+
+    ev = read_table(spark, SF_SMALL, "events")
+    n = ev.count()
+    d = tmp_path / "ordered"
+    d.mkdir()
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        _sh.move(part, str(d / f"chunk{i}.parquet"))
+        _time.sleep(1.1)  # file source orders by modification time
+
+    stream = read_events_stream(spark, str(d))
+    q = (
+        holt_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_state")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last emission per user (highest n_seen) is the final state
+    got = {}
+    for r in spark.sql("SELECT * FROM holt_state").collect():
+        if r["user_id"] not in got or r["n_seen"] > got[r["user_id"]][3]:
+            got[r["user_id"]] = (
+                r["holt_level"], r["holt_trend"], r["forecast_next"], r["n_seen"]
+            )
+    want = {
+        r["user_id"]: (r["holt_level"], r["holt_trend"], r["forecast_next"])
+        for r in query_map()["events_holt_forecast"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for u, (lvl, trd, fc) in want.items():
+        assert got[u][:3] == (lvl, trd, fc), u  # bit-identical
