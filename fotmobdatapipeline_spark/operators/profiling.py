@@ -228,6 +228,7 @@ def collect_partition_stats(
     partition_col: str,
     partitions: Sequence[str] | None = None,
     ndv_cols: Sequence[str] | None = None,
+    hist_cols: dict | None = None,
     persist: bool = True,
 ) -> dict:
     """Incremental ANALYZE: per-PARTITION statistics, refreshable for
@@ -242,6 +243,15 @@ def collect_partition_stats(
     reassembles exact table-level counts/min/max/nulls and a
     table-level NDV estimate equal to what a full-table sketch would
     give — without rescanning untouched partitions.
+
+    ``hist_cols`` maps column -> (lo, hi, n_buckets): a FIXED-EDGE
+    histogram per partition (values clamped into the edge range),
+    stored sparsely and merged across partitions by exact bucket-count
+    SUM — so table-level quantile estimates
+    (:func:`quantile_from_merged_hist`) also refresh O(touched).
+    Fixed edges are what make partition histograms mergeable; pick
+    them once from domain knowledge or a first full ANALYZE's
+    min/max.
 
     Partitions are read per-directory (the ``compact_partitions``
     collision rule).  Cost: ONE pass over storage — the unioned frame
@@ -274,13 +284,16 @@ def collect_partition_stats(
     ]
     aggs = [F.count(F.lit(1)).alias("__n_rows")] + _column_stat_aggs(fields, ordered)
     ndv_cols = list(ndv_cols or [])
+    hist_cols = dict(hist_cols or {})
     sketches: dict[str, dict[str, dict[int, int]]] = {}
+    hists: dict[str, dict[str, dict[int, int]]] = {}
     try:
         base = {
             r["__part"]: r.asDict()
             for r in df.groupBy("__part").agg(*aggs).collect()
         }
         sketches = {p: {} for p in base}
+        hists = {p: {} for p in base}
         for c in ndv_cols:
             regs = hll_registers(
                 df, c, m=_hll_consts()[0], group_cols=("__part",)
@@ -289,6 +302,25 @@ def collect_partition_stats(
                 sketches[r["__part"]].setdefault(c, {})[int(r["reg_idx"])] = int(
                     r["max_rho"]
                 )
+        for c, (lo, hi, nb) in hist_cols.items():
+            if not (hi > lo and nb > 0):
+                raise ValueError(f"bad histogram spec for {c}: {(lo, hi, nb)}")
+            width = (float(hi) - float(lo)) / nb
+            bucket = F.least(
+                F.greatest(
+                    F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(nb - 1),
+            ).cast("int")
+            rows = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy("__part", bucket.alias("__b"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .collect()
+            )
+            for r in rows:
+                hists[r["__part"]].setdefault(c, {})[int(r["__b"])] = int(r["__c"])
     finally:
         df.unpersist()
 
@@ -325,6 +357,16 @@ def collect_partition_stats(
             "hll": {
                 c: {str(k): v for k, v in sorted(sketches[pval].get(c, {}).items())}
                 for c in ndv_cols
+            },
+            "hist": {
+                c: {
+                    "lo": float(lo), "hi": float(hi), "n": nb,
+                    "counts": {
+                        str(k): v
+                        for k, v in sorted(hists[pval].get(c, {}).items())
+                    },
+                }
+                for c, (lo, hi, nb) in hist_cols.items()
             },
         }
 
@@ -408,8 +450,46 @@ def read_merged_table_stats(spark, path: str) -> dict | None:
     for c in cols:
         if "min" in cols[c] and cols[c]["min"] is None:
             cols[c].pop("min"); cols[c].pop("max")
+    hists: dict[str, dict] = {}
+    for p in parts.values():
+        for c, h in p.get("hist", {}).items():
+            tgt_h = hists.setdefault(
+                c, {"lo": h["lo"], "hi": h["hi"], "n": h["n"], "counts": {}}
+            )
+            if (tgt_h["lo"], tgt_h["hi"], tgt_h["n"]) != (h["lo"], h["hi"], h["n"]):
+                raise ValueError(f"histogram edges disagree across partitions for {c}")
+            for k, v in h["counts"].items():
+                k = int(k)
+                tgt_h["counts"][k] = tgt_h["counts"].get(k, 0) + v
     merged = {"row_count": row_count, "columns": cols}
     if regs:
         merged["approx_ndv"] = {c: _hll_estimate_py(r) for c, r in regs.items()}
+    if hists:
+        merged["hist"] = hists
     merged["partitions"] = sorted(parts)
     return merged
+
+
+def quantile_from_merged_hist(hist: dict, q: float) -> float:
+    """Quantile estimate from a merged fixed-edge histogram: walk the
+    cumulative counts to the bucket containing rank q*(N-1)+1 and
+    linearly interpolate inside it.  Error is bounded by one bucket
+    width — the classic equi-width-histogram estimator a planner uses
+    for selectivity."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    lo, hi, nb = hist["lo"], hist["hi"], hist["n"]
+    counts = {int(k): v for k, v in hist["counts"].items()}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    width = (hi - lo) / nb
+    target = q * total
+    cum = 0.0
+    for b in range(nb):
+        c = counts.get(b, 0)
+        if cum + c >= target and c > 0:
+            frac = (target - cum) / c
+            return lo + (b + frac) * width
+        cum += c
+    return hi

@@ -517,3 +517,50 @@ def test_partition_stats_orphans_never_merge(spark, tmp_path):
     collect_partition_stats(spark, path, "day")
     assert not os.path.exists(path + "/_stats/parts/2.json")
     assert read_merged_table_stats(spark, path)["row_count"] == 200
+
+
+def test_partition_hist_merge_exact_and_quantiles(spark, tmp_path):
+    """Fixed-edge partition histograms merge by exact bucket-count sum
+    (merged == full-table histogram, integer-exact) and the quantile
+    estimator lands within one bucket width of the true percentile."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+        quantile_from_merged_hist,
+        read_merged_table_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("day"),
+        (F.pow(F.col("id") % 100, F.lit(2.0))).alias("v"),  # skewed 0..9801
+    )
+    df.write.partitionBy("day").parquet(path)
+    spec = {"v": (0.0, 9801.0, 50)}
+    collect_partition_stats(spark, path, "day", hist_cols=spec)
+    merged = read_merged_table_stats(spark, path)
+    h = merged["hist"]["v"]
+    assert sum(h["counts"].values()) == 5000  # every non-null row counted
+
+    # merged histogram == single full-table histogram, bucket for bucket
+    width = 9801.0 / 50
+    full = {
+        int(r[0]): r[1]
+        for r in df.select(
+            F.least(
+                F.greatest(F.floor(F.col("v") / width), F.lit(0)), F.lit(49)
+            ).cast("int").alias("b")
+        ).groupBy("b").count().collect()
+    }
+    assert {int(k): v for k, v in h["counts"].items()} == full
+
+    # quantile estimate within one bucket width of the exact percentile
+    import math
+
+    exact = sorted((i % 100) ** 2 for i in range(5000))
+    for q in (0.1, 0.5, 0.9):
+        est = quantile_from_merged_hist(h, q)
+        true = exact[math.floor(q * (len(exact) - 1))]
+        assert abs(est - true) <= width + 1e-9, (q, est, true)
