@@ -168,6 +168,7 @@ def compact_partitions(
         delete_path,
         partition_dirs,
         partition_file_stats,
+        unescape_partition_value,
     )
 
     before = partition_file_stats(spark, path, partition_col, only=partitions)
@@ -179,11 +180,24 @@ def compact_partitions(
     if not chosen:
         return []
 
+    # ``partition_dirs`` values are the DIR-NAME (Hive-escaped) form;
+    # the real value must flow through ``lit`` or ``partitionBy`` would
+    # escape a second time ('10:30' listed as '10%3A30' re-escapes to
+    # '10%253A30', and the staged-twin lookup below would miss it).
     dirs = dict(partition_dirs(spark, path, partition_col, only=list(chosen)))
+    real = {pval: unescape_partition_value(pval) for pval in chosen}
+    seen: dict[str, str] = {}
+    for pval, rv in real.items():
+        if rv in seen:
+            raise ValueError(
+                f"partition dirs {seen[rv]!r} and {pval!r} decode to the same "
+                f"value {rv!r}; compacting both would merge them — skip one"
+            )
+        seen[rv] = pval
     legs = [
         spark.read.parquet(dirs[pval])
         .repartition(chosen[pval])  # round-robin: exactly n balanced outputs
-        .withColumn(partition_col, F.lit(pval))
+        .withColumn(partition_col, F.lit(real[pval]))
         for pval in sorted(chosen)
     ]
     out = functools.reduce(lambda a, b: a.unionByName(b), legs)
@@ -197,16 +211,47 @@ def compact_partitions(
     fs = Path(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     try:
         out.write.partitionBy(partition_col).parquet(staging)
-        staged = {v: d for v, d in partition_dirs(spark, staging, partition_col)}
+    except BaseException:
+        # Nothing swapped yet — staging holds no sole copy of anything.
+        delete_path(spark, staging)
+        raise
+
+    # Match staged twins by DECODED value on both sides, so the lookup is
+    # immune to escaping differences between the original writer's dir
+    # names and the names this write just produced.
+    staged = {
+        unescape_partition_value(v): d
+        for v, d in partition_dirs(spark, staging, partition_col)
+    }
+    try:
         for pval in sorted(chosen):
             dst = Path(dirs[pval])
+            src = staged.get(real[pval])
+            if src is None:
+                # Never infer "zero rows" from absence in the staged
+                # listing — prove it from the still-intact source before
+                # deleting anything.
+                if spark.read.parquet(dirs[pval]).count() != 0:
+                    raise IOError(
+                        f"staged twin missing for non-empty partition "
+                        f"{pval!r}; source left untouched"
+                    )
+                fs.delete(dst, True)  # provably empty: drop its files
+                continue
             fs.delete(dst, True)
-            if pval in staged:
-                if not fs.rename(Path(staged[pval]), dst):
-                    raise IOError(f"cannot swap compacted partition into {dst}")
-            # else: zero rows — the partition is simply gone now.
-    finally:
-        delete_path(spark, staging)
+            if not fs.rename(Path(src), dst):
+                raise IOError(f"cannot swap compacted partition into {dst}")
+    except BaseException as exc:
+        # A partition may already be deleted with its only remaining copy
+        # in staging — deleting staging here would turn a transient swap
+        # failure into permanent loss.  Leave it; recovery = rename
+        # ``<staging>/<col>=<v>`` back under the table, then delete
+        # ``<staging>``.
+        raise RuntimeError(
+            f"compaction swap failed; staged copies preserved at {staging} "
+            f"(rename its {partition_col}=* dirs back into {path} to recover)"
+        ) from exc
+    delete_path(spark, staging)
 
     after = partition_file_stats(spark, path, partition_col, only=list(chosen))
     return [

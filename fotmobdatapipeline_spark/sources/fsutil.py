@@ -69,3 +69,28 @@ def partition_file_stats(
 def delete_path(spark, path: str, recursive: bool = True) -> bool:
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.delete(jpath, recursive))
+
+
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def unescape_partition_value(name: str) -> str:
+    """Decode the Hive/Spark directory-name form of a partition value
+    back to the real value (inverse of Catalyst's
+    ``ExternalCatalogUtils.escapePathName``): every ``%XX`` with two hex
+    digits becomes ``chr(0xXX)``; a ``%`` not followed by two hex digits
+    is literal.  :func:`partition_dirs` returns dir-name-form values, so
+    anything that re-writes a listed value through ``partitionBy`` (which
+    escapes AGAIN) must round-trip through this first — ``10:30`` lists
+    as ``10%3A30`` and would otherwise re-escape to ``10%253A30``."""
+    out: list[str] = []
+    i, n = 0, len(name)
+    while i < n:
+        c = name[i]
+        if c == "%" and i + 3 <= n and set(name[i + 1 : i + 3]) <= _HEX:
+            out.append(chr(int(name[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from tests.conftest import SF_SMALL
 
 
@@ -178,6 +180,81 @@ def test_compact_partitions_packs_small_files(spark, tmp_path):
 
     # already-packed table → no-op, nothing selected
     assert compact_partitions(spark, path, "day", target_file_bytes=1 << 30) == []
+
+
+def test_compact_partitions_escaped_values(spark, tmp_path):
+    """Partition values that Hive-escape in the directory name ('10:30'
+    lists as day=10%3A30) compact losslessly: the staged twin is matched
+    by DECODED value, so the re-escaped write still swaps back into the
+    original directory instead of being mistaken for an empty partition
+    and deleted (the pre-fix failure mode lost every row)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    path = str(tmp_path / "esc")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.concat(
+            (F.col("id") % 2 + 10).cast("string"), F.lit(":30")
+        ).alias("day"),  # values '10:30' / '11:30' → dirs day=10%3A30 …
+    )
+    df.repartition(6).write.partitionBy("day").parquet(path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert dirs == ["day=10%3A30", "day=11%3A30"]
+    before = sorted(spark.read.parquet(path).collect())
+
+    stats = compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    assert {s["partition"] for s in stats} == {"10%3A30", "11%3A30"}
+    assert all(s["files_before"] == 6 and s["files_after"] == 1 for s in stats)
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == dirs
+    assert sorted(spark.read.parquet(path).collect()) == before
+    # no staging leftovers on success
+    assert not [d for d in os.listdir(path) if d.startswith("_compact_staging")]
+
+
+def test_compact_partitions_never_infers_empty(spark, tmp_path, monkeypatch):
+    """If a non-empty partition's staged twin cannot be found, compaction
+    must raise with the source intact and the staging dir preserved —
+    never treat 'absent from the staged listing' as 'zero rows'."""
+    import fotmobdatapipeline_spark.sources.fsutil as fsutil
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    path = str(tmp_path / "guard")
+    spark.range(0, 100).selectExpr("id", "'a' as day").repartition(4).write.partitionBy(
+        "day"
+    ).parquet(path)
+    before = sorted(spark.read.parquet(path).collect())
+
+    real_listing = fsutil.partition_dirs
+
+    def lossy_listing(spark_, p, col, only=None):
+        if "_compact_staging" in p:
+            return []  # simulate a staged listing that misses everything
+        return real_listing(spark_, p, col, only=only)
+
+    monkeypatch.setattr(fsutil, "partition_dirs", lossy_listing)
+    with pytest.raises(RuntimeError, match="staged copies preserved"):
+        compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    monkeypatch.undo()
+
+    # source rows untouched, staged copy retained for manual recovery
+    assert sorted(spark.read.parquet(path).collect()) == before
+    staging = [d for d in os.listdir(path) if d.startswith("_compact_staging")]
+    assert len(staging) == 1
+    staged_rows = spark.read.parquet(f"{path}/{staging[0]}")
+    assert staged_rows.count() == 100
+
+
+def test_unescape_partition_value_roundtrip():
+    from fotmobdatapipeline_spark.sources.fsutil import unescape_partition_value
+
+    assert unescape_partition_value("10%3A30") == "10:30"
+    assert unescape_partition_value("a%25b") == "a%b"  # escaped literal %
+    assert unescape_partition_value("100%") == "100%"  # trailing bare %
+    assert unescape_partition_value("%zz5") == "%zz5"  # non-hex after %
+    assert unescape_partition_value("plain") == "plain"
+    assert unescape_partition_value("%2F%5C") == "/\\"
 
 
 def test_compact_partitions_respects_multi_file_target(spark, tmp_path):
