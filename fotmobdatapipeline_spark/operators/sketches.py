@@ -54,7 +54,15 @@ def count_min_table(
     input rows whose key hashes to that bucket in that row.  One hash
     aggregate; the partial/final pair caps the shuffle at depth*width
     rows per map task regardless of input size."""
-    keyed = _with_rows(df.select(F.col(key_col).cast("string").alias("__k")), depth)
+    # NULL keys are ignored across the whole sketch family (matching the
+    # null semantics of Spark's native sketch aggregates) — a NULL would
+    # otherwise hash to a NULL bucket/register row and corrupt estimates.
+    keyed = _with_rows(
+        df.select(F.col(key_col).cast("string").alias("__k")).filter(
+            F.col("__k").isNotNull()
+        ),
+        depth,
+    )
     return (
         keyed.withColumn(
             "bucket", _bucket(F.col("__k"), F.col("sketch_row"), width, salt)
@@ -85,7 +93,13 @@ def kmv_sketch(
     DataFrame with portable md5 hashing, so estimates are reproducible
     cross-engine (no opaque HLL binary)."""
     h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))))
-    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    return (
+        df.filter(F.col(key_col).isNotNull())  # null-ignoring, like the family
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
@@ -192,7 +206,10 @@ def hll_registers(
     rollup pattern — re-merging the grouped sketches (per-register max
     across groups) gives the whole-input sketch without a rescan.
 
-    Registers no key touched are ABSENT (estimators coalesce rho=0)."""
+    Registers no key touched are ABSENT (estimators coalesce rho=0).
+    NULL keys are ignored, like approx_count_distinct — they would
+    otherwise emit a (reg_idx=NULL, max_rho=NULL) row that breaks any
+    consumer doing int(reg_idx) (e.g. per-micro-batch ANALYZE)."""
     if m & (m - 1):
         raise ValueError("m must be a power of two")
     w_bits = 32 - m.bit_length() + 1
@@ -201,7 +218,8 @@ def hll_registers(
     w = F.floor(h / m).cast("bigint")
     g = list(group_cols)
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             *g, idx.alias("reg_idx"), _rho_trailing(w, w_bits).alias("rho")
         )
         .groupBy(*g, "reg_idx")
@@ -292,8 +310,10 @@ def bloom_filter_table(
     ~ (1 - e^(-kn/m))^k.
 
     Output: one row per word that has at least one bit set (absent word
-    = 0 bits; probes coalesce)."""
-    pos = df.select(
+    = 0 bits; probes coalesce).  NULL keys are ignored, matching
+    bloom_filter_agg (a NULL inserts nothing; a NULL probe returns
+    false)."""
+    pos = df.filter(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(*_bloom_positions(F.col(key_col), m_bits, n_hashes, salt))
         ).alias("p")
@@ -346,7 +366,11 @@ def bloom_probe(
         == F.col("mask")
     )
     return joined.groupBy(key_col).agg(
-        F.min(bit_set.cast("int")).cast("boolean").alias("maybe_member")
+        # NULL probe key → NULL mask → NULL bit test; coalesce to "not a
+        # member" (a NULL was never inserted) instead of a NULL verdict.
+        F.min(F.coalesce(bit_set.cast("int"), F.lit(0)))
+        .cast("boolean")
+        .alias("maybe_member")
     )
 
 

@@ -477,6 +477,45 @@ def test_partition_stats_merge_equals_full(spark, tmp_path):
     assert abs(merged["approx_ndv"]["u"] - true_ndv) / true_ndv < 0.25  # m=64 rsd
 
 
+def test_partition_stats_null_keys_in_ndv_cols(spark, tmp_path):
+    """A NULL in a sketched (ndv) column must not abort the ANALYZE:
+    hll_registers used to emit a reg_idx=NULL row for null keys, which
+    blew up int(reg_idx) in collect_partition_stats — fatal for
+    incremental_sink_with_stats, where one null value in one micro-batch
+    killed the whole streaming query.  Nulls are ignored, matching
+    approx_count_distinct."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+        read_merged_table_stats,
+    )
+    from fotmobdatapipeline_spark.operators.sketches import hll_registers
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") % 250)
+        .alias("u"),  # 25% nulls in the sketched column
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    per = collect_partition_stats(spark, path, "day", ndv_cols=["u"])  # no raise
+    assert set(per) == {"0", "1", "2"}
+    merged = read_merged_table_stats(spark, path)
+    assert abs(merged["approx_ndv"]["u"] - 250) / 250 < 0.4  # m=64 raw regime
+
+    # the register table itself carries no NULL rows, and matches the
+    # sketch of the explicitly null-filtered input register-for-register
+    regs = hll_registers(df.select("u"), "u").collect()
+    assert all(r["reg_idx"] is not None and r["max_rho"] is not None for r in regs)
+    nn = hll_registers(df.filter(F.col("u").isNotNull()).select("u"), "u").collect()
+    as_map = lambda rows: {int(r["reg_idx"]): int(r["max_rho"]) for r in rows}
+    assert as_map(regs) == as_map(nn)
+
+
 def test_partition_stats_incremental_refresh(spark, tmp_path):
     """Refreshing only the touched partition's stats after an upsert
     reproduces the same merged stats as recomputing everything."""

@@ -1348,6 +1348,44 @@ def test_hll_registers_mergeable_and_estimate_sane(spark):
     assert abs(est - exact) / exact < 0.40, (est, exact)
 
 
+def test_sketch_family_ignores_null_keys(spark):
+    """Every sketch builder (CMS / KMV / HLL / Bloom) ignores NULL keys
+    — matching Spark's native sketch aggregates — instead of hashing
+    them into NULL bucket/register rows.  Each null-bearing input must
+    produce a sketch identical to the null-filtered input's sketch."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+        count_min_table,
+        hll_registers,
+        kmv_sketch,
+    )
+
+    withnulls = spark.range(0, 500).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 40).alias("k")
+    )
+    clean = withnulls.filter(F.col("k").isNotNull())
+    as_sorted = lambda df: sorted(map(tuple, df.collect()))
+
+    for build in (
+        lambda d: count_min_table(d, "k"),
+        lambda d: kmv_sketch(d, "k"),
+        lambda d: hll_registers(d, "k"),
+        lambda d: bloom_filter_table(d, "k"),
+    ):
+        dirty, pure = as_sorted(build(withnulls)), as_sorted(build(clean))
+        assert dirty == pure and None not in {v for row in dirty for v in row}
+
+    # a NULL probe key is "not a member", never an error or a NULL verdict
+    bf = bloom_filter_table(clean, "k")
+    verdicts = bloom_probe(bf, withnulls, "k").collect()
+    null_rows = [r for r in verdicts if r["k"] is None]
+    assert all(r["maybe_member"] is False for r in null_rows)
+    assert all(r["maybe_member"] for r in verdicts if r["k"] is not None)
+
+
 def test_power_iteration_component_invariants(spark):
     """The returned component is unit-norm; the eigenvalue estimate is
     positive and non-decreasing in iteration count (power iteration
