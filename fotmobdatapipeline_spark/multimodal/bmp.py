@@ -106,15 +106,33 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+_F32_EXACT_MAX = 1 << 24  # largest contiguous exact-int range in float32
+
+
 def bmp_feature_decoder(payload: bytes) -> list[float]:
     """REAL decoder for :func:`extract_features`: parse the BMP, then
-    summarize the decoded pixels with exact integer statistics (all
-    below 2^24, hence exact in float32): [width, height, first byte,
-    byte sum, position-weighted byte sum].  The weighted sum makes the
-    feature sensitive to pixel ORDER, so a decoder that forgot the
-    bottom-up flip, the B,G,R swap, or the row padding produces a
-    different vector — the property the oracle checks value-exactly."""
+    summarize the decoded pixels with exact integer statistics:
+    [width, height, first byte, byte sum, position-weighted byte sum].
+    The weighted sum makes the feature sensitive to pixel ORDER, so a
+    decoder that forgot the bottom-up flip, the B,G,R swap, or the row
+    padding produces a different vector — the property the oracle
+    checks value-exactly.
+
+    Exactness bound: the feature column is float32 (ArrayType(Float)),
+    whose exact-integer range ends at 2^24.  The weighted sum's worst
+    case is 255 * N(N+1)/2 for N = width*height*3 pixel bytes, which
+    stays exact only up to N = 362 (~an 11x11 image).  Geometry beyond
+    that RAISES instead of silently rounding, so value-exact oracles
+    can never be written against inexact features; larger images want a
+    float64 feature surface, not this checksum."""
     width, height, pixels = decode_bmp(payload)
+    n = len(pixels)
+    if 255 * n * (n + 1) // 2 > _F32_EXACT_MAX:
+        raise ValueError(
+            f"{width}x{height} exceeds the float32-exact bound for the "
+            f"position-weighted checksum (need width*height*3 <= 362, "
+            f"got {n})"
+        )
     total = 0
     weighted = 0
     for i, b in enumerate(pixels):

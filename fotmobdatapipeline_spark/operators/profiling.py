@@ -472,10 +472,12 @@ def read_merged_table_stats(spark, path: str) -> dict | None:
 
 def quantile_from_merged_hist(hist: dict, q: float) -> float:
     """Quantile estimate from a merged fixed-edge histogram: walk the
-    cumulative counts to the bucket containing rank q*(N-1)+1 and
-    linearly interpolate inside it.  Error is bounded by one bucket
-    width — the classic equi-width-histogram estimator a planner uses
-    for selectivity."""
+    cumulative counts to the bucket containing the 1-based rank
+    q*(N-1)+1 — PERCENTILE_CONT's interpolation convention, the same
+    one ``plans/advanced._sql_hq_est`` targets — and linearly
+    interpolate inside it.  Error is bounded by one bucket width — the
+    classic equi-width-histogram estimator a planner uses for
+    selectivity."""
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
     lo, hi, nb = hist["lo"], hist["hi"], hist["n"]
@@ -484,11 +486,11 @@ def quantile_from_merged_hist(hist: dict, q: float) -> float:
     if total == 0:
         raise ValueError("empty histogram")
     width = (hi - lo) / nb
-    target = q * total
+    target = q * (total - 1) + 1  # 1-based rank, cum_prev < target <= cum
     cum = 0.0
     for b in range(nb):
         c = counts.get(b, 0)
-        if cum + c >= target and c > 0:
+        if c > 0 and cum < target <= cum + c:
             frac = (target - cum) / c
             return lo + (b + frac) * width
         cum += c

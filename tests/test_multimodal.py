@@ -206,6 +206,12 @@ def test_bmp_feature_decoder_order_sensitivity():
     assert f_ok[3] == f_fl[3]  # same byte sum
     assert f_ok[4] != f_fl[4]  # different order -> different checksum
 
+    # geometry whose worst-case weighted sum exceeds the float32
+    # exact-int range must raise, not silently round (11x11x3=363 > 362)
+    with pytest.raises(ValueError, match="float32-exact bound"):
+        bmp_feature_decoder(encode_bmp(11, 11, bytes(11 * 11 * 3)))
+    assert bmp_feature_decoder(encode_bmp(10, 12, bytes(10 * 12 * 3)))[1] == 12.0
+
 
 def test_bmp_entry_end_to_end(spark):
     """The catalog entry runs the REAL encode->decode pipeline over the
