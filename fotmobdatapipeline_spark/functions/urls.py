@@ -1,0 +1,113 @@
+"""URL canonicalization and domain extraction — the web-corpus hygiene
+layer of a crawl-scale training-data pipeline (CommonCrawl-style
+dedup keys: one canonical form per page, registrable-domain mixing
+caps).  Reference surface: SURVEY.md §2's LLM-data-pipeline extension
+(the reference itself has no web-corpus path).
+
+All pure native expressions (regexp + array ops — JVM-side, inside
+whole-stage codegen; no Python UDFs), so canonicalization of 100 TB of
+URLs is a map-only stage that never leaves Tungsten, and every rule has
+a value-exact DuckDB twin in plans/llmdata.py.
+
+Canonical form implemented (the widely used safe subset):
+
+* scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+  the path keeps its case (paths are case-sensitive);
+* default port stripped (``:80`` for http, ``:443`` for https — RFC
+  3986 §6.2.3);
+* trailing slashes stripped from the path (``/a/`` == ``/a``; root
+  becomes the empty path);
+* the fragment dropped (never sent to the server);
+* tracking parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+  ``ref``) and the surviving query parameters SORTED — parameter order
+  is almost never semantic, and sorting makes equivalent URLs
+  byte-identical dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Parameters that never change page content — the classic tracker list.
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+# Second-level public suffixes the simplified registrable-domain rule
+# recognizes (the full public-suffix list is data, not code — a
+# production deployment broadcast-joins the PSL table; this static set
+# keeps the operator dependency-free and the oracle exact).
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.nz", "com.br", "com.cn",
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme ('' when the value is not an absolute URL)."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased authority with the scheme's default port stripped."""
+    raw = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    scheme = url_scheme(url)
+    return (
+        F.when(scheme == "http", F.regexp_replace(raw, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(raw, ":443$", ""))
+        .otherwise(raw)
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path with trailing slashes stripped (root → empty string); case
+    preserved."""
+    return F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), "/+$", "")
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with tracking parameters removed and the survivors
+    sorted; '' when nothing survives."""
+    params = F.split(F.regexp_extract(url, _QUERY_RE, 1), "&")
+    kept = F.filter(
+        params, lambda p: (~p.rlike(TRACKING_PARAM_RE)) & (p != F.lit(""))
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """One canonical byte string per equivalent URL — the dedup key.
+    NULL for values that don't parse as absolute URLs (no scheme)."""
+    q = url_query_canonical(url)
+    canon = F.concat(
+        url_scheme(url),
+        F.lit("://"),
+        url_host(url),
+        url_path(url),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(url_scheme(url) == "", F.lit(None)).otherwise(canon)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The owner-registered domain of a hostname: last two labels,
+    or last THREE when the final two form a recognized second-level
+    public suffix ('blog.example.co.uk' → 'example.co.uk').  A bare
+    single-label host is returned unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_2l_suffix = last2.isin(*SECOND_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & is_2l_suffix, last3)
+        .otherwise(last2)
+    )

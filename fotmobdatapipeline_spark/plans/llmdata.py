@@ -7237,3 +7237,180 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str):
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cos.alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Web-corpus hygiene: URL canonicalization (functions/urls.py) — the
+# crawl-pipeline dedup key.  Deterministic synthetic URLs are built from
+# doc_id arithmetic (uppercase schemes, default ports, tracking params,
+# shuffled param order, fragments, trailing slashes) so both engines
+# derive identical inputs; canonicalization must collapse every
+# decoration, leaving doc_id % 20 equivalence classes.
+# --------------------------------------------------------------------------
+_SQL_URL_BUILD = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END)
+           || '://Blog' || CAST(doc_id % 5 AS VARCHAR)
+           || '.Example' || CAST(doc_id % 3 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END)
+           || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+           || '/Articles/' || CAST(doc_id % 20 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 7 < 3
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR) || '&b=2'
+                 ELSE '?b=2&id=' || CAST(doc_id % 20 AS VARCHAR) || '&gclid=abc'
+               END)
+           || (CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END) AS url
+    FROM documents
+"""
+
+_SQL_URL_CANON = r"""
+    SELECT doc_id, url, scheme || '://' || host || pth
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url,
+           host
+    FROM (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+                  ELSE hostraw END AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS pth,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=')
+                    AND p <> '')), '&') AS q
+      FROM (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw
+        FROM u
+      )
+    )
+"""
+
+_SQL_REG_DOMAIN = """
+    CASE WHEN len(t) <= 1 THEN host
+         WHEN len(t) >= 3 AND (t[-2] || '.' || t[-1]) IN
+           ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au',
+            'co.jp','co.in','co.nz','com.br','com.cn')
+           THEN t[-3] || '.' || t[-2] || '.' || t[-1]
+         ELSE t[-2] || '.' || t[-1] END
+"""
+
+
+def _synthetic_urls(spark: SparkSession, sf_dir: str):
+    """Spark twin of _SQL_URL_BUILD."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://Blog"), (d % 5).cast("string"),
+        F.lit(".Example"), (d % 3).cast("string"),
+        F.when(d % 2 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Articles/"), (d % 20).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 7 < 3,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 20).cast("string"), F.lit("&b=2")),
+        ).otherwise(
+            F.concat(F.lit("?b=2&id="), (d % 20).cast("string"), F.lit("&gclid=abc"))
+        ),
+        F.when(d % 6 == 0, F.lit("#Section2")).otherwise(F.lit("")),
+    )
+    return read_table(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH u AS ({_SQL_URL_BUILD}),
+    c AS ({_SQL_URL_CANON})
+    SELECT doc_id, url, canonical_url, {_SQL_REG_DOMAIN} AS domain
+    FROM (SELECT *, string_split(host, '.') AS t FROM c)
+    """,
+    tags=("urls", "web-corpus", "canonicalize", "llmdata"),
+    doc="RFC-3986-style URL canonicalization: case/port/fragment/tracker/slash "
+        "normalization + sorted params, all native expressions.",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions import urls as U
+
+    u = _synthetic_urls(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        "url",
+        U.canonicalize_url(F.col("url")).alias("canonical_url"),
+        U.registrable_domain(U.url_host(F.col("url"))).alias("domain"),
+    )
+
+
+@register(
+    "url_dedup_canonical",
+    oracle=f"""
+    WITH u AS ({_SQL_URL_BUILD}),
+    c AS ({_SQL_URL_CANON})
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_raw_variants,
+           MIN(doc_id) AS keep_doc
+    FROM c GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("urls", "web-corpus", "dedup", "llmdata"),
+    doc="URL-level dedup: group by canonical form, count collapsed raw "
+        "variants, keep the lowest doc per page.",
+)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions import urls as U
+
+    u = _synthetic_urls(spark, sf_dir)
+    return (
+        u.select("doc_id", "url", U.canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@register(
+    "url_domain_mixture",
+    oracle=f"""
+    WITH u AS ({_SQL_URL_BUILD}),
+    c AS ({_SQL_URL_CANON}),
+    d AS (
+      SELECT doc_id, {_SQL_REG_DOMAIN} AS domain
+      FROM (SELECT *, string_split(host, '.') AS t FROM c)
+    )
+    SELECT domain, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
+    FROM (SELECT domain, COUNT(*) AS n_docs FROM d GROUP BY domain)
+    ORDER BY domain
+    """,
+    tags=("urls", "web-corpus", "mixture", "llmdata"),
+    doc="Per-registrable-domain corpus shares — the input to crawl "
+        "domain-mixing caps.",
+)
+def url_domain_mixture(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from fotmobdatapipeline_spark.functions import urls as U
+
+    u = _synthetic_urls(spark, sf_dir)
+    d = u.select(U.registrable_domain(U.url_host(F.col("url"))).alias("domain"))
+    # share over a window on the AGGREGATED frame (#domains rows), so the
+    # total needs no second pass over the input and no driver collect
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_docs"))
+    return counts.select(
+        "domain",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    ).orderBy("domain")
