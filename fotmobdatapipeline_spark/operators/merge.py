@@ -47,7 +47,15 @@ def upsert_partitioned(
     ``source`` is evaluated three times (touched partitions, key set,
     final write), so it is pinned with ``cache()`` — a nondeterministic
     source lineage (sampled/limited/shuffled input) would otherwise
-    delete one key set and insert another."""
+    delete one key set and insert another.
+
+    Partition-value canonical-form note: this path reads the target with
+    Spark's standard partition-type inference, so lexically distinct
+    values that infer equal ('0' vs '00', '1.0' vs '1') are treated as
+    the SAME partition — Spark's own semantics.  Keep partition values
+    in one canonical string form; only the maintenance operators
+    (``compact_partitions``) read per-directory and preserve lexical
+    identity."""
     source = source.cache()
     touched = [r[0] for r in source.select(partition_col).distinct().collect()]
     if not touched:
