@@ -79,6 +79,9 @@ HEADLINE = [
     # round-7 additions
     "multimodal_bmp_decode",
     "sim_pq_rerank_topk",
+    # round-8 additions
+    "url_canonicalize",
+    "url_dedup_canonical",
 ]
 
 

@@ -235,6 +235,12 @@ def collect_partition_stats(
     just the partitions a maintenance window touched (O(touched), never
     O(table)) — the property :func:`collect_table_stats` cannot have.
 
+    ``partitions`` (and every partition key in the persisted stats and
+    the merged view) is the Hive-escaped DIR-NAME form — it doubles as
+    the stats FILENAME, so it must stay filesystem-safe.  Callers
+    holding data values convert with
+    ``fsutil.escape_partition_value`` (see incremental_sink_with_stats).
+
     Per partition: row count, per-column null count and min/max
     (orderable scalars), and for each of ``ndv_cols`` a 64-register
     HyperLogLog sketch (the repo's portable HLL, operators/sketches.py)

@@ -126,8 +126,10 @@ def read_evolved(
 
     Note one fast/fallback asymmetry: the fast path types the partition
     column via Spark's partition discovery (e.g. int for ``day=3``),
-    while the fallback always emits it as string (the directory-name
-    form) — cast at the call site if a specific type is needed.
+    while the fallback always emits it as string (the DECODED value —
+    a ``day=10%3A30`` directory yields ``'10:30'``, matching what the
+    fast path's discovery would decode) — cast at the call site if a
+    specific type is needed.
     """
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
@@ -147,7 +149,10 @@ def read_evolved(
                 "per-partition fallback"
             ) from exc
 
-    from fotmobdatapipeline_spark.sources.fsutil import partition_dirs
+    from fotmobdatapipeline_spark.sources.fsutil import (
+        partition_dirs,
+        unescape_partition_value,
+    )
 
     parts = partition_dirs(spark, path, partition_col)
     if not parts:
@@ -158,8 +163,12 @@ def read_evolved(
         (pval, spark.read.parquet(pdir)) for pval, pdir in parts
     ]
     target = _widen_schemas([df.schema for _, df in readers])
+    # partition_dirs values are the Hive-escaped dir-name form; decode so
+    # the emitted column holds the real value ('10:30', not '10%3A30').
     conformed = [
-        conform_schema(df, target).withColumn(partition_col, F.lit(pval))
+        conform_schema(df, target).withColumn(
+            partition_col, F.lit(unescape_partition_value(pval))
+        )
         for pval, df in readers
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), conformed)

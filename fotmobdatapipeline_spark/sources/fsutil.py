@@ -73,6 +73,25 @@ def delete_path(spark, path: str, recursive: bool = True) -> bool:
 
 _HEX = set("0123456789abcdefABCDEF")
 
+# Catalyst's ExternalCatalogUtils.charToEscape: ASCII control chars
+# 0x01-0x1F, DEL, and the Hive-special set.  Spark escapes these (and
+# ONLY these) as %XX uppercase-hex in partition directory names.
+_ESCAPED_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
+)
+
+
+def escape_partition_value(value: str) -> str:
+    """The Hive/Spark directory-name form of a partition value — what
+    ``partitionBy`` writes and :func:`partition_dirs` lists ('10:30' →
+    ``10%3A30``).  Use it to turn DATA values into the ``only=`` keys
+    the listing helpers expect; exact inverse of
+    :func:`unescape_partition_value` for every value Spark can write."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in value
+    )
+
 
 def unescape_partition_value(name: str) -> str:
     """Decode the Hive/Spark directory-name form of a partition value

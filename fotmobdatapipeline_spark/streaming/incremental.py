@@ -91,9 +91,18 @@ def incremental_sink_with_stats(
         finally:
             batch_df.unpersist()
         if touched:
+            from fotmobdatapipeline_spark.sources.fsutil import (
+                escape_partition_value,
+            )
+
+            # touched holds DATA values; the stats listing keys on the
+            # Hive-escaped dir-name form ('10:30' lands as day=10%3A30 —
+            # unescaped it would miss the dir and silently skip the
+            # refresh).
             collect_partition_stats(
                 spark, path, partition_col,
-                partitions=touched, ndv_cols=list(ndv_cols),
+                partitions=[escape_partition_value(v) for v in touched],
+                ndv_cols=list(ndv_cols),
             )
 
     return (

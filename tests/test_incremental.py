@@ -257,6 +257,28 @@ def test_unescape_partition_value_roundtrip():
     assert unescape_partition_value("%2F%5C") == "/\\"
 
 
+def test_escape_partition_value_matches_spark_writer(spark, tmp_path):
+    """escape_partition_value must produce EXACTLY the directory name
+    Spark's own partitionBy writes — checked against the real writer for
+    every special-character class, plus inverse round-trips."""
+    from fotmobdatapipeline_spark.sources.fsutil import (
+        escape_partition_value,
+        unescape_partition_value,
+    )
+
+    values = ["10:30", "a/b", "50%", "x=y", "q?", "it's", "c#1", "a b", "plain-1.0"]
+    path = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, day string"
+    ).coalesce(1).write.partitionBy("day").parquet(path)
+    dirnames = sorted(
+        d[len("day="):] for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert dirnames == sorted(escape_partition_value(v) for v in values)
+    for v in values:
+        assert unescape_partition_value(escape_partition_value(v)) == v
+
+
 def test_compact_partitions_respects_multi_file_target(spark, tmp_path):
     """A partition bigger than target_file_bytes is packed into
     ceil(bytes/target) files, not one giant file."""
@@ -598,6 +620,44 @@ def test_incremental_sink_with_stats_stays_current(spark, tmp_path):
     assert len(stats["partitions"]) == len(
         [d for d in __import__("os").listdir(out) if d.startswith("event_date=")]
     )
+
+
+def test_partition_stats_escaped_partition_values(spark, tmp_path):
+    """Stats keys are the Hive-escaped dir-name form: a ':'-valued
+    partition ('10:30' on disk as slot=10%3A30) is found via
+    escape_partition_value, its stats file is filesystem-safe, and the
+    merged view survives the partition_dirs orphan check (which also
+    lists dir-name forms)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.profiling import (
+        collect_partition_stats,
+        read_merged_table_stats,
+    )
+    from fotmobdatapipeline_spark.sources.fsutil import escape_partition_value
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.concat((F.col("id") % 2 + 10).cast("string"), F.lit(":30")).alias("slot"),
+    )
+    df.write.partitionBy("slot").parquet(path)
+
+    touched = ["10:30", "11:30"]  # DATA values, as a sink would collect them
+    per = collect_partition_stats(
+        spark, path, "slot",
+        partitions=[escape_partition_value(v) for v in touched],
+    )
+    assert set(per) == {"10%3A30", "11%3A30"}
+    assert sum(p["row_count"] for p in per.values()) == 200
+
+    merged = read_merged_table_stats(spark, path)
+    assert merged["row_count"] == 200
+    assert merged["partitions"] == ["10%3A30", "11%3A30"]
+
+    # unescaped data values would silently match nothing — the exact
+    # failure mode the escape fixes; pin it so the contract is visible
+    assert collect_partition_stats(spark, path, "slot", partitions=touched) == {}
 
 
 def test_partition_stats_orphans_never_merge(spark, tmp_path):

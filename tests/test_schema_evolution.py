@@ -61,6 +61,30 @@ def test_widened_int_falls_back_and_unions(spark, tmp_path):
     assert rows[6] == (60, 1.5, "new", "2024")
 
 
+def test_fallback_decodes_escaped_partition_values(spark, tmp_path):
+    """The per-partition fallback emits the DECODED partition value —
+    a day=10%3A30 directory yields '10:30' like Spark's own discovery
+    would, not the raw dir-name form."""
+    import os
+
+    path = str(tmp_path / "t")
+    # partitionBy so the dirs are genuinely Hive-escaped on disk
+    spark.range(3).select(
+        F.col("id"), F.col("id").cast("int").alias("v"), F.lit("10:30").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    spark.range(3, 6).select(
+        F.col("id"), F.col("id").cast("long").alias("v"), F.lit("11:30").alias("day")
+    ).write.mode("append").partitionBy("day").parquet(path)
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
+        "day=10%3A30",
+        "day=11%3A30",
+    ]
+
+    df = read_evolved(spark, path, partition_col="day")
+    assert sorted({r.day for r in df.collect()}) == ["10:30", "11:30"]
+    assert df.count() == 6
+
+
 def test_cross_kind_conflict_raises(spark, tmp_path):
     """string vs int cannot be widened — must raise, never stringify."""
     path = str(tmp_path / "t")
