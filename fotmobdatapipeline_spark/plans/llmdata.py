@@ -7414,3 +7414,81 @@ def url_domain_mixture(spark: SparkSession, sf_dir: str):
             / F.sum("n_docs").over(Window.partitionBy()).cast("double")
         ).alias("share"),
     ).orderBy("domain")
+
+
+# --------------------------------------------------------------------------
+# Data selection via importance resampling (DSIR, Xie et al. 2023 —
+# public method): score raw docs by the hashed-bigram log-likelihood
+# ratio of a target model (the doc_id % 50 == 0 eval slice, the
+# decontaminate_train convention) over the raw-corpus model.  Models are
+# B-row bucket tables (broadcast); the corpus is never shuffled for
+# scoring.  ln is not bit-portable across engines (operators/
+# selection.py module docstring), so the weight is compared ROUNDED to
+# 4 decimals — straddle probability ~1e-9 per doc.
+# --------------------------------------------------------------------------
+_DSIR_B = 4096
+
+
+def _sql_dsir_scores() -> str:
+    hex32 = _sql_hex32("md5('dsir:' || g)")
+    return f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    gr AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    pd AS (
+      SELECT doc_id, CAST(({hex32}) % {_DSIR_B} AS INT) AS bucket,
+             COUNT(*) AS cnt
+      FROM gr GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT bucket,
+             SUM(CASE WHEN doc_id % 50 = 0 THEN cnt ELSE 0 END) AS ct,
+             SUM(CASE WHEN doc_id % 50 <> 0 THEN cnt ELSE 0 END) AS cs
+      FROM pd GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM m),
+    r AS (
+      SELECT bucket,
+             ln(((CAST(ct AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(nt AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))
+              / ((CAST(cs AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(ns AS DOUBLE) + CAST({_DSIR_B} AS DOUBLE)))) AS lnr
+      FROM m, tot
+    ),
+    sc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             ROUND(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(cnt AS DOUBLE) * lnr ORDER BY bucket)),
+               (a, b) -> a + b), 4) AS weight
+      FROM pd JOIN r USING (bucket)
+      WHERE doc_id % 50 <> 0
+      GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dsir_importance_topk",
+    oracle=f"""
+    WITH {_sql_dsir_scores()}
+    SELECT doc_id, n_bigrams, weight
+    FROM sc ORDER BY weight DESC, doc_id ASC LIMIT 25
+    """,
+    tags=("selection", "dsir", "llmdata", "importance"),
+    doc="DSIR hashed-bigram importance weights, top-25 target-like raw docs "
+        "(weight quantized to 4dp for cross-engine compare).",
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.selection import (
+        dsir_logratio_weights,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = dsir_logratio_weights(
+        docs, is_target=F.col("doc_id") % 50 == 0, buckets=_DSIR_B
+    )
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(25)

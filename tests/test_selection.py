@@ -1,0 +1,58 @@
+"""DSIR importance-weighting semantics: target-like raw docs must score
+above target-unlike ones, the target slice itself is never scored, and
+degenerate docs don't break the fold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.selection import (
+    dsir_logratio_weights,
+    hashed_bigram_buckets,
+)
+
+
+def _docs(spark):
+    rows = []
+    # target slice (ids 0-9): "alpha beta" language
+    for i in range(10):
+        rows.append((i, "alpha beta alpha beta alpha beta gamma"))
+    # raw docs 100-109: target-like
+    for i in range(100, 110):
+        rows.append((i, "alpha beta alpha beta something else alpha beta"))
+    # raw docs 200-209: target-unlike
+    for i in range(200, 210):
+        rows.append((i, "delta epsilon zeta delta epsilon zeta delta epsilon"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_orders_target_like_above_unlike(spark):
+    w = dsir_logratio_weights(
+        _docs(spark), is_target=F.col("doc_id") < 10, buckets=256
+    )
+    got = {r["doc_id"]: r["weight"] for r in w.collect()}
+    assert set(got) == set(range(100, 110)) | set(range(200, 210))  # no targets
+    like = [got[i] for i in range(100, 110)]
+    unlike = [got[i] for i in range(200, 210)]
+    assert min(like) > max(unlike)
+
+
+def test_dsir_weight_is_rerun_stable(spark):
+    docs = _docs(spark)
+    a = dsir_logratio_weights(docs, F.col("doc_id") < 10, buckets=256,
+                              round_to=None).collect()
+    b = dsir_logratio_weights(docs, F.col("doc_id") < 10, buckets=256,
+                              round_to=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # bit-identical
+
+
+def test_bigram_buckets_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = hashed_bigram_buckets(df).collect()
+    # only the 2-token doc produces a bigram; short docs drop out (and
+    # therefore get no weight row — the documented contract)
+    assert {r["doc_id"] for r in got} == {3}
+    assert sum(r["cnt"] for r in got) == 1
