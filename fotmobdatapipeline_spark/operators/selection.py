@@ -64,24 +64,19 @@ def hashed_bigram_buckets(
     )
 
 
-def dsir_logratio_weights(
+def dsir_ratio_table(
     docs: DataFrame,
     is_target: Column,
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
     alpha: float = 1.0,
-    round_to: int | None = 4,
-) -> DataFrame:
-    """Per-RAW-document DSIR importance weight.
-
-    ``is_target`` marks the target slice (the distribution to tilt
-    toward); every other document is scored.  Output: (doc_id,
-    n_bigrams, weight) where weight = Σ_b cnt_d(b) * ln(p_b / q_b) with
-    add-``alpha``-smoothed bucket models p (target) and q (raw), folded
-    in ascending-bucket order.  ``round_to`` quantizes the final weight
-    (None keeps the raw double — see module docstring for why oracles
-    need the quantized form).  Docs with < 2 tokens have no bigrams and
-    therefore NO output row — resamplers treat them as weightless."""
+) -> tuple[DataFrame, DataFrame]:
+    """Train the DSIR models: returns ``(per_doc, ratio)`` where
+    ``per_doc`` is the pinned (doc_id, bucket, cnt, __t) bucket table
+    and ``ratio`` the B-row (bucket, lnr) log-ratio table.  ``ratio`` is
+    the deployable artifact — persist it once, broadcast it everywhere
+    (batch scoring joins it; streaming scoring embeds it via
+    :func:`dsir_score_expr`)."""
     # shared subtree: feeds the model build AND the scoring pass — pin it
     # so the corpus is tokenized/hashed/shuffled once
     per_doc = hashed_bigram_buckets(docs.select("doc_id", text_col),
@@ -105,6 +100,28 @@ def dsir_logratio_weights(
             / ((F.col("cs") + F.lit(a)) / (F.col("ns") + F.lit(a * b)))
         ).alias("lnr"),
     )
+    return per_doc, ratio
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Per-RAW-document DSIR importance weight.
+
+    ``is_target`` marks the target slice (the distribution to tilt
+    toward); every other document is scored.  Output: (doc_id,
+    n_bigrams, weight) where weight = Σ_b cnt_d(b) * ln(p_b / q_b) with
+    add-``alpha``-smoothed bucket models p (target) and q (raw), folded
+    in ascending-bucket order.  ``round_to`` quantizes the final weight
+    (None keeps the raw double — see module docstring for why oracles
+    need the quantized form).  Docs with < 2 tokens have no bigrams and
+    therefore NO output row — resamplers treat them as weightless."""
+    per_doc, ratio = dsir_ratio_table(docs, is_target, text_col, buckets, alpha)
     # raw docs only; broadcast the B-row ratio table; deterministic
     # ascending-bucket sequential fold of cnt * ln(ratio)
     scored = (
@@ -127,3 +144,68 @@ def dsir_logratio_weights(
     )
     w = F.round(F.col("w"), round_to) if round_to is not None else F.col("w")
     return scored.select("doc_id", "n_bigrams", w.alias("weight"))
+
+
+def dsir_score_expr(
+    text: Column,
+    lnr_by_bucket: list[float],
+    salt: str = "dsir",
+) -> tuple[Column, Column]:
+    """Per-ROW scoring expression: (weight, n_bigrams) for one document
+    against a trained ratio table embedded as an array literal (index =
+    bucket, missing buckets 0.0 — an unseen bucket has ct=cs=0 so its
+    smoothed ratio is nt-vs-ns only; pass the dense vector from
+    :func:`dsir_ratio_vector`).
+
+    Shape-for-shape the SAME float program as the batch fold — distinct
+    buckets ascending, one ``cnt * lnr`` multiply per bucket, sequential
+    adds from 0.0 — so a stream scored row-by-row is BIT-equal to the
+    batch groupBy scoring of the same input.  Stateless: safe in any
+    streaming output mode, no watermark, no shuffle."""
+    buckets = len(lnr_by_bucket)
+    arr = F.lit(lnr_by_bucket)
+    h = lambda g: (hex32(F.md5(F.concat(F.lit(f"{salt}:"), g))) % buckets).cast("int")
+    bks = F.transform(_bigrams(text), h)
+    dist = F.array_sort(F.array_distinct(bks))
+    terms = F.transform(
+        dist,
+        lambda b: F.size(F.filter(bks, lambda x: x == b)).cast("double")
+        * F.element_at(arr, b + 1),
+    )
+    weight = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return weight, F.size(bks)
+
+
+def dsir_ratio_vector(
+    ratio: DataFrame, buckets: int = DSIR_BUCKETS, default: float = 0.0
+) -> list[float]:
+    """Collect the B-row ratio table into the dense bucket-indexed
+    vector :func:`dsir_score_expr` embeds.  Buckets absent from the
+    table never occurred in training; ``default`` scores them (0.0 = "no
+    evidence either way"; pass ln((ns+aB)/(nt+aB)) to apply the smoothed
+    model's unseen-bucket ratio instead).  O(B) driver memory — the
+    model, not the data."""
+    vec = [float(default)] * buckets
+    for r in ratio.collect():
+        vec[int(r["bucket"])] = float(r["lnr"])
+    return vec
+
+
+def dsir_score_stream(
+    stream: DataFrame,
+    lnr_by_bucket: list[float],
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Score a document STREAM against a trained DSIR model: the
+    deploy-time half of the operator (train offline with
+    :func:`dsir_ratio_table`, embed via :func:`dsir_ratio_vector`).
+    Stateless map — works in append mode with no watermark and scales
+    with the stream, and is bit-equal to the batch scorer on the same
+    rows (round_to=None)."""
+    weight, n = dsir_score_expr(F.col(text_col), lnr_by_bucket)
+    if round_to is not None:
+        weight = F.round(weight, round_to)
+    return stream.select(
+        "*", n.alias("n_bigrams"), weight.alias("weight")
+    ).filter(F.col("n_bigrams") > 0)

@@ -46,6 +46,53 @@ def test_dsir_weight_is_rerun_stable(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # bit-identical
 
 
+def test_dsir_stream_scoring_bit_equal_to_batch(spark, tmp_path):
+    """The deploy-time stream scorer (per-row expression fold) must be
+    BIT-equal to the batch groupBy scorer on the same rows — same float
+    program: distinct buckets ascending, one cnt*lnr multiply each,
+    sequential adds from 0.0."""
+    from fotmobdatapipeline_spark.operators.selection import (
+        dsir_ratio_table,
+        dsir_ratio_vector,
+        dsir_score_stream,
+    )
+
+    docs = _docs(spark)
+    B = 256
+    batch = dsir_logratio_weights(
+        docs, F.col("doc_id") < 10, buckets=B, round_to=None
+    )
+    want = {r["doc_id"]: (r["n_bigrams"], r["weight"]) for r in batch.collect()}
+
+    _, ratio = dsir_ratio_table(docs, F.col("doc_id") < 10, buckets=B)
+    vec = dsir_ratio_vector(ratio, buckets=B)
+
+    # same expression on a BATCH frame first (pure float-program check)
+    raw = docs.filter(F.col("doc_id") >= 10)
+    inline = dsir_score_stream(raw, vec, round_to=None)
+    got = {r["doc_id"]: (r["n_bigrams"], r["weight"]) for r in inline.collect()}
+    assert got == want  # bit-identical, not approx
+
+    # and through an actual file stream
+    src = str(tmp_path / "src")
+    raw.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        dsir_score_stream(stream, vec, round_to=None)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(str(tmp_path / "sink"))
+    got_s = {r["doc_id"]: (r["n_bigrams"], r["weight"]) for r in landed.collect()}
+    assert got_s == want
+
+
 def test_bigram_buckets_degenerate_docs(spark):
     df = spark.createDataFrame(
         [(1, "single"), (2, ""), (3, "two tokens")],
