@@ -82,6 +82,7 @@ HEADLINE = [
     # round-8 additions
     "url_canonicalize",
     "url_dedup_canonical",
+    "dsir_importance_topk",
 ]
 
 

@@ -45,7 +45,9 @@ SECOND_LEVEL_SUFFIXES = (
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# lazy [^#]*? cannot cross a '#', so a '?' that appears only inside the
+# fragment is NOT a query ('http://e.com/p#sec?a=1' has no query)
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def url_scheme(url: Column) -> Column:
@@ -98,7 +100,13 @@ def registrable_domain(host: Column) -> Column:
     """The owner-registered domain of a hostname: last two labels,
     or last THREE when the final two form a recognized second-level
     public suffix ('blog.example.co.uk' → 'example.co.uk').  A bare
-    single-label host is returned unchanged."""
+    single-label host is returned unchanged.  Userinfo and ports are
+    stripped first, so an authority like 'user@news.example.com:8443'
+    still maps to 'example.com' rather than a phantom
+    'example.com:8443' domain."""
+    host = F.regexp_replace(
+        F.regexp_replace(host, "^[^@]*@", ""), ":[0-9]+$", ""
+    )
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))

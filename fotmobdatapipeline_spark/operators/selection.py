@@ -77,12 +77,19 @@ def dsir_ratio_table(
     the deployable artifact — persist it once, broadcast it everywhere
     (batch scoring joins it; streaming scoring embeds it via
     :func:`dsir_score_expr`)."""
-    # shared subtree: feeds the model build AND the scoring pass — pin it
-    # so the corpus is tokenized/hashed/shuffled once
-    per_doc = hashed_bigram_buckets(docs.select("doc_id", text_col),
-                                    text_col, buckets).join(
-        docs.select("doc_id", is_target.alias("__t")), "doc_id"
-    ).localCheckpoint(eager=False)
+    # The target flag rides the explode and joins the groupBy KEY (it is
+    # constant per doc_id, so groups are unchanged) — one corpus scan,
+    # no join back onto docs.  Pinned: feeds the model build AND the
+    # scoring pass, so tokenize/hash/shuffle runs once.
+    h = hex32(F.md5(F.concat(F.lit("dsir:"), F.col("g"))))
+    per_doc = (
+        docs.select("doc_id", is_target.alias("__t"),
+                    F.explode(_bigrams(F.col(text_col))).alias("g"))
+        .select("doc_id", "__t", (h % buckets).cast("int").alias("bucket"))
+        .groupBy("doc_id", "__t", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     # B-row model table feeds BOTH the totals agg and the ratio join —
     # pin it so the per_doc scan+shuffle runs once, not twice
     models = per_doc.groupBy("bucket").agg(

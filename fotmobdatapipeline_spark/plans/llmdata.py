@@ -7277,7 +7277,7 @@ _SQL_URL_CANON = r"""
                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                '/+$', '') AS pth,
              array_to_string(list_sort(list_filter(
-               string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+               string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
                p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=')
                     AND p <> '')), '&') AS q
       FROM (
@@ -7290,7 +7290,7 @@ _SQL_URL_CANON = r"""
 """
 
 _SQL_REG_DOMAIN = """
-    CASE WHEN len(t) <= 1 THEN host
+    CASE WHEN len(t) <= 1 THEN array_to_string(t, '.')
          WHEN len(t) >= 3 AND (t[-2] || '.' || t[-1]) IN
            ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au',
             'co.jp','co.in','co.nz','com.br','com.cn')
@@ -7327,7 +7327,7 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str):
     WITH u AS ({_SQL_URL_BUILD}),
     c AS ({_SQL_URL_CANON})
     SELECT doc_id, url, canonical_url, {_SQL_REG_DOMAIN} AS domain
-    FROM (SELECT *, string_split(host, '.') AS t FROM c)
+    FROM (SELECT *, string_split(regexp_replace(regexp_replace(host, '^[^@]*@', ''), ':[0-9]+$', ''), '.') AS t FROM c)
     """,
     tags=("urls", "web-corpus", "canonicalize", "llmdata"),
     doc="RFC-3986-style URL canonicalization: case/port/fragment/tracker/slash "
@@ -7384,7 +7384,7 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str):
     c AS ({_SQL_URL_CANON}),
     d AS (
       SELECT doc_id, {_SQL_REG_DOMAIN} AS domain
-      FROM (SELECT *, string_split(host, '.') AS t FROM c)
+      FROM (SELECT *, string_split(regexp_replace(regexp_replace(host, '^[^@]*@', ''), ':[0-9]+$', ''), '.') AS t FROM c)
     )
     SELECT domain, n_docs,
            CAST(n_docs AS DOUBLE)

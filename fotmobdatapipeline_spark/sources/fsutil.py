@@ -82,12 +82,20 @@ _ESCAPED_CHARS = frozenset(
 )
 
 
-def escape_partition_value(value: str) -> str:
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_partition_value(value: str | None) -> str:
     """The Hive/Spark directory-name form of a partition value — what
     ``partitionBy`` writes and :func:`partition_dirs` lists ('10:30' →
     ``10%3A30``).  Use it to turn DATA values into the ``only=`` keys
-    the listing helpers expect; exact inverse of
-    :func:`unescape_partition_value` for every value Spark can write."""
+    the listing helpers expect.  NULL and '' both land in Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` directory (verified against the real
+    writer), so they map there too — the one case where
+    :func:`unescape_partition_value` is not an inverse (Spark itself
+    cannot tell those apart on disk)."""
+    if value is None or value == "":
+        return HIVE_DEFAULT_PARTITION
     return "".join(
         f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in value
     )

@@ -84,9 +84,8 @@ def incremental_sink_with_stats(
         try:
             dated = _write_partitioned_batch(batch_df, path, partition_col)
             touched = [
-                str(r[0])
+                None if r[0] is None else str(r[0])
                 for r in dated.select(partition_col).distinct().collect()
-                if r[0] is not None
             ]
         finally:
             batch_df.unpersist()
@@ -98,11 +97,12 @@ def incremental_sink_with_stats(
             # touched holds DATA values; the stats listing keys on the
             # Hive-escaped dir-name form ('10:30' lands as day=10%3A30 —
             # unescaped it would miss the dir and silently skip the
-            # refresh).
+            # refresh).  NULL/'' values land (and refresh) under
+            # __HIVE_DEFAULT_PARTITION__.
+            keys = sorted({escape_partition_value(v) for v in touched})
             collect_partition_stats(
                 spark, path, partition_col,
-                partitions=[escape_partition_value(v) for v in touched],
-                ndv_cols=list(ndv_cols),
+                partitions=keys, ndv_cols=list(ndv_cols),
             )
 
     return (

@@ -278,6 +278,11 @@ def test_escape_partition_value_matches_spark_writer(spark, tmp_path):
     for v in values:
         assert unescape_partition_value(escape_partition_value(v)) == v
 
+    # NULL and '' both land in Spark's default-partition dir (verified
+    # against the real writer above in fsutil's docstring contract)
+    assert escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+
 
 def test_compact_partitions_respects_multi_file_target(spark, tmp_path):
     """A partition bigger than target_file_bytes is packed into

@@ -29,6 +29,7 @@ def test_canonicalize_url_normalizations(spark):
             "http://example.com/path///",
             "http://example.com/?utm_campaign=c&fbclid=f&gclid=g&ref=r",
             "ftp://Files.Example.com:21/pub",  # unknown scheme: port kept
+            "http://example.com/page#sec?a=1",  # '?' INSIDE fragment: no query
         ],
     )
     assert got == [
@@ -38,6 +39,7 @@ def test_canonicalize_url_normalizations(spark):
         "http://example.com/path",
         "http://example.com",  # all params were trackers
         "ftp://files.example.com:21/pub",
+        "http://example.com/page",  # fragment dropped, '?' inside it too
     ]
 
 
@@ -67,6 +69,8 @@ def test_registrable_domain_rules(spark):
             ("example.com",),
             ("co.uk",),  # the suffix itself: only 2 labels -> unchanged
             ("localhost",),
+            ("news.example.com:8443",),  # port never fragments the domain
+            ("user@sub.example.co.uk",),  # userinfo stripped too
         ],
         "host string",
     )
@@ -74,7 +78,15 @@ def test_registrable_domain_rules(spark):
         r["d"]
         for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()
     ]
-    assert got == ["example.co.uk", "example.com", "example.com", "co.uk", "localhost"]
+    assert got == [
+        "example.co.uk",
+        "example.com",
+        "example.com",
+        "co.uk",
+        "localhost",
+        "example.com",
+        "example.co.uk",
+    ]
 
 
 def test_url_host_default_port_is_scheme_aware(spark):
