@@ -733,3 +733,45 @@ def test_multimodal_codec_entries_pruned_shuffle_free(spark):
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, name
         assert "Exchange" not in plan, name
         assert plan.count("MapInPandas") >= 2, name  # encode + decode stages
+
+
+ROUND8_SWEEP = (
+    "url_canonicalize",
+    "url_dedup_canonical",
+    "url_domain_mixture",
+    "dsir_importance_topk",
+)
+
+
+def test_round8_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-8 additions — same
+    contract as the round-5/6/7 sweeps."""
+    bad = []
+    for name in ROUND8_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
+
+
+def test_url_canonicalize_is_map_only(spark):
+    """URL canonicalization is pure per-row expression work — the plan
+    must contain no Exchange at all (at 100 TB this stays a scan-speed
+    map stage)."""
+    plan = _plan(_q("url_canonicalize")(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_dsir_scoring_broadcasts_model_never_smj(spark):
+    """DSIR scoring joins the B-row ratio table to the per-doc bucket
+    table: the model side must be broadcast (never a shuffled
+    SortMergeJoin of corpus-sized data against a 4096-row model), and
+    the corpus must not appear in more than the model-build + scoring
+    scans."""
+    plan = _plan(_q("dsir_importance_topk")(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
