@@ -26,7 +26,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE"
+# v2: the documents table joined the layout — older cached dirs (v1
+# marker) regenerate so the LLM-op scale queries find it.
+_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE_V2"
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -41,6 +43,15 @@ _NATIONS = (
     "UNITED STATES",
 )
 _REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+# Word soup matching the driver testdata's documents vocabulary shape
+# (short engine-flavored tokens), so shingle/LSH densities at sf1 are
+# comparable to the sf0.1 table the headline numbers come from.
+_DOC_WORDS = (
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "the",
+    "a", "join", "shuffle", "plan", "query", "disk", "cache", "codegen",
+    "filter", "group", "stream", "state", "sink",
+)
 
 
 def _hmod(key, tag: str, m: int) -> F.Column:
@@ -161,6 +172,40 @@ def generate_scale_tables(
         _date_ms(F.col("id"), "lsd").alias("l_shipdate"),
     )
     write(li, "lineitem")
+
+    # documents: the LLM-pipeline scale table (driver testdata ships it
+    # only up to sf0.1 — the dedup/selection operators need sf1-class
+    # volume for the same "outgrow one core" evidence the star build
+    # gets).  Same schema/word-soup shape as the testdata; ~15% of docs
+    # share a text SEED with their 13-block leader, planting exact
+    # duplicate clusters for the dedup tier to find.
+    n_docs = int(50_000 * sf)
+    vocab = F.array(*[F.lit(w) for w in _DOC_WORDS])
+    ids = spark.range(0, n_docs, numPartitions=partitions)
+    dup = _hmod(F.col("id"), "ddup", 7) == 0
+    seed = F.when(dup, F.col("id") - F.pmod(F.col("id"), F.lit(13))).otherwise(
+        F.col("id")
+    )
+    length = (_hmod(seed, "dlen", 130) + 30).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(seed, F.lit("dw"), i), F.lit(len(_DOC_WORDS))) + 1)
+            .cast("int"),
+        ),
+    )
+    text = F.array_join(words, " ")
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        _pick(seed, "dlang", ("en", "en", "en", "de", "fr")).alias("lang"),
+        F.concat(F.lit("src"), _hmod(F.col("id"), "dsrc", 10).cast("string")).alias(
+            "source"
+        ),
+        F.length(text).alias("n_chars"),
+    )
+    write(docs, "documents")
 
     with open(marker, "w") as fh:
         fh.write(f"sf={sf}\n")
