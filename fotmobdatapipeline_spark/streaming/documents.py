@@ -218,3 +218,33 @@ def prep_stream(
         shingle_n=shingle_n,
         id_col=id_col,
     )
+
+
+def url_dedup_stream(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Online URL-level dedup for a crawl feed: key each arriving page
+    by its CANONICAL URL (functions/urls.py — case/port/fragment/
+    tracker/param-order invariant) and keep the first copy per horizon
+    via ``dropDuplicatesWithinWatermark``.  The canonical form catches
+    re-crawls whose raw URLs differ only in decoration — the dominant
+    crawl-duplicate class — before any content hashing spends compute.
+    Pages that don't parse as absolute URLs pass through unconditionally
+    (NULL canonical key — content-level dedup downstream owns them).
+    Batch frames degrade to plain dropDuplicates, so the same call
+    backfills history."""
+    from fotmobdatapipeline_spark.functions.urls import canonicalize_url
+
+    keyed = docs.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+    parsed = keyed.filter(F.col("canonical_url").isNotNull())
+    unparsed = keyed.filter(F.col("canonical_url").isNull())
+    if docs.isStreaming and ts_col is not None:
+        kept = parsed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["canonical_url"]
+        )
+    else:
+        kept = parsed.dropDuplicates(["canonical_url"])
+    return kept.unionByName(unparsed)

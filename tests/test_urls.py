@@ -89,6 +89,50 @@ def test_registrable_domain_rules(spark):
     ]
 
 
+def test_url_dedup_stream_collapses_decorated_recrawls(spark, tmp_path):
+    """Streaming URL dedup: decorated re-crawls of one page collapse to
+    a single survivor per watermark horizon; unparseable URLs pass
+    through untouched; the batch degradation keeps one row per
+    canonical key."""
+    from fotmobdatapipeline_spark.streaming.documents import url_dedup_stream
+
+    rows = [
+        (1, "http://E.com/p?id=1&utm_source=a", "2024-01-01 10:00:00"),
+        (2, "HTTP://e.com:80/p/?id=1", "2024-01-01 10:05:00"),  # same page
+        (3, "http://e.com/p?id=1#frag", "2024-01-01 10:10:00"),  # same page
+        (4, "http://e.com/q?id=2", "2024-01-01 10:15:00"),
+        (5, "not a url", "2024-01-01 10:20:00"),  # passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_s string").select(
+        "doc_id", "url", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+    # batch degradation
+    got = url_dedup_stream(df, ts_col="ts")
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == 3 and 4 in ids and 5 in ids
+    assert len([i for i in ids if i in (1, 2, 3)]) == 1
+
+    # real stream: one micro-batch per file
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src) + "/*")
+    q = (
+        url_dedup_stream(stream, ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    )
+    assert len(landed) == 3 and 4 in landed and 5 in landed
+
+
 def test_url_host_default_port_is_scheme_aware(spark):
     df = spark.createDataFrame(
         [("http://h.com:443/x",), ("https://h.com:80/x",)], "url string"
