@@ -392,10 +392,12 @@ _SCALE_QUERIES = [
     "star_denorm_wide",
     "nation_revenue",
     "shipping_priority",
-    # LLM-op scale evidence: the dedup tier at 10x the headline's
-    # documents volume (sf1 generator plants exact-dup clusters)
+    # LLM-op scale evidence: the dedup/ANN tiers at 10x the headline's
+    # documents/embeddings volume (sf1 generator plants exact-dup
+    # clusters and label-clustered vectors)
     "dedup_lsh_candidates",
     "text_sentence_dedup",
+    "sim_ivf_topk",
 ]
 
 

@@ -207,6 +207,24 @@ def generate_scale_tables(
     )
     write(docs, "documents")
 
+    # embeddings: label-clustered 64-dim float32 vectors (centroid per
+    # label ± per-vector noise, both pure hash arithmetic) — the ANN /
+    # semantic-dedup tier's scale table, same schema as the testdata.
+    n_vecs = int(20_000 * sf)
+    dims = F.sequence(F.lit(0), F.lit(63))
+    vecs = spark.range(0, n_vecs, numPartitions=partitions).select(
+        F.col("id").alias("vec_id"),
+        _hmod(F.col("id"), "el", 10).cast("int").alias("label"),
+    )
+    centroid = lambda d: (
+        F.pmod(F.xxhash64(F.col("label"), F.lit("ec"), d), F.lit(200)) - 100
+    ) / F.lit(1000.0)
+    noise = lambda d: (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit("en"), d), F.lit(2000)) - 1000
+    ) / F.lit(10000.0)
+    emb = F.transform(dims, lambda d: (centroid(d) + noise(d)).cast("float"))
+    write(vecs.select("vec_id", emb.alias("embedding"), "label"), "embeddings")
+
     with open(marker, "w") as fh:
         fh.write(f"sf={sf}\n")
     return path
