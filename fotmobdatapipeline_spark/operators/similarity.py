@@ -241,6 +241,7 @@ def kmeans_lloyd(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column — the coarse-quantizer
     trainer for IVF (``ivf_topk``): returns (centroid_id, embedding)
@@ -267,16 +268,33 @@ def kmeans_lloyd(
 
     Empty cells keep their previous centroid (no respawn), so the cell
     count is stable for downstream storage partitioning.
+
+    ``train_sample_mod=m`` trains on the deterministic ~1/m hash sample
+    ``xxhash64(id) % m == 0`` — the 100 TB discipline: centroid QUALITY
+    needs a representative sample, not the corpus, and every iteration's
+    assignment pass costs O(rows·k·dim), so sampling cuts training m×
+    while the full corpus is still assigned downstream.  Content-stable:
+    the same rows train on every rerun/partitioning.  Raises if the
+    sample holds fewer than k vectors.
     """
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
     spark = vectors.sparkSession
+    if train_sample_mod is not None and train_sample_mod > 1:
+        vectors = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
     seeds = (
         vectors.orderBy(id_col)
         .limit(k)
         .select(F.col(vec_col))
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"need >= {k} training vectors, got {len(seeds)}"
+            + (" (raise train_sample_mod coverage)" if train_sample_mod else "")
+        )
     centroids = [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
     ]

@@ -514,6 +514,38 @@ def test_kmeans_lloyd_invariants(spark):
     assert assigned.select("cell").distinct().count() <= 4
 
 
+def test_kmeans_sampled_training_deterministic(spark):
+    """train_sample_mod trains on the content-stable xxhash64(id)%m==0
+    slice: two runs (and a repartitioned input) give bit-identical
+    centroids, sampled inertia stays in the same regime as full
+    training, and a sample smaller than k raises instead of silently
+    under-seeding."""
+    import pytest as _pytest
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        inertia,
+        kmeans_lloyd,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    a = sorted(map(tuple, kmeans_lloyd(emb, k=4, iterations=2,
+                                       train_sample_mod=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(emb.repartition(7), k=4, iterations=2,
+                                       train_sample_mod=2).collect()))
+    assert a == b  # content-stable sample + fixed-point means
+
+    full = kmeans_lloyd(emb, k=4, iterations=2)
+    sampled_df = spark.createDataFrame([list(r) for r in a], full.schema)
+    # sampled-trained centroids must still cluster the FULL corpus
+    # sanely: within 2x of full-training inertia on this data
+    assert inertia(emb, sampled_df) <= 2.0 * inertia(emb, full)
+
+    with _pytest.raises(ValueError, match="training vectors"):
+        kmeans_lloyd(emb, k=4, train_sample_mod=10**9)
+
+
 def test_approx_quantiles_close_to_exact(spark):
     """percentile_approx with accuracy 10k must land within 1% relative
     error of the exact rank-arithmetic quantiles on sf0.001, and the
