@@ -213,6 +213,41 @@ def test_compact_partitions_escaped_values(spark, tmp_path):
     assert not [d for d in os.listdir(path) if d.startswith("_compact_staging")]
 
 
+def test_compact_partitions_refuses_decode_collisions(spark, tmp_path):
+    """Two fragmented dirs whose names DECODE to the same value (an
+    escaped day=a%3A beside a raw-written day=a:) would silently merge
+    through the union+partitionBy staging write — compaction must refuse
+    up front, leaving both untouched."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.merge import compact_partitions
+
+    path = str(tmp_path / "coll")
+    # Spark-escaped dir for value 'a:'
+    spark.range(0, 40).select(F.col("id"), F.lit("a:").alias("day")).repartition(
+        4
+    ).write.partitionBy("day").parquet(path)
+    # an external writer's RAW directory with the same decoded value
+    spark.range(40, 80).select(F.col("id")).repartition(4).write.parquet(
+        f"{path}/day=a:"
+    )
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
+        "day=a%3A",
+        "day=a:",
+    ]
+    before = {
+        d: sorted(os.listdir(f"{path}/{d}"))
+        for d in ("day=a%3A", "day=a:")
+    }
+    with pytest.raises(ValueError, match="decode to the same value"):
+        compact_partitions(spark, path, "day", target_file_bytes=1 << 30)
+    after = {
+        d: sorted(os.listdir(f"{path}/{d}"))
+        for d in ("day=a%3A", "day=a:")
+    }
+    assert after == before  # nothing rewritten, nothing deleted
+
+
 def test_compact_partitions_never_infers_empty(spark, tmp_path, monkeypatch):
     """If a non-empty partition's staged twin cannot be found, compaction
     must raise with the source intact and the staging dir preserved —
