@@ -293,7 +293,11 @@ def kmeans_lloyd(
     if len(seeds) < k:
         raise ValueError(
             f"need >= {k} training vectors, got {len(seeds)}"
-            + (" (raise train_sample_mod coverage)" if train_sample_mod else "")
+            + (
+                " (lower train_sample_mod to grow the sample)"
+                if train_sample_mod
+                else ""
+            )
         )
     centroids = [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)

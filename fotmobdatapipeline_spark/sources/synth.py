@@ -203,7 +203,7 @@ def generate_scale_tables(
         F.concat(F.lit("src"), _hmod(F.col("id"), "dsrc", 10).cast("string")).alias(
             "source"
         ),
-        F.length(text).alias("n_chars"),
+        F.length(text).cast("long").alias("n_chars"),  # testdata ships int64
     )
     write(docs, "documents")
 

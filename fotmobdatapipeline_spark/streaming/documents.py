@@ -233,18 +233,42 @@ def url_dedup_stream(
     re-crawls whose raw URLs differ only in decoration — the dominant
     crawl-duplicate class — before any content hashing spends compute.
     Pages that don't parse as absolute URLs pass through unconditionally
-    (NULL canonical key — content-level dedup downstream owns them).
-    Batch frames degrade to plain dropDuplicates, so the same call
-    backfills history."""
+    (each gets a never-matching surrogate key — content-level dedup
+    downstream owns them; in a stream they cost one state entry each
+    until the watermark expires it).  A streaming frame REQUIRES
+    ``ts_col``: without a watermark the dedup state would grow with
+    every distinct URL forever, so that case raises instead of silently
+    degrading.  Batch frames keep the deterministic first copy —
+    earliest ``ts_col`` (total-ordered by the remaining columns), so a
+    backfill over the same data always keeps the same rows.  ONE scan
+    either way: the canonical key is computed once per row."""
+    from pyspark.sql import Window
+
     from fotmobdatapipeline_spark.functions.urls import canonicalize_url
 
-    keyed = docs.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
-    parsed = keyed.filter(F.col("canonical_url").isNotNull())
-    unparsed = keyed.filter(F.col("canonical_url").isNull())
-    if docs.isStreaming and ts_col is not None:
-        kept = parsed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["canonical_url"]
+    if docs.isStreaming and ts_col is None:
+        raise ValueError(
+            "streaming url_dedup_stream needs ts_col: watermark-less "
+            "streaming dedup state grows unboundedly"
+        )
+    canon = canonicalize_url(F.col(url_col))
+    keyed = docs.withColumn("canonical_url", canon).withColumn(
+        "__k",
+        F.coalesce(
+            F.col("canonical_url"),
+            F.concat(F.lit("__unparsed__:"), F.expr("uuid()")),
+        ),
+    )
+    if docs.isStreaming:
+        kept = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__k"]
         )
     else:
-        kept = parsed.dropDuplicates(["canonical_url"])
-    return kept.unionByName(unparsed)
+        order = ([F.col(ts_col)] if ts_col is not None else []) + [
+            F.col(c) for c in docs.columns
+        ]
+        w = Window.partitionBy("__k").orderBy(*order)
+        kept = keyed.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+    return kept.drop("__k")

@@ -21,7 +21,10 @@ def test_synth_schema_matches_testdata(spark, synth_dir):
     from fotmobdatapipeline_spark.sources.registry import read_table
     from tests.conftest import SF_SMALL
 
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ):
         got = read_table(spark, synth_dir, t)
         want = read_table(spark, SF_SMALL, t)
         assert [f.name for f in got.schema.fields] == [

@@ -132,6 +132,17 @@ def test_url_dedup_stream_collapses_decorated_recrawls(spark, tmp_path):
     )
     assert len(landed) == 3 and 4 in landed and 5 in landed
 
+    # batch keeps the DETERMINISTIC first copy: earliest ts wins
+    batch_kept = {r["doc_id"] for r in url_dedup_stream(df, ts_col="ts").collect()}
+    assert batch_kept == {1, 4, 5}  # doc 1 is the 10:00 crawl
+
+    # a stream without ts_col must raise, not grow state forever
+    import pytest
+
+    stream2 = spark.readStream.schema(df.schema).parquet(str(src) + "/*")
+    with pytest.raises(ValueError, match="unbounded"):
+        url_dedup_stream(stream2)
+
 
 def test_url_host_default_port_is_scheme_aware(spark):
     df = spark.createDataFrame(
