@@ -64,6 +64,51 @@ def hashed_bigram_buckets(
     )
 
 
+def dsir_bucket_counts(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(bucket, ct, cs): corpus-level hashed-bigram bucket counts split
+    by the target flag — the raw DSIR model state.  Counts are plain
+    SUMS, so per-shard / per-micro-batch tables merge by bucket-wise
+    addition into exactly the whole-corpus table (the property the
+    streaming model-maintenance sink is built on).  One map-side-
+    combining aggregate; output is <= B rows."""
+    h = hex32(F.md5(F.concat(F.lit(f"{salt}:"), F.col("g"))))
+    t = F.col("__t")
+    return (
+        docs.select(is_target.alias("__t"),
+                    F.explode(_bigrams(F.col(text_col))).alias("g"))
+        .select("__t", (h % buckets).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(t, F.lit(1)).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~t, F.lit(1)).otherwise(F.lit(0))).alias("cs"),
+        )
+    )
+
+
+def dsir_ratio_from_counts(
+    models: DataFrame, buckets: int = DSIR_BUCKETS, alpha: float = 1.0
+) -> DataFrame:
+    """(bucket, lnr) from a (bucket, ct, cs) model table — the smoothed
+    log-likelihood ratio every scorer consumes.  Deterministic given the
+    counts, so a stream-maintained model yields bit-identical ratios to
+    a batch-trained one with the same counts."""
+    totals = models.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    a, b = float(alpha), float(buckets)
+    return models.join(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + F.lit(a)) / (F.col("nt") + F.lit(a * b)))
+            / ((F.col("cs") + F.lit(a)) / (F.col("ns") + F.lit(a * b)))
+        ).alias("lnr"),
+    )
+
+
 def dsir_ratio_table(
     docs: DataFrame,
     is_target: Column,
@@ -96,18 +141,7 @@ def dsir_ratio_table(
         F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
         F.sum(F.when(~F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("cs"),
     ).localCheckpoint(eager=False)
-    totals = models.agg(
-        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
-    )
-    a, b = float(alpha), float(buckets)
-    ratio = models.join(F.broadcast(totals)).select(
-        "bucket",
-        F.log(
-            ((F.col("ct") + F.lit(a)) / (F.col("nt") + F.lit(a * b)))
-            / ((F.col("cs") + F.lit(a)) / (F.col("ns") + F.lit(a * b)))
-        ).alias("lnr"),
-    )
-    return per_doc, ratio
+    return per_doc, dsir_ratio_from_counts(models, buckets, alpha)
 
 
 def dsir_logratio_weights(

@@ -216,3 +216,76 @@ def hll_maintenance_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_dsir_model(spark, path: str) -> DataFrame | None:
+    """CURRENT version of the stored DSIR model table (bucket, ct, cs,
+    last_batch), or None before the first batch commits (same
+    versioned-immutable layout as the CMS/HLL sinks).  Feed it to
+    ``operators.selection.dsir_ratio_from_counts`` (and on to
+    ``dsir_ratio_vector`` / ``dsir_score_stream``) for scoring."""
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{path}/{v}")
+
+
+def dsir_model_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    is_target,
+    text_col: str = "text",
+    buckets: int = 4096,
+    keep_versions: int = 1,
+):
+    """Keep the DSIR importance model fresh as the corpus streams in:
+    each micro-batch's hashed-bigram bucket counts (target and raw
+    split by ``is_target`` — a Column predicate over the batch rows)
+    fold into the stored (bucket, ct, cs) table by bucket-wise SUM.
+    Counts are plain sums, so the maintained table is CELL-IDENTICAL to
+    a batch build over the whole feed (the mergeability the batch
+    operator documents), and the derived ratios/weights are therefore
+    bit-identical — model freshness costs one bounded aggregate per
+    batch, never a rescan.
+
+    Same exactly-once + versioned-publication contract as
+    ``cms_maintenance_sink`` (last_batch replay guard, immutable
+    ``v{batch_id}`` dirs behind an atomic CURRENT pointer,
+    ``keep_versions`` retention)."""
+    from fotmobdatapipeline_spark.operators.selection import dsir_bucket_counts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = (
+            spark.read.parquet(f"{path}/{prev_v}")
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = dsir_bucket_counts(batch_df, is_target, text_col, buckets)
+        if prev is not None:
+            merged = (
+                prev.select("bucket", "ct", "cs")
+                .unionByName(inc)
+                .groupBy("bucket")
+                .agg(F.sum("ct").alias("ct"), F.sum("cs").alias("cs"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(stream.sparkSession, path).mkdirs()
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -93,6 +93,72 @@ def test_dsir_stream_scoring_bit_equal_to_batch(spark, tmp_path):
     assert got_s == want
 
 
+def test_dsir_model_maintenance_stream_equals_batch(spark, tmp_path):
+    """The streaming model sink folds per-batch bucket counts by sum:
+    after draining a 3-batch feed the stored (bucket, ct, cs) table is
+    CELL-identical to one batch build over the whole feed, and weights
+    scored from the streamed model are BIT-identical to the batch
+    scorer's."""
+    from fotmobdatapipeline_spark.operators.selection import (
+        dsir_bucket_counts,
+        dsir_ratio_from_counts,
+        dsir_ratio_vector,
+        dsir_score_stream,
+    )
+    from fotmobdatapipeline_spark.streaming.sketches import (
+        dsir_model_maintenance_sink,
+        read_dsir_model,
+    )
+
+    docs = _docs(spark)
+    B = 256
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate((0, 100, 200)):  # targets, like-raw, unlike-raw
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = dsir_model_maintenance_sink(
+        stream, str(tmp_path / "model"), str(tmp_path / "ckpt"),
+        is_target=F.col("doc_id") < 10, buckets=B,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = read_dsir_model(spark, str(tmp_path / "model"))
+    got = sorted(
+        (r["bucket"], r["ct"], r["cs"]) for r in streamed.collect()
+    )
+    want = sorted(
+        map(tuple, dsir_bucket_counts(docs, F.col("doc_id") < 10, buckets=B).collect())
+    )
+    assert got == want  # cell-identical
+
+    # and the scorer path from the streamed model is bit-equal to batch
+    vec = dsir_ratio_vector(
+        dsir_ratio_from_counts(streamed.select("bucket", "ct", "cs"), buckets=B),
+        buckets=B,
+    )
+    raw = docs.filter(F.col("doc_id") >= 10)
+    via_stream_model = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_score_stream(raw, vec, round_to=None).collect()
+    }
+    via_batch = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_logratio_weights(
+            docs, F.col("doc_id") < 10, buckets=B, round_to=None
+        ).collect()
+    }
+    assert via_stream_model == via_batch
+
+
 def test_bigram_buckets_degenerate_docs(spark):
     df = spark.createDataFrame(
         [(1, "single"), (2, ""), (3, "two tokens")],
