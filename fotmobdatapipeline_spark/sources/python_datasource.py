@@ -32,8 +32,11 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -58,7 +61,14 @@ def _list_shards(options: dict) -> list[str]:
         )
     else:
         files = sorted(glob.glob(path))
-    return [f for f in files if os.path.getsize(f) > 0]
+    # Spark's hidden-file convention: _metadata/_MANIFEST/.crc etc. are
+    # never data shards.
+    return [
+        f
+        for f in files
+        if os.path.getsize(f) > 0
+        and not os.path.basename(f).startswith(("_", "."))
+    ]
 
 
 def _arrow_schema(schema: StructType) -> pa.Schema:
@@ -163,6 +173,12 @@ class JsonlDocsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> DocsFeedStreamReader:
         return DocsFeedStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonlDocsWriter":
+        return JsonlDocsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "JsonlDocsStreamWriter":
+        return JsonlDocsStreamWriter(self.options, overwrite)
+
 
 def register_python_sources(spark) -> None:
     """Idempotently register all Python data sources on a session.
@@ -175,3 +191,130 @@ def register_python_sources(spark) -> None:
 
     ship_package(spark)
     spark.dataSource.register(JsonlDocsDataSource)
+
+
+# -- writer half: JSONL sink with manifest-committed shards ---------------
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+def _stage_rows(path: str, iterator) -> _ShardCommit | None:
+    """Task-side: stream rows into one staged JSONL shard.  The staged
+    name is unique per task attempt, so speculative/retried attempts
+    never collide; only the driver's commit makes any shard visible."""
+    import uuid
+
+    os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+    staged = os.path.join(path, "_staging", f"{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+            n += 1
+    if n == 0:
+        os.remove(staged)
+        return None
+    return _ShardCommit(staged, n)
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_MANIFEST.json")
+
+
+def _read_manifest(path: str) -> dict:
+    try:
+        with open(_manifest_path(path), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"batches": {}, "files": []}
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _publish_shards(path: str, messages, prefix: str) -> list[str]:
+    """Driver-side: rename staged shards to their committed names.
+    Renames are same-filesystem (staging lives inside the table dir)."""
+    final = []
+    for i, m in enumerate(m for m in messages if m is not None):
+        name = f"{prefix}part-{i:05d}.jsonl"
+        os.replace(m.staged, os.path.join(path, name))
+        final.append(name)
+    return final
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """Batch JSONL sink: tasks stage shards, the driver's commit
+    publishes them and writes the manifest in one atomic replace —
+    readers see all-or-nothing.  Driver/worker-shared filesystem
+    assumption, same as the reader half of this surface."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs: 'path' option is required to write")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return _stage_rows(self._path, iterator)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in glob.glob(os.path.join(self._path, "*.jsonl")):
+                os.remove(f)
+        files = _publish_shards(self._path, messages, "")
+        _write_manifest_atomic(
+            self._path,
+            {
+                "files": sorted(files),
+                "rows": sum(m.rows for m in messages if m is not None),
+            },
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """Streaming JSONL sink with EXACTLY-ONCE publication: shards land
+    as ``batch-<id>-part-*.jsonl`` only when the driver commits, and
+    the manifest records each batch id — a REPLAYED batch (foreachBatch
+    restart semantics) is detected there and its staged shards are
+    dropped instead of double-publishing.  State lives in the table
+    (manifest), not the operator — the maintenance-sink doctrine."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("jsonl_docs: 'path' option is required to write")
+
+    def write(self, iterator):
+        return _stage_rows(self._path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = _read_manifest(self._path)
+        if str(batchId) in manifest["batches"]:
+            self.abort(messages, batchId)  # replayed batch: drop shards
+            return
+        files = _publish_shards(self._path, messages, f"batch-{batchId}-")
+        manifest["batches"][str(batchId)] = {
+            "files": sorted(files),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        manifest["files"] = sorted(set(manifest["files"]) | set(files))
+        _write_manifest_atomic(self._path, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

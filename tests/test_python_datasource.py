@@ -105,3 +105,92 @@ def test_docs_feed_stream_availablenow(spark, jsonl_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_jsonl_writer_batch_roundtrip(spark, tmp_path):
+    """df.write.format('jsonl_docs') publishes manifest-committed
+    shards readable back through the same source, value-identical; a
+    second overwrite write replaces cleanly; no staging leftovers."""
+    import json as _json
+    import os as _os
+
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source",
+        "'en' AS lang", "concat('text ', id) AS text",
+    )
+    df.repartition(4).write.format("jsonl_docs").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = _json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest["rows"] == 100 and len(manifest["files"]) == 4
+    back = spark.read.format("jsonl_docs").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert _os.listdir(f"{out}/_staging") == []  # all shards published
+
+    # overwrite replaces contents
+    df2 = df.filter("doc_id < 10")
+    df2.coalesce(1).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = spark.read.format("jsonl_docs").load(out)
+    assert back2.count() == 10
+
+
+def test_jsonl_stream_writer_exactly_once(spark, tmp_path):
+    """The streaming JSONL sink publishes per-batch shards through the
+    manifest; draining a 3-file feed lands every row exactly once, and
+    a manual replay of an already-committed batch id is a no-op (the
+    manifest replay guard)."""
+    import json as _json
+
+    from fotmobdatapipeline_spark.sources.python_datasource import (
+        JsonlDocsStreamWriter,
+        _read_manifest,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.range(0, 90).selectExpr(
+        "id AS doc_id", "'s' AS source", "'en' AS lang",
+        "concat('t', id) AS text",
+    )
+    df.coalesce(3).write.parquet(str(src / "files"))
+
+    out = str(tmp_path / "jsonl_out")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "files"))
+    )
+    q = (
+        stream.writeStream.format("jsonl_docs")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.format("jsonl_docs").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    manifest = _read_manifest(out)
+    committed = {int(b) for b in manifest["batches"]}
+    assert committed  # at least one batch landed
+    total = sum(b["rows"] for b in manifest["batches"].values())
+    assert total == 90
+
+    # replaying a committed batch id must not double-publish
+    w = JsonlDocsStreamWriter({"path": out}, overwrite=False)
+    replay_id = min(committed)
+    w.commit([], replay_id)  # same id, no shards — must be a no-op
+    assert _read_manifest(out)["batches"] == manifest["batches"]
+    assert spark.read.format("jsonl_docs").load(out).count() == 90
