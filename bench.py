@@ -83,6 +83,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_dedup_canonical",
     "dsir_importance_topk",
+    "clf_probe_eval",
 ]
 
 

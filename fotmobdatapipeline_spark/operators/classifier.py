@@ -68,13 +68,28 @@ def token_bucket_expr(text: Column, d: int, salt: str = "clf") -> Column:
     )
 
 
+def _bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass the value into ``fn``:
+    ``transform(array(col), v -> fn(v))[1]``.  Higher-order lambdas
+    re-evaluate any OUTER expression they reference on every lambda
+    invocation (a d-element transform whose body mentions the token
+    scan runs the scan d times); binding through a 1-element transform
+    makes the value a lambda variable, computed once.  Semantically an
+    identity — only the evaluation count changes."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def feature_counts_expr(text: Column, d: int, salt: str = "clf") -> Column:
     """array<bigint> length d: x_j = count of tokens in bucket j.
-    Pure higher-order functions — map-side, no explode, no shuffle."""
+    Pure higher-order functions — map-side, no explode, no shuffle.
+    The bucket scan is bound once per row (not once per feature)."""
     bks = token_bucket_expr(text, d, salt)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(d - 1)),
-        lambda j: F.size(F.filter(bks, lambda b: b == j)).cast("bigint"),
+    return _bind_once(
+        bks,
+        lambda bk: F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda j: F.size(F.filter(bk, lambda b: b == j)).cast("bigint"),
+        ),
     )
 
 
@@ -102,12 +117,22 @@ def probe_gram(
             F.when(is_positive, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
         ),
     )
-    zd = docs.select(z.alias("z"))
+    pairs = _gram_cols(d)
+    # bind z once per row, emit the 55 products as one array — the
+    # aggregate then sums positions of a single materialized column
+    prods = _bind_once(
+        z,
+        lambda zz: F.array(
+            *[
+                (F.element_at(zz, j + 1) * F.element_at(zz, k + 1)).cast("bigint")
+                for j, k in pairs
+            ]
+        ),
+    )
+    zd = docs.select(prods.alias("p"))
     aggs = [
-        F.sum(
-            (F.element_at("z", j + 1) * F.element_at("z", k + 1)).cast("bigint")
-        ).alias(f"g_{j}_{k}")
-        for j, k in _gram_cols(d)
+        F.sum(F.element_at("p", i + 1)).alias(f"g_{j}_{k}")
+        for i, (j, k) in enumerate(pairs)
     ]
     return zd.agg(*aggs)
 
@@ -184,9 +209,15 @@ def probe_score_expr(
 
     Pinned order: left-associated ascending-j chain ``x0*w0 + x1*w1 +
     ... + x_{d-1}*w_{d-1} + w_bias`` — bit-equal to the oracle's
-    unrolled SQL chain and to any batch scorer using this expr."""
+    unrolled SQL chain and to any batch scorer using this expr.  The
+    feature vector is bound once per row (the chain references it d
+    times)."""
     xs = feature_counts_expr(text, d, salt)
-    expr = F.element_at(xs, 1).cast("double") * F.lit(weights[0])
-    for j in range(1, d):
-        expr = expr + F.element_at(xs, j + 1).cast("double") * F.lit(weights[j])
-    return expr + F.lit(weights[d])
+
+    def chain(xx: Column) -> Column:
+        e = F.element_at(xx, 1).cast("double") * F.lit(weights[0])
+        for j in range(1, d):
+            e = e + F.element_at(xx, j + 1).cast("double") * F.lit(weights[j])
+        return e + F.lit(weights[d])
+
+    return _bind_once(xs, chain)
