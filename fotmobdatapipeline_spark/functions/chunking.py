@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.functions.hof import bind_once
+
 DEFAULT_CHUNK_SIZE = 64
 DEFAULT_CHUNK_STEP = 48
 
@@ -37,20 +39,26 @@ def chunk_windows(
     document — explode to get the training-example rows."""
     if size <= 0 or step <= 0:
         raise ValueError("size and step must be positive")
-    t = F.split(text, " ")
-    n = F.size(t)
-    # n >= 1 always (split('') -> ['']), so the sequence never descends.
-    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
-    return F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / step).cast("int").alias("chunk_idx"),
-            F.least(F.lit(size), n - s).cast("int").alias("n_tokens"),
-            F.concat_ws(" ", F.slice(t, s + 1, F.least(F.lit(size), n - s))).alias(
-                "chunk_text"
+
+    # token split bound once per row (hof.bind_once — the per-chunk
+    # lambda would otherwise re-split per window)
+    def body(t):
+        n = F.size(t)
+        # n >= 1 always (split('') -> ['']), so the sequence never
+        # descends.
+        starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / step).cast("int").alias("chunk_idx"),
+                F.least(F.lit(size), n - s).cast("int").alias("n_tokens"),
+                F.concat_ws(
+                    " ", F.slice(t, s + 1, F.least(F.lit(size), n - s))
+                ).alias("chunk_text"),
             ),
-        ),
-    )
+        )
+
+    return bind_once(F.split(text, " "), body)
 
 
 try:  # pyspark >= 4: Python UDTF support

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.functions.hof import bind_once as _bind_once
 from fotmobdatapipeline_spark.operators.sketches import hex32
 
 PROBE_BUCKETS = 8
@@ -66,17 +67,6 @@ def token_bucket_expr(text: Column, d: int, salt: str = "clf") -> Column:
         toks,
         lambda t: (hex32(F.md5(F.concat(F.lit(f"{salt}:"), t))) % d).cast("int"),
     )
-
-
-def _bind_once(col: Column, fn) -> Column:
-    """Evaluate ``col`` ONCE per row and pass the value into ``fn``:
-    ``transform(array(col), v -> fn(v))[1]``.  Higher-order lambdas
-    re-evaluate any OUTER expression they reference on every lambda
-    invocation (a d-element transform whose body mentions the token
-    scan runs the scan d times); binding through a 1-element transform
-    makes the value a lambda variable, computed once.  Semantically an
-    identity — only the evaluation count changes."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def feature_counts_expr(text: Column, d: int, salt: str = "clf") -> Column:

@@ -26,22 +26,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.functions.hof import bind_once
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a whitespace-tokenized text, as an
-    array<string>.  Per-row, codegen-only.
+    array<string>.  Per-row, codegen-only; the token split is bound once
+    per row (functions/hof.py — an unbound lambda reference would re-run
+    the split per shingle, O(tokens²)).
 
     Guarded for short docs: ``sequence(1, stop)`` with ``stop < 1``
     DESCENDS in Spark (1, 0, -1, ...) rather than returning empty, which
     would feed ``slice`` an illegal start of 0 — documents with fewer
     than ``n`` words must produce an empty shingle set instead."""
-    toks = F.split(text, " ")
-    n_shingles = F.size(toks) - F.lit(n - 1)
-    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
-    shingles = F.transform(F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1))), gram)
-    return F.array_distinct(
-        F.when(n_shingles >= 1, shingles).otherwise(F.array().cast("array<string>"))
-    )
+
+    def body(toks: Column) -> Column:
+        n_shingles = F.size(toks) - F.lit(n - 1)
+        gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1))), gram
+        )
+        return F.array_distinct(
+            F.when(n_shingles >= 1, shingles).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return bind_once(F.split(text, " "), body)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -468,11 +479,6 @@ def winnowing_copy_pairs(
     )
 
 
-def _n_segments(text_col: str, w: int):
-    words = F.split(F.col(text_col), " ")
-    return F.ceil(F.size(words) / F.lit(float(w))).cast("int")
-
-
 def sentence_segments(text_col: str, words_per_sentence: int = 8):
     """The deterministic sentence segmenter shared by batch
     :func:`sentence_dedup` and the streaming twin
@@ -480,11 +486,13 @@ def sentence_segments(text_col: str, words_per_sentence: int = 8):
     non-overlapping word windows (this corpus has no punctuation; swap
     for a boundary split on a real crawl — all consumers are
     boundary-agnostic)."""
-    words = F.split(F.col(text_col), " ")
     w = words_per_sentence
-    return F.transform(
-        F.sequence(F.lit(0), _n_segments(text_col, w) - 1),
-        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    return bind_once(
+        F.split(F.col(text_col), " "),
+        lambda words: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(float(w))).cast("int") - 1),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        ),
     )
 
 
@@ -645,9 +653,7 @@ def sentence_neardup(
     Output: (doc_id, n_sentences, n_kept, text_neardup), one row per doc
     that kept at least one sentence.
     """
-    sig = F.concat_ws(
-        "", *minhash_signature_cols(F.col("sentence"), num_hashes, shingle_n)
-    )
+    sig = minhash_sig_expr(F.col("sentence"), num_hashes, shingle_n)
     signed = (
         df.select(
             F.col(id_col),
@@ -824,6 +830,38 @@ def minhash_signature_cols(
             )
         )
     return cols
+
+
+def minhash_sig_expr(
+    text: Column, num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """Concatenated per-row minhash signature STRING — the key form
+    every stream/sentence consumer uses (``concat_ws("", sigs...)``) —
+    with the shingle array bound ONCE per row (hof.bind_once).  The
+    separate-columns form (:func:`minhash_signature_cols`) re-evaluates
+    the whole shingle build per signature column; this computes it once
+    and folds all ``num_hashes`` mins over the bound value.  Same hash
+    family, bit-identical signature text.
+
+    Sub-shingle documents yield the EMPTY string (array_min of an empty
+    array is NULL per chunk; concat_ws skips NULLs) — not a valid dedup
+    key, same contract as the column form."""
+
+    def chunk_of(salt: str, lo: int):
+        return lambda s: F.substring(F.md5(F.concat(F.lit(salt), s)), lo, 8)
+
+    def body(sh: Column) -> Column:
+        return F.concat_ws(
+            "",
+            *[
+                F.array_min(
+                    F.transform(sh, chunk_of(f"{j // 4}:", (j % 4) * 8 + 1))
+                )
+                for j in range(num_hashes)
+            ],
+        )
+
+    return bind_once(word_shingles(text, shingle_n), body)
 
 
 def verified_lsh_dups(
@@ -1307,6 +1345,25 @@ def simhash_pairs(
     )
 
 
+def _gram_hash_arr(text_col: str, gram_len: int) -> Column:
+    """md5 hash of every word ``gram_len``-gram (all occurrences, in
+    position order); empty array below ``gram_len`` words.  The token
+    split is bound once per row (hof.bind_once — unbound it would re-run
+    per gram)."""
+
+    def body(words: Column) -> Column:
+        n_words = F.size(words)
+        gram_at = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice(words, i + 1, gram_len), " ")
+        )
+        return F.when(
+            n_words >= gram_len,
+            F.transform(F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(F.split(F.col(text_col), " "), body)
+
+
 def _passage_base(
     df: DataFrame, text_col: str, id_col: str, gram_len: int
 ) -> DataFrame:
@@ -1314,20 +1371,12 @@ def _passage_base(
     the shared scan of the passage-dedup family.  posexplode_outer
     keeps sub-gram_len documents in the frame (null gram row) so stats
     can cover every document without a second raw scan."""
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
-
-    def gram_at(i):
-        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
-
-    gram_arr = F.when(
-        n_words >= gram_len,
-        F.transform(F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at),
-    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        F.posexplode_outer(gram_arr).alias("pos", "ghash"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+        F.posexplode_outer(_gram_hash_arr(text_col, gram_len)).alias(
+            "pos", "ghash"
+        ),
     ).localCheckpoint(eager=False)
 
 
@@ -1438,22 +1487,9 @@ def incremental_passage_stats(
     """
     base = _passage_base(batch, text_col, id_col, gram_len)
     occ = base.filter(F.col("ghash").isNotNull())
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
-
-    def gram_at(i):
-        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
-
     corpus_idx = (
         corpus.select(
-            F.explode(
-                F.when(
-                    n_words >= gram_len,
-                    F.transform(
-                        F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("ghash")
+            F.explode(_gram_hash_arr(text_col, gram_len)).alias("ghash")
         )
         .distinct()
     )
@@ -1572,20 +1608,12 @@ def duplicate_passage_stats(
     """
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
-
-    def gram_at(i):
-        return F.md5(F.array_join(F.slice(words, i + 1, gram_len), " "))
-
-    gram_arr = F.when(
-        n_words >= gram_len,
-        F.transform(F.sequence(F.lit(0), n_words - F.lit(gram_len)), gram_at),
-    ).otherwise(F.array().cast("array<string>"))
     base = df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        F.posexplode_outer(gram_arr).alias("pos", "ghash"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+        F.posexplode_outer(_gram_hash_arr(text_col, gram_len)).alias(
+            "pos", "ghash"
+        ),
     ).localCheckpoint(eager=False)
     occ = base.filter(F.col("ghash").isNotNull())
     dup = (

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.functions.hof import bind_once
 from fotmobdatapipeline_spark.operators.sketches import hex32
 
 DSIR_BUCKETS = 4096
@@ -35,17 +36,22 @@ DSIR_BUCKETS = 4096
 
 def _bigrams(text: Column) -> Column:
     """Whitespace-token bigram OCCURRENCES (not distinct — DSIR counts
-    every occurrence)."""
-    t = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    # sequence(1, 0) would DESCEND, not be empty — guard sub-2-token docs
-    return F.when(F.size(t) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    every occurrence).  Token split bound once per row (hof.bind_once —
+    unbound, the lambda would re-split per bigram)."""
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+        # sequence(1, 0) would DESCEND, not be empty — guard sub-2-token
+        # docs
+        return F.when(F.size(t) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(F.split(text, " "), body)
 
 
 def hashed_bigram_buckets(
@@ -202,19 +208,42 @@ def dsir_score_expr(
     buckets ascending, one ``cnt * lnr`` multiply per bucket, sequential
     adds from 0.0 — so a stream scored row-by-row is BIT-equal to the
     batch groupBy scoring of the same input.  Stateless: safe in any
-    streaming output mode, no watermark, no shuffle."""
+    streaming output mode, no watermark, no shuffle.
+
+    Each returned Column evaluates the bigram+hash scan once; when both
+    are selected in ONE projection prefer :func:`dsir_score_struct`
+    (single scan for both fields)."""
+    s = dsir_score_struct(text, lnr_by_bucket, salt)
+    return s["weight"], s["n_bigrams"]
+
+
+def dsir_score_struct(
+    text: Column,
+    lnr_by_bucket: list[float],
+    salt: str = "dsir",
+) -> Column:
+    """struct(weight, n_bigrams) form of :func:`dsir_score_expr` with
+    the hashed-bigram array bound ONCE per row (hof.bind_once — the
+    per-distinct-bucket count filter would otherwise re-run the
+    tokenize+md5 scan once per distinct bucket).  Identical float
+    program, bit-equal output."""
     buckets = len(lnr_by_bucket)
     arr = F.lit(lnr_by_bucket)
-    h = lambda g: (hex32(F.md5(F.concat(F.lit(f"{salt}:"), g))) % buckets).cast("int")
-    bks = F.transform(_bigrams(text), h)
-    dist = F.array_sort(F.array_distinct(bks))
-    terms = F.transform(
-        dist,
-        lambda b: F.size(F.filter(bks, lambda x: x == b)).cast("double")
-        * F.element_at(arr, b + 1),
-    )
-    weight = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-    return weight, F.size(bks)
+    h = lambda g: (  # noqa: E731
+        hex32(F.md5(F.concat(F.lit(f"{salt}:"), g))) % buckets
+    ).cast("int")
+
+    def body(bk: Column) -> Column:
+        dist = F.array_sort(F.array_distinct(bk))
+        terms = F.transform(
+            dist,
+            lambda b: F.size(F.filter(bk, lambda x: x == b)).cast("double")
+            * F.element_at(arr, b + 1),
+        )
+        w = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        return F.struct(w.alias("weight"), F.size(bk).alias("n_bigrams"))
+
+    return bind_once(F.transform(_bigrams(text), h), body)
 
 
 def dsir_ratio_vector(
@@ -243,10 +272,20 @@ def dsir_score_stream(
     :func:`dsir_ratio_table`, embed via :func:`dsir_ratio_vector`).
     Stateless map — works in append mode with no watermark and scales
     with the stream, and is bit-equal to the batch scorer on the same
-    rows (round_to=None)."""
-    weight, n = dsir_score_expr(F.col(text_col), lnr_by_bucket)
+    rows (round_to=None).  The score struct is materialized in its own
+    projection so the tokenize+hash scan runs once per row even though
+    two fields are read from it."""
+    s = dsir_score_struct(F.col(text_col), lnr_by_bucket)
+    staged = stream.withColumn("_ds", s)
+    weight = F.col("_ds")["weight"]
     if round_to is not None:
         weight = F.round(weight, round_to)
-    return stream.select(
-        "*", n.alias("n_bigrams"), weight.alias("weight")
-    ).filter(F.col("n_bigrams") > 0)
+    return (
+        staged.select(
+            "*",
+            F.col("_ds")["n_bigrams"].alias("n_bigrams"),
+            weight.alias("weight"),
+        )
+        .drop("_ds")
+        .filter(F.col("n_bigrams") > 0)
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fotmobdatapipeline_spark.operators.dedup import (
-    minhash_signature_cols,
+    minhash_sig_expr,
     sentence_segments,
 )
 
@@ -30,8 +30,9 @@ def with_minhash_sig(
 ) -> DataFrame:
     """Append a single `minhash_sig` string column (concatenated chunks;
     empty string for sub-shingle docs — NOT a valid dedup key)."""
-    sigs = minhash_signature_cols(F.col(text_col), num_hashes, shingle_n)
-    return docs.withColumn("minhash_sig", F.concat_ws("", *sigs))
+    return docs.withColumn(
+        "minhash_sig", minhash_sig_expr(F.col(text_col), num_hashes, shingle_n)
+    )
 
 
 def sentence_dedup_stream(
@@ -98,9 +99,7 @@ def sentence_neardup_stream(
             "seg_idx", "sentence"
         ),
     )
-    sig = F.concat_ws(
-        "", *minhash_signature_cols(F.col("sentence"), num_hashes, shingle_n)
-    )
+    sig = minhash_sig_expr(F.col("sentence"), num_hashes, shingle_n)
     # 's:'/'m:' namespaces as in neardup_stream: a signature can never
     # collide with a pass-through key.  (doc, seg_idx) is per-row unique
     # by construction, so unsignable sentences always pass through.
