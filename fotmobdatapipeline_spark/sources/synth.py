@@ -26,9 +26,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# v2: the documents table joined the layout — older cached dirs (v1
-# marker) regenerate so the LLM-op scale queries find it.
-_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE_V2"
+# v3: the embeddings table joined the layout (v2 added documents) —
+# older cached dirs regenerate so every scale query finds its table.
+# The marker alone is necessary but not sufficient: a dir written by a
+# code version that knew fewer tables carries a valid older marker, so
+# completeness is ALSO checked table-by-table (_TABLES) on every call.
+_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE_V3"
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents", "embeddings",
+)
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -91,7 +99,11 @@ def generate_scale_tables(
     same layout as the driver testdata).  Idempotent: a marker file makes
     later calls a no-op, so the bench amortizes generation across runs."""
     marker = os.path.join(path, _MARKER)
-    if os.path.exists(marker) and not force:
+    complete = all(
+        os.path.exists(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
+        for t in _TABLES
+    )
+    if os.path.exists(marker) and complete and not force:
         return path
     os.makedirs(path, exist_ok=True)
 

@@ -78,3 +78,21 @@ def test_synth_is_deterministic_and_idempotent(spark, tmp_path):
     mtimes = {f: os.path.getmtime(f) for f in files_before}
     generate_scale_tables(spark, 0.002, a)
     assert {f: os.path.getmtime(f) for f in files_before} == mtimes
+
+
+def test_synth_stale_partial_cache_regenerates(spark, tmp_path):
+    """A dir with a valid marker but a MISSING table (the layout grew
+    after the dir was cached — exactly how the round-8 bench lost its
+    sf1 scale section to a pre-embeddings /tmp cache) must regenerate,
+    not no-op."""
+    import os
+    import shutil
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    path = str(tmp_path / "stale")
+    generate_scale_tables(spark, 0.002, path, partitions=2)
+    shutil.rmtree(os.path.join(path, "embeddings.parquet"))
+    generate_scale_tables(spark, 0.002, path, partitions=2)
+    assert read_table(spark, path, "embeddings").count() > 0
