@@ -1266,3 +1266,75 @@ def drift_value_ks(spark: SparkSession, sf_dir: str):
             / (F.col("nct").cast("double") * F.col("nbt").cast("double"))
         ).alias("ks"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decayed (half-life) popularity: each event contributes
+# 0.5^(age in days) to its type's score, so yesterday's burst counts
+# half of today's — the trending/recency signal feed ranking and
+# mixture recency-weighting use.  Scale shape: the raw table collapses
+# to per-(type, day) counts in ONE map-side-combinable aggregate (the
+# stored partial a nightly job maintains — merging a new day is an
+# append plus re-fold over this tiny table, never a rescan of events),
+# and the decay weighting runs on that type*days-bounded frame.
+# Bit-portability: day index is integer µs arithmetic; each term is
+# cnt * 0.5^age — an exponent shift of an exact integer, exact in
+# double until subnormal ages (~1022 half-lives; underflow is exact 0.0
+# on both engines) — folded in ascending-day order, and pow(0.5, n) on
+# integer n is exact everywhere (the events_ewm_value precedent).
+# --------------------------------------------------------------------------
+@register(
+    "events_decayed_popularity",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), mx AS (SELECT MAX(day) AS max_day FROM daily),
+    terms AS (
+      SELECT event_type, day, cnt,
+             CAST(cnt AS DOUBLE)
+               * pow(CAST(0.5 AS DOUBLE), CAST(max_day - day AS DOUBLE)) AS term
+      FROM daily, mx
+    )
+    SELECT event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INT) AS n_days,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(term ORDER BY day, event_type)),
+                       (a, b) -> a + b) AS decayed_score
+    FROM terms
+    GROUP BY event_type
+    """,
+    tags=("events", "time-series", "decay", "mergeable"),
+    doc="Half-life-decayed popularity per type from mergeable per-day counts.",
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    mx = daily.agg(F.max("day").alias("max_day"))
+    terms = daily.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "day",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            * F.pow(F.lit(0.5), (F.col("max_day") - F.col("day")).cast("double"))
+        ).alias("term"),
+    )
+    # (day, term) structs sort by day first — day is unique per type, so
+    # the fold order is total and both engines add in the same sequence.
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "term"))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count("*").cast("int").alias("n_days"),
+        folded.alias("decayed_score"),
+    )
