@@ -775,3 +775,16 @@ def test_dsir_scoring_broadcasts_model_never_smj(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decayed_popularity_is_two_bounded_aggs_no_window(spark):
+    """Decayed popularity must collapse events to per-(type, day) counts
+    with a partial/final aggregate pair (map-side combine — the shuffle
+    carries types*days rows, not events), broadcast the one-row max-day
+    side, and never rank anything through a window."""
+    df = _q("events_decayed_popularity")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
