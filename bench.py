@@ -650,7 +650,10 @@ def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dic
         .option("maxFilesPerTrigger", 8)
         .parquet(f"{staged}/files")
     )
-    out_df = semantic_dedup_stream(stream, cents, index, tau=0.3)
+    # The sf index fits an executor: broadcast it so each micro-batch is
+    # a shuffle-free hash probe (AQE never re-plans streaming batches;
+    # hint-free would sort-merge BOTH sides every batch — measured 2×).
+    out_df = semantic_dedup_stream(stream, cents, F.broadcast(index), tau=0.3)
     q = (
         out_df.writeStream.format("noop")
         .outputMode("append")
