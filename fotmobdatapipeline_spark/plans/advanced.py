@@ -612,6 +612,55 @@ def sql_dual_dialect(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE), dual-dialect: per-user event
+# walk from the first event until the first purchase — an arbitrary-
+# length path the fixed-join funnel entries cannot express — run
+# verbatim by BOTH engines.  The walk is depth-capped at 25 steps
+# (deterministic semantics: "within the first 25 events"), which also
+# keeps every scale factor inside Spark's recursion-level limit
+# (spark.sql.cteRecursionLevelLimit, default 100).  Scale doctrine:
+# a recursive CTE is driver-sequenced iterative joins — right for
+# bounded-depth walks like this; for data-scale graph closure use the
+# dedicated iterative operators (connected components' pointer jumping,
+# PageRank's fixed rounds) whose per-round plans are pinned.
+# --------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, event_type, 1 AS steps
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_type, w.steps + 1
+  FROM seq s JOIN walk w
+    ON s.user_id = w.user_id AND s.rn = w.rn + 1
+  WHERE w.event_type <> 'purchase' AND w.steps < 25
+)
+SELECT user_id,
+       CAST(MAX(steps) AS INT) AS n_steps,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+         AS reached_purchase
+FROM walk
+GROUP BY user_id
+"""
+
+
+@register(
+    "sql_recursive_walk",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "recursive", "events"),
+    doc="WITH RECURSIVE per-user walk to first purchase, verbatim both engines.",
+)
+def sql_recursive_walk(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------------------
 # Null-semantics battery: the SQL-surface corner cases every engine must
 # agree on — NULLIF-manufactured nulls, null-safe equality, COALESCE,
 # COUNT(col) vs COUNT(*), and explicit NULLS FIRST ordering.
