@@ -221,11 +221,17 @@ def jaccard_pairs(
     max_df^2/2 regardless of corpus growth.  The capped-postings stage
     feeds both sizes and pairs; at 100 TB persist or stage-write it
     (operators/star.py pattern) instead of recomputing the lineage.
+
+    The per-doc ``sizes`` joins carry NO broadcast hint: sizes has one
+    row per document, so a mandatory broadcast OOMs at 10^9+ docs.  AQE
+    picks broadcast from runtime sizes when the corpus is small and
+    falls back to a shuffled equi-join when it isn't — same treatment
+    as the RP verify pipeline (similarity.py) and ppjoin's verify side.
     """
     sizes, common = _shingle_pair_commons(df, text_col, id_col, shingle_n, max_df)
     return (
-        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})), "doc_b")
+        common.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -304,7 +310,11 @@ def containment_pairs(
     symmetric Jaccard dilutes toward zero.  Same posting-list shape and
     ``max_df`` semantics as :func:`jaccard_pairs` (one shingle shuffle,
     map-side pair generation); each unordered pair emits both
-    directions.  Output (contained, container, common, containment)."""
+    directions.  Output (contained, container, common, containment).
+
+    Like :func:`jaccard_pairs`, the per-doc ``sizes`` join is hint-free
+    (one row per document — a mandatory broadcast would OOM at corpus
+    scale; AQE broadcasts only when runtime size allows)."""
     sizes, common = _shingle_pair_commons(df, text_col, id_col, shingle_n, max_df)
     directed = common.select(
         F.col("doc_a").alias("contained"), F.col("doc_b").alias("container"), "common"
@@ -314,7 +324,7 @@ def containment_pairs(
         )
     )
     return directed.join(
-        F.broadcast(sizes.withColumnsRenamed({id_col: "contained", "n_sh": "n_sh"})),
+        sizes.withColumnsRenamed({id_col: "contained", "n_sh": "n_sh"}),
         "contained",
     ).select(
         "contained",
@@ -1273,78 +1283,6 @@ def prefix_filter_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_bits: int = 16,
-    n_bands: int = 4,
-    max_hamming: int = 3,
-    max_band_df: int | None = None,
-) -> DataFrame:
-    """SimHash near-dup pairs: band the :func:`simhash_signatures`
-    bit-string into ``n_bands`` equal slices, generate candidate pairs
-    only between documents sharing a band (the Charikar/Manku
-    multi-table trick), then verify with the EXACT Hamming distance —
-    by pigeonhole, any pair within ``max_hamming <= n_bands - 1`` bit
-    flips shares at least one identical band, so recall at the
-    threshold is 100% and banding is purely a candidate pruner.
-
-    Scale shape: the signature table is computed once (checkpoint; the
-    band explode and the verify both read it), candidates meet through
-    a (band_id, band_key)-keyed equi-join — never all-pairs — and the
-    verify is fixed integer arithmetic over the two 16-char strings
-    already riding the join (no third scan).  Band selectivity is
-    2^-(n_bits/n_bands) per band: at corpus scale use 64-bit
-    signatures with 16-bit bands (65 536 keys/band); ``max_band_df``
-    optionally drops bands hotter than the cap before pair generation
-    (the jaccard_pairs df-cap semantics — a band shared by half the
-    corpus is a stop-pattern, not a dedup signal).
-
-    Output: (doc_a, doc_b, hamming), hamming <= ``max_hamming``.
-    """
-    w = n_bits // n_bands
-    sigs = simhash_signatures(df, text_col, id_col, n_bits).localCheckpoint(
-        eager=False
-    )
-    band_arr = F.array(
-        *[F.substring("simhash", b * w + 1, w) for b in range(n_bands)]
-    )
-    bands = sigs.select(
-        F.col(id_col), "simhash", F.posexplode(band_arr).alias("band_id", "band_key")
-    )
-    if max_band_df is not None:
-        cool = (
-            bands.groupBy("band_id", "band_key")
-            .agg(F.count("*").alias("bdf"))
-            .filter(F.col("bdf") <= max_band_df)
-            .select("band_id", "band_key")
-        )
-        bands = bands.join(cool, ["band_id", "band_key"])
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "band_id", "band_key",
-    )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "band_id", "band_key",
-    )
-    cand = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = sum(
-        (F.substring("sig_a", i, 1) != F.substring("sig_b", i, 1)).cast("int")
-        for i in range(1, n_bits + 1)
-    )
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-
-
 def _gram_hash_arr(text_col: str, gram_len: int) -> Column:
     """md5 hash of every word ``gram_len``-gram (all occurrences, in
     position order); empty array below ``gram_len`` words.  The token
@@ -1572,81 +1510,6 @@ def simhash_pairs(
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-    )
-
-
-def duplicate_passage_stats(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    gram_len: int = 8,
-) -> DataFrame:
-    """EXACT duplicated-passage detection (the substring-dedup tier of
-    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better", relationalized): a word position is DUPLICATED when some
-    ``gram_len``-word window covering it occurs 2+ times in the whole
-    corpus (within- or cross-document), and per document we report how
-    much of it is duplicated passage — the trim/drop signal document-
-    and sentence-level dedup both miss (a lifted paragraph inside an
-    otherwise-unique page).
-
-    The suffix-array formulation of the paper is replaced by a pure
-    dataflow one: k-gram hashes -> global occurrence counts (map-side
-    combinable; a boilerplate gram collapses per map task) -> gram-keyed
-    join back (fan-out linear in that gram's own positions) -> position
-    coverage (explode of gram_len per duplicated start, distinct) ->
-    islands per document (window partitioned by DOC, bounded by document
-    length — never by gram).  Gram keys are md5 hashes so the shuffle
-    carries 32 chars instead of gram_len words.  The exploded
-    (doc, n_words, pos, ghash) frame is checkpointed once for its two
-    consumers (count aggregate, join-back) — one corpus scan;
-    ``posexplode_outer`` keeps sub-gram_len documents in the frame so
-    the output covers EVERY document without a second raw scan.
-
-    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_frac) —
-    n_dup_spans maximal duplicated runs covering dup_words positions.
-    """
-    from pyspark.sql import Window
-
-    base = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
-        F.posexplode_outer(_gram_hash_arr(text_col, gram_len)).alias(
-            "pos", "ghash"
-        ),
-    ).localCheckpoint(eager=False)
-    occ = base.filter(F.col("ghash").isNotNull())
-    dup = (
-        occ.groupBy("ghash")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select("ghash")
-    )
-    cover = (
-        occ.join(dup, "ghash")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
-            ).alias("j"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy(id_col).orderBy("j")
-    runs = cover.withColumn("run", F.col("j") - F.row_number().over(w))
-    per_doc = runs.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("dup_words"),
-        F.countDistinct("run").cast("int").alias("n_dup_spans"),
-    )
-    nw = base.groupBy(id_col).agg(F.max("n_words").alias("n_words"))
-    return nw.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        "n_words",
-        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-        F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
-        (F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words")).alias(
-            "dup_frac"
-        ),
     )
 
 

@@ -234,6 +234,10 @@ def bm25_topk(
     corpus = doc_len.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
+    # Broadcast bound: tf is pre-filtered to the query's terms, so
+    # df_by_term has <= |query_terms| rows (query-cardinality, NOT the
+    # Heaps-law corpus vocabulary) — the hint is safe at any corpus
+    # size.  corpus is a 1-row scalar aggregate.
     df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     scored_terms = (

@@ -51,6 +51,10 @@ def register(
     """Decorator: add a (builder, oracle) pair to the catalog."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # A silent overwrite would replace an already-verified
+            # (builder, oracle) pair with an untested one — fail loud.
+            raise ValueError(f"duplicate catalog registration: {name!r}")
         QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags, doc=doc)
         return fn
 

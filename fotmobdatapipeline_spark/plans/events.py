@@ -94,57 +94,6 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# Retention cohorts: users bucketed by FIRST-event date, retention as
-# distinct active users per (cohort, day-offset) — the product-
-# analytics staple.  Scale shape: first-touch is a map-side-combinable
-# per-user MIN (never a per-user window over the event stream), the
-# offset join re-keys by user (one shuffle), and the matrix is bounded
-# by cohorts x horizon, not by events.  All-integer output.
-# --------------------------------------------------------------------------
-@register(
-    "events_retention_cohorts",
-    oracle="""
-    WITH first_touch AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
-      GROUP BY user_id
-    ),
-    activity AS (
-      SELECT DISTINCT e.user_id, f.cohort_day,
-             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
-      FROM events e JOIN first_touch f ON e.user_id = f.user_id
-    )
-    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
-           CAST(day_offset AS INT) AS day_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM activity GROUP BY 1, 2
-    """,
-    tags=("events", "retention", "cohort", "analytics"),
-    doc="Cohort retention matrix: distinct users per (first-event date, day offset).",
-)
-def events_retention_cohorts(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = (
-        ev.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff("day", "cohort_day").alias("day_offset"),
-        )
-        .distinct()
-    )
-    return activity.groupBy("cohort_day", "day_offset").agg(
-        F.count("*").alias("n_users")
-    ).select(
-        F.col("cohort_day").cast("string").alias("cohort_day"),
-        F.col("day_offset").cast("int").alias("day_offset"),
-        "n_users",
-    )
-
-
-# --------------------------------------------------------------------------
 # User-LTV deciles: users ranked by total purchase value into ten
 # equal-count buckets, with each decile's share of total revenue — the
 # whale-curve report.  The window ranks USERS (bounded cardinality,

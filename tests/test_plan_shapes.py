@@ -788,3 +788,22 @@ def test_decayed_popularity_is_two_bounded_aggs_no_window(spark):
     assert "partial_count" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_family_has_no_mandatory_doc_broadcast(spark):
+    """The per-document `sizes` relation (one row per doc) must never
+    carry a broadcast hint: at 10^9+ docs a mandatory broadcast OOMs the
+    driver and every executor.  The whole Jaccard/containment family
+    must be hint-free in the logical plan — AQE picks broadcast from
+    runtime sizes when the corpus is small and falls back to a shuffled
+    equi-join when it isn't (the RP verify-pipeline treatment,
+    test_rp_bucket_verify_never_broadcasts_the_corpus)."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_capped",
+        "text_containment_pairs",
+    ):
+        df = _q(name)(spark, SF_ORACLE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical, (name, logical)
+        assert "UnresolvedHint" not in logical, (name, logical)
