@@ -357,6 +357,15 @@ def _compact_line(full: dict) -> str:
     stream_flat: dict = {}
     for section in ["state", "neardup", "semantic"]:
         stream_flat.update(rps(section))
+    # Load calibration IN the parsed line (VERDICT r8 #5): cross-round
+    # regression calls need the ambient-load context without tail-text
+    # archaeology.  Worst of before/after tells the story in one number.
+    load = full.get("load") or {}
+    calib_flat = {}
+    snaps = [s for s in (load.get("before"), load.get("after")) if isinstance(s, dict)]
+    if snaps:
+        calib_flat["calib_spin_sec"] = max(s.get("calib_spin_sec", 0) for s in snaps)
+        calib_flat["loadavg_1m"] = max(s.get("loadavg_1m", 0) for s in snaps)
     scale_flat = {}
     for k in ["star_build_write", "flagship_revenue_topk"]:
         if k in (scale.get("queries") or {}):
@@ -378,6 +387,7 @@ def _compact_line(full: dict) -> str:
             "baselines": full["baselines"],
             **stream_flat,
             **scale_flat,
+            **calib_flat,
             "full": "BENCH_FULL.json",
         }
         line = json.dumps(compact, separators=(",", ":"))

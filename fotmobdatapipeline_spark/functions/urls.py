@@ -26,7 +26,7 @@ Canonical form implemented (the widely used safe subset):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Parameters that never change page content — the classic tracker list.
@@ -118,4 +118,76 @@ def registrable_domain(host: Column) -> Column:
         F.when(n <= 1, host)
         .when((n >= 3) & is_2l_suffix, last3)
         .otherwise(last2)
+    )
+
+
+def _last_labels(parts: Column, k: int) -> Column:
+    """The last ``k`` labels of a split hostname, dot-joined.
+    try_element_at because ANSI mode raises on out-of-bounds; callers
+    must still guard k <= size(parts) — concat_ws SKIPS the resulting
+    nulls, so an unguarded short host would alias a shallower suffix."""
+    return F.concat_ws(
+        ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
+    )
+
+
+def registrable_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    psl_df: DataFrame | None = None,
+    out_col: str = "registrable_domain",
+    max_suffix_labels: int = 3,
+) -> DataFrame:
+    """Attach the registrable domain of ``host_col`` — the PSL-as-data
+    production path of :func:`registrable_domain`.
+
+    ``psl_df`` is the public-suffix list AS A TABLE (one column
+    ``suffix``, e.g. 'com.mx', 'co.uk', 'k12.or.us'), the way a real
+    deployment ships it (the PSL is data that changes monthly, not
+    code).  The PSL algorithm — longest matching suffix wins, default
+    rule '*' when nothing matches — becomes one LEFT broadcast join per
+    suffix depth 2..``max_suffix_labels`` (the PSL is ~10k rows, a
+    genuinely model-sized broadcast; each join is map-side, so at 100 TB
+    this stays a scan-speed stage with zero shuffles) and a depth-
+    priority CASE: a k-label suffix match makes the registrable domain
+    the last k+1 labels; no match falls back to the default rule
+    (last two labels); a host that IS a suffix, or a single label, is
+    returned unchanged.
+
+    ``psl_df=None`` keeps the dependency-free static behavior
+    (:data:`SECOND_LEVEL_SUFFIXES` via :func:`registrable_domain`).
+    """
+    if psl_df is None:
+        return df.withColumn(out_col, registrable_domain(F.col(host_col)))
+    bare = F.regexp_replace(
+        F.regexp_replace(F.col(host_col), "^[^@]*@", ""), ":[0-9]+$", ""
+    )
+    parts = F.split(bare, r"\.")
+    n = F.size(parts)
+    out = df.withColumn("__rd_parts", parts).withColumn("__rd_n", n)
+    matched = []
+    for k in range(max_suffix_labels, 1, -1):
+        flag = f"__rd_sfx{k}"
+        side = F.broadcast(
+            psl_df.where(F.size(F.split(F.col("suffix"), r"\.")) == k)
+            .select(F.col("suffix").alias(flag))
+            .distinct()
+        )
+        key = F.when(
+            F.col("__rd_n") >= k, _last_labels(F.col("__rd_parts"), k)
+        )  # NULL (never matches) when the host has fewer labels
+        out = out.join(side, key == F.col(flag), "left")
+        matched.append((k, flag))
+    expr = F.when(F.col("__rd_n") <= 1, _last_labels(F.col("__rd_parts"), 1))
+    for k, flag in matched:  # deepest suffix first = longest-match-wins
+        expr = expr.when(
+            F.col(flag).isNotNull() & (F.col("__rd_n") > k),
+            _last_labels(F.col("__rd_parts"), k + 1),
+        ).when(
+            F.col(flag).isNotNull(),  # host IS the suffix: no registrable part
+            _last_labels(F.col("__rd_parts"), k),
+        )
+    expr = expr.otherwise(_last_labels(F.col("__rd_parts"), 2))
+    return out.withColumn(out_col, expr).drop(
+        "__rd_parts", "__rd_n", *[flag for _, flag in matched]
     )
