@@ -100,3 +100,59 @@ def pack_by_budget(running: Column, value: Column, budget: int) -> Column:
     split; a bin may overflow by at most one chunk's tokens — the
     standard contiguous-packing tradeoff."""
     return F.floor((running - value) / budget).cast("int")
+
+
+def block_spans(
+    df: DataFrame,
+    order_cols: list[str],
+    tokens_col: str,
+    block_size: int,
+    out_prefix: str = "",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: the global token stream
+    (documents concatenated in ``order_cols`` order) split into blocks
+    of EXACTLY ``block_size`` tokens, documents crossing block
+    boundaries — the other standard pretraining layout next to
+    :func:`pack_by_budget`'s never-split bins (every block but the last
+    is exactly full; no padding waste, at the cost of boundary-split
+    documents).
+
+    Output: one row per (document, block) span —
+    ``block_id``, ``span_start`` / ``span_end`` (global token offsets,
+    end-exclusive), ``span_tokens``, ``carried_in`` (the document
+    started in an earlier block) — plus the input columns.  A document
+    of n tokens emits ceil-ish (n / block_size) + boundary rows; total
+    output is rows + blocks, never quadratic.
+
+    Scale shape: the only non-map stage is :func:`running_sum`'s
+    two-phase prefix scan (range shuffle + broadcast offsets); span
+    generation is a per-row sequence explode with fan-out bounded by
+    each document's own length.  Zero-token rows emit nothing."""
+    p = out_prefix
+    run = running_sum(df, order_cols, tokens_col, out_col=f"{p}_run")
+    start = F.col(f"{p}_run") - F.col(tokens_col)
+    spans = (
+        run.filter(F.col(tokens_col) > 0)
+        .withColumn(f"{p}start", start)
+        .withColumn(
+            f"{p}block_id",
+            F.explode(
+                F.sequence(
+                    F.floor(start / block_size),
+                    F.floor((F.col(f"{p}_run") - 1) / block_size),
+                )
+            ),
+        )
+    )
+    b0 = F.col(f"{p}block_id") * block_size
+    return spans.select(
+        *df.columns,
+        F.col(f"{p}block_id").cast("long").alias("block_id"),
+        F.greatest(F.col(f"{p}start"), b0).cast("long").alias("span_start"),
+        F.least(F.col(f"{p}_run"), b0 + block_size).cast("long").alias("span_end"),
+        (
+            F.least(F.col(f"{p}_run"), b0 + block_size)
+            - F.greatest(F.col(f"{p}start"), b0)
+        ).cast("long").alias("span_tokens"),
+        (F.col(f"{p}start") < b0).alias("carried_in"),
+    )

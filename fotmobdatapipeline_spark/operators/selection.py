@@ -289,3 +289,102 @@ def dsir_score_stream(
         .drop("_ds")
         .filter(F.col("n_bigrams") > 0)
     )
+
+
+def bigram_lm_counts(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the hashed-bigram conditional LM of :func:`bigram_lm_nll` —
+    the CCNet-style fluency filter's model (Wenzek et al. 2020 train a
+    KenLM on clean reference text and score the crawl by perplexity;
+    here the LM is the same hashed-n-gram relaxation DSIR uses, so the
+    model stays a pair of <=B-row broadcastable tables at any corpus
+    size).
+
+    Returns ``(uni, bi)``: bucket counts of bigram CONTEXTS (w1, salt
+    'lmu') and of full bigrams (w1 w2, salt 'lmb') over the reference
+    slice.  Both are one map-side-combining aggregate; both merge by
+    bucket-wise addition (shard / micro-batch friendly, the DSIR model
+    law)."""
+    grams = ref_docs.select(F.explode(_bigrams(F.col(text_col))).alias("g"))
+    hu = hex32(F.md5(F.concat(F.lit("lmu:"), F.split(F.col("g"), " ")[0])))
+    hb = hex32(F.md5(F.concat(F.lit("lmb:"), F.col("g"))))
+    pairs = grams.select(
+        (hu % buckets).cast("int").alias("bu"),
+        (hb % buckets).cast("int").alias("bb"),
+    ).localCheckpoint(eager=False)
+    uni = pairs.groupBy("bu").agg(F.count("*").alias("cu"))
+    bi = pairs.groupBy("bb").agg(F.count("*").alias("cb"))
+    return uni, bi
+
+
+def bigram_lm_nll(
+    docs: DataFrame,
+    is_ref: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a hashed-bigram
+    LM trained on the ``is_ref`` slice — the perplexity quality filter
+    of the public crawl recipes (CCNet / RedPajama / Gopher all rank by
+    reference-LM perplexity; lower = more fluent).  Scores every NON-ref
+    document: nll_d = (1/n_d) * Σ_g -ln( (c_bi(g)+α) / (c_uni(w1)+α·B) ),
+    add-α smoothing over the B-bucket hashed vocabulary.
+
+    Scale shape: the model is two <=B-row broadcast tables
+    (:func:`bigram_lm_counts`); scoring is one corpus scan — explode
+    bigrams with both bucket hashes, per-(doc, bu, bb) count, two
+    broadcast left joins, then the repo's ascending-key sequential fold
+    so reruns are bit-identical under any shuffle order.  The raw
+    corpus is never shuffled beyond its own per-doc count.  ``ln`` is
+    not bit-portable across engines (module docstring), so oracles
+    compare ``round_to=4``.
+
+    Output: (doc_id, n_bigrams, nll); sub-2-token docs emit no row."""
+    hu = hex32(F.md5(F.concat(F.lit("lmu:"), F.split(F.col("g"), " ")[0])))
+    hb = hex32(F.md5(F.concat(F.lit("lmb:"), F.col("g"))))
+    per_doc = (
+        docs.select("doc_id", is_ref.alias("__r"),
+                    F.explode(_bigrams(F.col(text_col))).alias("g"))
+        .select(
+            "doc_id", "__r",
+            (hu % buckets).cast("int").alias("bu"),
+            (hb % buckets).cast("int").alias("bb"),
+        )
+        .groupBy("doc_id", "__r", "bu", "bb")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = per_doc.filter(F.col("__r")).groupBy("bu").agg(F.sum("cnt").alias("cu"))
+    bi = per_doc.filter(F.col("__r")).groupBy("bb").agg(F.sum("cnt").alias("cb"))
+    a, b = float(alpha), float(buckets)
+    term = -F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(a))
+        / (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(a * b))
+    )
+    scored = (
+        per_doc.filter(~F.col("__r"))
+        .join(F.broadcast(uni), "bu", "left")
+        .join(F.broadcast(bi), "bb", "left")
+        .withColumn("lp", term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bu", "bb", "cnt", "lp"))),
+                    lambda s: s["cnt"].cast("double") * s["lp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+    )
+    nll = F.col("s") / F.col("n_bigrams").cast("double")
+    if round_to is not None:
+        nll = F.round(nll, round_to)
+    return scored.select("doc_id", "n_bigrams", nll.alias("nll"))

@@ -7576,6 +7576,122 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Perplexity quality filter (CCNet, Wenzek et al. 2020 — public method):
+# rank the crawl by mean negative log-likelihood under an LM trained on a
+# clean reference slice.  The KenLM of the paper becomes the same
+# hashed-bigram relaxation DSIR uses, so the model is two <=B-row
+# broadcast tables at any corpus size and scoring is one corpus scan.
+# ln quantized to 4dp cross-engine (operators/selection.py docstring).
+# --------------------------------------------------------------------------
+@register(
+    "lm_perplexity_rank",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    gr AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(({_sql_hex32("md5('lmu:' || string_split(g, ' ')[1])")})
+                  % {_DSIR_B} AS INT) AS bu,
+             CAST(({_sql_hex32("md5('lmb:' || g)")}) % {_DSIR_B} AS INT) AS bb,
+             COUNT(*) AS cnt
+      FROM gr GROUP BY 1, 2, 3
+    ),
+    uni AS (SELECT bu, SUM(cnt) AS cu FROM pd WHERE doc_id % 50 = 0 GROUP BY bu),
+    bi  AS (SELECT bb, SUM(cnt) AS cb FROM pd WHERE doc_id % 50 = 0 GROUP BY bb),
+    sc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             ROUND(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(cnt AS DOUBLE) *
+                      (-ln((CAST(COALESCE(cb, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / (CAST(COALESCE(cu, 0) AS DOUBLE)
+                              + CAST({_DSIR_B} AS DOUBLE))))
+                      ORDER BY bu, bb)),
+               (a, b) -> a + b) / CAST(SUM(cnt) AS DOUBLE), 4) AS nll
+      FROM pd LEFT JOIN uni USING (bu) LEFT JOIN bi USING (bb)
+      WHERE doc_id % 50 <> 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, nll
+    FROM sc ORDER BY nll ASC, doc_id ASC LIMIT 25
+    """,
+    tags=("selection", "perplexity", "quality", "llmdata"),
+    doc="CCNet-style perplexity filter: hashed-bigram LM trained on the "
+        "reference slice, 25 most-fluent raw docs (nll quantized to 4dp).",
+)
+def lm_perplexity_rank(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.selection import bigram_lm_nll
+
+    docs = read_table(spark, sf_dir, "documents")
+    nll = bigram_lm_nll(docs, is_ref=F.col("doc_id") % 50 == 0, buckets=_DSIR_B)
+    return nll.orderBy(F.asc("nll"), F.asc("doc_id")).limit(25)
+
+
+# --------------------------------------------------------------------------
+# GPT-style concat-and-chunk packing: the corpus token stream split into
+# blocks of exactly _BLOCK_T tokens, docs crossing boundaries — the
+# standard pretraining layout next to pack_sequences' never-split bins.
+# Spans come from the distributed two-phase prefix sum (operators/
+# prefix.py) — no single-partition window.  All-integer output.
+# --------------------------------------------------------------------------
+_BLOCK_T = 512
+
+
+@register(
+    "pack_block_fill",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS tok_start
+      FROM tok
+    ),
+    spans AS (
+      SELECT doc_id, n, tok_start,
+             UNNEST(generate_series(tok_start // {_BLOCK_T},
+                                    CAST(tok_start + n - 1 AS BIGINT)
+                                      // {_BLOCK_T})) AS block_id
+      FROM cum WHERE n > 0
+    )
+    SELECT block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(tok_start + n, (block_id + 1) * {_BLOCK_T})
+                    - GREATEST(tok_start, block_id * {_BLOCK_T})) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(CASE WHEN tok_start < block_id * {_BLOCK_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carried_in
+    FROM spans GROUP BY block_id ORDER BY block_id
+    """,
+    tags=("llmdata", "packing", "scale"),
+    doc=f"Concat-and-chunk packing audit: per-{_BLOCK_T}-token-block doc "
+        "count, fill (exactly full except the tail), boundary carries.",
+)
+def pack_block_fill(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import block_spans
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    spans = block_spans(docs, ["doc_id"], "n_tokens", _BLOCK_T)
+    return (
+        spans.groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("span_tokens").alias("n_tokens"),
+            F.sum(F.col("carried_in").cast("long")).alias("n_carried_in"),
+        )
+        .orderBy("block_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality-classifier training: hashed-token linear probe (ridge via GD on
 # exact sufficient statistics).  The classifier-filter step of the public
 # corpus recipes (GPT-3 quality filter, CCNet) as an ENGINE operator: one

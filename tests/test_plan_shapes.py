@@ -807,3 +807,14 @@ def test_jaccard_family_has_no_mandatory_doc_broadcast(spark):
         logical = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in logical, (name, logical)
         assert "UnresolvedHint" not in logical, (name, logical)
+
+
+def test_lm_perplexity_broadcasts_model_never_smj(spark):
+    """The CCNet-style scorer joins the corpus-cardinality per-doc
+    bucket table to the two <=B-row LM model tables: both must be
+    broadcast hash joins (never a shuffled SortMergeJoin of corpus data
+    against a model), and nothing may go cartesian."""
+    plan = _plan(_q("lm_perplexity_rank")(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan

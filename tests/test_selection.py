@@ -169,3 +169,66 @@ def test_bigram_buckets_degenerate_docs(spark):
     # therefore get no weight row — the documented contract)
     assert {r["doc_id"] for r in got} == {3}
     assert sum(r["cnt"] for r in got) == 1
+
+
+def test_bigram_lm_nll_ranks_fluent_above_gibberish(spark):
+    """The CCNet-style filter's defining property: raw docs written in
+    the reference language score LOWER nll (more fluent) than docs made
+    of bigrams the reference LM never saw; the reference slice itself is
+    never scored; a 1-token doc emits no row."""
+    from fotmobdatapipeline_spark.operators.selection import bigram_lm_nll
+
+    rows = [(i, "the cat sat on the mat and the cat slept") for i in range(10)]
+    rows += [(100, "the cat sat on the mat"), (101, "zqx vvk jjw qqp zzt bbn")]
+    rows += [(102, "word")]  # no bigrams -> no output row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_nll(docs, is_ref=F.col("doc_id") < 100)
+    got = {r["doc_id"]: r["nll"] for r in out.collect()}
+    assert set(got) == {100, 101}
+    assert got[100] < got[101]
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """Bit-level pin against a pure-Python replica (same md5 bucket hash,
+    same smoothing, same ascending-(bu, bb) sequential fold, same final
+    divide + round) — the cross-engine exactness contract the DuckDB
+    oracle relies on."""
+    import hashlib
+    import math
+
+    from fotmobdatapipeline_spark.operators.selection import (
+        DSIR_BUCKETS,
+        bigram_lm_nll,
+    )
+
+    ref = "a b a c a b"
+    raw = "a b x"
+    docs = spark.createDataFrame(
+        [(0, ref), (1, raw)], "doc_id long, text string"
+    )
+    out = bigram_lm_nll(docs, is_ref=F.col("doc_id") == 0)
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in out.collect()}
+
+    def bucket(salt, s):
+        return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    def grams(text):
+        t = text.split(" ")
+        return [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+
+    uni: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    for g in grams(ref):
+        uni[bucket("lmu", g.split(" ")[0])] = uni.get(bucket("lmu", g.split(" ")[0]), 0) + 1
+        bi[bucket("lmb", g)] = bi.get(bucket("lmb", g), 0) + 1
+    per: dict[tuple[int, int], int] = {}
+    for g in grams(raw):
+        k = (bucket("lmu", g.split(" ")[0]), bucket("lmb", g))
+        per[k] = per.get(k, 0) + 1
+    s = 0.0
+    for (bu, bb), cnt in sorted(per.items()):
+        s += float(cnt) * -math.log(
+            (float(bi.get(bb, 0)) + 1.0) / (float(uni.get(bu, 0)) + float(DSIR_BUCKETS))
+        )
+    n = sum(per.values())
+    assert got[1] == (n, round(s / n, 4))
