@@ -388,3 +388,102 @@ def bigram_lm_nll(
     if round_to is not None:
         nll = F.round(nll, round_to)
     return scored.select("doc_id", "n_bigrams", nll.alias("nll"))
+
+
+def lm_count_vectors(
+    uni: DataFrame, bi: DataFrame, buckets: int = DSIR_BUCKETS
+) -> tuple[list[float], list[float]]:
+    """Collect the two <=B-row LM count tables into dense bucket-indexed
+    vectors for :func:`lm_nll_struct` to embed (absent bucket = count 0,
+    exactly the batch scorer's left-join coalesce).  Counts become
+    DOUBLES here because that is the batch float program's first cast —
+    exact for any count < 2^53.  O(B) driver memory — the model, never
+    the data."""
+    cu = [0.0] * buckets
+    for r in uni.collect():
+        cu[int(r["bu"])] = float(r["cu"])
+    cb = [0.0] * buckets
+    for r in bi.collect():
+        cb[int(r["bb"])] = float(r["cb"])
+    return cu, cb
+
+
+def lm_nll_struct(
+    text: Column,
+    cu_by_bucket: list[float],
+    cb_by_bucket: list[float],
+    alpha: float = 1.0,
+) -> Column:
+    """struct(nll_raw, n_bigrams) for one document against an embedded
+    hashed-bigram LM — the per-ROW form of :func:`bigram_lm_nll`'s
+    scoring fold, shape-for-shape the SAME float program (distinct
+    (bu, bb) pairs ascending, cnt * -ln((cb+α)/(cu+αB)) each, sequential
+    adds from 0.0, one final divide), so a stream scored row-by-row is
+    BIT-equal to the batch groupBy scorer on the same rows.  Stateless:
+    append mode, no watermark, no shuffle.  The hashed pair array is
+    bound once per row (hof.bind_once)."""
+    buckets = len(cu_by_bucket)
+    a = float(alpha)
+    cu_arr = F.lit(cu_by_bucket)
+    cb_arr = F.lit(cb_by_bucket)
+    hu = lambda g: (  # noqa: E731
+        hex32(F.md5(F.concat(F.lit("lmu:"), F.split(g, " ")[0]))) % buckets
+    ).cast("int")
+    hb = lambda g: (  # noqa: E731
+        hex32(F.md5(F.concat(F.lit("lmb:"), g))) % buckets
+    ).cast("int")
+
+    def body(pk: Column) -> Column:
+        dist = F.array_sort(F.array_distinct(pk))
+        terms = F.transform(
+            dist,
+            lambda p: F.size(
+                F.filter(
+                    pk, lambda x: (x["bu"] == p["bu"]) & (x["bb"] == p["bb"])
+                )
+            ).cast("double")
+            * -F.log(
+                (F.element_at(cb_arr, p["bb"] + 1) + F.lit(a))
+                / (F.element_at(cu_arr, p["bu"] + 1) + F.lit(a * buckets))
+            ),
+        )
+        s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        n = F.size(pk)
+        return F.struct(
+            (s / n.cast("double")).alias("nll_raw"), n.alias("n_bigrams")
+        )
+
+    pairs = F.transform(
+        _bigrams(text), lambda g: F.struct(hu(g).alias("bu"), hb(g).alias("bb"))
+    )
+    return bind_once(pairs, body)
+
+
+def lm_score_stream(
+    stream: DataFrame,
+    cu_by_bucket: list[float],
+    cb_by_bucket: list[float],
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Score a document STREAM against a trained hashed-bigram LM — the
+    deploy-time half of the perplexity filter (train offline with
+    :func:`bigram_lm_counts`, embed via :func:`lm_count_vectors`).
+    Stateless map, bit-equal to :func:`bigram_lm_nll` on the same rows
+    (round_to=None); the score struct is materialized once so the
+    tokenize+hash scan runs once per row."""
+    s = lm_nll_struct(F.col(text_col), cu_by_bucket, cb_by_bucket, alpha)
+    staged = stream.withColumn("_lm", s)
+    nll = F.col("_lm")["nll_raw"]
+    if round_to is not None:
+        nll = F.round(nll, round_to)
+    return (
+        staged.select(
+            "*",
+            F.col("_lm")["n_bigrams"].alias("n_bigrams"),
+            nll.alias("nll"),
+        )
+        .drop("_lm")
+        .filter(F.col("n_bigrams") > 0)
+    )

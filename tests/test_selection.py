@@ -232,3 +232,45 @@ def test_bigram_lm_nll_hand_computed(spark):
         )
     n = sum(per.values())
     assert got[1] == (n, round(s / n, 4))
+
+
+def test_lm_stream_scoring_bit_equal_to_batch(spark, tmp_path):
+    """The perplexity stream scorer (per-row expression fold against the
+    embedded count vectors) must be BIT-equal to the batch groupBy
+    scorer: same distinct-(bu, bb)-ascending order, same cnt * -ln term,
+    same sequential adds, same final divide."""
+    from fotmobdatapipeline_spark.operators.selection import (
+        bigram_lm_counts,
+        bigram_lm_nll,
+        lm_count_vectors,
+        lm_score_stream,
+    )
+
+    docs = _docs(spark)
+    B = 256
+    batch = bigram_lm_nll(docs, F.col("doc_id") < 10, buckets=B, round_to=None)
+    want = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in batch.collect()}
+
+    uni, bi = bigram_lm_counts(docs.filter(F.col("doc_id") < 10), buckets=B)
+    cu, cb = lm_count_vectors(uni, bi, buckets=B)
+
+    raw = docs.filter(F.col("doc_id") >= 10)
+    inline = lm_score_stream(raw, cu, cb, round_to=None)
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in inline.collect()}
+    assert got == want  # bit-identical, not approx
+
+    src = str(tmp_path / "src")
+    raw.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        lm_score_stream(stream, cu, cb, round_to=None)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(str(tmp_path / "sink"))
+    got_s = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in landed.collect()}
+    assert got_s == want
