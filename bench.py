@@ -84,6 +84,10 @@ HEADLINE = [
     "url_dedup_canonical",
     "dsir_importance_topk",
     "clf_probe_eval",
+    # round-9 additions
+    "lm_perplexity_rank",
+    "pack_block_fill",
+    "url_domain_mixture_psl",
 ]
 
 
@@ -409,6 +413,10 @@ _SCALE_QUERIES = [
     "dedup_lsh_candidates",
     "text_sentence_dedup",
     "sim_ivf_topk",
+    # round-9: selection + packing tiers (one-scan broadcast-model /
+    # prefix-sum shapes — must scale linearly with the corpus)
+    "lm_perplexity_rank",
+    "pack_block_fill",
 ]
 
 
