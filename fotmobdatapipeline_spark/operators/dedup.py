@@ -940,6 +940,79 @@ def decontaminate(
     )
 
 
+def _word_grams_occurrences(text: Column, lengths: list[int]) -> Column:
+    """ALL word n-gram occurrences (not distinct — blocklist hits are
+    counted per occurrence) for every length in ``lengths``, flattened
+    into one array.  The token split is bound once per row; one
+    projection covers every gram length, so the corpus is scanned once
+    no matter how many lengths the phrase table holds."""
+
+    def body(toks: Column) -> Column:
+        # NB: the per-gram lambda must be built by a FACTORY, not with a
+        # `lambda i, n=n` default arg — F.transform treats a two-param
+        # lambda as its (element, index) form and would bind the array
+        # index to n.
+        def gram_at(n: int):
+            return lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+
+        arrs = []
+        for n in lengths:
+            stop = F.size(toks) - F.lit(n)
+            arr = F.when(
+                stop >= 0,
+                F.transform(F.sequence(F.lit(0), stop), gram_at(n)),
+            ).otherwise(F.array().cast("array<string>"))
+            arrs.append(arr)
+        return F.flatten(F.array(*arrs))
+
+    return bind_once(F.split(text, " "), body)
+
+
+def blocklist_hits(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Multi-word blocklist matching — the C4-style banned-phrase filter
+    (Raffel et al. 2020 drop any page containing a listed phrase), with
+    the phrase list as a TABLE the way deployments ship it.
+
+    Scale shape: the phrase table is model-sized (thousands of rows), so
+    it broadcasts; the corpus side explodes every word n-gram occurrence
+    for exactly the lengths the phrase table contains (one projection,
+    one corpus scan regardless of how many lengths — never one pass per
+    length) and meets the list through a map-side broadcast equi-join.
+    The only driver-side step collects the DISTINCT phrase lengths
+    (bounded by the longest phrase, not by the list or corpus).
+
+    Output: (id, n_hits, n_phrases) per document with >=1 hit —
+    occurrences and distinct phrases matched; callers anti-join to drop
+    (the C4 policy) or threshold on n_hits."""
+    lengths = sorted(
+        r["L"]
+        for r in phrases.select(
+            F.size(F.split(F.col(phrase_col), " ")).alias("L")
+        )
+        .distinct()
+        .collect()
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_word_grams_occurrences(F.col(text_col), lengths)).alias("g"),
+    )
+    plist = phrases.select(F.col(phrase_col).alias("g")).distinct()
+    return (
+        grams.join(F.broadcast(plist), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("g").alias("n_phrases"),
+        )
+    )
+
+
 def incremental_dedup_flags(
     corpus: DataFrame,
     batch: DataFrame,

@@ -7692,6 +7692,56 @@ def pack_block_fill(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Banned-phrase blocklist (the C4 badwords step, Raffel et al. 2020):
+# phrase list as a broadcast TABLE, every word n-gram occurrence of the
+# listed lengths matched in one corpus scan.  All-integer output.
+# --------------------------------------------------------------------------
+_BLOCKLIST = ("slow scan", "table table", "big vector", "fast merge batch")
+
+
+@register(
+    "text_blocklist_hits",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    g3 AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+          THEN list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    grams AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+    bl(g) AS (VALUES {", ".join(f"('{p}')" for p in _BLOCKLIST)}),
+    hits AS (SELECT doc_id, g FROM grams JOIN bl USING (g))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_phrases
+    FROM hits GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id ASC LIMIT 50
+    """,
+    tags=("text", "blocklist", "quality", "llmdata"),
+    doc="C4-style banned-phrase filter: phrase table broadcast into a "
+        "one-scan n-gram occurrence join; top-50 most-flagged docs.",
+)
+def text_blocklist_hits(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.dedup import blocklist_hits
+
+    docs = read_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame([(p,) for p in _BLOCKLIST], "phrase string")
+    return (
+        blocklist_hits(docs, phrases)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality-classifier training: hashed-token linear probe (ridge via GD on
 # exact sufficient statistics).  The classifier-filter step of the public
 # corpus recipes (GPT-3 quality filter, CCNet) as an ENGINE operator: one

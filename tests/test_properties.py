@@ -1933,3 +1933,30 @@ def test_ewm_null_semantics_match_oracle(spark, duck):
         assert not (isinstance(v, float) and math.isnan(v))
         assert v == dres[k]
     assert sres[0] is None and sres[12] is None  # empty / all-null frames
+
+
+def test_blocklist_hits_counts_occurrences(spark):
+    """Blocklist semantics: every OCCURRENCE counts (not distinct
+    grams), overlapping occurrences each count, multi-length phrases
+    match in one pass, clean docs emit no row."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad bad bad word here"),       # "bad bad" x2 (overlap), "bad word" x1
+            (2, "totally clean text"),
+            (3, "really bad word and bad word"),  # "bad word" x2
+            (4, "bad"),                          # shorter than any phrase
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("bad bad",), ("bad word",), ("never present phrase",)], "phrase string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_phrases"])
+        for r in blocklist_hits(docs, phrases).collect()
+    }
+    assert got == {1: (3, 2), 3: (2, 1)}
