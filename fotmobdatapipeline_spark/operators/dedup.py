@@ -1285,19 +1285,20 @@ def prefix_filter_pairs(
     # connected_dup_clusters' iteration base).
     cand = cand.localCheckpoint(eager=False)
     # Verify: shingle arrays are expensive (the dominant per-row cost),
-    # so re-shingle ONLY candidate docs — the broadcast id join sits on
-    # the raw table BELOW the shingle projection, so the corpus is
-    # scanned but never re-shingled.  The id-only broadcast is safe
-    # (8 B/row, bounded by distinct candidate docs); the pair- and
-    # array-carrying verify joins below carry NO broadcast hint — under
-    # hot-shingle skew the candidate pair set can outgrow a broadcast,
-    # so AQE picks broadcast vs shuffled equi-join from runtime sizes.
+    # so re-shingle ONLY candidate docs — the id join sits on the raw
+    # table BELOW the shingle projection, so the corpus is scanned but
+    # never re-shingled.  NO broadcast hint anywhere in the verify: on a
+    # near-dup-heavy corpus the distinct candidate-id set approaches
+    # corpus cardinality (a mandatory 8 B/row broadcast is still 8 GB at
+    # 10^9 candidates), so AQE must pick broadcast vs shuffled equi-join
+    # from runtime sizes — the jaccard_pairs/containment_pairs doctrine
+    # (r8 VERDICT #1) applied to the id join and both pair joins alike.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sets = df.join(F.broadcast(cand_ids), id_col).select(
+    sets = df.join(cand_ids, id_col).select(
         F.col(id_col),
         # Sorted once per candidate DOC (amortized over its pairs) so the
         # suffix-style partition bound below can pick a median pivot.

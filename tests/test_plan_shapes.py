@@ -802,6 +802,7 @@ def test_jaccard_family_has_no_mandatory_doc_broadcast(spark):
         "dedup_ngram_jaccard",
         "dedup_jaccard_capped",
         "text_containment_pairs",
+        "dedup_jaccard_prefix",
     ):
         df = _q(name)(spark, SF_ORACLE)
         logical = df._jdf.queryExecution().analyzed().toString()
