@@ -271,3 +271,58 @@ def url_dedup_stream(
             F.col("__rn") == 1
         ).drop("__rn")
     return kept.drop("__k")
+
+
+def blocklist_flags_expr(text, phrase_list: list[str]):
+    """struct(n_hits, n_phrases) for one document against an embedded
+    banned-phrase list — the per-ROW form of
+    operators/dedup.py::blocklist_hits: same gram lengths (exactly those
+    present in the list), same occurrence counting (overlaps included),
+    so a stream scored row-by-row equals the batch groupBy on the same
+    rows.
+
+    The list is embedded as an array LITERAL (the dsir_score_expr
+    pattern): blocklists are model-sized reference data, and a per-row
+    expression needs no join at all — strictly better for a stream than
+    a stream-static join (no shuffle, no per-batch re-plan concern).
+    Cost is O(grams × |list|) per row via array_contains; for
+    six-figure phrase lists use the batch operator's broadcast join in
+    a foreachBatch body instead (batch plans get AQE)."""
+    from fotmobdatapipeline_spark.functions.hof import bind_once
+    from fotmobdatapipeline_spark.operators.dedup import _word_grams_occurrences
+
+    lengths = sorted({len(p.split(" ")) for p in phrase_list})
+    parr = F.lit(sorted(set(phrase_list)))
+
+    def body(grams):
+        hit = F.filter(grams, lambda g: F.array_contains(parr, g))
+        return F.struct(
+            F.size(hit).alias("n_hits"),
+            F.size(F.array_distinct(hit)).alias("n_phrases"),
+        )
+
+    return bind_once(_word_grams_occurrences(text, lengths), body)
+
+
+def blocklist_stream(
+    stream: DataFrame,
+    phrase_list: list[str],
+    text_col: str = "text",
+    mode: str = "annotate",
+) -> DataFrame:
+    """Banned-phrase filtering on an INGEST stream — the online half of
+    the C4 badwords step.  Stateless per-row expression (append mode, no
+    watermark, no state, no join): ``mode='annotate'`` adds
+    (n_hits, n_phrases) to every document; ``mode='drop'`` keeps only
+    clean documents (the C4 policy).  Counts are integers, so
+    stream == batch is exact equality, pinned in tests."""
+    s = blocklist_flags_expr(F.col(text_col), phrase_list)
+    staged = stream.withColumn("_bl", s)
+    out = staged.select(
+        "*",
+        F.col("_bl")["n_hits"].alias("n_hits"),
+        F.col("_bl")["n_phrases"].alias("n_phrases"),
+    ).drop("_bl")
+    if mode == "drop":
+        return out.filter(F.col("n_hits") == 0).drop("n_hits", "n_phrases")
+    return out

@@ -618,3 +618,63 @@ def test_semantic_ingest_fresh_batch_after_compaction(spark, tmp_path):
     cur = open(os.path.join(state, "CURRENT")).read().strip()
     manifest = open(os.path.join(state, cur)).read()
     assert "#applied d0" in manifest, manifest
+
+
+def test_blocklist_stream_equals_batch(spark, tmp_path):
+    """The stateless per-row blocklist expression must equal the batch
+    broadcast-join operator exactly (integer counts), through a real
+    file stream in both modes."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import blocklist_hits
+    from fotmobdatapipeline_spark.streaming.documents import blocklist_stream
+
+    phrases = ["bad bad", "bad word", "three word phrase"]
+    docs = spark.createDataFrame(
+        [
+            (1, "bad bad bad word here"),
+            (2, "totally clean text"),
+            (3, "a three word phrase and a three word phrase again"),
+            (4, "bad"),
+        ],
+        "doc_id long, text string",
+    )
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    want = {
+        r["doc_id"]: (r["n_hits"], r["n_phrases"])
+        for r in blocklist_hits(docs, pdf).collect()
+    }
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        blocklist_stream(stream, phrases)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(str(tmp_path / "sink"))
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_phrases"])
+        for r in landed.filter(F.col("n_hits") > 0).collect()
+    }
+    assert got == want
+    clean = {r["doc_id"] for r in landed.filter(F.col("n_hits") == 0).collect()}
+    assert clean == {2, 4}
+
+    # drop mode keeps exactly the clean docs
+    q2 = (
+        blocklist_stream(stream, phrases, mode="drop")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept = spark.read.parquet(str(tmp_path / "sink2"))
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+    assert set(kept.columns) == {"doc_id", "text"}
