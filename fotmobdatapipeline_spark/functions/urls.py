@@ -136,7 +136,7 @@ def registrable_domains(
     host_col: str = "host",
     psl_df: DataFrame | None = None,
     out_col: str = "registrable_domain",
-    max_suffix_labels: int = 3,
+    max_suffix_labels: int | None = None,
 ) -> DataFrame:
     """Attach the registrable domain of ``host_col`` — the PSL-as-data
     production path of :func:`registrable_domain`.
@@ -146,19 +146,32 @@ def registrable_domains(
     deployment ships it (the PSL is data that changes monthly, not
     code).  The PSL algorithm — longest matching suffix wins, default
     rule '*' when nothing matches — becomes one LEFT broadcast join per
-    suffix depth 2..``max_suffix_labels`` (the PSL is ~10k rows, a
-    genuinely model-sized broadcast; each join is map-side, so at 100 TB
-    this stays a scan-speed stage with zero shuffles) and a depth-
-    priority CASE: a k-label suffix match makes the registrable domain
-    the last k+1 labels; no match falls back to the default rule
-    (last two labels); a host that IS a suffix, or a single label, is
-    returned unchanged.
+    suffix depth 2..max (the PSL is ~10k rows, a genuinely model-sized
+    broadcast; each join is map-side, so at 100 TB this stays a
+    scan-speed stage with zero shuffles) and a depth-priority CASE: a
+    k-label suffix match makes the registrable domain the last k+1
+    labels; no match falls back to the default rule (last two labels);
+    a host that IS a suffix, or a single label, is returned unchanged.
+
+    ``max_suffix_labels=None`` (default) derives the depth range from
+    the TABLE itself — one model-sized aggregate, the blocklist_hits
+    convention — so the real PSL's 4- and 5-label suffixes
+    (s3.dualstack.…amazonaws.com) resolve instead of silently falling
+    through to the default rule.  Pass an int only to deliberately cap
+    depth.
 
     ``psl_df=None`` keeps the dependency-free static behavior
     (:data:`SECOND_LEVEL_SUFFIXES` via :func:`registrable_domain`).
     """
     if psl_df is None:
         return df.withColumn(out_col, registrable_domain(F.col(host_col)))
+    if max_suffix_labels is None:
+        max_suffix_labels = (
+            psl_df.agg(
+                F.max(F.size(F.split(F.col("suffix"), r"\."))).alias("m")
+            ).collect()[0]["m"]
+            or 1
+        )
     bare = F.regexp_replace(
         F.regexp_replace(F.col(host_col), "^[^@]*@", ""), ":[0-9]+$", ""
     )

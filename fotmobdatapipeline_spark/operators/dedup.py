@@ -947,6 +947,11 @@ def _word_grams_occurrences(text: Column, lengths: list[int]) -> Column:
     projection covers every gram length, so the corpus is scanned once
     no matter how many lengths the phrase table holds."""
 
+    if not lengths:
+        # flatten(array()) is ARRAY<VOID> and fails analysis — an empty
+        # phrase table must mean zero grams, not a crash.
+        return F.array().cast("array<string>")
+
     def body(toks: Column) -> Column:
         # NB: the per-gram lambda must be built by a FACTORY, not with a
         # `lambda i, n=n` default arg — F.transform treats a two-param

@@ -107,7 +107,6 @@ def block_spans(
     order_cols: list[str],
     tokens_col: str,
     block_size: int,
-    out_prefix: str = "",
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing: the global token stream
     (documents concatenated in ``order_cols`` order) split into blocks
@@ -127,32 +126,41 @@ def block_spans(
     Scale shape: the only non-map stage is :func:`running_sum`'s
     two-phase prefix scan (range shuffle + broadcast offsets); span
     generation is a per-row sequence explode with fan-out bounded by
-    each document's own length.  Zero-token rows emit nothing."""
-    p = out_prefix
-    run = running_sum(df, order_cols, tokens_col, out_col=f"{p}_run")
-    start = F.col(f"{p}_run") - F.col(tokens_col)
+    each document's own length.  Zero-token rows emit nothing.
+
+    Raises on input columns that collide with the five output columns
+    (a silent withColumn overwrite would corrupt the caller's data);
+    internal helpers use collision-proof ``__bs_`` names."""
+    out_names = {"block_id", "span_start", "span_end", "span_tokens", "carried_in"}
+    clash = out_names & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"block_spans output columns collide with input: {sorted(clash)}"
+        )
+    run = running_sum(df, order_cols, tokens_col, out_col="__bs_run")
+    start = F.col("__bs_run") - F.col(tokens_col)
     spans = (
         run.filter(F.col(tokens_col) > 0)
-        .withColumn(f"{p}start", start)
+        .withColumn("__bs_start", start)
         .withColumn(
-            f"{p}block_id",
+            "__bs_block",
             F.explode(
                 F.sequence(
                     F.floor(start / block_size),
-                    F.floor((F.col(f"{p}_run") - 1) / block_size),
+                    F.floor((F.col("__bs_run") - 1) / block_size),
                 )
             ),
         )
     )
-    b0 = F.col(f"{p}block_id") * block_size
+    b0 = F.col("__bs_block") * block_size
     return spans.select(
         *df.columns,
-        F.col(f"{p}block_id").cast("long").alias("block_id"),
-        F.greatest(F.col(f"{p}start"), b0).cast("long").alias("span_start"),
-        F.least(F.col(f"{p}_run"), b0 + block_size).cast("long").alias("span_end"),
+        F.col("__bs_block").cast("long").alias("block_id"),
+        F.greatest(F.col("__bs_start"), b0).cast("long").alias("span_start"),
+        F.least(F.col("__bs_run"), b0 + block_size).cast("long").alias("span_end"),
         (
-            F.least(F.col(f"{p}_run"), b0 + block_size)
-            - F.greatest(F.col(f"{p}start"), b0)
+            F.least(F.col("__bs_run"), b0 + block_size)
+            - F.greatest(F.col("__bs_start"), b0)
         ).cast("long").alias("span_tokens"),
-        (F.col(f"{p}start") < b0).alias("carried_in"),
+        (F.col("__bs_start") < b0).alias("carried_in"),
     )

@@ -449,8 +449,14 @@ def lm_nll_struct(
         )
         s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
         n = F.size(pk)
+        # Guard the divide: ANSI mode (on in Spark 4) raises
+        # DIVIDE_BY_ZERO for a sub-2-token doc BEFORE any downstream
+        # filter can drop it — in a stream that wedges the query
+        # permanently (restart replays the same micro-batch).  NULL here
+        # never escapes: lm_score_stream filters n_bigrams > 0.
         return F.struct(
-            (s / n.cast("double")).alias("nll_raw"), n.alias("n_bigrams")
+            F.when(n > 0, s / n.cast("double")).alias("nll_raw"),
+            n.alias("n_bigrams"),
         )
 
     pairs = F.transform(

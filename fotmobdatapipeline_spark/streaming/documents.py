@@ -291,6 +291,12 @@ def blocklist_flags_expr(text, phrase_list: list[str]):
     from fotmobdatapipeline_spark.functions.hof import bind_once
     from fotmobdatapipeline_spark.operators.dedup import _word_grams_occurrences
 
+    if not phrase_list:
+        # F.lit([]) is ARRAY<VOID>; an empty list means zero hits, not
+        # an analysis crash (matches blocklist_hits' empty-table path).
+        return F.struct(
+            F.lit(0).alias("n_hits"), F.lit(0).alias("n_phrases")
+        )
     lengths = sorted({len(p.split(" ")) for p in phrase_list})
     parr = F.lit(sorted(set(phrase_list)))
 
@@ -316,6 +322,11 @@ def blocklist_stream(
     (n_hits, n_phrases) to every document; ``mode='drop'`` keeps only
     clean documents (the C4 policy).  Counts are integers, so
     stream == batch is exact equality, pinned in tests."""
+    if mode not in ("annotate", "drop"):
+        # A misspelled mode must not silently fall through to annotate —
+        # the drop policy would quietly not apply and banned docs would
+        # land in the corpus.
+        raise ValueError(f"blocklist_stream mode must be annotate|drop, got {mode!r}")
     s = blocklist_flags_expr(F.col(text_col), phrase_list)
     staged = stream.withColumn("_bl", s)
     out = staged.select(

@@ -119,9 +119,6 @@ def test_block_spans_partition_invariant(spark):
     for parts in (1, 5, 32):
         got = sorted(
             (r["doc_id"], r["block_id"], r["span_start"], r["span_end"])
-            for r in block_spans(df, ["doc_id"], "n", 64, ).collect()
-        ) if parts == 1 else sorted(
-            (r["doc_id"], r["block_id"], r["span_start"], r["span_end"])
             for r in block_spans(
                 df.repartition(parts), ["doc_id"], "n", 64
             ).collect()
@@ -129,3 +126,15 @@ def test_block_spans_partition_invariant(spark):
         if ref is None:
             ref = got
         assert got == ref, parts
+
+
+def test_block_spans_rejects_output_name_collisions(spark):
+    """Input columns named like the outputs would be silently clobbered;
+    the operator must fail loud instead."""
+    import pytest
+
+    from fotmobdatapipeline_spark.operators.prefix import block_spans
+
+    df = spark.createDataFrame([(1, 2, 3)], "doc_id long, n long, span_start long")
+    with pytest.raises(ValueError, match="collide"):
+        block_spans(df, ["doc_id"], "n", 8)

@@ -678,3 +678,15 @@ def test_blocklist_stream_equals_batch(spark, tmp_path):
     kept = spark.read.parquet(str(tmp_path / "sink2"))
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_blocklist_stream_rejects_unknown_mode(spark):
+    """A misspelled mode must raise, not silently annotate (the drop
+    policy would quietly not apply)."""
+    import pytest
+
+    from fotmobdatapipeline_spark.streaming.documents import blocklist_stream
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="annotate|drop"):
+        blocklist_stream(df, ["x y"], mode="Drop")

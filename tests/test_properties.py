@@ -1960,3 +1960,19 @@ def test_blocklist_hits_counts_occurrences(spark):
         for r in blocklist_hits(docs, phrases).collect()
     }
     assert got == {1: (3, 2), 3: (2, 1)}
+
+
+def test_blocklist_empty_phrase_table_yields_no_hits(spark):
+    """An empty blocklist (no configured phrases yet) must yield zero
+    hits, not an ARRAY<VOID> analysis crash — both batch and the
+    streaming expression."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.dedup import blocklist_hits
+    from fotmobdatapipeline_spark.streaming.documents import blocklist_flags_expr
+
+    docs = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "phrase string")
+    assert blocklist_hits(docs, empty).count() == 0
+    row = docs.select(blocklist_flags_expr(F.col("text"), []).alias("s")).collect()[0]
+    assert (row["s"]["n_hits"], row["s"]["n_phrases"]) == (0, 0)

@@ -274,3 +274,17 @@ def test_lm_stream_scoring_bit_equal_to_batch(spark, tmp_path):
     landed = spark.read.parquet(str(tmp_path / "sink"))
     got_s = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in landed.collect()}
     assert got_s == want
+
+
+def test_lm_stream_survives_sub_bigram_docs(spark):
+    """ANSI divide-by-zero guard: a 1-token document in the stream must
+    be dropped by the n_bigrams filter, never wedge the query with
+    DIVIDE_BY_ZERO evaluated before the filter."""
+    from fotmobdatapipeline_spark.operators.selection import lm_score_stream
+
+    B = 64
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, "two words here")], "doc_id long, text string"
+    )
+    out = lm_score_stream(docs, [0.0] * B, [0.0] * B, round_to=None)
+    assert [r["doc_id"] for r in out.collect()] == [2]

@@ -210,3 +210,27 @@ def test_registrable_domains_without_table_matches_static(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_registrable_domains_derives_depth_from_table(spark):
+    """Default max_suffix_labels=None must derive the depth range from
+    the PSL table so 4-label suffixes (the real PSL ships many) resolve
+    instead of silently falling through to the default rule."""
+    from fotmobdatapipeline_spark.functions.urls import registrable_domains
+
+    psl = spark.createDataFrame(
+        [("s3.dualstack.eu-west-1.amazonaws.com",), ("co.uk",)], "suffix string"
+    )
+    df = spark.createDataFrame(
+        [("bucket.s3.dualstack.eu-west-1.amazonaws.com",), ("a.b.co.uk",)],
+        "host string",
+    )
+    got = {
+        r["host"]: r["registrable_domain"]
+        for r in registrable_domains(df, "host", psl_df=psl).collect()
+    }
+    assert got == {
+        "bucket.s3.dualstack.eu-west-1.amazonaws.com":
+            "bucket.s3.dualstack.eu-west-1.amazonaws.com",
+        "a.b.co.uk": "b.co.uk",
+    }
