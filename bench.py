@@ -88,6 +88,7 @@ HEADLINE = [
     "lm_perplexity_rank",
     "pack_block_fill",
     "url_domain_mixture_psl",
+    "llm_prep_pipeline_v3",
 ]
 
 

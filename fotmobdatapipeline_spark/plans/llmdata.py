@@ -7583,10 +7583,12 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str):
 # broadcast tables at any corpus size and scoring is one corpus scan.
 # ln quantized to 4dp cross-engine (operators/selection.py docstring).
 # --------------------------------------------------------------------------
-@register(
-    "lm_perplexity_rank",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _sql_lm_scores() -> str:
+    """CTE chain ``tok .. sc``: hashed-bigram LM trained on the ref
+    slice, per-doc (n_bigrams, nll) for every non-ref doc — shared by
+    lm_perplexity_rank and llm_prep_pipeline_v3."""
+    return f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     gr AS (
       SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2
           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
@@ -7616,7 +7618,13 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str):
       FROM pd LEFT JOIN uni USING (bu) LEFT JOIN bi USING (bb)
       WHERE doc_id % 50 <> 0
       GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "lm_perplexity_rank",
+    oracle=f"""
+    WITH {_sql_lm_scores()}
     SELECT doc_id, n_bigrams, nll
     FROM sc ORDER BY nll ASC, doc_id ASC LIMIT 25
     """,
@@ -7738,6 +7746,119 @@ def text_blocklist_hits(spark: SparkSession, sf_dir: str):
         blocklist_hits(docs, phrases)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# The modern corpus recipe end-to-end (C4 blocklist -> CCNet perplexity
+# cut -> exact dedup -> concat-and-chunk packing): four proven tiers
+# composed into one pipeline whose final state is training-ready blocks.
+# The LM is trained on the FULL corpus's reference slice (CCNet trains
+# on clean reference text independent of crawl filtering); the
+# perplexity cut is a fixed threshold (CCNet's head/middle/tail buckets
+# are fixed cuts — a global median would need a second pass).
+# --------------------------------------------------------------------------
+_V3_NLL_MAX = 7.95
+
+
+@register(
+    "llm_prep_pipeline_v3",
+    oracle=f"""
+    WITH {_sql_lm_scores()},
+    g2 AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    g3 AS (
+      SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+          THEN list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+          ELSE [] END) AS g
+      FROM tok
+    ),
+    bl(g) AS (VALUES {", ".join(f"('{p}')" for p in _BLOCKLIST)}),
+    flagged AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) grams
+      JOIN bl USING (g)
+    ),
+    fluent AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN sc ON sc.doc_id = d.doc_id
+      LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      WHERE f.doc_id IS NULL AND sc.nll <= CAST({_V3_NLL_MAX} AS DOUBLE)
+    ),
+    fst AS (SELECT text, MIN(doc_id) AS keeper FROM fluent GROUP BY text),
+    kept AS (
+      SELECT fl.doc_id, len(string_split(fl.text, ' ')) AS n
+      FROM fluent fl JOIN fst ON fl.doc_id = fst.keeper
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS tok_start
+      FROM kept
+    ),
+    spans AS (
+      SELECT doc_id, n, tok_start,
+             UNNEST(generate_series(tok_start // {_BLOCK_T},
+                                    CAST(tok_start + n - 1 AS BIGINT)
+                                      // {_BLOCK_T})) AS block_id
+      FROM cum WHERE n > 0
+    )
+    SELECT block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(tok_start + n, (block_id + 1) * {_BLOCK_T})
+                    - GREATEST(tok_start, block_id * {_BLOCK_T})) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(CASE WHEN tok_start < block_id * {_BLOCK_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carried_in
+    FROM spans GROUP BY block_id ORDER BY block_id
+    """,
+    tags=("llmdata", "pipeline", "blocklist", "perplexity", "dedup", "packing"),
+    doc="Modern corpus recipe end-to-end: C4 blocklist drop -> CCNet "
+        "perplexity cut -> exact dedup -> 512-token training blocks.",
+)
+def llm_prep_pipeline_v3(spark: SparkSession, sf_dir: str):
+    """Composition shape: the blocklist drop is a broadcast-join
+    anti-filter (map-side), the perplexity cut reuses the one-scan
+    LM scorer (ref docs fall out naturally — they carry no nll row),
+    exact dedup is one hash groupBy keeping the min doc, and packing is
+    the distributed prefix sum.  No stage shuffles more than its own
+    aggregate; the corpus text rides exactly two scans (LM scoring +
+    the blocklist/dedup/packing chain off the second)."""
+    from fotmobdatapipeline_spark.operators.dedup import blocklist_hits
+    from fotmobdatapipeline_spark.operators.prefix import block_spans
+    from fotmobdatapipeline_spark.operators.selection import bigram_lm_nll
+
+    docs = read_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame([(p,) for p in _BLOCKLIST], "phrase string")
+    flagged = blocklist_hits(docs, phrases).select("doc_id")
+    fluent_ids = (
+        bigram_lm_nll(docs, is_ref=F.col("doc_id") % 50 == 0, buckets=_DSIR_B)
+        .filter(F.col("nll") <= F.lit(_V3_NLL_MAX))
+        .select("doc_id")
+    )
+    fluent = (
+        docs.join(flagged, "doc_id", "left_anti")
+        .join(fluent_ids, "doc_id")
+        .select("doc_id", "text")
+    )
+    keepers = fluent.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = keepers.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    spans = block_spans(kept, ["doc_id"], "n_tokens", _BLOCK_T)
+    return (
+        spans.groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("span_tokens").alias("n_tokens"),
+            F.sum(F.col("carried_in").cast("long")).alias("n_carried_in"),
+        )
+        .orderBy("block_id")
     )
 
 
