@@ -819,3 +819,14 @@ def test_lm_perplexity_broadcasts_model_never_smj(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_prep_v3_broadcasts_models_no_cartesian_no_python(spark):
+    """The composed recipe must keep each tier's shape: blocklist and LM
+    models ride broadcast joins, nothing degenerates to a cartesian or
+    nested-loop product, and no stage leaves the JVM."""
+    plan = _plan(_q("llm_prep_pipeline_v3")(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
