@@ -43,6 +43,11 @@ PICKS = [
     ("sim_pq_rerank_topk", "PQ shortlist + exact rerank: ADC scan over codes, then broadcast-probe fetch of shortlist vectors only — no second full float scan"),
     ("multimodal_bmp_decode", "Real-codec decode: two chained Arrow stages (encode, decode) over (doc_id, payload) only — column-pruned, shuffle-free"),
     ("events_ewm_value", "Trailing EWMA: pruned 3-col scan, one exchange on user_id, a single Window pass, sequential-fold projection — no UDF"),
+    ("lm_perplexity_rank", "Perplexity filter: one corpus scan, two <=B-row broadcast LM models, ascending-key fold — no SortMergeJoin near the corpus"),
+    ("pack_block_fill", "Concat-and-chunk: two-phase prefix sum (no global window), per-doc bounded span explode, one final block aggregate"),
+    ("text_blocklist_hits", "Blocklist: phrase table broadcast into a one-scan multi-length gram join"),
+    ("url_domain_mixture_psl", "PSL-as-data: one broadcast join per suffix depth, host side never shuffled before its own aggregate"),
+    ("llm_prep_pipeline_v3", "Prep v3: blocklist anti-join + LM cut + hash dedup + prefix-sum packing — models broadcast, two corpus text scans"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
