@@ -7700,6 +7700,92 @@ def pack_block_fill(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Reproducible epoch shuffle: each training epoch orders the packed
+# blocks by a keyed hash (md5('ep<e>:' || block_id)) — the standard
+# "seeded permutation without storing a permutation" recipe.  At 100 TB
+# the ORDER is consumed by a distributed range sort (terasort shape);
+# a rank COLUMN is materialized only for bounded prefixes (here the
+# first 10 blocks per epoch via per-epoch TakeOrdered — epochs are a
+# constant, never a partition-less window over all blocks).
+# --------------------------------------------------------------------------
+_EPOCHS = 2
+
+
+@register(
+    "pack_epoch_order",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS tok_start
+      FROM tok
+    ),
+    blocks AS (
+      SELECT DISTINCT UNNEST(generate_series(tok_start // {_BLOCK_T},
+                             CAST(tok_start + n - 1 AS BIGINT) // {_BLOCK_T}))
+               AS block_id
+      FROM cum WHERE n > 0
+    ),
+    keyed AS (
+      SELECT e.epoch, b.block_id,
+             md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                 || CAST(b.block_id AS VARCHAR)) AS sk
+      FROM blocks b
+      CROSS JOIN (SELECT UNNEST(range(0, {_EPOCHS})) AS epoch) e
+    ),
+    ranked AS (
+      SELECT epoch, block_id, sk,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY sk, block_id)
+               AS position
+      FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch, CAST(position AS INT) AS position,
+           block_id
+    FROM ranked WHERE position <= 10 ORDER BY epoch, position
+    """,
+    tags=("llmdata", "packing", "shuffle", "training-data"),
+    doc="Seeded per-epoch block order (keyed-hash sort); first 10 blocks "
+        "of each epoch's reproducible permutation.",
+)
+def pack_epoch_order(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from fotmobdatapipeline_spark.operators.prefix import block_spans
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    blocks = (
+        block_spans(docs, ["doc_id"], "n_tokens", _BLOCK_T)
+        .select("block_id")
+        .distinct()
+    )
+    per_epoch = []
+    for e in range(_EPOCHS):
+        sk = F.md5(F.concat(F.lit(f"ep{e}:"), F.col("block_id").cast("string")))
+        per_epoch.append(
+            blocks.select(
+                F.lit(e).alias("epoch"), F.col("block_id"), sk.alias("sk")
+            )
+            # Bounded prefix: TakeOrderedAndProject per epoch — the rank
+            # column exists only over the 10 survivors.
+            .orderBy("sk", "block_id")
+            .limit(10)
+        )
+    union = per_epoch[0]
+    for p in per_epoch[1:]:
+        union = union.unionByName(p)
+    w = Window.partitionBy("epoch").orderBy("sk", "block_id")
+    return (
+        union.withColumn("position", F.row_number().over(w).cast("int"))
+        .select("epoch", "position", "block_id")
+        .orderBy("epoch", "position")
+    )
+
+
+# --------------------------------------------------------------------------
 # Banned-phrase blocklist (the C4 badwords step, Raffel et al. 2020):
 # phrase list as a broadcast TABLE, every word n-gram occurrence of the
 # listed lengths matched in one corpus scan.  All-integer output.
