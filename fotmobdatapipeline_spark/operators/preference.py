@@ -1,0 +1,203 @@
+"""Pairwise-preference aggregation: win rates and Bradley-Terry ratings
+over "arena battle" logs (model A vs model B, judged winner).
+
+Preference pairs are the raw material of RLHF / DPO data curation; the
+two operators here are the curation-side aggregates over them:
+
+* ``win_rates`` — per-model battle/win counts and Laplace-smoothed win
+  rate.  One explode + one hash aggregate; map-side combinable.
+* ``btl_ratings`` — Bradley-Terry strength parameters via Hunter's MM
+  algorithm (D.R. Hunter, "MM algorithms for generalized Bradley-Terry
+  models", Annals of Statistics 2004), the standard model behind arena
+  leaderboards.  Fixed-round iteration over the *aggregated* pairwise
+  win matrix — data-scale battles are collapsed to one row per directed
+  (model, opponent) pair first, so the iteration cost is bounded by the
+  number of distinct matchups, not the number of battles.
+
+Determinism: all MM arithmetic is exact-integer micro-units (ratings
+are BIGINT multiples of 1/UNIT), every division an explicit integral
+``div`` (truncating; identical to DuckDB's ``//`` on HUGEINT — verified
+by the value-exact oracle for ``pref_btl_ratings``).  Products are
+DECIMAL(38,0), so n_pair * UNIT^2 (~1e24 * n) never overflows; the
+quotient after every ``div`` is back at rating scale (~UNIT) and fits
+BIGINT while n_pair < ~1e13.  No float enters until the final
+display-only rating = micro / UNIT division (one IEEE op, bit-portable).
+
+Scale notes:
+* The battles -> win-matrix collapse is the only data-scale shuffle
+  (one hash aggregate on the unordered pair key, map-side combinable).
+* Each MM round is two hash joins (matrix x ratings on both endpoints),
+  one aggregate, and a 1-row normalization scalar joined back — the
+  same bounded shuffle pair every round (operators/graph.py::pagerank
+  shape).  ``localCheckpoint`` truncates lineage per round.
+* Laplace smoothing (+1 virtual win each way per observed matchup)
+  keeps every model's win total positive, so no denominator in the MM
+  update can be zero and ratings stay strictly positive — the standard
+  regularization, and the reason the fixed-round iteration is total.
+
+Nothing like this exists in the reference (its only rollups are sums
+over match facts, fotmob-dag.py:151-176); this is north-star LLM-data
+surface: preference-data curation for the RLHF stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12
+_U2 = UNIT * UNIT
+
+
+def win_rates(
+    battles: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    smooth: int = 1,
+) -> DataFrame:
+    """Per-model (model, n_battles, n_wins, win_rate, smoothed_rate).
+
+    One explode (each battle contributes one row per side) and one hash
+    aggregate; win_rate and the add-``smooth`` smoothed rate are single
+    IEEE divisions of exact integer counts.
+    """
+    sides = battles.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(model_a).alias("model"),
+                    (F.col(winner) == F.col(model_a)).cast("long").alias("win"),
+                ),
+                F.struct(
+                    F.col(model_b).alias("model"),
+                    (F.col(winner) == F.col(model_b)).cast("long").alias("win"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    agg = sides.groupBy("model").agg(
+        F.count("*").alias("n_battles"), F.sum("win").alias("n_wins")
+    )
+    return agg.select(
+        "model",
+        "n_battles",
+        "n_wins",
+        (F.col("n_wins").cast("double") / F.col("n_battles").cast("double")).alias(
+            "win_rate"
+        ),
+        (
+            (F.col("n_wins") + F.lit(smooth)).cast("double")
+            / (F.col("n_battles") + F.lit(2 * smooth)).cast("double")
+        ).alias("smoothed_rate"),
+    )
+
+
+def pairwise_win_matrix(
+    battles: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    smooth: int = 1,
+) -> DataFrame:
+    """Directed smoothed win matrix: (model, opponent, n_pair, wins).
+
+    Battles collapse to one row per unordered matchup (the only
+    data-scale aggregate), then expand to the two directed rows the MM
+    update consumes.  ``smooth`` virtual wins are added in each
+    direction (n_pair gains 2*smooth), so wins >= 1 for every model.
+    """
+    lo = F.least(F.col(model_a), F.col(model_b))
+    hi = F.greatest(F.col(model_a), F.col(model_b))
+    pair = (
+        battles.select(
+            lo.alias("m1"),
+            hi.alias("m2"),
+            (F.col(winner) == lo).cast("long").alias("w1"),
+        )
+        .groupBy("m1", "m2")
+        .agg(F.count("*").alias("n"), F.sum("w1").alias("w1"))
+    )
+    s = F.lit(smooth)
+    n_sm = (F.col("n") + 2 * s).alias("n_pair")
+    fwd = pair.select(
+        F.col("m1").alias("model"),
+        F.col("m2").alias("opponent"),
+        n_sm,
+        (F.col("w1") + s).alias("wins"),
+    )
+    rev = pair.select(
+        F.col("m2").alias("model"),
+        F.col("m1").alias("opponent"),
+        n_sm,
+        (F.col("n") - F.col("w1") + s).alias("wins"),
+    )
+    return fwd.unionByName(rev)
+
+
+def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
+    """(model, n_wins, rating_micro, rating) after ``iters`` MM rounds.
+
+    MM update (Hunter 2004):  p_i' = W_i / sum_j n_ij / (p_i + p_j),
+    then normalize so ratings sum to n_models * UNIT (keeps the integer
+    scale stable across rounds).  In micro-units, with every division a
+    truncating integral ``div``:
+
+        t_ij = (n_ij * UNIT^2) div (p_i + p_j)       -- DECIMAL(38,0) *
+        p_i' = (W_i  * UNIT^2) div sum_j t_ij        -- then BIGINT out
+        p_i  = (p_i' * n_models * UNIT) div sum p'   -- normalize
+
+    ``matrix`` must be smoothed (wins >= 1 for every model; see
+    pairwise_win_matrix) so sum_j t_ij and sum p' are never zero.
+    """
+    m = matrix.localCheckpoint(eager=True)
+    totals = m.groupBy("model").agg(F.sum("wins").alias("w_tot"))
+    n_models = totals.count()  # driver scalar: one int, by construction
+    models = totals.localCheckpoint(eager=True)
+
+    dec = "decimal(38,0)"
+    ratings = models.select("model", F.lit(UNIT).cast("long").alias("p"))
+    for _ in range(iters):
+        pi = ratings.select(F.col("model"), F.col("p").alias("p_i"))
+        pj = ratings.select(
+            F.col("model").alias("opponent"), F.col("p").alias("p_j")
+        )
+        den = (
+            m.join(pi, "model")
+            .join(pj, "opponent")
+            .select(
+                "model",
+                F.expr(
+                    f"(CAST(n_pair AS {dec}) * CAST({_U2} AS {dec}))"
+                    f" div CAST(p_i + p_j AS {dec})"
+                ).alias("t"),
+            )
+            .groupBy("model")
+            .agg(F.sum(F.col("t").cast(dec)).alias("den"))
+        )
+        unnorm = models.join(den, "model").select(
+            "model",
+            F.expr(
+                f"(CAST(w_tot AS {dec}) * CAST({_U2} AS {dec}))"
+                f" div CAST(den AS {dec})"
+            ).alias("pn"),
+        )
+        total = unnorm.agg(F.sum(F.col("pn").cast(dec)).alias("s"))
+        ratings = (
+            unnorm.crossJoin(F.broadcast(total))  # 1-row scalar by construction
+            .select(
+                "model",
+                F.expr(
+                    f"(CAST(pn AS {dec}) * CAST({n_models * UNIT} AS {dec}))"
+                    f" div CAST(s AS {dec})"
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return totals.join(ratings, "model").select(
+        "model",
+        F.col("w_tot").alias("n_wins"),
+        F.col("p").alias("rating_micro"),
+        (F.col("p").cast("double") / F.lit(float(UNIT))).alias("rating"),
+    )

@@ -88,6 +88,7 @@ def _load_all() -> None:
     import fotmobdatapipeline_spark.plans.core  # noqa: F401
     import fotmobdatapipeline_spark.plans.events  # noqa: F401
     import fotmobdatapipeline_spark.plans.llmdata  # noqa: F401
+    import fotmobdatapipeline_spark.plans.preference  # noqa: F401
 
     _LOADED = True
 

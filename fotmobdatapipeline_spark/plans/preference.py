@@ -1,0 +1,159 @@
+"""Preference-data curation: arena-style pairwise battles -> win rates
+and Bradley-Terry ratings (operators/preference.py).
+
+The battle log is derived deterministically from the documents table so
+both engines see the identical input: within each lang, consecutive
+docs (by doc_id) from different sources form one battle, judged by a
+fixed rule (longer text wins; ties to the earlier doc).  ``source``
+plays the role of the model under comparison.  A real deployment feeds
+actual judge logs in the same (model_a, model_b, winner) shape.
+
+Scale shape: the derivation is one lead() window (partitioned by lang —
+a synthetic stand-in; real battle logs arrive pre-formed and need no
+window); win_rates is a single map-side-combinable aggregate; the BTL
+win matrix collapses data-scale battles to matchup-cardinality rows
+before any iteration, and each MM round is two hash joins + one
+aggregate over that matrix (pagerank shape, operators/graph.py).
+
+Determinism: the MM solver is exact-integer micro-unit arithmetic with
+truncating integral division — the oracle replays every round verbatim
+in HUGEINT, so ``pref_btl_ratings`` is value-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.preference import (
+    UNIT,
+    btl_ratings,
+    pairwise_win_matrix,
+    win_rates,
+)
+from fotmobdatapipeline_spark.plans.catalog import register
+from fotmobdatapipeline_spark.sources.registry import read_table
+
+_BTL_ITERS = 6
+_U2_SQL = f"CAST('{UNIT * UNIT}' AS HUGEINT)"
+
+# Battle derivation, shared by both entries (and the SQL twin below):
+# lang-partitioned lead() pairs consecutive docs; longer text wins.
+_SQL_BATTLES = """
+    s AS (
+      SELECT source, n_chars,
+             LEAD(source)  OVER (PARTITION BY lang ORDER BY doc_id) AS model_b,
+             LEAD(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS chars_b
+      FROM documents
+    ),
+    battles AS (
+      SELECT source AS model_a, model_b,
+             CASE WHEN chars_b > n_chars THEN model_b ELSE source END AS winner
+      FROM s WHERE model_b IS NOT NULL AND model_b <> source
+    )
+"""
+
+
+def _battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    s = docs.select(
+        F.col("source").alias("model_a"),
+        F.col("n_chars").alias("chars_a"),
+        F.lead("source").over(w).alias("model_b"),
+        F.lead("n_chars").over(w).alias("chars_b"),
+    )
+    return s.filter(
+        F.col("model_b").isNotNull() & (F.col("model_b") != F.col("model_a"))
+    ).select(
+        "model_a",
+        "model_b",
+        F.when(F.col("chars_b") > F.col("chars_a"), F.col("model_b"))
+        .otherwise(F.col("model_a"))
+        .alias("winner"),
+    )
+
+
+@register(
+    "pref_winrate",
+    oracle=f"""
+    WITH {_SQL_BATTLES},
+    sides AS (
+      SELECT model_a AS model,
+             CASE WHEN winner = model_a THEN 1 ELSE 0 END AS win FROM battles
+      UNION ALL
+      SELECT model_b,
+             CASE WHEN winner = model_b THEN 1 ELSE 0 END FROM battles
+    )
+    SELECT model, COUNT(*) AS n_battles, CAST(SUM(win) AS BIGINT) AS n_wins,
+           CAST(SUM(win) AS DOUBLE) / COUNT(*) AS win_rate,
+           CAST(SUM(win) + 1 AS DOUBLE) / (COUNT(*) + 2) AS smoothed_rate
+    FROM sides GROUP BY model
+    """,
+    tags=("preference", "rlhf"),
+    doc="Arena win rates per model: exact counts, Laplace-smoothed rate.",
+)
+def pref_winrate(spark: SparkSession, sf_dir: str):
+    return win_rates(_battles(spark, sf_dir))
+
+
+def _btl_oracle(iters: int = _BTL_ITERS) -> str:
+    # Every per-round CTE is AS MATERIALIZED: each round references the
+    # previous ratings TWICE (both battle endpoints), so DuckDB's default
+    # CTE inlining would duplicate the whole upstream tree 2^iters times
+    # (observed: fd exhaustion re-opening the parquet at iters=6).
+    rounds = []
+    for k in range(iters):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT m.model,
+             SUM((CAST(m.n_pair AS HUGEINT) * {_U2_SQL}) // (pi.p + pj.p)) AS den
+      FROM mat m JOIN r{k} pi ON pi.model = m.model
+                 JOIN r{k} pj ON pj.model = m.opponent
+      GROUP BY m.model
+    ),
+    u{k} AS MATERIALIZED (
+      SELECT mo.model, (mo.w_tot * {_U2_SQL}) // d.den AS pn
+      FROM models mo JOIN d{k} d ON d.model = mo.model
+    ),
+    r{k + 1} AS MATERIALIZED (
+      SELECT model,
+             (pn * (SELECT COUNT(*) FROM models) * CAST({UNIT} AS HUGEINT))
+               // (SELECT SUM(pn) FROM u{k}) AS p
+      FROM u{k}
+    )"""
+        )
+    return f"""
+    WITH {_SQL_BATTLES},
+    pair AS (
+      SELECT LEAST(model_a, model_b) AS m1, GREATEST(model_a, model_b) AS m2,
+             COUNT(*) AS n,
+             SUM(CASE WHEN winner = LEAST(model_a, model_b) THEN 1 ELSE 0 END) AS w1
+      FROM battles GROUP BY 1, 2
+    ),
+    mat AS MATERIALIZED (
+      SELECT m1 AS model, m2 AS opponent, n + 2 AS n_pair, w1 + 1 AS wins FROM pair
+      UNION ALL
+      SELECT m2, m1, n + 2, n - w1 + 1 FROM pair
+    ),
+    models AS MATERIALIZED (
+      SELECT model, CAST(SUM(wins) AS HUGEINT) AS w_tot FROM mat GROUP BY model
+    ),
+    r0 AS MATERIALIZED (SELECT model, CAST({UNIT} AS HUGEINT) AS p FROM models),
+    {",".join(rounds)}
+    SELECT mo.model, CAST(mo.w_tot AS BIGINT) AS n_wins,
+           CAST(r.p AS BIGINT) AS rating_micro,
+           CAST(r.p AS DOUBLE) / {float(UNIT)} AS rating
+    FROM models mo JOIN r{iters} r ON r.model = mo.model
+    """
+
+
+@register(
+    "pref_btl_ratings",
+    oracle=_btl_oracle(),
+    tags=("preference", "rlhf", "iterative"),
+    doc="Bradley-Terry MM ratings over the arena battles; integer-exact.",
+)
+def pref_btl_ratings(spark: SparkSession, sf_dir: str):
+    matrix = pairwise_win_matrix(_battles(spark, sf_dir))
+    return btl_ratings(matrix, iters=_BTL_ITERS)

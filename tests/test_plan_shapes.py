@@ -830,3 +830,18 @@ def test_prep_v3_broadcasts_models_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_preference_entries_shapes(spark):
+    """Preference family doctrine: win_rates is one hash aggregate over
+    an exploded projection (no join at all); the BTL MM rounds are hash
+    joins over the matchup matrix plus the 1-row normalization scalar
+    (broadcast by construction) — never a cartesian, never Python."""
+    plan = _plan(_q("pref_winrate")(spark, SF_ORACLE))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    df = _q("pref_btl_ratings")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -1,0 +1,92 @@
+"""Preference aggregation (operators/preference.py): win rates and
+Bradley-Terry MM ratings — hand-computed cases, ordering, symmetry,
+mass conservation, and partitioning-independence (the integer-exact
+determinism claim)."""
+
+from __future__ import annotations
+
+from fotmobdatapipeline_spark.operators.preference import (
+    UNIT,
+    btl_ratings,
+    pairwise_win_matrix,
+    win_rates,
+)
+
+
+def _battles(spark, rows):
+    return spark.createDataFrame(rows, "model_a string, model_b string, winner string")
+
+
+def test_win_rates_hand_case(spark):
+    b = _battles(
+        spark,
+        [("A", "B", "A"), ("A", "B", "A"), ("B", "A", "A"), ("B", "C", "C")],
+    )
+    got = {r["model"]: r for r in win_rates(b).collect()}
+    assert got["A"]["n_battles"] == 3 and got["A"]["n_wins"] == 3
+    assert got["B"]["n_battles"] == 4 and got["B"]["n_wins"] == 0
+    assert got["C"]["n_battles"] == 1 and got["C"]["n_wins"] == 1
+    assert got["A"]["win_rate"] == 1.0
+    assert got["A"]["smoothed_rate"] == 4.0 / 5.0
+    assert got["B"]["smoothed_rate"] == 1.0 / 6.0
+
+
+def test_win_matrix_smoothing(spark):
+    b = _battles(spark, [("A", "B", "A"), ("B", "A", "A"), ("A", "B", "B")])
+    rows = {(r["model"], r["opponent"]): r for r in pairwise_win_matrix(b).collect()}
+    # 3 battles on the {A,B} matchup, A won 2: smoothed n=5, A wins 3, B wins 2.
+    assert rows[("A", "B")]["n_pair"] == 5 and rows[("A", "B")]["wins"] == 3
+    assert rows[("B", "A")]["n_pair"] == 5 and rows[("B", "A")]["wins"] == 2
+
+
+def test_btl_transitive_ordering(spark):
+    rows = (
+        [("A", "B", "A")] * 5
+        + [("B", "C", "B")] * 5
+        + [("A", "C", "A")] * 5
+        + [("B", "A", "B")]  # one upset each way keeps it non-degenerate
+        + [("C", "B", "C")]
+    )
+    got = {
+        r["model"]: r["rating_micro"]
+        for r in btl_ratings(pairwise_win_matrix(_battles(spark, rows))).collect()
+    }
+    assert got["A"] > got["B"] > got["C"]
+
+
+def test_btl_symmetric_split_is_exactly_equal(spark):
+    rows = [("A", "B", "A")] * 2 + [("A", "B", "B")] * 2
+    got = [
+        r["rating_micro"]
+        for r in btl_ratings(pairwise_win_matrix(_battles(spark, rows))).collect()
+    ]
+    assert got[0] == got[1]
+
+
+def test_btl_mass_conserved_within_truncation(spark):
+    rows = [("A", "B", "A")] * 3 + [("B", "C", "C")] * 2 + [("C", "A", "A")]
+    out = btl_ratings(pairwise_win_matrix(_battles(spark, rows))).collect()
+    n = len(out)
+    total = sum(r["rating_micro"] for r in out)
+    # Each rating truncates at most 1 micro-unit in the final normalize.
+    assert n * UNIT - n <= total <= n * UNIT
+
+
+def test_btl_partitioning_independence(spark):
+    rows = (
+        [("A", "B", "A")] * 4
+        + [("B", "C", "B")] * 3
+        + [("C", "D", "D")] * 5
+        + [("A", "D", "A")] * 2
+        + [("B", "D", "B")]
+    )
+    b = _battles(spark, rows)
+    one = {
+        r["model"]: r["rating_micro"]
+        for r in btl_ratings(pairwise_win_matrix(b.repartition(1))).collect()
+    }
+    many = {
+        r["model"]: r["rating_micro"]
+        for r in btl_ratings(pairwise_win_matrix(b.repartition(7))).collect()
+    }
+    assert one == many
