@@ -1,0 +1,133 @@
+"""Live arena leaderboard: fold each micro-batch of battle outcomes
+into a stored per-model (n_battles, n_wins) table — the streaming face
+of ``operators/preference.py::win_rates``.
+
+Counts are plain sums, so the maintained table is CELL-IDENTICAL to a
+batch aggregate over the whole feed (mergeability), and the derived
+win/smoothed rates are therefore bit-identical — leaderboard freshness
+costs one bounded aggregate per batch, never a rescan of battle
+history.  Bradley-Terry refreshes ride the same table: the matchup
+matrix is equally mergeable, but the MM iteration itself is a batch
+job over the (small) matrix, so the intended deployment is "stream
+maintains counts, a periodic batch job re-solves ratings".
+
+Exactly-once + versioned publication contract is shared with the
+CMS/HLL/DSIR sinks (streaming/sketches.py): a last_batch replay guard
+makes foreachBatch replays no-ops, each batch writes an immutable
+``v{batch_id}`` dir behind an atomic CURRENT pointer, and
+``keep_versions`` prior versions are retained for in-flight readers.
+
+At 100 TB of battle history the stored table is model-cardinality rows;
+each batch does one map-side-combinable aggregate over the batch plus a
+model-keyed merge of two small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.streaming.sketches import (
+    _current_version,
+    _publish_version,
+)
+from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+
+def read_leaderboard(spark, path: str) -> DataFrame | None:
+    """CURRENT version of the stored leaderboard (model, n_battles,
+    n_wins, last_batch) with the derived rates attached — the same
+    (win_rate, smoothed_rate) expressions as the batch operator, so a
+    drained stream reads bit-identically to ``win_rates`` over the
+    full history.  None before the first batch commits."""
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    t = spark.read.parquet(f"{path}/{v}")
+    return t.select(
+        "model",
+        "n_battles",
+        "n_wins",
+        (F.col("n_wins").cast("double") / F.col("n_battles").cast("double")).alias(
+            "win_rate"
+        ),
+        (
+            (F.col("n_wins") + F.lit(1)).cast("double")
+            / (F.col("n_battles") + F.lit(2)).cast("double")
+        ).alias("smoothed_rate"),
+        "last_batch",
+    )
+
+
+def leaderboard_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    keep_versions: int = 1,
+):
+    """Maintain per-model battle/win counts as battles stream in: each
+    micro-batch aggregates to (model, n_battles, n_wins) increments
+    (one explode + one hash aggregate — the batch operator's shape over
+    batch-sized input) and folds into the stored table by model-wise
+    SUM."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = (
+            spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(model_a).alias("model"),
+                            (F.col(winner) == F.col(model_a))
+                            .cast("long")
+                            .alias("win"),
+                        ),
+                        F.struct(
+                            F.col(model_b).alias("model"),
+                            (F.col(winner) == F.col(model_b))
+                            .cast("long")
+                            .alias("win"),
+                        ),
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+            .groupBy("model")
+            .agg(F.count("*").alias("n_battles"), F.sum("win").alias("n_wins"))
+        )
+        if prev is not None:
+            merged = (
+                prev.select("model", "n_battles", "n_wins")
+                .unionByName(inc)
+                .groupBy("model")
+                .agg(
+                    F.sum("n_battles").alias("n_battles"),
+                    F.sum("n_wins").alias("n_wins"),
+                )
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(stream.sparkSession, path).mkdirs()
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -5,6 +5,8 @@ determinism claim)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fotmobdatapipeline_spark.operators.preference import (
     UNIT,
     btl_ratings,
@@ -90,3 +92,90 @@ def test_btl_partitioning_independence(spark):
         for r in btl_ratings(pairwise_win_matrix(b.repartition(7))).collect()
     }
     assert one == many
+
+
+def test_leaderboard_stream_equals_batch(spark, tmp_path):
+    """Draining a 3-batch battle feed through the leaderboard sink
+    yields counts cell-identical to the batch aggregate over the whole
+    feed, and the derived rates are bit-identical to win_rates."""
+    from fotmobdatapipeline_spark.streaming.preference import (
+        leaderboard_maintenance_sink,
+        read_leaderboard,
+    )
+
+    rows = (
+        [("A", "B", "A")] * 4
+        + [("B", "C", "B")] * 3
+        + [("C", "A", "A")] * 2
+        + [("B", "D", "D")] * 3
+    )
+    battles = _battles(spark, rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(rows)
+    for i, (lo, hi) in enumerate(((0, 4), (4, 9), (9, n))):
+        part = spark.createDataFrame(
+            rows[lo:hi], "model_a string, model_b string, winner string"
+        )
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("model_a string, model_b string, winner string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = leaderboard_maintenance_sink(
+        stream, str(tmp_path / "board"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = read_leaderboard(spark, str(tmp_path / "board"))
+    got = sorted(
+        (r["model"], r["n_battles"], r["n_wins"], r["win_rate"], r["smoothed_rate"])
+        for r in streamed.collect()
+    )
+    want = sorted(
+        (r["model"], r["n_battles"], r["n_wins"], r["win_rate"], r["smoothed_rate"])
+        for r in win_rates(battles).collect()
+    )
+    assert got == want
+    assert streamed.select(F.max("last_batch")).first()[0] == 2
+
+
+def test_leaderboard_replay_is_noop(spark, tmp_path):
+    """foreachBatch replays of an already-applied batch must not
+    double-count: re-draining the same feed from a FRESH checkpoint
+    (forcing batch ids to repeat) leaves the board unchanged."""
+    from fotmobdatapipeline_spark.streaming.preference import (
+        leaderboard_maintenance_sink,
+        read_leaderboard,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    part = spark.createDataFrame(
+        [("A", "B", "A"), ("A", "B", "B")],
+        "model_a string, model_b string, winner string",
+    )
+    part.coalesce(1).write.parquet(str(src / "b0"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "model_a string, model_b string, winner string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = leaderboard_maintenance_sink(
+            stream, str(tmp_path / "board"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain("ckpt1")
+    first = sorted(map(tuple, read_leaderboard(spark, str(tmp_path / "board")).collect()))
+    drain("ckpt2")  # same files, batch id 0 again -> replay guard
+    second = sorted(map(tuple, read_leaderboard(spark, str(tmp_path / "board")).collect()))
+    assert first == second
