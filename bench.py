@@ -89,6 +89,7 @@ HEADLINE = [
     "pack_block_fill",
     "url_domain_mixture_psl",
     "llm_prep_pipeline_v3",
+    "pref_btl_ratings",
 ]
 
 
@@ -418,6 +419,9 @@ _SCALE_QUERIES = [
     # prefix-sum shapes — must scale linearly with the corpus)
     "lm_perplexity_rank",
     "pack_block_fill",
+    # preference tier: battles collapse to matchup cardinality before
+    # the MM rounds, so sf1's 10x battle count must NOT 10x the solve
+    "pref_btl_ratings",
 ]
 
 

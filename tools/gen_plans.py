@@ -48,6 +48,7 @@ PICKS = [
     ("text_blocklist_hits", "Blocklist: phrase table broadcast into a one-scan multi-length gram join"),
     ("url_domain_mixture_psl", "PSL-as-data: one broadcast join per suffix depth, host side never shuffled before its own aggregate"),
     ("llm_prep_pipeline_v3", "Prep v3: blocklist anti-join + LM cut + hash dedup + prefix-sum packing — models broadcast, two corpus text scans"),
+    ("pref_winrate", "Arena win rates: one exploded projection + one map-side-combinable hash aggregate — no join anywhere"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
