@@ -845,3 +845,12 @@ def test_preference_entries_shapes(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dpo_pairs_zero_joins_one_window(spark):
+    """DPO pair export resolves both sides from the lead() window row —
+    the plan must contain a Window but NO join operator and no Python."""
+    plan = _plan(_q("pref_dpo_pairs")(spark, SF_ORACLE))
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
