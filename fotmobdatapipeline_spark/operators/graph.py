@@ -80,6 +80,53 @@ def pagerank(
     return ranks
 
 
+def kcore(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """K-core peeling over an undirected pair graph: iteratively drop
+    nodes with degree < k, ``rounds`` times, and return the surviving
+    (doc_id, core_deg) with degree measured inside the surviving
+    subgraph — the dense-region extractor (near-dup "cliques" and
+    template farms survive; chains and stars peel away).
+
+    Fixed-round for cross-engine replay (the oracle unrolls the same
+    rounds): peeling is monotone, so a converged graph is a fixpoint
+    and extra rounds are no-ops.  Convergence needs at most |V| rounds
+    in theory but degree-k peeling settles in a handful on real dedup
+    graphs; production callers can re-invoke with more rounds if the
+    final filter still removes nodes.
+
+    Scale notes: each round is one degree aggregate plus two semi-joins
+    of the edge list against the keep set (all key-partitioned hash
+    operations, no node ever sees more than its neighborhood), with
+    ``localCheckpoint`` lineage hygiene per round like pagerank above.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = e.groupBy("src").agg(F.count("*").alias("core_deg"))
+    return final_deg.filter(F.col("core_deg") >= k).select(
+        F.col("src").alias("doc_id"), "core_deg"
+    )
+
+
 def triangle_counts(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
 ) -> DataFrame:

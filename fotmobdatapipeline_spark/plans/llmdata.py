@@ -3450,6 +3450,66 @@ def graph_pagerank(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# K-core decomposition over the same LSH candidate graph: the dense-
+# region extractor (template farms / boilerplate cliques survive k-core
+# peeling; incidental chain-shaped collisions peel away) — the third
+# member of the graph-audit family after PageRank and triangles.
+# Fixed-round peeling replayed verbatim by the oracle; every round's
+# CTEs are AS MATERIALIZED because e{r+1} references k{r} twice (both
+# endpoints) and default inlining would double the tree per round.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT src FROM e{r} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN k{r} a ON a.src = e.src JOIN k{r} b ON b.src = e.dst
+    )"""
+        )
+    return f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (SELECT doc_id, {_lsh_sigs} FROM tok),
+    bands AS ({_lsh_bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+      )
+    ),
+    {",".join(steps)}
+    SELECT src AS doc_id, COUNT(*) AS core_deg
+    FROM e{rounds} GROUP BY src HAVING COUNT(*) >= {k}
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative"),
+    doc="K-core peeling over LSH candidate pairs; fixed-round exact replay.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import kcore
+
+    return kcore(
+        _lsh_pairs_shared(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+# --------------------------------------------------------------------------
 # Heavy hitters via a DataFrame-native count-min sketch (operators/
 # sketches.py).  Unlike Spark's opaque-binary count_min_sketch aggregate,
 # the sketch here IS a (sketch_row, bucket, cnt) DataFrame with portable

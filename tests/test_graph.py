@@ -70,3 +70,49 @@ def test_pagerank_over_neardup_graph_runs(spark):
     out = pagerank(edges, iters=5)
     assert out.count() > 0
     assert out.filter(F.col("rank") <= 0).count() == 0
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    """A 4-clique with a pendant chain: the clique is the 3-core (each
+    member keeps degree 3 inside it); the chain and the node attached
+    to one clique member peel away."""
+    from fotmobdatapipeline_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    got = {
+        (r["doc_id"], r["core_deg"])
+        for r in kcore(_pairs(spark, clique + chain), k=3, rounds=4).collect()
+    }
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    """A pure cycle is a 2-core: k=3 peels everything."""
+    from fotmobdatapipeline_spark.operators.graph import kcore
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    assert kcore(_pairs(spark, cycle), k=3, rounds=3).count() == 0
+    # and the same cycle IS the whole 2-core, degrees exactly 2
+    got = {
+        (r["doc_id"], r["core_deg"])
+        for r in kcore(_pairs(spark, cycle), k=2, rounds=3).collect()
+    }
+    assert got == {(i, 2) for i in range(6)}
+
+
+def test_kcore_deterministic_across_partitionings(spark):
+    from fotmobdatapipeline_spark.operators.graph import kcore
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(5) if a < b]  # 5-clique
+        + [(4, 20), (20, 21), (0, 21), (21, 22), (22, 0)]
+    )
+    p = _pairs(spark, edges)
+    one = sorted(map(tuple, kcore(p.repartition(1), k=3, rounds=5).collect()))
+    many = sorted(map(tuple, kcore(p.repartition(9), k=3, rounds=5).collect()))
+    assert one == many and len(one) == 5
