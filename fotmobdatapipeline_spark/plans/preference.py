@@ -97,7 +97,9 @@ def pref_winrate(spark: SparkSession, sf_dir: str):
     return win_rates(_battles(spark, sf_dir))
 
 
-def _btl_oracle(iters: int = _BTL_ITERS) -> str:
+def _btl_cte_body(iters: int = _BTL_ITERS) -> str:
+    """WITH-body that leaves r{iters} = (model, p) in scope — shared by
+    the ratings entry and the audits composed on top of them."""
     # Every per-round CTE is AS MATERIALIZED: each round references the
     # previous ratings TWICE (both battle endpoints), so DuckDB's default
     # CTE inlining would duplicate the whole upstream tree 2^iters times
@@ -141,6 +143,12 @@ def _btl_oracle(iters: int = _BTL_ITERS) -> str:
     ),
     r0 AS MATERIALIZED (SELECT model, CAST({UNIT} AS HUGEINT) AS p FROM models),
     {",".join(rounds)}
+    """
+
+
+def _btl_oracle(iters: int = _BTL_ITERS) -> str:
+    return f"""
+    {_btl_cte_body(iters)}
     SELECT mo.model, CAST(mo.w_tot AS BIGINT) AS n_wins,
            CAST(r.p AS BIGINT) AS rating_micro,
            CAST(r.p AS DOUBLE) / {float(UNIT)} AS rating
@@ -255,4 +263,67 @@ def pref_dpo_pairs(spark: SparkSession, sf_dir: str):
         (F.col("chosen_len").cast("double") / F.col("rejected_len").cast("double")).alias(
             "len_ratio"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Judge-noise audit: per model, how many of its wins were UPSETS —
+# victories over an opponent the converged Bradley-Terry ratings rank
+# higher.  High upset rates localize noisy judges / non-transitive
+# matchup pockets before the pairs are exported for training.  The
+# ratings table is model-cardinality, so both rating joins are
+# AQE-broadcast at any battle volume; the oracle re-derives the exact
+# integer ratings via the shared CTE body.
+# --------------------------------------------------------------------------
+@register(
+    "pref_upset_report",
+    oracle=f"""
+    {_btl_cte_body()},
+    j AS (
+      SELECT winner,
+             CASE WHEN winner = model_a THEN model_b ELSE model_a END AS loser
+      FROM battles
+    )
+    SELECT j.winner AS model, COUNT(*) AS n_wins,
+           CAST(SUM(CASE WHEN pw.p < pl.p THEN 1 ELSE 0 END) AS BIGINT) AS n_upsets,
+           CAST(SUM(CASE WHEN pw.p < pl.p THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS upset_rate
+    FROM j JOIN r{_BTL_ITERS} pw ON pw.model = j.winner
+           JOIN r{_BTL_ITERS} pl ON pl.model = j.loser
+    GROUP BY j.winner
+    """,
+    tags=("preference", "rlhf", "audit"),
+    doc="Per-model upset wins vs the converged BTL ranking; judge-noise audit.",
+)
+def pref_upset_report(spark: SparkSession, sf_dir: str):
+    battles = _battles(spark, sf_dir)
+    ratings = btl_ratings(
+        pairwise_win_matrix(battles), iters=_BTL_ITERS
+    ).select("model", "rating_micro")
+    j = battles.select(
+        "winner",
+        F.when(F.col("winner") == F.col("model_a"), F.col("model_b"))
+        .otherwise(F.col("model_a"))
+        .alias("loser"),
+    )
+    pw = ratings.select(
+        F.col("model").alias("winner"), F.col("rating_micro").alias("p_w")
+    )
+    pl = ratings.select(
+        F.col("model").alias("loser"), F.col("rating_micro").alias("p_l")
+    )
+    upset = (F.col("p_w") < F.col("p_l")).cast("long")
+    return (
+        j.join(pw, "winner")
+        .join(pl, "loser")
+        .groupBy(F.col("winner").alias("model"))
+        .agg(F.count("*").alias("n_wins"), F.sum(upset).alias("n_upsets"))
+        .select(
+            "model",
+            "n_wins",
+            "n_upsets",
+            (
+                F.col("n_upsets").cast("double") / F.col("n_wins").cast("double")
+            ).alias("upset_rate"),
+        )
     )
