@@ -1287,3 +1287,142 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str):
         F.count("*").cast("int").alias("n_days"),
         folded.alias("decayed_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion A/B z-test: users hash-split into variants (the same
+# portable md5 assignment the leakage-safe splits use), conversion =
+# a big-ticket purchase (value > 150 — every user makes SOME purchase
+# at this event density, so the plain flag would be degenerate pooled=1
+# and the z-stat undefined; the CASE guard returns NULL z in that
+# degenerate case), and the pooled two-proportion z statistic
+# computed from exact integer counts in ONE fixed expression tree.
+# Bit-portability: /, sqrt are IEEE correctly-rounded in both engines,
+# so identical operand order => identical bits; every literal is CAST
+# to DOUBLE on the DuckDB side (bare 0.5 parses as DECIMAL there).
+# Scale shape: one groupBy(user) conversion flag (map-side combinable),
+# one conditional 1-row aggregate — no window, no join; the z math runs
+# on four integers.
+# --------------------------------------------------------------------------
+def _sql_hex32_ab(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "events_ab_ztest",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT conv,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM v
+    ),
+    r AS (
+      SELECT n_a, c_a, n_b, c_b,
+             CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled
+      FROM t
+    ),
+    z AS (
+      SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+             CASE WHEN pooled > CAST(0 AS DOUBLE) AND pooled < CAST(1 AS DOUBLE)
+               THEN (rate_a - rate_b) / sqrt(
+                 (pooled * (CAST(1 AS DOUBLE) - pooled))
+                 * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+               ) END AS z_stat
+      FROM r
+    )
+    SELECT n_a, c_a, n_b, c_b, rate_a, rate_b, z_stat,
+           abs(z_stat) > CAST(1.96 AS DOUBLE) AS significant
+    FROM z
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Hash-split two-proportion z-test on purchase conversion; bit-exact.",
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150)).cast(
+                "int"
+            )
+        ).alias("conv")
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = pu.select("conv", variant.alias("variant"))
+    is_a = (F.col("variant") == 0).cast("long")
+    is_b = (F.col("variant") == 1).cast("long")
+    t = v.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(F.col("conv") * is_a).alias("c_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(F.col("conv") * is_b).alias("c_b"),
+    )
+    r = t.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.col("c_a").cast("double") / F.col("n_a").cast("double")).alias("rate_a"),
+        (F.col("c_b").cast("double") / F.col("n_b").cast("double")).alias("rate_b"),
+        (
+            (F.col("c_a") + F.col("c_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("pooled"),
+    )
+    z = r.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        "rate_a",
+        "rate_b",
+        F.when(
+            (F.col("pooled") > F.lit(0.0)) & (F.col("pooled") < F.lit(1.0)),
+            (F.col("rate_a") - F.col("rate_b"))
+            / F.sqrt(
+                (F.col("pooled") * (F.lit(1.0) - F.col("pooled")))
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                )
+            ),
+        ).alias("z_stat"),
+    )
+    return z.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        "rate_a",
+        "rate_b",
+        "z_stat",
+        (F.abs(F.col("z_stat")) > F.lit(1.96)).alias("significant"),
+    )
