@@ -1426,3 +1426,132 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str):
         "z_stat",
         (F.abs(F.col("z_stat")) > F.lit(1.96)).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test on purchase VALUE between the same hash variants: the
+# mean-difference sibling of events_ab_ztest.  Sufficient statistics
+# (n, sum, sum-of-squares) are exact DECIMAL — values are 2-dp so
+# squares are exactly 4-dp — making the aggregates order-insensitive;
+# mean/variance/t/dof then evaluate in ONE fixed IEEE tree (/, *, sqrt
+# correctly-rounded in both engines).  Same scale shape as the z-test:
+# one combinable aggregate, no window, no join.
+# --------------------------------------------------------------------------
+@register(
+    "events_welch_ttest",
+    oracle=f"""
+    WITH p AS (
+      SELECT value,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(12,2)) END) AS s1_a,
+             SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(12,2))
+                                            * CAST(value AS DECIMAL(12,2)) END) AS s2_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(12,2)) END) AS s1_b,
+             SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(12,2))
+                                            * CAST(value AS DECIMAL(12,2)) END) AS s2_b
+      FROM p
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+             CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+             (CAST(s2_a AS DOUBLE)
+              - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)) / CAST(n_a AS DOUBLE))
+               / CAST(n_a - 1 AS DOUBLE) AS var_a,
+             (CAST(s2_b AS DOUBLE)
+              - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)) / CAST(n_b AS DOUBLE))
+               / CAST(n_b - 1 AS DOUBLE) AS var_b
+      FROM t
+    ),
+    se AS (
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             var_a / CAST(n_a AS DOUBLE) AS g_a,
+             var_b / CAST(n_b AS DOUBLE) AS g_b
+      FROM m
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / sqrt(g_a + g_b) AS t_stat,
+           ((g_a + g_b) * (g_a + g_b))
+             / ((g_a * g_a) / CAST(n_a - 1 AS DOUBLE)
+                + (g_b * g_b) / CAST(n_b - 1 AS DOUBLE)) AS welch_dof
+    FROM se
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Welch t-test on purchase value between hash variants; bit-exact.",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    p = ev.select(F.col("value").cast("decimal(12,2)").alias("v"), variant.alias("variant"))
+    is_a = F.col("variant") == 0
+    is_b = F.col("variant") == 1
+    t = p.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(F.when(is_a, F.col("v"))).alias("s1_a"),
+        F.sum(F.when(is_a, F.col("v") * F.col("v"))).alias("s2_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_b, F.col("v"))).alias("s1_b"),
+        F.sum(F.when(is_b, F.col("v") * F.col("v"))).alias("s2_b"),
+    )
+    m = t.select(
+        "n_a",
+        "n_b",
+        (F.col("s1_a").cast("double") / F.col("n_a").cast("double")).alias("mean_a"),
+        (F.col("s1_b").cast("double") / F.col("n_b").cast("double")).alias("mean_b"),
+        (
+            (
+                F.col("s2_a").cast("double")
+                - (F.col("s1_a").cast("double") * F.col("s1_a").cast("double"))
+                / F.col("n_a").cast("double")
+            )
+            / (F.col("n_a") - 1).cast("double")
+        ).alias("var_a"),
+        (
+            (
+                F.col("s2_b").cast("double")
+                - (F.col("s1_b").cast("double") * F.col("s1_b").cast("double"))
+                / F.col("n_b").cast("double")
+            )
+            / (F.col("n_b") - 1).cast("double")
+        ).alias("var_b"),
+    )
+    se = m.select(
+        "*",
+        (F.col("var_a") / F.col("n_a").cast("double")).alias("g_a"),
+        (F.col("var_b") / F.col("n_b").cast("double")).alias("g_b"),
+    )
+    return se.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(F.col("g_a") + F.col("g_b"))).alias(
+            "t_stat"
+        ),
+        (
+            ((F.col("g_a") + F.col("g_b")) * (F.col("g_a") + F.col("g_b")))
+            / (
+                (F.col("g_a") * F.col("g_a")) / (F.col("n_a") - 1).cast("double")
+                + (F.col("g_b") * F.col("g_b")) / (F.col("n_b") - 1).cast("double")
+            )
+        ).alias("welch_dof"),
+    )
