@@ -1555,3 +1555,141 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str):
             )
         ).alias("welch_dof"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) on purchase value between the hash
+# variants: the nonparametric sibling of events_welch_ttest.  Ranks are
+# exact rank ARITHMETIC over the distinct-value counts table (the
+# agg_exact_quantiles technique): values collapse to one row per
+# distinct 2-dp value with per-variant counts, so the only ordered
+# window runs over value-cardinality rows (<= ~40k for 2-dp values in
+# a bounded range — never the event volume).  Tie handling is the
+# standard midrank, kept exact by tracking 2*ranksum as an integer; the
+# tie-corrected normal approximation evaluates in one fixed IEEE tree
+# (bit-portable like the z/t tests above).
+# --------------------------------------------------------------------------
+@register(
+    "events_mannwhitney_u",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(value AS DECIMAL(12,2)) AS v,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM p GROUP BY v
+    ),
+    c AS (
+      SELECT v, na, nb, na + nb AS nv,
+             CAST(SUM(na + nb) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - (na + nb) AS below
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(CAST(na AS HUGEINT) * (2 * below + nv + 1)) AS two_ranksum_a,
+             SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tie_term
+      FROM c
+    ),
+    u AS (
+      SELECT n_a, n_b, tie_term,
+             (CAST(two_ranksum_a AS DOUBLE)
+              - CAST(CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE))
+               / CAST(2 AS DOUBLE) AS u_a,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab,
+             CAST(n_a + n_b AS DOUBLE) AS n
+      FROM s
+    )
+    SELECT n_a, n_b, u_a, nab - u_a AS u_b,
+           (u_a - nab / CAST(2 AS DOUBLE))
+             / sqrt((nab / CAST(12 AS DOUBLE))
+                    * ((n + CAST(1 AS DOUBLE))
+                       - CAST(tie_term AS DOUBLE)
+                         / (n * (n - CAST(1 AS DOUBLE))))) AS z_stat
+    FROM u
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Mann-Whitney U with midrank ties; exact rank arithmetic, bit-exact z.",
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    p = ev.select(
+        F.col("value").cast("decimal(12,2)").alias("v"), variant.alias("variant")
+    )
+    g = p.groupBy("v").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("na"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("nb"),
+    )
+    w = Window.orderBy(F.asc("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("nv"),
+        (F.sum(F.col("na") + F.col("nb")).over(w) - (F.col("na") + F.col("nb"))).alias(
+            "below"
+        ),
+    )
+    s = c.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("nv") + 1)
+        ).alias("two_ranksum_a"),
+        F.sum(
+            F.col("nv").cast("decimal(38,0)") * F.col("nv") * F.col("nv")
+            - F.col("nv")
+        ).alias("tie_term"),
+    )
+    u = s.select(
+        "n_a",
+        "n_b",
+        "tie_term",
+        (
+            (
+                F.col("two_ranksum_a").cast("double")
+                - (
+                    F.col("n_a").cast("decimal(38,0)") * (F.col("n_a") + 1)
+                ).cast("double")
+            )
+            / F.lit(2.0)
+        ).alias("u_a"),
+        (F.col("n_a").cast("double") * F.col("n_b").cast("double")).alias("nab"),
+        (F.col("n_a") + F.col("n_b")).cast("double").alias("n"),
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        "u_a",
+        (F.col("nab") - F.col("u_a")).alias("u_b"),
+        (
+            (F.col("u_a") - F.col("nab") / F.lit(2.0))
+            / F.sqrt(
+                (F.col("nab") / F.lit(12.0))
+                * (
+                    (F.col("n") + F.lit(1.0))
+                    - F.col("tie_term").cast("double")
+                    / (F.col("n") * (F.col("n") - F.lit(1.0)))
+                )
+            )
+        ).alias("z_stat"),
+    )
