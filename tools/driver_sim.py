@@ -1,0 +1,111 @@
+"""Full-catalog driver simulation: drive EVERY `queries()` entry from a
+fresh plain-SparkSession process (the driver's own conditions — no
+session factory, no pytest fixtures) and compare against `oracle_sql()`
+in DuckDB with the driver's rules: row count, sorted column names, and
+the order-insensitive value multiset, EXACTLY.
+
+This is the guarantee behind the rotating driver sample window: any
+50-entry prefix the driver draws has already passed the identical
+check end-to-end.  Re-run each round after adding entries.
+
+Usage: python tools/driver_sim.py [sf_dir] [cpus] [name_filter...]
+Defaults: /root/testdata/sf0.01, 8.  Prints one line per entry and a
+final summary; exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "8"
+    only = set(sys.argv[3:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as contract
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries, oracles = contract.queries(), contract.oracle_sql()
+    bad, rows_only = [], []
+    t_all = time.time()
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            cols = sorted(df.columns)
+            s = sorted(
+                [tuple(_norm(r[c]) for c in cols) for r in df.collect()], key=repr
+            )
+            if name not in oracles:
+                rows_only.append(name)
+                print(f"{name}: rows-only ({len(s)} rows) "
+                      f"{time.time() - t0:.2f}s", flush=True)
+                continue
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            d = sorted(
+                [tuple(_norm(r[i]) for i in order) for r in res.fetchall()],
+                key=repr,
+            )
+            ok = cols == sorted(dcols) and len(s) == len(d) and s == d
+            print(
+                f"{name}: {'OK' if ok else 'MISMATCH'} "
+                f"({len(s)} rows) {time.time() - t0:.2f}s",
+                flush=True,
+            )
+            if not ok:
+                bad.append(name)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+            bad.append(name)
+    n = len([x for x in queries if not only or x in only])
+    print(
+        f"== {n} entries, {len(bad)} failed, {len(rows_only)} rows-only, "
+        f"total {time.time() - t_all:.1f}s ==",
+        flush=True,
+    )
+    if bad:
+        print("failed:", bad, flush=True)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
