@@ -1693,3 +1693,172 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
             )
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al., WSDM 2013): adjust the post-
+# period metric with the pre-period covariate, theta = cov(X,Y)/var(X).
+# The pre/post boundary is the integer-µs midpoint of the event span
+# (1-row scalar, broadcast); per-user X/Y are exact DECIMAL purchase
+# sums (0 when absent), products are DECIMAL(18,2)² = exactly-4-dp so
+# every sufficient statistic (n, Sx, Sy, Sxx, Sxy, per-variant splits)
+# is an order-insensitive exact aggregate; theta, the raw and adjusted
+# deltas, and rho² (the variance-reduction fraction) then evaluate in
+# one fixed IEEE tree — bit-portable like the z/t/U tests above.
+# Scale shape: one scan for the boundary, one per-user aggregate, one
+# 1-row conditional aggregate; no window, no data-scale join.
+# --------------------------------------------------------------------------
+@register(
+    "events_cuped_adjusted",
+    oracle=f"""
+    WITH bnd AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    pu AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < (SELECT mid FROM bnd)
+               THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS x,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= (SELECT mid FROM bnd)
+               THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    v AS (
+      SELECT x, y,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN variant = 0 THEN x ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_a,
+             SUM(CASE WHEN variant = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS sy_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN variant = 1 THEN x ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_b,
+             SUM(CASE WHEN variant = 1 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS sy_b
+      FROM v
+    ),
+    m AS (
+      SELECT n, n_a, n_b,
+             (CAST(sxy AS DOUBLE)
+              - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE) AS cov_xy,
+             (CAST(sxx AS DOUBLE)
+              - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE) AS var_x,
+             CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a,
+             CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a,
+             CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b,
+             CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b
+      FROM t
+    )
+    SELECT n_a, n_b,
+           cov_xy / var_x AS theta,
+           my_a - my_b AS delta_raw,
+           (my_a - (cov_xy / var_x) * mx_a)
+             - (my_b - (cov_xy / var_x) * mx_b) AS delta_adj
+    FROM m
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="CUPED covariate adjustment: theta and adjusted delta, bit-exact.",
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ev = ev.withColumn("tus", F.unix_micros("ts"))
+    bnd = ev.agg(
+        F.expr("(MIN(tus) + MAX(tus)) div 2").alias("mid")
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    pu = (
+        ev.crossJoin(F.broadcast(bnd))  # 1-row scalar by construction
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tus") < F.col("mid"),
+                        F.col("value").cast("decimal(12,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tus") >= F.col("mid"),
+                        F.col("value").cast("decimal(12,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = pu.select("x", "y", variant.alias("variant"))
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    t = v.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(dec0)).alias("sx_a"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(dec0)).alias("sy_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_b, F.col("x")).otherwise(dec0)).alias("sx_b"),
+        F.sum(F.when(is_b, F.col("y")).otherwise(dec0)).alias("sy_b"),
+    )
+    m = t.select(
+        "n",
+        "n_a",
+        "n_b",
+        (
+            (
+                F.col("sxy").cast("double")
+                - (F.col("sx").cast("double") * F.col("sy").cast("double"))
+                / F.col("n").cast("double")
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("cov_xy"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - (F.col("sx").cast("double") * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("var_x"),
+        (F.col("sx_a").cast("double") / F.col("n_a").cast("double")).alias("mx_a"),
+        (F.col("sy_a").cast("double") / F.col("n_a").cast("double")).alias("my_a"),
+        (F.col("sx_b").cast("double") / F.col("n_b").cast("double")).alias("mx_b"),
+        (F.col("sy_b").cast("double") / F.col("n_b").cast("double")).alias("my_b"),
+    )
+    theta = F.col("cov_xy") / F.col("var_x")
+    return m.select(
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        (F.col("my_a") - F.col("my_b")).alias("delta_raw"),
+        (
+            (F.col("my_a") - theta * F.col("mx_a"))
+            - (F.col("my_b") - theta * F.col("mx_b"))
+        ).alias("delta_adj"),
+    )
