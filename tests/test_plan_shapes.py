@@ -854,3 +854,16 @@ def test_dpo_pairs_zero_joins_one_window(spark):
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ab_stats_family_shapes(spark):
+    """A/B family doctrine: sufficient statistics come from combinable
+    aggregates — no cartesian, no Python, and the only window allowed
+    is Mann-Whitney's bounded distinct-value rank pass."""
+    for name in ("events_ab_ztest", "events_welch_ttest", "events_cuped_adjusted"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Window" not in plan, (name, plan)
+    plan = _plan(_q("events_mannwhitney_u")(spark, SF_ORACLE))
+    assert "Window" in plan and "CartesianProduct" not in plan, plan
