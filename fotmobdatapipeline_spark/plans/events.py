@@ -1862,3 +1862,106 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
             - (F.col("my_b") - theta * F.col("mx_b"))
         ).alias("delta_adj"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM level-shift detector per event type (Page 1954): hourly value
+# totals in exact integer CENTS, target k = per-type mean hourly cents
+# (integer div), and the classic one-sided recursion
+# S_t = max(0, S_{t-1} + x_t - k) folded left-to-right over the
+# calendar-bounded hourly series (the events_anomaly_mad shape: raw
+# events collapse to one combinable (type, hour) aggregate first; the
+# fold runs over ~hours-of-history elements per type, never events).
+# All integer arithmetic — bit-exact by construction; alarm threshold
+# h = 2k flags sustained above-target hours.  The oracle replays the
+# fold with list_reduce (the events_holt_forecast pattern).
+# --------------------------------------------------------------------------
+@register(
+    "events_cusum_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, list(cents ORDER BY ho) AS xs FROM hourly
+      GROUP BY event_type
+    ),
+    k AS (
+      SELECT event_type, xs,
+             CAST(len(xs) AS BIGINT) AS n_hours,
+             list_sum(xs) // len(xs) AS k_cents
+      FROM g
+    )
+    SELECT event_type, n_hours, k_cents,
+           list_reduce(
+             list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)],
+                          list_transform(xs, v -> [v, v, v])),
+             (a, x) -> [
+               greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents),
+               greatest(a[2], greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)),
+               a[3] + CASE WHEN greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)
+                                > 2 * k_cents THEN 1 ELSE 0 END
+             ])[2] AS max_cusum_cents,
+           list_reduce(
+             list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)],
+                          list_transform(xs, v -> [v, v, v])),
+             (a, x) -> [
+               greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents),
+               greatest(a[2], greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)),
+               a[3] + CASE WHEN greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)
+                                > 2 * k_cents THEN 1 ELSE 0 END
+             ])[3] AS n_alarm_hours
+    FROM k
+    """,
+    tags=("events", "time-series", "drift"),
+    doc="CUSUM level-shift detector over hourly cents; integer-exact fold.",
+)
+def events_cusum_hourly(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct("ho", "cents")))
+    g = hourly.groupBy("event_type").agg(
+        F.transform(arr, lambda s: s["cents"]).alias("xs")
+    )
+    k = g.select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        F.expr(
+            "aggregate(xs, CAST(0 AS BIGINT), (a, v) -> a + v) div size(xs)"
+        ).alias("k_cents"),
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(zero.alias("s"), zero.alias("mx"), zero.alias("al"))
+
+    def step(a, v):
+        s_new = F.greatest(zero, a["s"] + v - F.col("k_cents"))
+        return F.struct(
+            s_new.alias("s"),
+            F.greatest(a["mx"], s_new).alias("mx"),
+            (a["al"] + (s_new > 2 * F.col("k_cents")).cast("bigint")).alias("al"),
+        )
+
+    st = F.aggregate(F.col("xs"), init, step)
+    return k.select(
+        "event_type",
+        "n_hours",
+        "k_cents",
+        st["mx"].alias("max_cusum_cents"),
+        st["al"].alias("n_alarm_hours"),
+    )
