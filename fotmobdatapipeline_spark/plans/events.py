@@ -1965,3 +1965,93 @@ def events_cusum_hourly(spark: SparkSession, sf_dir: str):
         st["mx"].alias("max_cusum_cents"),
         st["al"].alias("n_alarm_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects: the per-quantile sibling of the mean
+# tests — exact PERCENTILE_CONT(0.5 / 0.9) of purchase value per hash
+# variant (operators/stats.py rank arithmetic: one per-variant sort,
+# each percentile picked by rank — at most two nonzero contributions
+# per percentile so the float SUM is order-insensitive), then the
+# between-variant deltas.  Mirrors agg_exact_quantiles' proven p
+# constants verbatim in both engines.
+# --------------------------------------------------------------------------
+def _sql_pct_ev(p: float) -> str:
+    # Unlike agg_exact_quantiles' integer-valued column (where decimal
+    # vs double position math coincides), purchase values are arbitrary
+    # 2-dp doubles — the p literal must be DOUBLE on the DuckDB side or
+    # the fractional weight differs in ulps (observed at p90).
+    pos = f"(n - 1) * CAST({p} AS DOUBLE)"
+    flo, frac = f"FLOOR({pos})", f"({pos} - FLOOR({pos}))"
+    return (
+        f"SUM(CASE WHEN rn = {flo} THEN v * (CAST(1 AS DOUBLE) - {frac}) "
+        f"WHEN {frac} > 0 AND rn = {flo} + 1 THEN v * {frac} "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+    )
+
+
+@register(
+    "events_qte",
+    oracle=f"""
+    WITH p AS (
+      SELECT value AS v,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT variant, v,
+             ROW_NUMBER() OVER (PARTITION BY variant ORDER BY v) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY variant) AS n
+      FROM p
+    ),
+    q AS (
+      SELECT variant, {_sql_pct_ev(0.5)} AS p50, {_sql_pct_ev(0.9)} AS p90
+      FROM r GROUP BY variant
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN p50 END) AS p50_a,
+             MAX(CASE WHEN variant = 1 THEN p50 END) AS p50_b,
+             MAX(CASE WHEN variant = 0 THEN p90 END) AS p90_a,
+             MAX(CASE WHEN variant = 1 THEN p90 END) AS p90_b
+      FROM q
+    )
+    SELECT p50_a, p50_b, p50_a - p50_b AS qte_p50,
+           p90_a, p90_b, p90_a - p90_b AS qte_p90
+    FROM w
+    """,
+    tags=("events", "stats", "abtest", "quantiles"),
+    doc="Quantile treatment effects at p50/p90; exact rank arithmetic.",
+)
+def events_qte(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    p = ev.select(F.col("value").alias("value"), variant.alias("variant"))
+    q = exact_group_quantiles(p, "value", ["variant"], ps=(0.5, 0.9))
+    w = q.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("p50"))).alias("p50_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("p50"))).alias("p50_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("p90"))).alias("p90_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("p90"))).alias("p90_b"),
+    )
+    return w.select(
+        "p50_a",
+        "p50_b",
+        (F.col("p50_a") - F.col("p50_b")).alias("qte_p50"),
+        "p90_a",
+        "p90_b",
+        (F.col("p90_a") - F.col("p90_b")).alias("qte_p90"),
+    )
