@@ -2055,3 +2055,66 @@ def events_qte(spark: SparkSession, sf_dir: str):
         "p90_b",
         (F.col("p90_a") - F.col("p90_b")).alias("qte_p90"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check: the A/B sanity gate that runs
+# before any effect is read — chi-square goodness-of-fit of the
+# observed variant user counts against the designed 50/50 split.
+# Exact integer counts; the statistic ((n_a-n_b)^2 / (n_a+n_b) for two
+# equal-probability cells) and the 3.841 (df=1, alpha=.05) comparison
+# evaluate in one fixed IEEE tree.  Same shape as the z-test: one
+# per-user distinct, one 1-row conditional aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "events_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    v AS (
+      SELECT ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM u
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM v
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) > CAST(3.841 AS DOUBLE) AS srm_detected
+    FROM t
+    """,
+    tags=("events", "stats", "abtest", "dq"),
+    doc="Sample-ratio-mismatch chi-square on the hash split; bit-exact.",
+)
+def events_srm_check(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    v = u.select(variant.alias("variant"))
+    t = v.agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")
+    return t.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_detected"),
+    )
