@@ -2118,3 +2118,56 @@ def events_srm_check(spark: SparkSession, sf_dir: str):
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_detected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution: every purchase's value is credited to
+# the user's most recent PRECEDING non-purchase event type (the
+# marketing "channel"); purchases with no prior touch credit 'direct'.
+# One per-user time-ordered window with an (UNBOUNDED, 1 PRECEDING)
+# ignore-nulls last_value (the events_forward_fill pattern), then one
+# exact-decimal revenue aggregate per channel.
+# --------------------------------------------------------------------------
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tus, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_revenue
+    FROM e WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("events", "analytics", "attribution"),
+    doc="Last-touch attribution: purchase revenue credited to the prior touch.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("tus"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    e = ev.withColumn("channel", touch)
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
