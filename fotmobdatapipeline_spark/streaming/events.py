@@ -498,6 +498,56 @@ def interval_left_join_stream(
     )
 
 
+def interval_full_join_stream(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer-join
+    matrix next to the inner and left forms above: matched pairs as they
+    arrive, unmatched PURCHASES with null view columns, and unmatched
+    VIEWS with null purchase columns, each emitted once the watermark
+    proves finality on its side (Spark requires watermarks on both
+    inputs plus the two-sided time bound for full-outer state expiry —
+    both hold here, so state stays bounded on an unbounded feed).
+
+    The "coverage audit" shape: one query yields conversion gaps AND
+    orphaned views AND unattributed purchases.  Same end-of-feed caveat
+    as the left form (trailing unmatched rows emit only when a later
+    event advances the watermark); batch frames take the identical code
+    path minus watermarks, which is what the contract test compares.
+    """
+    a = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+    )
+    return a.join(b, cond, "full_outer").select(
+        F.coalesce(F.col("a_user"), F.col("b_user")).alias("user"),
+        "a_id",
+        "b_id",
+        F.when(
+            F.col("a_id").isNotNull() & F.col("b_id").isNotNull(),
+            F.unix_micros("a_ts") - F.unix_micros("b_ts"),
+        ).alias("gap_us"),
+    )
+
+
 def type_mix_maintenance_sink(
     events: DataFrame,
     path: str,

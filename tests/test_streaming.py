@@ -620,6 +620,76 @@ def test_interval_left_join_stream_matches_batch(spark, tmp_path):
     assert any(b is None for _, _, b, _ in want)
 
 
+def test_interval_full_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream FULL OUTER interval join drained to completion must
+    equal the batch full join: matched pairs identical, no-view
+    purchases with null right side, AND orphaned views with null left
+    side.  Sentinels advance both watermarks past the feed (the outer
+    caveat, as in the left-join test above)."""
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        interval_full_join_stream,
+        read_events_stream,
+    )
+
+    d = tmp_path / "fouter"
+    d.mkdir()
+    _sh.copy(f"{SF_SMALL}/events.parquet", d / "a.parquet")
+    raw = spark.read.parquet(str(d / "a.parquet"))
+    ts_type = raw.schema["ts"].dataType
+    max_ts = raw.agg(F.max("ts")).first()[0]
+
+    def sentinels(days, eid):
+        base = raw.limit(1)
+        rows = []
+        for off, etype in ((0, "purchase"), (1, "view")):
+            rows.append(
+                base.select(
+                    F.lit(eid + off).cast("long").alias("event_id"),
+                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast(
+                        ts_type
+                    ).alias("ts"),
+                    F.lit(-999).cast("long").alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+            )
+        return rows[0].unionByName(rows[1])
+
+    _time.sleep(1.1)
+    sentinels(10, 9_100_000).coalesce(1).write.mode("append").parquet(str(d))
+    _time.sleep(1.1)
+    sentinels(20, 9_100_002).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = read_events_stream(spark, str(d))
+    _drain(interval_full_join_stream(stream), "fouter_join", "append")
+    got = sorted(
+        (
+            (r["user"], r["a_id"], r["b_id"], r["gap_us"])
+            for r in spark.sql(
+                "SELECT * FROM fouter_join WHERE user <> -999"
+            ).collect()
+        ),
+        key=repr,  # None-bearing tuples aren't orderable with <
+    )
+    batch = interval_full_join_stream(read_table(spark, SF_SMALL, "events"))
+    want = sorted(
+        ((r["user"], r["a_id"], r["b_id"], r["gap_us"]) for r in batch.collect()),
+        key=repr,
+    )
+    assert got == want
+    assert len(want) > 0
+    # The full-outer contract bits: unmatched rows on BOTH sides.
+    assert any(b is None for _, _, b, _ in want)
+    assert any(a is None for _, a, _, _ in want)
+
+
 def test_type_mix_sink_equals_batch_drift(spark, tmp_path, events_dir):
     """The maintained per-type count state, after the feed drains, must
     equal the batch groupBy of the whole feed, and the drift report
