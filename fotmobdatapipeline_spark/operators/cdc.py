@@ -125,3 +125,52 @@ def incremental_group_sums(
         )
         .filter(F.col(n_col) > 0)
     )
+
+
+def incremental_join_view(
+    view_old: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_changed_keys: DataFrame,
+    dim_changed_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Maintain a materialized inner-join view V = fact ⋈ dim from
+    change sets instead of re-joining 100 TB: carry forward every view
+    row whose fact AND dim are untouched, and re-derive only the
+    affected slice from the new snapshots.
+
+    ``fact_changed_keys`` / ``dim_changed_keys`` are one-column key sets
+    (all change types — inserts, updates, deletes; e.g. the key columns
+    of :func:`snapshot_diff` output).  ``dim_changed_keys`` and
+    ``dim_new`` must use the FACT-side key column name (``dim_key``) —
+    rename before calling.
+
+    Correctness cases all reduce to two rules: (1) a view row survives
+    iff neither its fact key nor its dim key changed; (2) a new-snapshot
+    fact is re-joined iff its own key changed OR its dim key changed.
+    That covers fact inserts/deletes/updates (including dim-key moves),
+    dim attribute updates (fan out to every referencing fact), dim
+    deletes (re-join drops orphans, matching the direct inner join) and
+    dim inserts (rule 2's dim-key side picks up previously-orphaned
+    facts that now match — the classic inner-join IVM trap).
+
+    Scale shape: the change-key sets are |changes|-sized and ride
+    anti/semi hash joins (broadcast when small — the usual case); only
+    the affected facts re-join the dimension.  The carried-forward side
+    is a scan of the old view with two key filters — no shuffle, no
+    re-join; with a partitioned view table the untouched partitions
+    never rewrite (operators/merge.py applies the same doctrine to the
+    physical write).
+    """
+    keep = view_old.join(fact_changed_keys, fact_key, "left_anti").join(
+        dim_changed_keys, dim_key, "left_anti"
+    )
+    affected = (
+        fact_new.join(fact_changed_keys, fact_key, "left_semi")
+        .unionByName(fact_new.join(dim_changed_keys, dim_key, "left_semi"))
+        .distinct()
+    )
+    rebuilt = affected.join(dim_new, dim_key)
+    return keep.unionByName(rebuilt.select(*keep.columns))

@@ -692,3 +692,96 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(tot))
         .select("part_a", "part_b", "n_both", "n_a", "n_b", lift.alias("lift"))
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (IVM): the denormalized mart
+# orders ⋈ customer kept current from the two snapshot diffs instead of
+# re-joining the world.  Deterministic synthetic day-over-day change on
+# BOTH sides: fact deletes/inserts/total bumps plus every 17th order's
+# custkey MOVED to another dim key; dim deletes/inserts plus every 7th
+# customer's segment rewritten.  The oracle joins the new snapshots
+# DIRECTLY — a different computation whose values must coincide with
+# the carried-forward + re-derived union (operators/cdc.py::
+# incremental_join_view), covering the full case matrix including the
+# inner-join trap (a dim insert adopting previously-orphaned facts).
+# --------------------------------------------------------------------------
+def _join_view_snapshots(orders, customer):
+    total = F.col("o_totalprice").cast("decimal(12,2)")
+    moved_ck = (F.col("o_custkey") % 100) + 1
+    fact_old = orders.filter(F.col("o_orderkey") % 97 < 92).select(
+        "o_orderkey", F.col("o_custkey").alias("ck"), total.alias("total")
+    )
+    fact_new = orders.filter(F.col("o_orderkey") % 101 < 96).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, moved_ck)
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            total + F.lit("10.00").cast("decimal(12,2)"),
+        )
+        .otherwise(total)
+        .alias("total"),
+    )
+    seg = F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(
+        F.col("c_mktsegment")
+    )
+    dim_old = customer.filter(F.col("c_custkey") % 89 < 86).select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("segment")
+    )
+    dim_new = customer.filter(F.col("c_custkey") % 91 < 88).select(
+        F.col("c_custkey").alias("ck"), seg.alias("segment")
+    )
+    return fact_old, fact_new, dim_old, dim_new
+
+
+@register(
+    "cdc_incremental_join_view",
+    oracle="""
+    WITH fact_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 17 = 0 THEN (o_custkey % 100) + 1
+                  ELSE o_custkey END AS ck,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2))
+                       + CAST('10.00' AS DECIMAL(12,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS total
+      FROM orders WHERE o_orderkey % 101 < 96
+    ),
+    dim_new AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 91 < 88
+    )
+    SELECT f.o_orderkey, f.ck, CAST(f.total AS DOUBLE) AS total, d.segment
+    FROM fact_new f JOIN dim_new d ON d.ck = f.ck
+    """,
+    tags=("cdc", "incremental", "ivm", "join"),
+    doc="Join-view maintained from both sides' diffs; oracle re-joins directly.",
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.cdc import incremental_join_view
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    fact_old, fact_new, dim_old, dim_new = _join_view_snapshots(orders, customer)
+
+    view_old = fact_old.join(dim_old, "ck")
+    fact_diff = snapshot_diff(
+        fact_old, fact_new, keys=["o_orderkey"], compare_cols=["ck", "total"]
+    )
+    dim_diff = snapshot_diff(dim_old, dim_new, keys=["ck"], compare_cols=["segment"])
+    maintained = incremental_join_view(
+        view_old,
+        fact_new,
+        dim_new,
+        fact_changed_keys=fact_diff.select("o_orderkey"),
+        dim_changed_keys=dim_diff.select("ck"),
+        fact_key="o_orderkey",
+        dim_key="ck",
+    )
+    return maintained.select(
+        "o_orderkey", "ck", F.col("total").cast("double").alias("total"), "segment"
+    )

@@ -780,3 +780,95 @@ def test_partition_hist_merge_exact_and_quantiles(spark, tmp_path):
         est = quantile_from_merged_hist(h, q)
         true = exact[math.floor(q * (len(exact) - 1))]
         assert abs(est - true) <= width + 1e-9, (q, est, true)
+
+
+def test_incremental_join_view_full_case_matrix(spark):
+    """Every IVM case at once: fact insert/delete/measure-update/
+    dim-key move, dim attribute update/delete/insert — including the
+    inner-join trap where a dim INSERT adopts a previously-orphaned
+    fact.  Maintained view must equal the direct re-join of the new
+    snapshots."""
+    from fotmobdatapipeline_spark.operators.cdc import (
+        incremental_join_view,
+        snapshot_diff,
+    )
+
+    fact_old = spark.createDataFrame(
+        [
+            (1, 10, 100),  # untouched
+            (2, 10, 200),  # measure update
+            (3, 20, 300),  # dim-key move 20 -> 30
+            (4, 20, 400),  # fact delete
+            (5, 40, 500),  # dim 40 gets attribute update
+            (6, 50, 600),  # dim 50 deleted -> row must vanish
+            (7, 99, 700),  # ORPHAN: dim 99 absent in old, inserted in new
+        ],
+        "fk long, dk long, m long",
+    )
+    fact_new = spark.createDataFrame(
+        [
+            (1, 10, 100),
+            (2, 10, 201),
+            (3, 30, 300),
+            (5, 40, 500),
+            (6, 50, 600),
+            (7, 99, 700),
+            (8, 30, 800),  # fact insert
+        ],
+        "fk long, dk long, m long",
+    )
+    dim_old = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c"), (40, "d"), (50, "e")],
+        "dk long, attr string",
+    )
+    dim_new = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c"), (40, "D2"), (99, "z")],
+        "dk long, attr string",
+    )
+
+    view_old = fact_old.join(dim_old, "dk")
+    fdiff = snapshot_diff(fact_old, fact_new, keys=["fk"], compare_cols=["dk", "m"])
+    ddiff = snapshot_diff(dim_old, dim_new, keys=["dk"], compare_cols=["attr"])
+    got = sorted(
+        map(
+            tuple,
+            incremental_join_view(
+                view_old,
+                fact_new,
+                dim_new,
+                fact_changed_keys=fdiff.select("fk"),
+                dim_changed_keys=ddiff.select("dk"),
+                fact_key="fk",
+                dim_key="dk",
+            )
+            .select("fk", "dk", "m", "attr")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, fact_new.join(dim_new, "dk").select("fk", "dk", "m", "attr").collect())
+    )
+    assert got == want
+    # The trap case really is present: orphan fact 7 adopted by dim 99.
+    assert (7, 99, 700, "z") in got
+    # And dim-50's fact really vanished.
+    assert not any(r[0] == 6 for r in got)
+
+
+def test_incremental_join_view_untouched_rows_never_rejoin(spark):
+    """Plan contract: the carried-forward side is filters over the old
+    view only — the dimension appears in the REBUILT branch, so with an
+    empty change set the dim table is joined against zero fact rows."""
+    from fotmobdatapipeline_spark.operators.cdc import incremental_join_view
+
+    fact = spark.createDataFrame([(1, 10, 100)], "fk long, dk long, m long")
+    dim = spark.createDataFrame([(10, "a")], "dk long, attr string")
+    view_old = fact.join(dim, "dk")
+    empty_keys = spark.createDataFrame([], "fk long")
+    empty_dkeys = spark.createDataFrame([], "dk long")
+    out = incremental_join_view(
+        view_old, fact, dim, empty_keys, empty_dkeys, "fk", "dk"
+    )
+    assert sorted(map(tuple, out.select("fk", "dk", "m", "attr").collect())) == [
+        (1, 10, 100, "a")
+    ]
