@@ -374,6 +374,46 @@ def encode_media_as_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def encode_media_as_png(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode each payload as a REAL PNG (pure stdlib codec,
+    ``multimodal/png.py``): payload bytes become the pixel material
+    (truncate/zero-pad to ``width*height*3``), then the full container
+    — signature, IHDR/IDAT/IEND with CRC32, zlib-deflated scanlines
+    cycling None/Sub/Up/Paeth filters — is written by ``encode_png``.
+    The compressed-codec sibling of :func:`encode_media_as_bmp`; a
+    downstream ``png_feature_decoder`` decode therefore exercises
+    inflate + all-filter reconstruction, not a header skip."""
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.multimodal.bmp import text_pixels
+    from fotmobdatapipeline_spark.multimodal.png import encode_png
+
+    _ship_for_workers(media, encode_png, text_pixels)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            encoded = pdf["payload"].map(
+                lambda b: encode_png(width, height, text_pixels(bytes(b), width, height))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": encoded,
+                    "meta": [
+                        {
+                            "mime": "image/png",
+                            "n_bytes": len(b),
+                            "width": width,
+                            "height": height,
+                        }
+                        for b in encoded
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -8198,3 +8198,69 @@ def clf_probe_eval(spark: SparkSession, sf_dir: str):
         .groupBy("y", "pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Real COMPRESSED-format decode: PNG (multimodal/png.py — stdlib zlib
+# inflate + per-scanline filter reconstruction, the encoder cycling
+# None/Sub/Up/Paeth so a header-skip cannot pass).  Same proof shape as
+# multimodal_bmp_decode: the oracle recomputes the pixel-material
+# checksums from the PRE-encode text bytes, so a value match IS
+# decode(encode(x)) == x through a genuinely compressed container.
+# n_bytes is deliberately not surfaced (compressed size is a zlib
+# implementation detail, not pipeline semantics).
+# --------------------------------------------------------------------------
+_PNG_W, _PNG_H = 8, 4
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CASE WHEN i < n THEN
+               (strpos('0123456789abcdef', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+             ELSE 0 END AS bv
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H * 3})) AS u(i)
+    ),
+    stats AS (
+      SELECT doc_id,
+             MAX(CASE WHEN i = 0 THEN bv END) AS first_byte,
+             SUM(bv) AS total,
+             SUM((i + 1) * bv) AS weighted
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id, '89504E47' AS header_hex,
+           CAST({_PNG_W} AS VARCHAR) || ',' || CAST({_PNG_H} AS VARCHAR) || ','
+             || CAST(first_byte AS VARCHAR) || ','
+             || CAST(total AS VARCHAR) || ','
+             || CAST(weighted AS VARCHAR) AS feature_csv
+    FROM stats
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "decode", "compressed"),
+    doc="Real PNG encode->decode roundtrip (zlib + filter reconstruction).",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_features,
+        png_feature_decoder,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    feats = extract_features(png, decoder=png_feature_decoder)
+    return feats.select(
+        "doc_id",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feature_csv"),
+    )
