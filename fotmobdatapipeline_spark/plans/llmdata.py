@@ -8264,3 +8264,50 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str):
             F.transform("feature", lambda x: x.cast("long").cast("string")), ","
         ).alias("feature_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compressibility quality signal (functions/compressibility.py): the
+# Gopher/MassiveText repetitiveness filter — DEFLATE size over raw
+# size, low ratio = templated/degenerate text.  The oracle is built at
+# oracle_sql() time (the deferred-callable contract, like the fotmob
+# landing zone): an independent sequential path — DuckDB parquet read,
+# local stdlib zlib — recomputes every size and embeds them as VALUES,
+# so the distributed Arrow-batched UDF must byte-match a non-Spark
+# computation of the same pure function.
+# --------------------------------------------------------------------------
+def _deflate_oracle() -> str:
+    import zlib as _z
+
+    import duckdb as _d
+
+    rows = _d.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    vals = ",".join(
+        f"({i},{len(t.encode('utf-8'))},"
+        f"{len(_z.compress(t.encode('utf-8'), 6))})"
+        for i, t in rows
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_raw AS INTEGER) AS n_raw,
+           CAST(n_deflate AS INTEGER) AS n_deflate,
+           CAST(n_deflate AS DOUBLE) / CAST(n_raw AS DOUBLE) AS ratio
+    FROM (VALUES {vals}) AS t(doc_id, n_raw, n_deflate)
+    """
+
+
+@register(
+    "text_compression_ratio",
+    oracle=_deflate_oracle,
+    tags=("text", "quality", "pandas-udf"),
+    doc="DEFLATE compressibility quality signal; independent local-zlib oracle.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.functions.compressibility import deflate_ratio
+    from fotmobdatapipeline_spark.session import ship_package
+
+    ship_package(spark)
+    return deflate_ratio(read_table(spark, sf_dir, "documents"))
