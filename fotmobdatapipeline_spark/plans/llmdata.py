@@ -8311,3 +8311,74 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str):
 
     ship_package(spark)
     return deflate_ratio(read_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: cumulative distinct words vs cumulative
+# tokens at ten corpus checkpoints (doc_id deciles) — the curve that
+# sizes a tokenizer's vocabulary before training one.  Scale shape: NO
+# global ordering anywhere — checkpoints are doc_id value ranges off a
+# 1-row max scalar, each word contributes min(first checkpoint seen)
+# via one map-side-combinable aggregate, and the cumulation runs over
+# exactly 10 rows.
+# --------------------------------------------------------------------------
+@register(
+    "text_heaps_curve",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    tok AS (
+      SELECT CAST(LEAST(9, (doc_id * 10) // ((SELECT m FROM mx) + 1)) AS INT)
+               AS decile,
+             UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    per_decile AS (
+      SELECT decile, COUNT(*) AS n_tokens FROM tok GROUP BY decile
+    ),
+    firsts AS (
+      SELECT w, MIN(decile) AS first_decile FROM tok GROUP BY w
+    ),
+    new_words AS (
+      SELECT first_decile AS decile, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT d.decile,
+           CAST(SUM(d.n_tokens) OVER (ORDER BY d.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY d.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_words
+    FROM per_decile d LEFT JOIN new_words nw ON nw.decile = d.decile
+    """,
+    tags=("text", "corpus-stats", "tokenizer"),
+    doc="Heaps-law vocab growth at ten corpus checkpoints; no global sort.",
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    decile = F.least(
+        F.lit(9), F.expr("(doc_id * 10) div (m + 1)")
+    ).cast("int")
+    tok = (
+        docs.crossJoin(F.broadcast(mx))  # 1-row scalar by construction
+        .select(decile.alias("decile"), F.explode(F.split("text", " ")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    per_decile = tok.groupBy("decile").agg(F.count("*").alias("n_tokens"))
+    new_words = (
+        tok.groupBy("w")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new"))
+    )
+    from pyspark.sql import Window
+
+    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    joined = per_decile.join(new_words, "decile", "left")
+    return joined.select(
+        "decile",
+        F.sum("n_tokens").over(w10).alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w10).alias(
+            "cum_distinct_words"
+        ),
+    )
