@@ -8382,3 +8382,60 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str):
             "cum_distinct_words"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Probe calibration audit: reliability bins over the trained probe's
+# scores — per score-decile bin, how often is the label actually 1?
+# (The deployment question behind every threshold choice.)  Bin stats
+# are exact integers (count, positives) with one final IEEE division;
+# the bin id is floor(score*10) clamped, identical double math in both
+# engines because the score chain itself is bit-exact.
+# --------------------------------------------------------------------------
+@register(
+    "clf_probe_calibration",
+    oracle=lambda: f"""
+    WITH {_sql_clf_ctes()},
+    sc AS (
+      SELECT y, {_sql_clf_score_chain()} AS score FROM feat, wi{_CLF_ITERS}
+    ),
+    b AS (
+      SELECT y,
+             GREATEST(0, LEAST(9, CAST(FLOOR(score * 10) AS INT))) AS bin
+      FROM sc
+    )
+    SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+    FROM b GROUP BY bin
+    """,
+    tags=("classifier", "llmdata", "calibration"),
+    doc="Reliability bins of the trained probe; integer-exact bin stats.",
+)
+def clf_probe_calibration(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.classifier import (
+        probe_score_expr,
+        train_linear_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = train_linear_probe(
+        docs, _clf_label(), d=_CLF_D, lr=_CLF_LR, lam=_CLF_LAM,
+        iters=_CLF_ITERS,
+    )
+    score = probe_score_expr(F.col("text"), w, _CLF_D)
+    bin_id = F.greatest(
+        F.lit(0), F.least(F.lit(9), F.floor(score * 10).cast("int"))
+    )
+    return (
+        docs.select(_clf_label().cast("int").alias("y"), bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("bigint").alias("n_pos"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+        )
+    )
