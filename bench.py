@@ -90,6 +90,11 @@ HEADLINE = [
     "url_domain_mixture_psl",
     "llm_prep_pipeline_v3",
     "pref_btl_ratings",
+    "graph_kcore",
+    "multimodal_png_decode",
+    "text_compression_ratio",
+    "events_mannwhitney_u",
+    "cdc_incremental_join_view",
 ]
 
 
