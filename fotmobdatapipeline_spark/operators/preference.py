@@ -49,19 +49,18 @@ UNIT = 10**12
 _U2 = UNIT * UNIT
 
 
-def win_rates(
+def side_win_counts(
     battles: DataFrame,
     model_a: str = "model_a",
     model_b: str = "model_b",
     winner: str = "winner",
-    smooth: int = 1,
 ) -> DataFrame:
-    """Per-model (model, n_battles, n_wins, win_rate, smoothed_rate).
-
-    One explode (each battle contributes one row per side) and one hash
-    aggregate; win_rate and the add-``smooth`` smoothed rate are single
-    IEEE divisions of exact integer counts.
-    """
+    """Per-model exact (model, n_battles, n_wins): one explode (each
+    battle contributes one row per side) and one map-side-combinable
+    hash aggregate.  Shared by the batch win_rates and the streaming
+    leaderboard sink's per-batch increments — ONE definition of what a
+    win is.  A battle whose winner matches neither side (tie) counts
+    as a battle with no win for both."""
     sides = battles.select(
         F.explode(
             F.array(
@@ -76,13 +75,17 @@ def win_rates(
             )
         ).alias("s")
     ).select("s.*")
-    agg = sides.groupBy("model").agg(
+    return sides.groupBy("model").agg(
         F.count("*").alias("n_battles"), F.sum("win").alias("n_wins")
     )
-    return agg.select(
-        "model",
-        "n_battles",
-        "n_wins",
+
+
+def with_rates(counts: DataFrame, smooth: int = 1) -> DataFrame:
+    """Attach win_rate and the add-``smooth`` smoothed rate to a
+    (model, n_battles, n_wins) counts table — single IEEE divisions of
+    exact integers, shared by batch and the leaderboard reader."""
+    return counts.select(
+        "*",
         (F.col("n_wins").cast("double") / F.col("n_battles").cast("double")).alias(
             "win_rate"
         ),
@@ -90,6 +93,20 @@ def win_rates(
             (F.col("n_wins") + F.lit(smooth)).cast("double")
             / (F.col("n_battles") + F.lit(2 * smooth)).cast("double")
         ).alias("smoothed_rate"),
+    )
+
+
+def win_rates(
+    battles: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    smooth: int = 1,
+) -> DataFrame:
+    """Per-model (model, n_battles, n_wins, win_rate, smoothed_rate)."""
+    counts = side_win_counts(battles, model_a, model_b, winner)
+    return with_rates(counts, smooth).select(
+        "model", "n_battles", "n_wins", "win_rate", "smoothed_rate"
     )
 
 
@@ -104,8 +121,12 @@ def pairwise_win_matrix(
 
     Battles collapse to one row per unordered matchup (the only
     data-scale aggregate), then expand to the two directed rows the MM
-    update consumes.  ``smooth`` virtual wins are added in each
-    direction (n_pair gains 2*smooth), so wins >= 1 for every model.
+    update consumes.  Non-decisive battles — winner matching NEITHER
+    side ('tie', 'bothbad', malformed) — are excluded from the matrix
+    (the standard BTL treatment; counting them for either side would
+    bias ratings toward an arbitrary tiebreak).  ``smooth`` virtual
+    wins are added in each direction (n_pair = w1 + w2 + 2*smooth), so
+    wins >= 1 for every model.
     """
     lo = F.least(F.col(model_a), F.col(model_b))
     hi = F.greatest(F.col(model_a), F.col(model_b))
@@ -114,12 +135,13 @@ def pairwise_win_matrix(
             lo.alias("m1"),
             hi.alias("m2"),
             (F.col(winner) == lo).cast("long").alias("w1"),
+            (F.col(winner) == hi).cast("long").alias("w2"),
         )
         .groupBy("m1", "m2")
-        .agg(F.count("*").alias("n"), F.sum("w1").alias("w1"))
+        .agg(F.sum("w1").alias("w1"), F.sum("w2").alias("w2"))
     )
     s = F.lit(smooth)
-    n_sm = (F.col("n") + 2 * s).alias("n_pair")
+    n_sm = (F.col("w1") + F.col("w2") + 2 * s).alias("n_pair")
     fwd = pair.select(
         F.col("m1").alias("model"),
         F.col("m2").alias("opponent"),
@@ -130,9 +152,21 @@ def pairwise_win_matrix(
         F.col("m2").alias("model"),
         F.col("m1").alias("opponent"),
         n_sm,
-        (F.col("n") - F.col("w1") + s).alias("wins"),
+        (F.col("w2") + s).alias("wins"),
     )
     return fwd.unionByName(rev)
+
+
+def _floor_div(num: str, den: str) -> "F.Column":
+    """Exact truncating division of non-negative DECIMAL(38,0) values
+    that NEVER leaves decimal: (num - num % den) is exactly divisible,
+    so the decimal divide yields an exact integer at any intermediate
+    magnitude up to 1e38.  Spark's ``div`` operator is NOT usable here
+    — IntegralDivide returns LONG and silently WRAPS when the quotient
+    exceeds 2^63 (verified: 2e7 * 1e24 div 2e12 returns a negative),
+    which a 100 TB battle log reaches on one hot matchup."""
+    q = (F.expr(f"({num}) - pmod({num}, {den})")) / F.expr(den)
+    return q.cast("decimal(38,0)")
 
 
 def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
@@ -140,12 +174,19 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
 
     MM update (Hunter 2004):  p_i' = W_i / sum_j n_ij / (p_i + p_j),
     then normalize so ratings sum to n_models * UNIT (keeps the integer
-    scale stable across rounds).  In micro-units, with every division a
-    truncating integral ``div``:
+    scale stable across rounds).  In micro-units, every division the
+    exact decimal floor-division above (truncating; identical to
+    DuckDB's HUGEINT ``//`` on non-negative values):
 
-        t_ij = (n_ij * UNIT^2) div (p_i + p_j)       -- DECIMAL(38,0) *
-        p_i' = (W_i  * UNIT^2) div sum_j t_ij        -- then BIGINT out
-        p_i  = (p_i' * n_models * UNIT) div sum p'   -- normalize
+        t_ij = (n_ij * UNIT^2) fdiv (p_i + p_j)      -- all DECIMAL(38,0)
+        p_i' = (W_i  * UNIT^2) fdiv sum_j t_ij
+        p_i  = (p_i' * n_models * UNIT) fdiv sum p'  -- normalize
+
+    Intermediates stay DECIMAL(38,0) end-to-end (bounds: n_ij * 1e24
+    needs n_ij < 1e14; t sums likewise), so no LONG wrap at any
+    realistic matchup count.  The output rating_micro IS cast to LONG —
+    ratings are normalized to sum n_models * UNIT, so that cast is safe
+    while n_models < 9.2e6.
 
     ``matrix`` must be smoothed (wins >= 1 for every model; see
     pairwise_win_matrix) so sum_j t_ij and sum p' are never zero.
@@ -156,7 +197,7 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
     models = totals.localCheckpoint(eager=True)
 
     dec = "decimal(38,0)"
-    ratings = models.select("model", F.lit(UNIT).cast("long").alias("p"))
+    ratings = models.select("model", F.lit(UNIT).cast(dec).alias("p"))
     for _ in range(iters):
         pi = ratings.select(F.col("model"), F.col("p").alias("p_i"))
         pj = ratings.select(
@@ -167,29 +208,29 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
             .join(pj, "opponent")
             .select(
                 "model",
-                F.expr(
-                    f"(CAST(n_pair AS {dec}) * CAST({_U2} AS {dec}))"
-                    f" div CAST(p_i + p_j AS {dec})"
+                _floor_div(
+                    f"CAST(n_pair AS {dec}) * CAST({_U2} AS {dec})",
+                    f"CAST(p_i + p_j AS {dec})",
                 ).alias("t"),
             )
             .groupBy("model")
-            .agg(F.sum(F.col("t").cast(dec)).alias("den"))
+            .agg(F.sum(F.col("t")).alias("den"))
         )
         unnorm = models.join(den, "model").select(
             "model",
-            F.expr(
-                f"(CAST(w_tot AS {dec}) * CAST({_U2} AS {dec}))"
-                f" div CAST(den AS {dec})"
+            _floor_div(
+                f"CAST(w_tot AS {dec}) * CAST({_U2} AS {dec})",
+                f"CAST(den AS {dec})",
             ).alias("pn"),
         )
-        total = unnorm.agg(F.sum(F.col("pn").cast(dec)).alias("s"))
+        total = unnorm.agg(F.sum(F.col("pn")).alias("s"))
         ratings = (
             unnorm.crossJoin(F.broadcast(total))  # 1-row scalar by construction
             .select(
                 "model",
-                F.expr(
-                    f"(CAST(pn AS {dec}) * CAST({n_models * UNIT} AS {dec}))"
-                    f" div CAST(s AS {dec})"
+                _floor_div(
+                    f"CAST(pn AS {dec}) * CAST({n_models * UNIT} AS {dec})",
+                    f"CAST(s AS {dec})",
                 ).alias("p"),
             )
             .localCheckpoint(eager=True)
@@ -198,6 +239,6 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
     return totals.join(ratings, "model").select(
         "model",
         F.col("w_tot").alias("n_wins"),
-        F.col("p").alias("rating_micro"),
+        F.col("p").cast("bigint").alias("rating_micro"),
         (F.col("p").cast("double") / F.lit(float(UNIT))).alias("rating"),
     )

@@ -1304,6 +1304,23 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str):
 # one conditional 1-row aggregate — no window, no join; the z math runs
 # on four integers.
 # --------------------------------------------------------------------------
+def _ab_variant():
+    """Portable md5 user->variant assignment shared by every A/B entry
+    (the SQL twin is _sql_hex32_ab): ONE definition of the split, so a
+    salt or width change cannot silently diverge between entries of the
+    same experiment family."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+
+
 def _sql_hex32_ab(col: str) -> str:
     return " + ".join(
         f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
@@ -1366,16 +1383,7 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str):
             )
         ).alias("conv")
     )
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     v = pu.select("conv", variant.alias("variant"))
     is_a = (F.col("variant") == 0).cast("long")
     is_b = (F.col("variant") == 1).cast("long")
@@ -1489,16 +1497,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     p = ev.select(F.col("value").cast("decimal(12,2)").alias("v"), variant.alias("variant"))
     is_a = F.col("variant") == 0
     is_b = F.col("variant") == 1
@@ -1622,16 +1621,7 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     p = ev.select(
         F.col("value").cast("decimal(12,2)").alias("v"), variant.alias("variant")
     )
@@ -1801,16 +1791,7 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
             .alias("y"),
         )
     )
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     v = pu.select("x", "y", variant.alias("variant"))
     is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
     t = v.agg(
@@ -2029,16 +2010,7 @@ def events_qte(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     p = ev.select(F.col("value").alias("value"), variant.alias("variant"))
     q = exact_group_quantiles(p, "value", ["variant"], ps=(0.5, 0.9))
     w = q.agg(
@@ -2095,16 +2067,7 @@ def events_qte(spark: SparkSession, sf_dir: str):
 def events_srm_check(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events")
     u = ev.select("user_id").distinct()
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    variant = _ab_variant()
     v = u.select(variant.alias("variant"))
     t = v.agg(
         F.sum((F.col("variant") == 0).cast("long")).alias("n_a"),

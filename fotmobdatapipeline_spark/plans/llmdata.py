@@ -8276,6 +8276,13 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str):
 # so the distributed Arrow-batched UDF must byte-match a non-Spark
 # computation of the same pure function.
 # --------------------------------------------------------------------------
+# Deferred oracles are pinned to the driver contract's compare SF —
+# the driver always runs oracle_sql() against sf0.01 (same pinning as
+# the fotmob landing-zone oracle).  tools/driver_sim.py warns when
+# invoked with any other sf_dir.
+_DEFERRED_ORACLE_SF = "/root/testdata/sf0.01"
+
+
 def _deflate_oracle() -> str:
     import zlib as _z
 
@@ -8283,7 +8290,7 @@ def _deflate_oracle() -> str:
 
     rows = _d.sql(
         "SELECT doc_id, text FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{_DEFERRED_ORACLE_SF}/documents.parquet')"
     ).fetchall()
     vals = ",".join(
         f"({i},{len(t.encode('utf-8'))},"

@@ -129,14 +129,15 @@ def _btl_cte_body(iters: int = _BTL_ITERS) -> str:
     WITH {_SQL_BATTLES},
     pair AS (
       SELECT LEAST(model_a, model_b) AS m1, GREATEST(model_a, model_b) AS m2,
-             COUNT(*) AS n,
-             SUM(CASE WHEN winner = LEAST(model_a, model_b) THEN 1 ELSE 0 END) AS w1
+             SUM(CASE WHEN winner = LEAST(model_a, model_b) THEN 1 ELSE 0 END) AS w1,
+             SUM(CASE WHEN winner = GREATEST(model_a, model_b) THEN 1 ELSE 0 END) AS w2
       FROM battles GROUP BY 1, 2
     ),
     mat AS MATERIALIZED (
-      SELECT m1 AS model, m2 AS opponent, n + 2 AS n_pair, w1 + 1 AS wins FROM pair
+      SELECT m1 AS model, m2 AS opponent, w1 + w2 + 2 AS n_pair, w1 + 1 AS wins
+      FROM pair
       UNION ALL
-      SELECT m2, m1, n + 2, n - w1 + 1 FROM pair
+      SELECT m2, m1, w1 + w2 + 2, w2 + 1 FROM pair
     ),
     models AS MATERIALIZED (
       SELECT model, CAST(SUM(wins) AS HUGEINT) AS w_tot FROM mat GROUP BY model

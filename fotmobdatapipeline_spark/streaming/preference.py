@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.operators.preference import (
+    side_win_counts,
+    with_rates,
+)
 from fotmobdatapipeline_spark.streaming.sketches import (
     _current_version,
     _publish_version,
@@ -44,18 +48,8 @@ def read_leaderboard(spark, path: str) -> DataFrame | None:
     if v is None:
         return None
     t = spark.read.parquet(f"{path}/{v}")
-    return t.select(
-        "model",
-        "n_battles",
-        "n_wins",
-        (F.col("n_wins").cast("double") / F.col("n_battles").cast("double")).alias(
-            "win_rate"
-        ),
-        (
-            (F.col("n_wins") + F.lit(1)).cast("double")
-            / (F.col("n_battles") + F.lit(2)).cast("double")
-        ).alias("smoothed_rate"),
-        "last_batch",
+    return with_rates(t.select("model", "n_battles", "n_wins", "last_batch")).select(
+        "model", "n_battles", "n_wins", "win_rate", "smoothed_rate", "last_batch"
     )
 
 
@@ -85,29 +79,8 @@ def leaderboard_maintenance_sink(
             applied = prev.agg(F.max("last_batch")).first()[0]
             if applied is not None and batch_id <= applied:
                 return  # replay of an already-applied batch: no-op
-        inc = (
-            batch_df.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col(model_a).alias("model"),
-                            (F.col(winner) == F.col(model_a))
-                            .cast("long")
-                            .alias("win"),
-                        ),
-                        F.struct(
-                            F.col(model_b).alias("model"),
-                            (F.col(winner) == F.col(model_b))
-                            .cast("long")
-                            .alias("win"),
-                        ),
-                    )
-                ).alias("s")
-            )
-            .select("s.*")
-            .groupBy("model")
-            .agg(F.count("*").alias("n_battles"), F.sum("win").alias("n_wins"))
-        )
+        # The batch operator's own aggregate — ONE definition of a win.
+        inc = side_win_counts(batch_df, model_a, model_b, winner)
         if prev is not None:
             merged = (
                 prev.select("model", "n_battles", "n_wins")

@@ -179,3 +179,54 @@ def test_leaderboard_replay_is_noop(spark, tmp_path):
     drain("ckpt2")  # same files, batch id 0 again -> replay guard
     second = sorted(map(tuple, read_leaderboard(spark, str(tmp_path / "board")).collect()))
     assert first == second
+
+
+def test_win_matrix_excludes_ties(spark):
+    """A battle whose winner matches neither side (tie / 'bothbad')
+    must not be credited to anyone: only the smoothing remains."""
+    b = _battles(spark, [("A", "B", "tie"), ("A", "B", "A")])
+    rows = {(r["model"], r["opponent"]): r for r in pairwise_win_matrix(b).collect()}
+    assert rows[("A", "B")]["wins"] == 2  # 1 real + 1 smoothing
+    assert rows[("B", "A")]["wins"] == 1  # smoothing only
+    assert rows[("A", "B")]["n_pair"] == 3  # decisive battle + 2 smoothing
+
+
+def _btl_python_replay(mat_rows, n_models, iters=6, unit=UNIT):
+    """Pure-Python exact-integer replay of the MM rounds (arbitrary
+    precision — the ground truth the Spark decimal path must match)."""
+    models = sorted({m for m, *_ in mat_rows})
+    w_tot = {m: 0 for m in models}
+    for m, _, _, w in mat_rows:
+        w_tot[m] += w
+    p = {m: unit for m in models}
+    for _ in range(iters):
+        den = {m: 0 for m in models}
+        for m, o, n_pair, _ in mat_rows:
+            den[m] += (n_pair * unit * unit) // (p[m] + p[o])
+        pn = {m: (w_tot[m] * unit * unit) // den[m] for m in models}
+        s = sum(pn.values())
+        p = {m: (pn[m] * n_models * unit) // s for m in models}
+    return p
+
+
+def test_btl_hot_matchup_no_long_wrap(spark):
+    """The overflow regression: one matchup with 30M battles used to
+    wrap Spark's LONG-returning `div` to a negative intermediate while
+    the HUGEINT oracle stayed exact.  The decimal floor-division path
+    must match an arbitrary-precision Python replay exactly."""
+    mat_rows = [
+        ("A", "B", 30_000_002, 20_000_001),
+        ("B", "A", 30_000_002, 10_000_001),
+        ("B", "C", 12, 9),
+        ("C", "B", 12, 3),
+    ]
+    mat = spark.createDataFrame(
+        mat_rows, "model string, opponent string, n_pair long, wins long"
+    )
+    got = {
+        r["model"]: r["rating_micro"] for r in btl_ratings(mat, iters=6).collect()
+    }
+    want = _btl_python_replay(mat_rows, n_models=3)
+    assert got == want
+    assert all(v > 0 for v in got.values())
+    assert got["A"] > got["B"] > got["C"]
