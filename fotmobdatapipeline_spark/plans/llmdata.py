@@ -8446,3 +8446,143 @@ def clf_probe_calibration(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified rerank: greedy
+# relevance-vs-redundancy selection over the brute-force shortlist —
+# the diversity-aware retrieval step RAG corpus builders run after ANN
+# (Carbonell & Goldstein 1998).  Scale shape: the DATA-scale stage is
+# the shortlist TakeOrderedAndProject; the greedy rounds touch only
+# shortlist x selected (<= 12 x 4 rows, checkpointed per round), so
+# corpus size never enters the iteration.  Round 1 scores are raw
+# cosine (empty selected set); later rounds lam*cos - mu*max-sim with
+# the identical fold/operand order in both engines — bit-exact.
+# --------------------------------------------------------------------------
+_MMR_SHORT, _MMR_K = 12, 4
+_MMR_LAM, _MMR_MU = 0.7, 0.3
+
+
+def _mmr_oracle() -> str:
+    dot_cs = _sql_dot("c.embedding", "s.embedding")
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f""",
+    pen{r} AS (
+      SELECT c.vec_id,
+             MAX({dot_cs} / (c.nrm * s.nrm)) AS pen
+      FROM short c, sel{r - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      GROUP BY c.vec_id
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.embedding, c.nrm, c.cos_q,
+             CAST({_MMR_LAM} AS DOUBLE) * c.cos_q
+               - CAST({_MMR_MU} AS DOUBLE) * p.pen AS mmr,
+             CAST({r} AS INT) AS rank
+      FROM short c JOIN pen{r} p USING (vec_id)
+      ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding, nrm,
+             {_sql_dot('embedding', 'q_emb')} / (nrm * q_nrm) AS cos_q
+      FROM v, q WHERE vec_id <> 0
+    ),
+    short AS MATERIALIZED (
+      SELECT * FROM cand ORDER BY cos_q DESC, vec_id ASC LIMIT {_MMR_SHORT}
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm, cos_q, cos_q AS mmr, CAST(1 AS INT) AS rank
+      FROM short ORDER BY cos_q DESC, vec_id ASC LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT * FROM p1){"".join(rounds)}
+    SELECT rank, vec_id, cos_q, mmr AS mmr_score FROM sel{_MMR_K}
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "rerank", "diversity", "iterative"),
+    doc="MMR diversified rerank over the brute-force shortlist; bit-exact greedy.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.similarity import dot, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))  # 1-row query vector by construction
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (
+                dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cos_q"),
+        )
+    )
+    short = (
+        cand.orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(_MMR_SHORT)
+        .localCheckpoint(eager=True)
+    )
+    selected = None
+    for r in range(1, _MMR_K + 1):
+        if selected is None:
+            scored = short.withColumn("mmr", F.col("cos_q"))
+        else:
+            sel_ids = selected.select(F.col("vec_id").alias("sid"))
+            rem = short.join(sel_ids, short.vec_id == sel_ids.sid, "left_anti")
+            s = selected.select(
+                F.col("embedding").alias("s_emb"), F.col("nrm").alias("s_nrm")
+            )
+            pen = (
+                rem.crossJoin(F.broadcast(s))  # <= shortlist x k rows
+                .select(
+                    "vec_id",
+                    (
+                        dot(F.col("embedding"), F.col("s_emb"))
+                        / (F.col("nrm") * F.col("s_nrm"))
+                    ).alias("sim"),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("pen"))
+            )
+            scored = rem.join(pen, "vec_id").withColumn(
+                "mmr",
+                F.lit(_MMR_LAM) * F.col("cos_q") - F.lit(_MMR_MU) * F.col("pen"),
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "cos_q",
+                "mmr",
+                F.lit(r).cast("int").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected = (
+            pick
+            if selected is None
+            else selected.unionByName(pick).localCheckpoint(eager=True)
+        )
+    return selected.select("rank", "vec_id", "cos_q", F.col("mmr").alias("mmr_score"))
