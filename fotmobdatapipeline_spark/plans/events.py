@@ -2134,3 +2134,125 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str):
             .alias("attributed_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap for the A/B revenue delta: B=32
+# replicates where each user's weight in replicate b is Poisson(1)
+# drawn from md5(user, b) through FIXED integer CDF thresholds — the
+# production-scale bootstrap (one pass, no RNG state, content-stable
+# across reruns/engines).  Per-user revenue is an exact DECIMAL sum;
+# weights are small ints, so every weighted sum stays exact and each
+# replicate's delta is one fixed IEEE tree.  Scale shape: one per-user
+# aggregate, a bounded 32x explode of USER-cardinality rows (never
+# events), one combinable aggregate per replicate.
+# --------------------------------------------------------------------------
+_BOOT_B = 32
+# Poisson(1) CDF scaled to 2^32: P(X<=k) for k = 0..4; >= last -> 5.
+_POIS_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279248374)
+
+
+def _sql_pois_weight(h: str) -> str:
+    return (
+        f"CASE WHEN {h} < {_POIS_T[0]} THEN 0 "
+        f"WHEN {h} < {_POIS_T[1]} THEN 1 "
+        f"WHEN {h} < {_POIS_T[2]} THEN 2 "
+        f"WHEN {h} < {_POIS_T[3]} THEN 3 "
+        f"WHEN {h} < {_POIS_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "events_ab_bootstrap",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, x,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    rep AS (
+      SELECT v.*, CAST(b AS INT) AS b,
+             {_sql_pois_weight(
+                 "(" + _sql_hex32_ab(
+                     "substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+                     "|| CAST(user_id AS VARCHAR)), 1, 8)") + ")"
+             )} AS w
+      FROM v, UNNEST(range(0, {_BOOT_B})) AS t(b)
+    ),
+    agg AS (
+      SELECT b,
+             SUM(CASE WHEN variant = 0 THEN w * x
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_a,
+             CAST(SUM(CASE WHEN variant = 0 THEN w ELSE 0 END) AS BIGINT) AS n_a,
+             SUM(CASE WHEN variant = 1 THEN w * x
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_b,
+             CAST(SUM(CASE WHEN variant = 1 THEN w ELSE 0 END) AS BIGINT) AS n_b
+      FROM rep GROUP BY b
+    )
+    SELECT b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta_rep
+    FROM agg
+    """,
+    tags=("events", "stats", "abtest", "bootstrap"),
+    doc="Deterministic Poisson bootstrap: 32 hash-weighted delta replicates.",
+)
+def events_ab_bootstrap(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    v = pu.select("user_id", "x", _ab_variant().alias("variant"))
+    rep = v.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        F.when(h < _POIS_T[0], 0)
+        .when(h < _POIS_T[1], 1)
+        .when(h < _POIS_T[2], 2)
+        .when(h < _POIS_T[3], 3)
+        .when(h < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    rep = rep.withColumn("w", w)
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    agg = rep.groupBy(F.col("b").cast("int").alias("b")).agg(
+        F.sum(F.when(is_a, F.col("w") * F.col("x")).otherwise(dec0)).alias("sx_a"),
+        F.sum(F.when(is_a, F.col("w")).otherwise(F.lit(0))).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_b, F.col("w") * F.col("x")).otherwise(dec0)).alias("sx_b"),
+        F.sum(F.when(is_b, F.col("w")).otherwise(F.lit(0))).cast("bigint").alias("n_b"),
+    )
+    return agg.select(
+        "b",
+        (
+            F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("sx_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("delta_rep"),
+    )
