@@ -2256,3 +2256,46 @@ def events_ab_bootstrap(spark: SparkSession, sf_dir: str):
             - F.col("sx_b").cast("double") / F.col("n_b").cast("double")
         ).alias("delta_rep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bootstrap confidence band: the 32 replicate deltas reduce to a
+# PERCENTILE_CONT(.05/.95) interval plus the observed (unweighted)
+# delta — the report an experiment readout actually shows.  Rank
+# arithmetic over exactly B rows; the oracle composes the replicate
+# query verbatim as a subquery.
+# --------------------------------------------------------------------------
+def _QUERIES_ORACLE_REF(name: str) -> str:
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES as _Q
+
+    return _Q[name].oracle_text()
+
+
+@register(
+    "events_ab_bootstrap_ci",
+    oracle=lambda: f"""
+    WITH reps AS ({{rep}}),
+    r AS (
+      SELECT delta_rep AS v,
+             ROW_NUMBER() OVER (ORDER BY delta_rep) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM reps
+    )
+    SELECT {_sql_pct_ev(0.05)} AS ci_lo, {_sql_pct_ev(0.95)} AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_reps
+    FROM r
+    """.format(
+        rep=_QUERIES_ORACLE_REF("events_ab_bootstrap")
+    ),
+    tags=("events", "stats", "abtest", "bootstrap"),
+    doc="Bootstrap 5-95% band over the 32 replicate deltas; exact ranks.",
+)
+def events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    reps = events_ab_bootstrap(spark, sf_dir).withColumn("g", F.lit(1))
+    q = exact_group_quantiles(
+        reps, "delta_rep", ["g"], ps=(0.05, 0.95), names=("ci_lo", "ci_hi")
+    )
+    n = reps.groupBy("g").agg(F.count("*").alias("n_reps"))
+    return q.join(n, "g").select("ci_lo", "ci_hi", "n_reps")
