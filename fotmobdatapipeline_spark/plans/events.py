@@ -2299,3 +2299,87 @@ def events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str):
     )
     n = reps.groupBy("g").agg(F.count("*").alias("n_reps"))
     return q.join(n, "g").select("ci_lo", "ci_hi", "n_reps")
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences: the four (variant x period) mean-revenue
+# cells around the CUPED boundary and the DiD estimate
+# (post_a - pre_a) - (post_b - pre_b) — the quasi-experimental readout
+# when randomization is suspect.  Exact decimal cell sums, integer
+# counts, one fixed IEEE tree; same single-aggregate scale shape as the
+# rest of the A/B family.
+# --------------------------------------------------------------------------
+@register(
+    "events_did_estimate",
+    oracle=f"""
+    WITH bnd AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    p AS (
+      SELECT CAST(value AS DECIMAL(12,2)) AS x,
+             CASE WHEN epoch_us(ts) >= (SELECT mid FROM bnd) THEN 1 ELSE 0 END AS post,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT
+        SUM(CASE WHEN variant = 0 AND post = 0 THEN x ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_a0,
+        CAST(SUM(CASE WHEN variant = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a0,
+        SUM(CASE WHEN variant = 0 AND post = 1 THEN x ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_a1,
+        CAST(SUM(CASE WHEN variant = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a1,
+        SUM(CASE WHEN variant = 1 AND post = 0 THEN x ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_b0,
+        CAST(SUM(CASE WHEN variant = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+        SUM(CASE WHEN variant = 1 AND post = 1 THEN x ELSE CAST(0 AS DECIMAL(12,2)) END) AS s_b1,
+        CAST(SUM(CASE WHEN variant = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1
+      FROM p
+    ),
+    m AS (
+      SELECT n_a0, n_a1, n_b0, n_b1,
+             CAST(s_a0 AS DOUBLE) / CAST(n_a0 AS DOUBLE) AS m_a0,
+             CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE) AS m_a1,
+             CAST(s_b0 AS DOUBLE) / CAST(n_b0 AS DOUBLE) AS m_b0,
+             CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE) AS m_b1
+      FROM t
+    )
+    SELECT n_a0, n_a1, n_b0, n_b1, m_a0, m_a1, m_b0, m_b1,
+           (m_a1 - m_a0) - (m_b1 - m_b0) AS did
+    FROM m
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Difference-in-differences around the period boundary; bit-exact.",
+)
+def events_did_estimate(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ev = ev.withColumn("tus", F.unix_micros("ts"))
+    bnd = ev.agg(F.expr("(MIN(tus) + MAX(tus)) div 2").alias("mid"))
+    p = ev.crossJoin(F.broadcast(bnd)).select(
+        F.col("value").cast("decimal(12,2)").alias("x"),
+        (F.col("tus") >= F.col("mid")).cast("int").alias("post"),
+        _ab_variant().alias("variant"),
+    )
+    dec0 = F.lit(0).cast("decimal(12,2)")
+    aggs = []
+    for vn, vv in (("a", 0), ("b", 1)):
+        for pn in (0, 1):
+            c = (F.col("variant") == vv) & (F.col("post") == pn)
+            aggs.append(F.sum(F.when(c, F.col("x")).otherwise(dec0)).alias(f"s_{vn}{pn}"))
+            aggs.append(
+                F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n_{vn}{pn}")
+            )
+    t = p.agg(*aggs)
+    means = [
+        (F.col(f"s_{c}").cast("double") / F.col(f"n_{c}").cast("double")).alias(
+            f"m_{c}"
+        )
+        for c in ("a0", "a1", "b0", "b1")
+    ]
+    m = t.select(*(F.col(f"n_{c}") for c in ("a0", "a1", "b0", "b1")), *means)
+    return m.select(
+        "*",
+        (
+            (F.col("m_a1") - F.col("m_a0")) - (F.col("m_b1") - F.col("m_b0"))
+        ).alias("did"),
+    )
