@@ -2383,3 +2383,90 @@ def events_did_estimate(spark: SparkSession, sf_dir: str):
             (F.col("m_a1") - F.col("m_a0")) - (F.col("m_b1") - F.col("m_b0"))
         ).alias("did"),
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment sizing readout: with the observed arm sizes and base
+# conversion rate, the minimum detectable effect at alpha=.05 /
+# power=.80 — MDE = (z_alpha/2 + z_beta) * sqrt(p(1-p) * (1/n_a+1/n_b)).
+# The z constants are fixed literals (1.959964, 0.841621), everything
+# else exact counts through one fixed IEEE tree; same one-aggregate
+# shape as events_ab_ztest, whose split and conversion definition it
+# reuses.
+# --------------------------------------------------------------------------
+_Z_ALPHA, _Z_BETA = 1.959964, 0.841621
+
+
+@register(
+    "events_ab_mde",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT conv,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM v
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(c AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS base_rate
+      FROM t
+    )
+    SELECT n_a, n_b, base_rate,
+           (CAST({_Z_ALPHA} AS DOUBLE) + CAST({_Z_BETA} AS DOUBLE))
+             * sqrt((base_rate * (CAST(1 AS DOUBLE) - base_rate))
+                    * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS mde_abs
+    FROM m
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Minimum detectable effect at alpha=.05/power=.80; bit-exact.",
+)
+def events_ab_mde(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150)).cast(
+                "int"
+            )
+        ).alias("conv")
+    )
+    v = pu.select("conv", _ab_variant().alias("variant"))
+    t = v.agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n_b"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    m = t.select(
+        "n_a",
+        "n_b",
+        (F.col("c").cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")).alias(
+            "base_rate"
+        ),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "base_rate",
+        (
+            (F.lit(_Z_ALPHA) + F.lit(_Z_BETA))
+            * F.sqrt(
+                (F.col("base_rate") * (F.lit(1.0) - F.col("base_rate")))
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                )
+            )
+        ).alias("mde_abs"),
+    )
