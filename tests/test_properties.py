@@ -1976,3 +1976,114 @@ def test_blocklist_empty_phrase_table_yields_no_hits(spark):
     assert blocklist_hits(docs, empty).count() == 0
     row = docs.select(blocklist_flags_expr(F.col("text"), []).alias("s")).collect()[0]
     assert (row["s"]["n_hits"], row["s"]["n_phrases"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Preference: Spark's decimal BTL path must equal an arbitrary-precision
+# Python replay on ANY battle log (including ties and extreme counts).
+# ---------------------------------------------------------------------------
+_MODELS = ["m1", "m2", "m3", "m4"]
+
+battles_strat = st.lists(
+    st.tuples(
+        st.sampled_from(_MODELS),
+        st.sampled_from(_MODELS),
+        st.sampled_from(_MODELS + ["tie"]),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=3,
+    max_size=12,
+)
+
+
+def _btl_replay_from_battles(rows, iters, unit):
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for a, b, winner in rows:
+        lo, hi = min(a, b), max(a, b)
+        if winner == lo:
+            w[(lo, hi, 0)] += 1
+        elif winner == hi:
+            w[(lo, hi, 1)] += 1
+        else:  # non-decisive: excluded from the matrix
+            w[(lo, hi)] += 0
+    mat = []
+    for lo, hi in {(k[0], k[1]) for k in w}:
+        w1, w2 = w.get((lo, hi, 0), 0), w.get((lo, hi, 1), 0)
+        n = w1 + w2 + 2
+        mat.append((lo, hi, n, w1 + 1))
+        mat.append((hi, lo, n, w2 + 1))
+    models = sorted({m for m, *_ in mat})
+    w_tot = {m: 0 for m in models}
+    for m, _, _, wx in mat:
+        w_tot[m] += wx
+    p = {m: unit for m in models}
+    for _ in range(iters):
+        den = {m: 0 for m in models}
+        for m, o, n_pair, _ in mat:
+            den[m] += (n_pair * unit * unit) // (p[m] + p[o])
+        pn = {m: (w_tot[m] * unit * unit) // den[m] for m in models}
+        s = sum(pn.values())
+        p = {m: (pn[m] * len(models) * unit) // s for m in models}
+    return p
+
+
+@_settings
+@given(battles_strat)
+def test_btl_matches_arbitrary_precision_replay(spark, rows):
+    from fotmobdatapipeline_spark.operators.preference import (
+        UNIT,
+        btl_ratings,
+        pairwise_win_matrix,
+    )
+
+    b = spark.createDataFrame(
+        rows, "model_a string, model_b string, winner string"
+    )
+    got = {
+        r["model"]: r["rating_micro"]
+        for r in btl_ratings(pairwise_win_matrix(b), iters=4).collect()
+    }
+    want = _btl_replay_from_battles(rows, iters=4, unit=UNIT)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# K-core: Spark peeling must equal a direct Python fixpoint replay.
+# ---------------------------------------------------------------------------
+edges_strat = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=2,
+    max_size=16,
+)
+
+
+def _kcore_replay(edges, k, rounds):
+    adj = {}
+    und = set()
+    for a, b in edges:
+        und.add((min(a, b), max(a, b)))
+    es = {(a, b) for a, b in und} | {(b, a) for a, b in und}
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in es:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+    deg = {}
+    for a, _b in es:
+        deg[a] = deg.get(a, 0) + 1
+    return {(n, d) for n, d in deg.items() if d >= k}
+
+
+@_settings
+@given(edges_strat)
+def test_kcore_matches_python_replay(spark, edges):
+    from fotmobdatapipeline_spark.operators.graph import kcore
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["core_deg"])
+        for r in kcore(pairs, k=2, rounds=4).collect()
+    }
+    assert got == _kcore_replay(edges, k=2, rounds=4)
