@@ -1903,49 +1903,13 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
     doc="CUSUM level-shift detector over hourly cents; integer-exact fold.",
 )
 def events_cusum_hourly(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.timeseries import (
+        cusum_hourly_report,
+        hourly_cents,
+    )
+
     ev = read_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            "event_type",
-            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
-        )
-        .agg(
-            F.sum(F.col("value").cast("decimal(12,2)") * 100)
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
-    arr = F.array_sort(F.collect_list(F.struct("ho", "cents")))
-    g = hourly.groupBy("event_type").agg(
-        F.transform(arr, lambda s: s["cents"]).alias("xs")
-    )
-    k = g.select(
-        "event_type",
-        "xs",
-        F.size("xs").cast("bigint").alias("n_hours"),
-        F.expr(
-            "aggregate(xs, CAST(0 AS BIGINT), (a, v) -> a + v) div size(xs)"
-        ).alias("k_cents"),
-    )
-    zero = F.lit(0).cast("bigint")
-    init = F.struct(zero.alias("s"), zero.alias("mx"), zero.alias("al"))
-
-    def step(a, v):
-        s_new = F.greatest(zero, a["s"] + v - F.col("k_cents"))
-        return F.struct(
-            s_new.alias("s"),
-            F.greatest(a["mx"], s_new).alias("mx"),
-            (a["al"] + (s_new > 2 * F.col("k_cents")).cast("bigint")).alias("al"),
-        )
-
-    st = F.aggregate(F.col("xs"), init, step)
-    return k.select(
-        "event_type",
-        "n_hours",
-        "k_cents",
-        st["mx"].alias("max_cusum_cents"),
-        st["al"].alias("n_alarm_hours"),
-    )
+    return cusum_hourly_report(hourly_cents(ev))
 
 
 # --------------------------------------------------------------------------

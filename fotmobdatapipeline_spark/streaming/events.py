@@ -647,3 +647,77 @@ def read_type_mix_drift(spark, path: str, baseline: DataFrame) -> DataFrame | No
         share_cur.alias("share_cur"),
         (share_cur - share_base).alias("share_delta"),
     )
+
+
+def hourly_cents_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keep_versions: int = 1,
+):
+    """Streaming face of the CUSUM drift detector: maintain the
+    (event_type, ho, cents) hourly table as events stream in — each
+    micro-batch's hourly collapse (operators/timeseries.py::
+    hourly_cents, the SAME aggregate the batch entry runs) folds into
+    the stored table by (type, hour)-wise SUM.  Cents are exact
+    integers, so the maintained table is CELL-IDENTICAL to a batch
+    build over the whole feed, and a CUSUM report read from it
+    (``read_cusum_report`` -> the shared ``cusum_hourly_report`` fold)
+    is bit-identical to the batch entry.  Exactly-once + versioned
+    publication contract as the sketch sinks."""
+    from fotmobdatapipeline_spark.operators.timeseries import hourly_cents
+    from fotmobdatapipeline_spark.streaming.sketches import (
+        _current_version,
+        _publish_version,
+    )
+    from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = (
+            spark.read.parquet(f"{path}/{prev_v}")
+            if prev_v is not None
+            else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: already folded
+        inc = hourly_cents(batch_df)
+        if prev is not None:
+            merged = (
+                prev.select("event_type", "ho", "cents")
+                .unionByName(inc)
+                .groupBy("event_type", "ho")
+                .agg(F.sum("cents").alias("cents"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(events.sparkSession, path).mkdirs()
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_cusum_report(spark, path: str) -> DataFrame | None:
+    """CUSUM drift report over the maintained hourly table — the
+    identical shared fold the batch entry runs, so a drained stream
+    reads bit-identically to events_cusum_hourly over the full feed.
+    None before the first batch commits."""
+    from fotmobdatapipeline_spark.operators.timeseries import cusum_hourly_report
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    t = spark.read.parquet(f"{path}/{v}")
+    return cusum_hourly_report(t.select("event_type", "ho", "cents"))

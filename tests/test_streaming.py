@@ -858,3 +858,48 @@ def test_holt_state_stream_equals_batch_fold(spark, tmp_path):
     assert set(got) == set(want)
     for u, (lvl, trd, fc) in want.items():
         assert got[u][:3] == (lvl, trd, fc), u  # bit-identical
+
+
+def test_cusum_sink_stream_equals_batch(spark, tmp_path, events_dir):
+    """The maintained hourly-cents table, after the feed drains, must be
+    cell-identical to the batch hourly collapse of the whole feed, and
+    the CUSUM report read from it bit-identical to the batch entry's
+    shared fold — drift detection without ever rescanning the feed."""
+    from fotmobdatapipeline_spark.operators.timeseries import (
+        cusum_hourly_report,
+        hourly_cents,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        hourly_cents_maintenance_sink,
+        read_cusum_report,
+        read_events_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    state = str(tmp_path / "cusum_state")
+    q = hourly_cents_maintenance_sink(
+        read_events_stream(spark, events_dir),
+        path=state,
+        checkpoint=str(tmp_path / "cusum_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    feed = read_table(spark, SF_SMALL, "events")
+    want_cells = sorted(map(tuple, hourly_cents(feed).collect()))
+    got_cells = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                f"{state}/{open(f'{state}/CURRENT').read().strip()}"
+            )
+            .select("event_type", "ho", "cents")
+            .collect(),
+        )
+    )
+    assert got_cells == want_cells
+
+    got = sorted(map(tuple, read_cusum_report(spark, state).collect()))
+    want = sorted(map(tuple, cusum_hourly_report(hourly_cents(feed)).collect()))
+    assert got == want and len(want) > 0
