@@ -2434,3 +2434,97 @@ def events_ab_mde(spark: SparkSession, sf_dir: str):
             )
         ).alias("mde_abs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Switchback experiment: the treatment toggles by HOUR (hash of the
+# hour bucket), the design used when user-level randomization leaks
+# (marketplaces, pricing).  Analysis clusters at the randomization
+# unit: each hour's mean revenue is exact (decimal sum / int count),
+# and the per-variant average of bucket means is a SEQUENTIAL fold
+# over the calendar-bounded sorted bucket list (the EWMA/Holt device —
+# a float SUM over buckets would be shuffle-order dependent).
+# --------------------------------------------------------------------------
+@register(
+    "events_switchback_delta",
+    oracle=f"""
+    WITH p AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(value AS DECIMAL(12,2)) AS x
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT ho,
+             ({_sql_hex32_ab("substr(md5('sb:' || CAST(ho AS VARCHAR)), 1, 8)")})
+               % 2 AS variant,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m
+      FROM p GROUP BY ho
+    ),
+    g AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             list_reduce(list(m ORDER BY ho), (a, v) -> a + v) AS s
+      FROM b GROUP BY variant
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_buckets END) AS n_buckets_a,
+        MAX(CASE WHEN variant = 1 THEN n_buckets END) AS n_buckets_b,
+        MAX(CASE WHEN variant = 0 THEN s END) AS s_a,
+        MAX(CASE WHEN variant = 1 THEN s END) AS s_b
+      FROM g
+    )
+    SELECT n_buckets_a, n_buckets_b,
+           s_a / CAST(n_buckets_a AS DOUBLE) AS mean_a,
+           s_b / CAST(n_buckets_b AS DOUBLE) AS mean_b,
+           s_a / CAST(n_buckets_a AS DOUBLE)
+             - s_b / CAST(n_buckets_b AS DOUBLE) AS delta
+    FROM w
+    """,
+    tags=("events", "stats", "abtest", "switchback"),
+    doc="Switchback (hour-randomized) delta with cluster-level means; bit-exact.",
+)
+def events_switchback_delta(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+        F.col("value").cast("decimal(12,2)").alias("x"),
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sb:"), F.col("ho").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    b = p.groupBy("ho").agg(
+        (F.sum("x").cast("double") / F.count("*").cast("double")).alias("m")
+    ).select("ho", variant.alias("variant"), "m")
+    arr = F.array_sort(F.collect_list(F.struct("ho", "m")))
+    g = b.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.aggregate(
+            F.transform(arr, lambda s: s["m"]),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("s"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_buckets"))).alias("n_buckets_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_buckets"))).alias("n_buckets_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_buckets_a").cast("double")
+    mean_b = F.col("s_b") / F.col("n_buckets_b").cast("double")
+    return w.select(
+        "n_buckets_a",
+        "n_buckets_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("delta"),
+    )
