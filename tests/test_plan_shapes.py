@@ -867,3 +867,32 @@ def test_ab_stats_family_shapes(spark):
         assert "Window" not in plan, (name, plan)
     plan = _plan(_q("events_mannwhitney_u")(spark, SF_ORACLE))
     assert "Window" in plan and "CartesianProduct" not in plan, plan
+
+
+SESSION2_SWEEP = (
+    "events_ab_bootstrap",
+    "events_ab_bootstrap_ci",
+    "events_did_estimate",
+    "events_ab_mde",
+    "events_switchback_delta",
+    "events_cusum_hourly",
+    "events_attribution_last_touch",
+    "text_heaps_curve",
+    "cdc_incremental_join_view",
+    "graph_kcore",
+    "sim_mmr_rerank",
+)
+
+
+def test_session2_entries_no_cartesian_no_python(spark):
+    """Blanket doctrine sweep over the second-session additions (the
+    Arrow-by-design codecs/compressibility entries are exempt from the
+    no-Python rule and checked by their own tests)."""
+    bad = []
+    for name in SESSION2_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
