@@ -128,9 +128,24 @@ def pairwise_win_matrix(
     wins are added in each direction (n_pair = w1 + w2 + 2*smooth), so
     wins >= 1 for every model.
     """
+    return smoothed_matrix_from_pairs(
+        raw_pair_counts(battles, model_a, model_b, winner), smooth
+    )
+
+
+def raw_pair_counts(
+    battles: DataFrame,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+) -> DataFrame:
+    """Unsmoothed per-matchup counts (m1, m2, w1, w2), m1 < m2 — plain
+    mergeable sums, so the streaming matrix sink can fold per-batch
+    outputs by (m1, m2)-wise SUM and stay cell-identical to a batch
+    build (the same mergeability argument as side_win_counts)."""
     lo = F.least(F.col(model_a), F.col(model_b))
     hi = F.greatest(F.col(model_a), F.col(model_b))
-    pair = (
+    return (
         battles.select(
             lo.alias("m1"),
             hi.alias("m2"),
@@ -140,6 +155,11 @@ def pairwise_win_matrix(
         .groupBy("m1", "m2")
         .agg(F.sum("w1").alias("w1"), F.sum("w2").alias("w2"))
     )
+
+
+def smoothed_matrix_from_pairs(pair: DataFrame, smooth: int = 1) -> DataFrame:
+    """(model, opponent, n_pair, wins) directed smoothed matrix from
+    the raw pair counts — the exact form btl_ratings consumes."""
     s = F.lit(smooth)
     n_sm = (F.col("w1") + F.col("w2") + 2 * s).alias("n_pair")
     fwd = pair.select(

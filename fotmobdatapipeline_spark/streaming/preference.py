@@ -104,3 +104,73 @@ def leaderboard_maintenance_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_win_matrix(spark, path: str, smooth: int = 1) -> DataFrame | None:
+    """CURRENT version of the maintained raw matchup counts, rebuilt
+    into the smoothed directed matrix btl_ratings consumes — the SAME
+    smoothed_matrix_from_pairs the batch path runs, so ratings solved
+    from a drained stream are bit-identical to the batch solve.  None
+    before the first batch commits."""
+    from fotmobdatapipeline_spark.operators.preference import (
+        smoothed_matrix_from_pairs,
+    )
+
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    t = spark.read.parquet(f"{path}/{v}")
+    return smoothed_matrix_from_pairs(t.select("m1", "m2", "w1", "w2"), smooth)
+
+
+def win_matrix_maintenance_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    model_a: str = "model_a",
+    model_b: str = "model_b",
+    winner: str = "winner",
+    keep_versions: int = 1,
+):
+    """The other half of the 'stream maintains counts, a periodic batch
+    job re-solves ratings' deployment: maintain the matchup-cardinality
+    raw pair counts (m1, m2, w1, w2) as battles stream in — each
+    micro-batch's raw_pair_counts (the batch operator's own aggregate)
+    folds by (m1, m2)-wise SUM, so the maintained matrix is
+    CELL-IDENTICAL to a batch build over the whole history and
+    btl_ratings(read_win_matrix(...)) is bit-identical to the batch
+    solve.  Exactly-once + versioned contract as the sketch sinks."""
+    from fotmobdatapipeline_spark.operators.preference import raw_pair_counts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = (
+            spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
+        )
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = raw_pair_counts(batch_df, model_a, model_b, winner)
+        if prev is not None:
+            merged = (
+                prev.select("m1", "m2", "w1", "w2")
+                .unionByName(inc)
+                .groupBy("m1", "m2")
+                .agg(F.sum("w1").alias("w1"), F.sum("w2").alias("w2"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(stream.sparkSession, path).mkdirs()
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

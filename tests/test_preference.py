@@ -230,3 +230,70 @@ def test_btl_hot_matchup_no_long_wrap(spark):
     assert got == want
     assert all(v > 0 for v in got.values())
     assert got["A"] > got["B"] > got["C"]
+
+
+def test_win_matrix_sink_btl_equals_batch(spark, tmp_path):
+    """The streamed matchup matrix, after the feed drains, must be
+    cell-identical to the batch raw pair counts, and BTL ratings solved
+    from it bit-identical to the batch solve — the 'stream maintains
+    counts, batch re-solves ratings' deployment end to end."""
+    from fotmobdatapipeline_spark.operators.preference import raw_pair_counts
+    from fotmobdatapipeline_spark.streaming.preference import (
+        read_win_matrix,
+        win_matrix_maintenance_sink,
+    )
+
+    rows = (
+        [("A", "B", "A")] * 4
+        + [("B", "C", "B")] * 3
+        + [("C", "A", "A")] * 2
+        + [("B", "D", "D")] * 3
+        + [("A", "B", "tie")]  # non-decisive: must not count anywhere
+    )
+    battles = _battles(spark, rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(((0, 5), (5, 9), (9, len(rows)))):
+        spark.createDataFrame(
+            rows[lo:hi], "model_a string, model_b string, winner string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("model_a string, model_b string, winner string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = win_matrix_maintenance_sink(
+        stream, str(tmp_path / "matrix"), str(tmp_path / "mckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = read_win_matrix(spark, str(tmp_path / "matrix"))
+    got_cells = sorted(map(tuple, streamed.collect()))
+    want_cells = sorted(map(tuple, pairwise_win_matrix(battles).collect()))
+    assert got_cells == want_cells
+
+    got = sorted(map(tuple, btl_ratings(streamed, iters=4).collect()))
+    want = sorted(
+        map(tuple, btl_ratings(pairwise_win_matrix(battles), iters=4).collect())
+    )
+    assert got == want
+    # raw counts cell-identical too
+    raw_got = sorted(
+        map(
+            tuple,
+            read_win_matrix(spark, str(tmp_path / "matrix"), smooth=0).collect(),
+        )
+    )
+    from fotmobdatapipeline_spark.operators.preference import (
+        smoothed_matrix_from_pairs,
+    )
+
+    raw_want = sorted(
+        map(
+            tuple,
+            smoothed_matrix_from_pairs(raw_pair_counts(battles), smooth=0).collect(),
+        )
+    )
+    assert raw_got == raw_want
