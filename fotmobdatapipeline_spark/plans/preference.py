@@ -328,3 +328,57 @@ def pref_upset_report(spark: SparkSession, sf_dir: str):
             ).alias("upset_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BTL identifiability audit: ratings are only comparable WITHIN a
+# connected component of the matchup graph — a fragmented arena yields
+# incomparable islands (Hunter 2004's connectivity condition for MM
+# convergence).  Components come from the same iterative min-label
+# operator the dedup tier uses (string labels — min over model names);
+# the oracle is the recursive-CTE reachability closure.  Output: one
+# row per component with its canonical (min) model and size, the
+# report a solve should gate on (n_components == 1).
+# --------------------------------------------------------------------------
+@register(
+    "pref_connectivity_audit",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BATTLES},
+    pairs AS (
+      SELECT DISTINCT LEAST(model_a, model_b) AS m1,
+             GREATEST(model_a, model_b) AS m2
+      FROM battles
+      WHERE winner = model_a OR winner = model_b
+    ),
+    edges AS (
+      SELECT m1 AS src, m2 AS dst FROM pairs
+      UNION
+      SELECT m2, m1 FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    labeled AS (SELECT v AS model, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT component, COUNT(*) AS n_models
+    FROM labeled GROUP BY component
+    """,
+    tags=("preference", "rlhf", "graph", "audit"),
+    doc="Matchup-graph components: the BTL identifiability gate.",
+)
+def pref_connectivity_audit(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.dedup import connected_dup_clusters
+
+    b = _battles(spark, sf_dir)
+    decisive = b.filter(
+        (F.col("winner") == F.col("model_a")) | (F.col("winner") == F.col("model_b"))
+    )
+    pairs = decisive.select(
+        F.least("model_a", "model_b").alias("doc_a"),
+        F.greatest("model_a", "model_b").alias("doc_b"),
+    ).distinct()
+    labels = connected_dup_clusters(pairs)
+    return labels.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count("*").alias("n_models")
+    )
