@@ -15,13 +15,13 @@ two operators here are the curation-side aggregates over them:
   number of distinct matchups, not the number of battles.
 
 Determinism: all MM arithmetic is exact-integer micro-units (ratings
-are BIGINT multiples of 1/UNIT), every division an explicit integral
-``div`` (truncating; identical to DuckDB's ``//`` on HUGEINT — verified
-by the value-exact oracle for ``pref_btl_ratings``).  Products are
-DECIMAL(38,0), so n_pair * UNIT^2 (~1e24 * n) never overflows; the
-quotient after every ``div`` is back at rating scale (~UNIT) and fits
-BIGINT while n_pair < ~1e13.  No float enters until the final
-display-only rating = micro / UNIT division (one IEEE op, bit-portable).
+are integer multiples of 1/UNIT), every division the exact decimal
+floor-division from operators/exactmath.py (truncating; identical to
+DuckDB's ``//`` on HUGEINT — verified by the value-exact oracle for
+``pref_btl_ratings``, and safe at any intermediate magnitude up to
+1e38, unlike Spark's LONG-wrapping ``div``).  No float enters until the
+final display-only rating = micro / UNIT division (one IEEE op,
+bit-portable).
 
 Scale notes:
 * The battles -> win-matrix collapse is the only data-scale shuffle
@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.exactmath import floor_div as _floor_div
 
 UNIT = 10**12
 _U2 = UNIT * UNIT
@@ -175,18 +177,6 @@ def smoothed_matrix_from_pairs(pair: DataFrame, smooth: int = 1) -> DataFrame:
         (F.col("w2") + s).alias("wins"),
     )
     return fwd.unionByName(rev)
-
-
-def _floor_div(num: str, den: str) -> "F.Column":
-    """Exact truncating division of non-negative DECIMAL(38,0) values
-    that NEVER leaves decimal: (num - num % den) is exactly divisible,
-    so the decimal divide yields an exact integer at any intermediate
-    magnitude up to 1e38.  Spark's ``div`` operator is NOT usable here
-    — IntegralDivide returns LONG and silently WRAPS when the quotient
-    exceeds 2^63 (verified: 2e7 * 1e24 div 2e12 returns a negative),
-    which a 100 TB battle log reaches on one hot matchup."""
-    q = (F.expr(f"({num}) - pmod({num}, {den})")) / F.expr(den)
-    return q.cast("decimal(38,0)")
 
 
 def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:

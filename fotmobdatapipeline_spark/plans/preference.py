@@ -382,3 +382,91 @@ def pref_connectivity_audit(spark: SparkSession, sf_dir: str):
     return labels.groupBy(F.col("cluster_id").alias("component")).agg(
         F.count("*").alias("n_models")
     )
+
+
+# --------------------------------------------------------------------------
+# Rank centrality (Negahban-Oh-Shah): the spectral alternative to the
+# MM solver — a weighted random walk on the defeat digraph (loser ->
+# winner, weighted by win counts); the stationary distribution ranks
+# models.  Exact integer micro-unit walk (operators/graph.py::
+# weighted_pagerank) replayed verbatim in HUGEINT by the oracle, same
+# MATERIALIZED-CTE discipline as the BTL rounds.  Having BOTH solvers
+# lets a pipeline cross-check ratings produced by different algorithms
+# on the same battles.
+# --------------------------------------------------------------------------
+_RC_ITERS = 5
+_RC_BASE = 15 * UNIT // 100
+
+
+def _rank_centrality_oracle(iters: int = _RC_ITERS) -> str:
+    rounds = []
+    for k in range(iters):
+        rounds.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             SUM((r.r * CAST(e.w AS HUGEINT)) // o.w_out) AS in_sum
+      FROM edges e JOIN ow o ON o.src = e.src
+                   JOIN r{k} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             CAST({_RC_BASE} AS HUGEINT)
+               + (85 * COALESCE(s.in_sum, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+        )
+    return f"""
+    WITH {_SQL_BATTLES},
+    pair AS (
+      SELECT LEAST(model_a, model_b) AS m1, GREATEST(model_a, model_b) AS m2,
+             SUM(CASE WHEN winner = LEAST(model_a, model_b) THEN 1 ELSE 0 END) AS w1,
+             SUM(CASE WHEN winner = GREATEST(model_a, model_b) THEN 1 ELSE 0 END) AS w2
+      FROM battles GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT m2 AS src, m1 AS dst, w1 AS w FROM pair WHERE w1 > 0
+      UNION ALL
+      SELECT m1, m2, w2 FROM pair WHERE w2 > 0
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    ow AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS HUGEINT) AS w_out FROM edges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (SELECT node, CAST({UNIT} AS HUGEINT) AS r FROM nodes),
+    {",".join(rounds)}
+    SELECT node, CAST(r AS BIGINT) AS rank_micro,
+           CAST(r AS DOUBLE) / {float(UNIT)} AS rank
+    FROM r{iters}
+    """
+
+
+@register(
+    "pref_rank_centrality",
+    oracle=_rank_centrality_oracle(),
+    tags=("preference", "rlhf", "graph", "iterative"),
+    doc="Rank centrality: weighted walk on the defeat digraph; integer-exact.",
+)
+def pref_rank_centrality(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import weighted_pagerank
+    from fotmobdatapipeline_spark.operators.preference import raw_pair_counts
+
+    pair = raw_pair_counts(_battles(spark, sf_dir))
+    edges = (
+        pair.filter(F.col("w1") > 0)
+        .select(
+            F.col("m2").alias("src"), F.col("m1").alias("dst"), F.col("w1").alias("w")
+        )
+        .unionByName(
+            pair.filter(F.col("w2") > 0).select(
+                F.col("m1").alias("src"),
+                F.col("m2").alias("dst"),
+                F.col("w2").alias("w"),
+            )
+        )
+    )
+    return weighted_pagerank(edges, iters=_RC_ITERS, unit=UNIT)

@@ -116,3 +116,25 @@ def test_kcore_deterministic_across_partitionings(spark):
     one = sorted(map(tuple, kcore(p.repartition(1), k=3, rounds=5).collect()))
     many = sorted(map(tuple, kcore(p.repartition(9), k=3, rounds=5).collect()))
     assert one == many and len(one) == 5
+
+
+def test_weighted_pagerank_weights_matter(spark):
+    """Two sources each point at one sink; the sink fed by the heavier
+    edge from the shared voter must rank higher, and the walk is
+    deterministic across partitionings (exact integer arithmetic)."""
+    from fotmobdatapipeline_spark.operators.graph import weighted_pagerank
+
+    edges = [
+        ("v", "hi", 9),
+        ("v", "lo", 1),
+        ("hi", "v", 1),
+        ("lo", "v", 1),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank_micro"] for r in weighted_pagerank(e, iters=6).collect()}
+    assert got["hi"] > got["lo"]
+    many = {
+        r["node"]: r["rank_micro"]
+        for r in weighted_pagerank(e.repartition(5), iters=6).collect()
+    }
+    assert got == many
