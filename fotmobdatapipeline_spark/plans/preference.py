@@ -470,3 +470,80 @@ def pref_rank_centrality(spark: SparkSession, sf_dir: str):
         )
     )
     return weighted_pagerank(edges, iters=_RC_ITERS, unit=UNIT)
+
+
+# --------------------------------------------------------------------------
+# Solver-agreement audit: Kendall tau-a between the BTL ratings and the
+# Laplace-smoothed win rates — large disagreement flags either heavy
+# matchup imbalance (win rate is confounded by opponent strength; BTL
+# corrects it) or a data problem.  Model-cardinality self-join (190
+# pairs at 20 models); exact integer concordance counts, tau is one
+# IEEE division.  The oracle reuses the shared BTL CTE body plus the
+# win-rate aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "pref_solver_agreement",
+    oracle=f"""
+    {_btl_cte_body()},
+    sides AS (
+      SELECT model_a AS model,
+             CASE WHEN winner = model_a THEN 1 ELSE 0 END AS win FROM battles
+      UNION ALL
+      SELECT model_b,
+             CASE WHEN winner = model_b THEN 1 ELSE 0 END FROM battles
+    ),
+    wr AS (
+      SELECT model,
+             CAST(SUM(win) + 1 AS DOUBLE) / (COUNT(*) + 2) AS sr
+      FROM sides GROUP BY model
+    ),
+    both_scores AS MATERIALIZED (
+      SELECT r.model, r.p, wr.sr
+      FROM r{_BTL_ITERS} r JOIN wr ON wr.model = r.model
+    ),
+    pairs2 AS (
+      SELECT (CASE WHEN (a.p > b.p AND a.sr > b.sr)
+                     OR (a.p < b.p AND a.sr < b.sr) THEN 1 ELSE 0 END) AS conc,
+             (CASE WHEN (a.p > b.p AND a.sr < b.sr)
+                     OR (a.p < b.p AND a.sr > b.sr) THEN 1 ELSE 0 END) AS disc
+      FROM both_scores a JOIN both_scores b ON a.model < b.model
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS n_concordant,
+           CAST(SUM(disc) AS BIGINT) AS n_discordant,
+           CAST(SUM(conc) - SUM(disc) AS DOUBLE) / COUNT(*) AS tau_a
+    FROM pairs2
+    """,
+    tags=("preference", "rlhf", "audit"),
+    doc="Kendall tau-a between BTL ratings and smoothed win rates.",
+)
+def pref_solver_agreement(spark: SparkSession, sf_dir: str):
+    battles = _battles(spark, sf_dir)
+    btl = btl_ratings(
+        pairwise_win_matrix(battles), iters=_BTL_ITERS
+    ).select("model", F.col("rating_micro").alias("p"))
+    wr = win_rates(battles).select("model", F.col("smoothed_rate").alias("sr"))
+    both_scores = btl.join(wr, "model")
+    a = both_scores.select(
+        F.col("model").alias("ma"), F.col("p").alias("pa"), F.col("sr").alias("sa")
+    )
+    b = both_scores.select(
+        F.col("model").alias("mb"), F.col("p").alias("pb"), F.col("sr").alias("sb")
+    )
+    pairs2 = a.join(b, F.col("ma") < F.col("mb"))
+    conc = (
+        ((F.col("pa") > F.col("pb")) & (F.col("sa") > F.col("sb")))
+        | ((F.col("pa") < F.col("pb")) & (F.col("sa") < F.col("sb")))
+    ).cast("long")
+    disc = (
+        ((F.col("pa") > F.col("pb")) & (F.col("sa") < F.col("sb")))
+        | ((F.col("pa") < F.col("pb")) & (F.col("sa") > F.col("sb")))
+    ).cast("long")
+    return pairs2.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(conc).alias("n_concordant"),
+        F.sum(disc).alias("n_discordant"),
+        (
+            (F.sum(conc) - F.sum(disc)).cast("double") / F.count("*").cast("double")
+        ).alias("tau_a"),
+    )
