@@ -95,6 +95,7 @@ HEADLINE = [
     "text_compression_ratio",
     "events_mannwhitney_u",
     "cdc_incremental_join_view",
+    "pref_rank_centrality",
 ]
 
 
