@@ -503,6 +503,47 @@ def extract_features(
     return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+SIGNAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def extract_wav_signal_stats(media: DataFrame) -> DataFrame:
+    """Integer audio signal stats over WAV payloads: energy (sum of
+    squared samples), zero crossings, peak amplitude — via a REAL
+    decode per payload.  A dedicated LONG schema because energy
+    (~n * 32768^2) exceeds float32's 2^24 exact-integer range, so it
+    cannot ride the generic FloatType feature array (the float-
+    exactness bound the r7 guard documents)."""
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.multimodal.wav import wav_signal_features
+
+    _ship_for_workers(media, wav_signal_features)
+    pruned = media.select("doc_id", "payload")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            stats = [wav_signal_features(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [int(s[0]) for s in stats],
+                    "energy": [int(s[1]) for s in stats],
+                    "zero_crossings": [int(s[2]) for s in stats],
+                    "peak_abs": [int(s[3]) for s in stats],
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=SIGNAL_SCHEMA)
+
+
 def extract_features_arrow(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] = stub_decoder,

@@ -117,3 +117,27 @@ def text_samples(text_bytes: bytes, n_samples: int) -> list[int]:
     need = n_samples * 2
     raw = text_bytes[:need].ljust(need, b"\x00")
     return list(struct.unpack(f"<{n_samples}h", raw))
+
+
+def wav_signal_features(payload: bytes) -> list[float]:
+    """REAL audio features from a decoded WAV: [n_samples, energy
+    (sum of squared samples), zero_crossings, peak_abs] — the classic
+    signal summary (RMS energy basis, ZCR, peak), all exact integers
+    so the oracle can recompute them from the pre-encode sample
+    material.  A zero crossing is a sign change between consecutive
+    samples (zero counts as non-negative)."""
+    _rate, samples = decode_wav(payload)
+    energy = 0
+    zc = 0
+    peak = 0
+    prev_neg = None
+    for s in samples:
+        energy += s * s
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+        neg = s < 0
+        if prev_neg is not None and neg != prev_neg:
+            zc += 1
+        prev_neg = neg
+    return [float(len(samples)), float(energy), float(zc), float(peak)]

@@ -8586,3 +8586,66 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str):
             else selected.unionByName(pick).localCheckpoint(eager=True)
         )
     return selected.select("rank", "vec_id", "cos_q", F.col("mmr").alias("mmr_score"))
+
+
+# --------------------------------------------------------------------------
+# Audio signal features over the REAL WAV decode: energy (sum of
+# squared int16 samples), zero-crossing count, and peak amplitude —
+# the classic signal summary every audio-curation pipeline computes
+# (silence/clipping gates, speech-vs-tone heuristics).  All exact
+# integers; the oracle recomputes them from the pre-encode sample
+# material (the multimodal proof shape), with the ZCR as a LAG window
+# over the fixed per-doc sample expansion.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_wav_features",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             (CASE WHEN 2 * j < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 2 AS INT), 1)) - 1)
+              ELSE 0 END)
+           + 256 * (CASE WHEN 2 * j + 1 < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 3 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 4 AS INT), 1)) - 1)
+              ELSE 0 END) AS u
+      FROM b, UNNEST(range(0, {_WAV_N})) AS t(j)
+    ),
+    sgn AS (
+      SELECT doc_id, j,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM smp
+    ),
+    lagged AS (
+      SELECT doc_id, j, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+      FROM sgn
+    )
+    SELECT doc_id,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+    FROM lagged GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "audio"),
+    doc="WAV energy/ZCR/peak from the real decode; integer-exact oracle.",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import attach_binary_payload
+    from fotmobdatapipeline_spark.multimodal.binary_ops import (
+        encode_media_as_wav,
+        extract_wav_signal_stats,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    wav = encode_media_as_wav(media, sample_rate=_WAV_RATE, n_samples=_WAV_N)
+    return extract_wav_signal_stats(wav)
