@@ -141,3 +141,25 @@ def wav_signal_features(payload: bytes) -> list[float]:
             zc += 1
         prev_neg = neg
     return [float(len(samples)), float(energy), float(zc), float(peak)]
+
+
+# Goertzel coefficient for DFT bin k=4 of an N=30-sample frame:
+# 2*cos(2*pi*4/30), written as the exact double literal both engines
+# parse identically (full-precision repr).
+GOERTZEL_COEFF = 1.3382612127177165
+
+
+def wav_goertzel_power(payload: bytes) -> float:
+    """Single-bin DFT energy via the Goertzel recurrence
+    s_n = x_n + C*s_{n-1} - s_{n-2}; power = s1^2 + s2^2 - C*s1*s2 —
+    the classic tone detector (DTMF/pilot-tone checks in audio
+    curation).  Pure IEEE double ops in a fixed order, so the DuckDB
+    oracle's list_reduce replay is bit-identical."""
+    _rate, samples = decode_wav(payload)
+    s1 = 0.0  # s_{n-1}
+    s2 = 0.0  # s_{n-2}
+    for x in samples:
+        s0 = float(x) + GOERTZEL_COEFF * s1 - s2
+        s2 = s1
+        s1 = s0
+    return s1 * s1 + s2 * s2 - GOERTZEL_COEFF * s1 * s2

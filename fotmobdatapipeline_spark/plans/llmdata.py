@@ -8649,3 +8649,97 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str):
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
     wav = encode_media_as_wav(media, sample_rate=_WAV_RATE, n_samples=_WAV_N)
     return extract_wav_signal_stats(wav)
+
+
+# --------------------------------------------------------------------------
+# Goertzel tone detection over the REAL WAV decode: energy of one DFT
+# bin via the two-term recurrence — the DSP primitive behind DTMF /
+# pilot-tone / hum checks in audio curation, here as the proof that a
+# genuine frequency-domain feature can be oracle-exact: Python's float
+# loop and DuckDB's list_reduce replay the identical IEEE double
+# sequence.  Power rides the LONG/DOUBLE signal-stats shape (a float32
+# feature array would destroy it; see multimodal_wav_features).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_wav_goertzel",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             (CASE WHEN 2 * j < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 2 AS INT), 1)) - 1)
+              ELSE 0 END)
+           + 256 * (CASE WHEN 2 * j + 1 < n THEN
+                (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 3 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, CAST(4 * j + 4 AS INT), 1)) - 1)
+              ELSE 0 END) AS u
+      FROM b, UNNEST(range(0, {_WAV_N})) AS t(j)
+    ),
+    sig AS (
+      SELECT doc_id,
+             list(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS DOUBLE)
+                  ORDER BY j) AS xs
+      FROM smp GROUP BY doc_id
+    ),
+    fold AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                            list_transform(xs, v -> [v, v])),
+               (a, x) -> [
+                 x[1] + CAST(1.3382612127177165 AS DOUBLE) * a[1] - a[2],
+                 a[1]
+               ]) AS st
+      FROM sig
+    )
+    SELECT doc_id,
+           st[1] * st[1] + st[2] * st[2]
+             - CAST(1.3382612127177165 AS DOUBLE) * st[1] * st[2] AS tone_power
+    FROM fold
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "audio", "dsp"),
+    doc="Goertzel single-bin DFT energy from the real decode; bit-exact fold.",
+)
+def multimodal_wav_goertzel(spark: SparkSession, sf_dir: str):
+    import pandas as pd  # noqa: F401 — worker-side
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fotmobdatapipeline_spark.multimodal import attach_binary_payload
+    from fotmobdatapipeline_spark.multimodal.binary_ops import (
+        _ship_for_workers,
+        encode_media_as_wav,
+    )
+    from fotmobdatapipeline_spark.multimodal.wav import wav_goertzel_power
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    wav = encode_media_as_wav(media, sample_rate=_WAV_RATE, n_samples=_WAV_N)
+    _ship_for_workers(wav, wav_goertzel_power)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("tone_power", DoubleType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tone_power": [
+                        wav_goertzel_power(bytes(b)) for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return wav.select("doc_id", "payload").mapInPandas(run, schema=schema)
