@@ -153,3 +153,20 @@ def png_feature_decoder(payload: bytes) -> list[float]:
     total = sum(px)
     weighted = sum((i + 1) * b for i, b in enumerate(px))
     return [float(w), float(h), float(px[0]), float(total), float(weighted)]
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor PNG resize: genuine decode (inflate + filter
+    reconstruction), floor-mapped pixel sampling (output (x, y) reads
+    source (x * src_w // out_w, y * src_h // out_h)), then re-encode
+    through the same filter-cycling writer.  The bmp.py resize_bmp
+    sibling for the compressed container."""
+    src_w, src_h, px = decode_png(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * src_h // out_h
+        for x in range(out_w):
+            sx = x * src_w // out_w
+            base = (sy * src_w + sx) * _BPP
+            out += px[base : base + _BPP]
+    return encode_png(out_w, out_h, bytes(out))

@@ -8743,3 +8743,75 @@ def multimodal_wav_goertzel(spark: SparkSession, sf_dir: str):
             )
 
     return wav.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Real PNG resize: decode (inflate + filter reconstruction) ->
+# nearest-neighbor scale -> re-encode -> decode again for the checksum.
+# 8x4 -> 4x2 halves both axes, so output byte j samples source byte
+# 48*(j//12) + 6*((j%12)//3) + j%3 — the oracle recomputes the sampled
+# checksums from the pre-encode text bytes; a resizer that skipped the
+# real decode (or botched a filter) cannot produce them.
+# --------------------------------------------------------------------------
+_PNG_RW, _PNG_RH = 4, 2
+
+
+@register(
+    "multimodal_png_resize",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    ob AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             CAST(48 * (j // 12) + 6 * ((j % 12) // 3) + j % 3 AS INT) AS src
+      FROM b, UNNEST(range(0, {_PNG_RW * _PNG_RH * 3})) AS t(j)
+    ),
+    bytes AS (
+      SELECT ob.doc_id, ob.j,
+             CASE WHEN ob.src < b.n THEN
+               (strpos('0123456789abcdef', substr(b.hx, CAST(2 * ob.src + 1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * ob.src + 2 AS INT), 1)) - 1)
+             ELSE 0 END AS bv
+      FROM ob JOIN b USING (doc_id)
+    ),
+    stats AS (
+      SELECT doc_id,
+             MAX(CASE WHEN j = 0 THEN bv END) AS first_byte,
+             SUM(bv) AS total,
+             SUM((j + 1) * bv) AS weighted
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id, '89504E47' AS header_hex,
+           CAST({_PNG_RW} AS VARCHAR) || ',' || CAST({_PNG_RH} AS VARCHAR) || ','
+             || CAST(first_byte AS VARCHAR) || ','
+             || CAST(total AS VARCHAR) || ','
+             || CAST(weighted AS VARCHAR) AS feature_csv
+    FROM stats
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "resize", "compressed"),
+    doc="Real PNG resize through decode/re-encode; sampled-checksum oracle.",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_features,
+        png_feature_decoder,
+    )
+    from fotmobdatapipeline_spark.multimodal.binary_ops import resize_media
+    from fotmobdatapipeline_spark.multimodal.png import resize_png
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    small = resize_media(png, width=_PNG_RW, height=_PNG_RH, resizer=resize_png)
+    feats = extract_features(small, decoder=png_feature_decoder)
+    return feats.select(
+        "doc_id",
+        "header_hex",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("long").cast("string")), ","
+        ).alias("feature_csv"),
+    )
