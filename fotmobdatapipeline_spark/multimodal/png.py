@@ -170,3 +170,19 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
             base = (sy * src_w + sx) * _BPP
             out += px[base : base + _BPP]
     return encode_png(out_w, out_h, bytes(out))
+
+
+def png_luma_histogram(payload: bytes, buckets: int = 8) -> list[float]:
+    """Integer luma histogram from a REAL decode: per pixel,
+    luma = (299*R + 587*G + 114*B) // 1000 (the Rec.601 weights as an
+    exact integer expression), bucketed into ``buckets`` equal bins of
+    the 0..255 range — the exposure/contrast screening feature image
+    curation pipelines gate on.  Counts are small exact integers, so
+    they ride the generic float feature array safely."""
+    _w, _h, px = decode_png(payload)
+    width = 256 // buckets
+    hist = [0] * buckets
+    for i in range(0, len(px), _BPP):
+        luma = (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+        hist[luma // width] += 1
+    return [float(c) for c in hist]

@@ -8815,3 +8815,73 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str):
             F.transform("feature", lambda x: x.cast("long").cast("string")), ","
         ).alias("feature_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Luma histogram over the REAL PNG decode: Rec.601 integer luma
+# ((299R + 587G + 114B) // 1000), eight equal bins — the exposure /
+# contrast screening pass of image curation, proven through the
+# compressed container (the oracle recomputes the histogram from the
+# pre-encode pixel material; a decoder that botched a filter would
+# shift pixels between bins).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_png_luma_hist",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(3 * p AS INT) AS r0, CAST(3 * p + 1 AS INT) AS g0,
+             CAST(3 * p + 2 AS INT) AS b0
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H})) AS t(p)
+    ),
+    rgb AS (
+      SELECT px.doc_id, px.p,
+             (CASE WHEN px.r0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS r,
+             (CASE WHEN px.g0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS g,
+             (CASE WHEN px.b0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS bb
+      FROM px JOIN b USING (doc_id)
+    ),
+    lum AS (
+      SELECT doc_id,
+             CAST(((299 * r + 587 * g + 114 * bb) // 1000) // 32 AS INT) AS bucket
+      FROM rgb
+    )
+    SELECT doc_id, bucket, COUNT(*) AS n_pixels
+    FROM lum GROUP BY doc_id, bucket
+    """,
+    tags=("multimodal", "pandas-udf", "codec", "image"),
+    doc="Rec.601 luma histogram through the real PNG decode; integer-exact.",
+)
+def multimodal_png_luma_hist(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_features,
+    )
+    from fotmobdatapipeline_spark.multimodal.png import png_luma_histogram
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    feats = extract_features(png, decoder=png_luma_histogram)
+    exploded = feats.select(
+        "doc_id", F.posexplode("feature").alias("bucket", "cnt")
+    )
+    return exploded.filter(F.col("cnt") > 0).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("n_pixels"),
+    )
