@@ -8885,3 +8885,116 @@ def multimodal_png_luma_hist(spark: SparkSession, sf_dir: str):
         F.col("bucket").cast("int").alias("bucket"),
         F.col("cnt").cast("bigint").alias("n_pixels"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image near-dup candidates by luma-histogram distance: block on the
+# (dominant luma bucket, dominant count) pair (smallest index wins
+# ties — deterministic), then
+# exact integer L1 distance between 8-bin histograms within each block
+# — the cheap image-level dedup screen that runs before expensive
+# perceptual hashing.  Never all-pairs: the join key is the block, the
+# same bounded-fan-out doctrine as the text LSH tiers.  All features
+# come through the REAL PNG decode.
+# --------------------------------------------------------------------------
+_IMG_L1_MAX = 2
+
+
+@register(
+    "multimodal_image_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(3 * p AS INT) AS r0, CAST(3 * p + 1 AS INT) AS g0,
+             CAST(3 * p + 2 AS INT) AS b0
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H})) AS t(p)
+    ),
+    rgb AS (
+      SELECT px.doc_id,
+             (CASE WHEN px.r0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS r,
+             (CASE WHEN px.g0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS g,
+             (CASE WHEN px.b0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS bb
+      FROM px JOIN b USING (doc_id)
+    ),
+    lum AS (
+      SELECT doc_id,
+             CAST(((299 * r + 587 * g + 114 * bb) // 1000) // 32 AS INT) AS k
+      FROM rgb
+    ),
+    hist AS MATERIALIZED (
+      SELECT doc_id,
+             {", ".join(f"CAST(SUM(CASE WHEN k = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}" for i in range(8))}
+      FROM lum GROUP BY doc_id
+    ),
+    blocked AS MATERIALIZED (
+      SELECT *,
+             CASE {" ".join(f"WHEN h{i} = GREATEST(h0,h1,h2,h3,h4,h5,h6,h7) THEN {i}" for i in range(8))}
+             END * 100
+             + GREATEST(h0,h1,h2,h3,h4,h5,h6,h7) AS block
+      FROM hist
+    )
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} AS l1_dist
+    FROM blocked a JOIN blocked b2
+      ON a.block = b2.block AND a.doc_id < b2.doc_id
+    WHERE {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} <= {_IMG_L1_MAX}
+    """,
+    tags=("multimodal", "codec", "image", "dedup"),
+    doc="Image near-dup screen: luma-histogram L1 within dominant-bucket blocks.",
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_features,
+    )
+    from fotmobdatapipeline_spark.multimodal.png import png_luma_histogram
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    feats = extract_features(png, decoder=png_luma_histogram)
+    h = [
+        F.element_at("feature", i + 1).cast("bigint").alias(f"h{i}")
+        for i in range(8)
+    ]
+    hist = feats.select("doc_id", *h)
+    mx = F.greatest(*(F.col(f"h{i}") for i in range(8)))
+    # Block on (dominant bucket, dominant count): finer than the bucket
+    # alone, still deterministic (smallest index wins ties).
+    block = (
+        F.coalesce(*(F.when(F.col(f"h{i}") == mx, F.lit(i)) for i in range(8)))
+        * 100
+        + mx
+    )
+    blocked = hist.select("*", block.alias("block")).localCheckpoint(eager=False)
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("block").alias("block"),
+        *(F.col(f"h{i}").alias(f"a{i}") for i in range(8)),
+    )
+    b2 = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block").alias("block"),
+        *(F.col(f"h{i}").alias(f"b{i}") for i in range(8)),
+    )
+    joined = a.join(b2, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    l1 = sum(
+        (F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in range(8)), F.lit(0)
+    )
+    return joined.select("doc_a", "doc_b", l1.alias("l1_dist")).filter(
+        F.col("l1_dist") <= _IMG_L1_MAX
+    )
