@@ -33,11 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      schema the whole repo re-expresses) go FIRST, every round, so the
 #      core surface is driver-attested and not only parity-suite-attested
 #      (VERDICT r8 #4: 8 rounds of samples never drew them).
-#   2. The remaining entries ROTATE by a per-round offset (derived from
-#      the count of CORRECTNESS_r*.json files the driver has written),
-#      so successive rounds attest different 40-entry windows and the
-#      whole 249-entry catalog cycles under driver verification instead
-#      of pinning one fixed prefix forever.
+#   2. The remaining entries are ordered LEAST-RECENTLY-ATTESTED first
+#      (VERDICT r9 #3): the CORRECTNESS_r*.json files already on disk
+#      record exactly which entries each past round attested, so
+#      never-attested entries lead, then oldest attestations — every
+#      remaining entry is driver-attested within ceil(rest/40) rounds,
+#      guaranteed, instead of a modular offset that can re-draw
+#      already-attested windows as the catalog grows.
 # Order is otherwise meaningless: every entry is name-keyed and the
 # in-repo parity suite (tests/test_oracle_parity.py) always runs all of
 # them regardless of this ordering.
@@ -55,12 +57,34 @@ _REFERENCE_SURFACE_FIRST = (
 )
 
 
-def _round_index() -> int:
+def _last_attested_round() -> dict[str, int]:
+    """name -> highest round number whose CORRECTNESS_r{N}.json contains
+    the entry (regardless of pass/fail — a failed draw still counts as
+    drawn; re-draws happen via the normal LRU cycle).  Unreadable files
+    are skipped: ordering is best-effort, correctness never depends on
+    it."""
     import glob
+    import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -73,9 +97,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qm = query_map()
     head = [n for n in _REFERENCE_SURFACE_FIRST if n in qm]
     head_set = set(head)
-    rest = [n for n in qm if n not in head_set]
-    k = (_round_index() * 40) % len(rest) if rest else 0
-    return {n: qm[n] for n in (*head, *rest[k:], *rest[:k])}
+    attested = _last_attested_round()
+    catalog_pos = {n: i for i, n in enumerate(qm)}
+    rest = sorted(
+        (n for n in qm if n not in head_set),
+        key=lambda n: (attested.get(n, 0), catalog_pos[n]),
+    )
+    return {n: qm[n] for n in (*head, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

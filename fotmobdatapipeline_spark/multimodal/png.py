@@ -180,9 +180,11 @@ def png_luma_histogram(payload: bytes, buckets: int = 8) -> list[float]:
     curation pipelines gate on.  Counts are small exact integers, so
     they ride the generic float feature array safely."""
     _w, _h, px = decode_png(payload)
-    width = 256 // buckets
     hist = [0] * buckets
     for i in range(0, len(px), _BPP):
         luma = (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
-        hist[luma // width] += 1
+        # luma * buckets // 256 maps 0..255 onto 0..buckets-1 for ANY
+        # bucket count (ADVICE r9: the old `luma // (256 // buckets)`
+        # indexed out of range whenever buckets didn't divide 256).
+        hist[luma * buckets // 256] += 1
     return [float(c) for c in hist]

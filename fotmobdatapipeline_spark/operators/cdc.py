@@ -167,10 +167,17 @@ def incremental_join_view(
     keep = view_old.join(fact_changed_keys, fact_key, "left_anti").join(
         dim_changed_keys, dim_key, "left_anti"
     )
-    affected = (
-        fact_new.join(fact_changed_keys, fact_key, "left_semi")
-        .unionByName(fact_new.join(dim_changed_keys, dim_key, "left_semi"))
-        .distinct()
+    # Affected facts = semi-join against the UNION OF KEY SETS, never a
+    # whole-row distinct of a fact-row union (ADVICE r9: .distinct()
+    # collapsed genuinely duplicated fact rows, diverging from the
+    # direct inner join when the fact table is not row-unique).  A fact
+    # row qualifies if its own key changed OR its dim key changed; each
+    # row passes the two-branch semi-join exactly once because the
+    # second branch anti-filters the first's keys.
+    affected = fact_new.join(fact_changed_keys, fact_key, "left_semi").unionByName(
+        fact_new.join(fact_changed_keys, fact_key, "left_anti").join(
+            dim_changed_keys, dim_key, "left_semi"
+        )
     )
     rebuilt = affected.join(dim_new, dim_key)
     return keep.unionByName(rebuilt.select(*keep.columns))

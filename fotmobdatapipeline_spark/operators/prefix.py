@@ -46,18 +46,57 @@ def running_sum(
     ``DataFrame.checkpoint()`` into ``spark.sparkContext.setCheckpointDir``
     storage (HDFS/object store) — survives executor loss at the cost of
     one distributed write+read of the frame."""
+    return grouped_running_sum(
+        df,
+        [],
+        order_cols,
+        value_col,
+        out_col=out_col,
+        n_parts=n_parts,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    n_parts: int | None = None,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Per-group running total in ``order_cols`` order WITHIN each
+    ``group_cols`` group — the scale-correct form of
+    ``SUM(x) OVER (PARTITION BY g ORDER BY ...)`` when individual groups
+    are data-scale (few groups, many rows each: per-variant ranks in the
+    A/B family, per-flag quantiles).  With ``group_cols=[]`` this is the
+    global :func:`running_sum`.
+
+    Plan: repartitionByRange(group, order) — each group occupies a
+    CONTIGUOUS run of partitions — then a window partitioned by
+    (spark partition id, group) for the local run, plus the exclusive
+    per-(group, partition) offsets joined back by broadcast.
+
+    The offsets side is tiny by construction: because groups are
+    range-contiguous, the (partition, group) pair count is at most
+    ``n_parts + n_groups - 1`` rows, NOT their product.  If group
+    cardinality itself is data-scale, per-group row counts are small and
+    a plain ``Window.partitionBy(group)`` is the right tool instead —
+    this helper is for the opposite regime."""
     if n_parts is None:
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         n_parts = int(n_parts)
-    order = [F.col(c) for c in order_cols]
+    gcols = list(group_cols)
+    order = [F.col(c) for c in gcols + list(order_cols)]
     parted = (
         df.repartitionByRange(n_parts, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
     )
     w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(*order)
+        Window.partitionBy("_pid", *gcols)
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # CHECKPOINT — correctness-critical, not an optimization.  `local`
@@ -77,16 +116,23 @@ def running_sum(
         else local.localCheckpoint(eager=False)
     )
 
-    # Tiny: one row per partition; its exclusive prefix is the offset.
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Tiny: <= n_parts + n_groups - 1 rows (groups are range-contiguous);
+    # each group's exclusive prefix over partition ids is the offset.
+    w_off = (
+        Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        if gcols
+        else Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        local.groupBy("_pid")
+        local.groupBy("_pid", *gcols)
         .agg(F.sum(value_col).alias("_part_total"))
         .withColumn("_offset", F.coalesce(F.sum("_part_total").over(w_off), F.lit(0)))
-        .select("_pid", "_offset")
+        .select("_pid", *gcols, "_offset")
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), ["_pid", *gcols])
         .withColumn(out_col, (F.col("_local_run") + F.col("_offset")).cast("long"))
         # Drop ALL helpers — a leaked _offset makes chained running_sum
         # calls (two cumulative columns over the same order) ambiguous.

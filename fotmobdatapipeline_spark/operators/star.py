@@ -39,6 +39,7 @@ def build_dim(
     key_col: str,
     *,
     hash_key: bool = False,
+    verify: bool = True,
 ) -> DataFrame:
     """Distinct projection of ``natural_keys`` plus a surrogate key.
 
@@ -47,12 +48,22 @@ def build_dim(
     results only (the final sort is single-partition by design).
 
     hash_key=True: ``xxhash64(natural keys)`` — fully distributed, for
-    large dims; keys are unique-per-row but sparse.  Collisions are the
-    caller's risk (2^-32 at ~6M rows); see ``assert_unique_keys``.
+    large dims; keys are unique-per-row but sparse.  A silent collision
+    (2^-32 at ~6M rows, near-certain by 10^9 rows) would fan out every
+    downstream FK join, so the hash path runs ``assert_unique_keys``
+    EAGERLY before returning (VERDICT r9 #6) — one distributed
+    count/countDistinct agg, fail-loud.  ``verify=False`` opts out when
+    the caller runs its own guard (e.g. batched with other checks).
     """
     dim = df.select(*natural_keys).distinct()
     if hash_key:
-        return dim.select(F.xxhash64(*natural_keys).alias(key_col), *natural_keys)
+        dim = dim.select(F.xxhash64(*natural_keys).alias(key_col), *natural_keys)
+        # The agg would re-run the distinct; checkpoint so the guard and
+        # the returned frame share one materialization.
+        dim = dim.localCheckpoint(eager=False)
+        if verify:
+            assert_unique_keys(dim, key_col)
+        return dim
     w = Window.orderBy(*[F.col(k).asc_nulls_first() for k in natural_keys])
     return dim.select(
         (F.row_number().over(w) - F.lit(1)).cast("long").alias(key_col), *natural_keys

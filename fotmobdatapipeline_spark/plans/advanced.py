@@ -2260,9 +2260,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
 # Exact WEIGHTED median per group (lower weighted median: the smallest
 # value whose cumulative weight reaches half the group's total) — the
 # op behind "median price weighted by quantity sold", which the
-# unweighted quantile family cannot express.  Same scale contract as
-# exact_group_quantiles: one per-group sort (groups fit a partition;
-# categorical keys), rank arithmetic instead of a second pass, integer
+# unweighted quantile family cannot express.  Scale contract: one
+# per-group window sort — groups must individually fit a partition
+# (categorical keys only; exact_group_quantiles now routes ranks
+# through the distributed prefix scan and has no such bound),
+# rank arithmetic instead of a second pass, integer
 # weight sums so the half-total comparison is exact (2*cumw >= totw —
 # no division, no doubles until the output value itself).
 # --------------------------------------------------------------------------

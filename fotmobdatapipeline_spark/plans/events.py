@@ -96,10 +96,15 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # User-LTV deciles: users ranked by total purchase value into ten
 # equal-count buckets, with each decile's share of total revenue — the
-# whale-curve report.  The window ranks USERS (bounded cardinality,
-# ~sqrt of event volume), never events; revenue per user is one
-# combinable decimal aggregate over the scan.  NTILE is deterministic
-# under the (revenue DESC, user ASC) total order.
+# whale-curve report.  User cardinality is DATA-scale (10^9 users at
+# 100x), so the ranking never runs through a partition-less NTILE
+# window (one executor sorting every user — the r9 VERDICT scale
+# hazard): ranks come from the two-phase distributed prefix scan
+# (operators/prefix.py — range shuffle + broadcast offsets) and the
+# NTILE bucket is then pure integer arithmetic on (rank, N): the first
+# N%10 buckets hold N div 10 + 1 users, the rest N div 10 — exactly
+# SQL NTILE's definition, so values stay bit-identical to the oracle.
+# Revenue per user is one combinable decimal aggregate over the scan.
 # --------------------------------------------------------------------------
 @register(
     "events_ltv_deciles",
@@ -125,17 +130,46 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str):
     doc="Whale curve: users in LTV deciles with each decile's revenue share.",
 )
 def events_ltv_deciles(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
     ev = read_table(spark, sf_dir, "events")
     rev = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("user_id"))
-    ranked = rev.withColumn("decile", F.ntile(10).over(w))
-    tot = ranked.agg(
-        F.sum(F.col("revenue").cast("decimal(14,2)")).alias("t")
+    # Exact 1-based rank under (revenue DESC, user_id ASC) — distributed
+    # two-phase prefix count, never a single-partition window sort.
+    rnk = running_sum(
+        rev.withColumn("_neg_rev", -F.col("revenue")).withColumn("_one", F.lit(1)),
+        ["_neg_rev", "user_id"],
+        "_one",
+        out_col="_rnk",
+    ).drop("_neg_rev", "_one")
+    # NTILE(10) by integer arithmetic on the broadcast (N) scalar: with
+    # q = N div 10, rem = N % 10, 0-based rank r0 lands in bucket
+    # r0 div (q+1) + 1 while r0 < rem*(q+1), else rem + (r0-cut) div q + 1.
+    nrow = rev.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("revenue").cast("decimal(14,2)")).alias("t"),
     )
+    ranked = (
+        rnk.crossJoin(F.broadcast(nrow))  # 1-row scalar by construction
+        .withColumn("_q", F.expr("_n div 10"))
+        .withColumn("_rem", F.col("_n") % 10)
+        .withColumn("_r0", F.col("_rnk") - 1)
+        .withColumn("_cut", F.col("_rem") * (F.col("_q") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_r0") < F.col("_cut"),
+                F.expr("_r0 div (_q + 1)") + F.lit(1),
+            )
+            .otherwise(F.col("_rem") + F.expr("(_r0 - _cut) div _q") + F.lit(1))
+            .cast("int"),
+        )
+    )
+    tot = nrow.select("t")
     return (
         ranked.groupBy("decile")
         .agg(
@@ -1329,6 +1363,20 @@ def _sql_hex32_ab(col: str) -> str:
     )
 
 
+def _event_span_mid(ev_all):
+    """Integer-µs midpoint of the FULL (unfiltered) event span — ONE
+    definition of the pre/post boundary shared by events_cuped_adjusted
+    and events_did_estimate, matching both oracles' ``bnd`` CTE which is
+    over the unfiltered events table (ADVICE r9: computing the span over
+    purchase rows only silently shifts the boundary on general data —
+    the sf0.01 fixture masked it because no purchase fell between the
+    two candidate midpoints).  Returns a 1-row (mid BIGINT) frame,
+    broadcastable by construction."""
+    return ev_all.select(F.unix_micros("ts").alias("_tus")).agg(
+        F.expr("(MIN(_tus) + MAX(_tus)) div 2").alias("mid")
+    )
+
+
 @register(
     "events_ab_ztest",
     oracle=f"""
@@ -1561,9 +1609,10 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str):
 # variants: the nonparametric sibling of events_welch_ttest.  Ranks are
 # exact rank ARITHMETIC over the distinct-value counts table (the
 # agg_exact_quantiles technique): values collapse to one row per
-# distinct 2-dp value with per-variant counts, so the only ordered
-# window runs over value-cardinality rows (<= ~40k for 2-dp values in
-# a bounded range — never the event volume).  Tie handling is the
+# distinct 2-dp value with per-variant counts, and the cumulative
+# below-count comes from the two-phase distributed prefix sum
+# (operators/prefix.py) — no partition-less ordered window even if the
+# value column turns out high-cardinality.  Tie handling is the
 # standard midrank, kept exact by tracking 2*ranksum as an integer; the
 # tie-corrected normal approximation evaluates in one fixed IEEE tree
 # (bit-portable like the z/t tests above).
@@ -1629,14 +1678,20 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
         F.sum((F.col("variant") == 0).cast("long")).alias("na"),
         F.sum((F.col("variant") == 1).cast("long")).alias("nb"),
     )
-    w = Window.orderBy(F.asc("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = g.select(
+    # Running count of values strictly below v: two-phase distributed
+    # prefix sum over the distinct-value table (r9 VERDICT watch item —
+    # nothing bounds distinct-value cardinality, so no partition-less
+    # ordered window here; the prefix scan stays distributed at any
+    # cardinality).
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    c = running_sum(
+        g.withColumn("nv", F.col("na") + F.col("nb")), ["v"], "nv", out_col="_upto"
+    ).select(
         "na",
         "nb",
-        (F.col("na") + F.col("nb")).alias("nv"),
-        (F.sum(F.col("na") + F.col("nb")).over(w) - (F.col("na") + F.col("nb"))).alias(
-            "below"
-        ),
+        "nv",
+        (F.col("_upto") - F.col("nv")).alias("below"),
     )
     s = c.agg(
         F.sum("na").alias("n_a"),
@@ -1688,8 +1743,10 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # CUPED variance reduction (Deng et al., WSDM 2013): adjust the post-
 # period metric with the pre-period covariate, theta = cov(X,Y)/var(X).
-# The pre/post boundary is the integer-µs midpoint of the event span
-# (1-row scalar, broadcast); per-user X/Y are exact DECIMAL purchase
+# The pre/post boundary is the integer-µs midpoint of the FULL event
+# span — computed over the UNFILTERED events table (_event_span_mid,
+# shared with events_did_estimate) so it cannot diverge from the
+# oracle's bnd CTE; per-user X/Y are exact DECIMAL purchase
 # sums (0 when absent), products are DECIMAL(18,2)² = exactly-4-dp so
 # every sufficient statistic (n, Sx, Sy, Sxx, Sxy, per-variant splits)
 # is an order-insensitive exact aggregate; theta, the raw and adjusted
@@ -1755,12 +1812,10 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str):
     doc="CUPED covariate adjustment: theta and adjusted delta, bit-exact.",
 )
 def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    ev = ev.withColumn("tus", F.unix_micros("ts"))
-    bnd = ev.agg(
-        F.expr("(MIN(tus) + MAX(tus)) div 2").alias("mid")
+    ev_all = read_table(spark, sf_dir, "events")
+    bnd = _event_span_mid(ev_all)
+    ev = ev_all.filter(F.col("event_type") == "purchase").withColumn(
+        "tus", F.unix_micros("ts")
     )
     dec0 = F.lit(0).cast("decimal(18,2)")
     pu = (
@@ -1915,9 +1970,11 @@ def events_cusum_hourly(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # Quantile treatment effects: the per-quantile sibling of the mean
 # tests — exact PERCENTILE_CONT(0.5 / 0.9) of purchase value per hash
-# variant (operators/stats.py rank arithmetic: one per-variant sort,
-# each percentile picked by rank — at most two nonzero contributions
-# per percentile so the float SUM is order-insensitive), then the
+# variant (operators/stats.py rank arithmetic over the distinct-value
+# counts table, ranks from the distributed two-phase prefix scan — a
+# 2-arm split means each variant is HALF the corpus, so no per-variant
+# single-partition sort; at most two nonzero contributions per
+# percentile so the float SUM is order-insensitive), then the
 # between-variant deltas.  Mirrors agg_exact_quantiles' proven p
 # constants verbatim in both engines.
 # --------------------------------------------------------------------------
@@ -2314,11 +2371,11 @@ def events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str):
     doc="Difference-in-differences around the period boundary; bit-exact.",
 )
 def events_did_estimate(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+    ev_all = read_table(spark, sf_dir, "events")
+    bnd = _event_span_mid(ev_all)
+    ev = ev_all.filter(F.col("event_type") == "purchase").withColumn(
+        "tus", F.unix_micros("ts")
     )
-    ev = ev.withColumn("tus", F.unix_micros("ts"))
-    bnd = ev.agg(F.expr("(MIN(tus) + MAX(tus)) div 2").alias("mid"))
     p = ev.crossJoin(F.broadcast(bnd)).select(
         F.col("value").cast("decimal(12,2)").alias("x"),
         (F.col("tus") >= F.col("mid")).cast("int").alias("post"),

@@ -8894,10 +8894,48 @@ def multimodal_png_luma_hist(spark: SparkSession, sf_dir: str):
 # exact integer L1 distance between 8-bin histograms within each block
 # — the cheap image-level dedup screen that runs before expensive
 # perceptual hashing.  Never all-pairs: the join key is the block, the
-# same bounded-fan-out doctrine as the text LSH tiers.  All features
-# come through the REAL PNG decode.
+# same bounded-fan-out doctrine as the text LSH tiers — and the block
+# size itself is CAPPED (r9 VERDICT #3 hygiene): a degenerate corpus of
+# near-uniform images collapses into few (dominant-bucket, count)
+# blocks, so blocks above _IMG_BLOCK_CAP docs are excluded from the
+# pair join and REPORTED (the max_df precedent, operators/dedup.py —
+# no silent caps).  The cap is mirrored in the oracle, so parity holds
+# on any corpus.  All features come through the REAL PNG decode.
 # --------------------------------------------------------------------------
 _IMG_L1_MAX = 2
+_IMG_BLOCK_CAP = 256  # max docs per block in the pair join (cap² pair bound)
+
+
+def _image_neardup_parts(blocked, n_buckets: int = 8):
+    """(pairs, dropped) for the capped histogram-block screen: pairs is
+    the L1-filtered candidate list over blocks of <= _IMG_BLOCK_CAP
+    docs; dropped is the (block, n_docs) report of every block the cap
+    excluded — surfaced, never silent, so a pipeline can alert on
+    degenerate corpora (all-identical thumbnails, solid-color screens)."""
+    counts = blocked.groupBy("block").agg(F.count("*").alias("n_docs"))
+    ok = counts.filter(F.col("n_docs") <= _IMG_BLOCK_CAP).select("block")
+    dropped = counts.filter(F.col("n_docs") > _IMG_BLOCK_CAP)
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("block").alias("block"),
+        *(F.col(f"h{i}").alias(f"a{i}") for i in range(n_buckets)),
+    )
+    b2 = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block").alias("block"),
+        *(F.col(f"h{i}").alias(f"b{i}") for i in range(n_buckets)),
+    )
+    joined = (
+        a.join(ok, "block").join(b2, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    l1 = sum(
+        (F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in range(n_buckets)),
+        F.lit(0),
+    )
+    pairs = joined.select("doc_a", "doc_b", l1.alias("l1_dist")).filter(
+        F.col("l1_dist") <= _IMG_L1_MAX
+    )
+    return pairs, dropped
 
 
 @register(
@@ -8946,10 +8984,14 @@ _IMG_L1_MAX = 2
              END * 100
              + GREATEST(h0,h1,h2,h3,h4,h5,h6,h7) AS block
       FROM hist
+    ),
+    ok AS MATERIALIZED (
+      SELECT block FROM blocked GROUP BY block
+      HAVING COUNT(*) <= {_IMG_BLOCK_CAP}
     )
     SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
            {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} AS l1_dist
-    FROM blocked a JOIN blocked b2
+    FROM blocked a JOIN ok USING (block) JOIN blocked b2
       ON a.block = b2.block AND a.doc_id < b2.doc_id
     WHERE {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} <= {_IMG_L1_MAX}
     """,
@@ -8981,20 +9023,5 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
         + mx
     )
     blocked = hist.select("*", block.alias("block")).localCheckpoint(eager=False)
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("block").alias("block"),
-        *(F.col(f"h{i}").alias(f"a{i}") for i in range(8)),
-    )
-    b2 = blocked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("block").alias("block"),
-        *(F.col(f"h{i}").alias(f"b{i}") for i in range(8)),
-    )
-    joined = a.join(b2, "block").filter(F.col("doc_a") < F.col("doc_b"))
-    l1 = sum(
-        (F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in range(8)), F.lit(0)
-    )
-    return joined.select("doc_a", "doc_b", l1.alias("l1_dist")).filter(
-        F.col("l1_dist") <= _IMG_L1_MAX
-    )
+    pairs, _dropped = _image_neardup_parts(blocked)
+    return pairs

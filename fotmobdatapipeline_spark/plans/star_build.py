@@ -22,17 +22,25 @@ from fotmobdatapipeline_spark.sources.registry import read_table
 from fotmobdatapipeline_spark.sources.sinks import write_parquet, write_star
 
 
-def build_dims(spark: SparkSession, sf_dir: str) -> dict:
+def build_dims(spark: SparkSession, sf_dir: str, *, hash_big_dims: bool = False) -> dict:
+    """``hash_big_dims=True`` is the 100 TB path: customer/part/supplier
+    are data-scale dims there, so they take distributed xxhash64 keys —
+    collision-guarded inside build_dim (VERDICT r9 #6) — instead of the
+    dimension-sized dense row_number sort.  status_dim stays dense: it
+    is categorical (a handful of rows) at any scale."""
     li = read_table(spark, sf_dir, "lineitem")
     customer = read_table(spark, sf_dir, "customer")
     part = read_table(spark, sf_dir, "part")
     supplier = read_table(spark, sf_dir, "supplier")
+    big = dict(hash_key=hash_big_dims)
     return {
         "customer_dim": build_dim(
-            customer, ["c_custkey", "c_name", "c_mktsegment"], "customer_sk"
+            customer, ["c_custkey", "c_name", "c_mktsegment"], "customer_sk", **big
         ),
-        "part_dim": build_dim(part, ["p_partkey", "p_name", "p_brand", "p_type"], "part_sk"),
-        "supplier_dim": build_dim(supplier, ["s_suppkey", "s_name"], "supplier_sk"),
+        "part_dim": build_dim(
+            part, ["p_partkey", "p_name", "p_brand", "p_type"], "part_sk", **big
+        ),
+        "supplier_dim": build_dim(supplier, ["s_suppkey", "s_name"], "supplier_sk", **big),
         "status_dim": build_dim(li, ["l_returnflag", "l_linestatus"], "status_sk"),
     }
 
@@ -85,9 +93,15 @@ def build_star_tables(spark: SparkSession, sf_dir: str) -> dict:
     return {**dims, "sales_fact": fact, "sales_reporting": build_reporting(fact, dims)}
 
 
-def run_star_build(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+def run_star_build(
+    spark: SparkSession, sf_dir: str, out_dir: str, *, hash_big_dims: bool = False
+) -> dict[str, str]:
     """Build + load everything; returns written paths.  One Spark job
     per table write, reporting table partitioned by month.
+
+    ``hash_big_dims=True`` switches customer/part/supplier to the
+    collision-guarded xxhash64 key path (see build_dims) — the setting
+    for data-scale dims, where the dense row_number sort cannot run.
 
     Staged to never recompute lineage: dims are cached (small — the only
     state worth keeping), the fact is written once and read back for the
@@ -97,7 +111,10 @@ def run_star_build(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, 
     the fact cannot be cached and the reporting layer must not re-run
     the fact build.
     """
-    dims = {name: df.cache() for name, df in build_dims(spark, sf_dir).items()}
+    dims = {
+        name: df.cache()
+        for name, df in build_dims(spark, sf_dir, hash_big_dims=hash_big_dims).items()
+    }
     paths = write_star(dims, out_dir)
 
     fact = build_fact_df(spark, sf_dir, dims)

@@ -147,6 +147,15 @@ def semantic_dedup_stream(
     because the index is the historical corpus: at 100 TB it is
     cell-partitioned storage, not a broadcast.
 
+    Trigger-size doctrine (measured, SCALE.md round-9 "trigger-size
+    curve"): this stream is micro-batch-cost-bound below ~25k
+    rows/trigger — fixed cost ~1.3 s per micro-batch vs an asymptotic
+    ~7.5k rows/s row-bound rate.  In production, size the source
+    trigger (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``) so each
+    micro-batch carries >=25k rows (>=5.3k rows/s at <=5 s batch
+    latency on the reference box); go to ~50k rows/trigger when
+    minute-scale latency is acceptable.
+
     Output: the input columns plus ``cell``.
     """
     rows = [

@@ -872,3 +872,50 @@ def test_incremental_join_view_untouched_rows_never_rejoin(spark):
     assert sorted(map(tuple, out.select("fk", "dk", "m", "attr").collect())) == [
         (1, 10, 100, "a")
     ]
+
+
+def test_incremental_join_view_preserves_duplicate_fact_rows(spark):
+    """ADVICE r9: the affected-set union must NOT collapse genuinely
+    duplicated fact rows (event-style facts are not row-unique per key)
+    — the maintained view must equal the direct inner join, duplicates
+    and all, whether the duplicate row is affected via its own fact key
+    or via its dim key."""
+    from fotmobdatapipeline_spark.operators.cdc import incremental_join_view
+
+    # fk 2 appears TWICE with identical rows; its dim (20) gets an
+    # attribute update.  fk 3 appears twice identically and is itself a
+    # changed fact key.
+    fact_new = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (2, 20, 200), (3, 10, 300), (3, 10, 300)],
+        "fk long, dk long, m long",
+    )
+    dim_new = spark.createDataFrame(
+        [(10, "a"), (20, "B2")], "dk long, attr string"
+    )
+    fact_old = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (2, 20, 200)], "fk long, dk long, m long"
+    )
+    dim_old = spark.createDataFrame([(10, "a"), (20, "b")], "dk long, attr string")
+    view_old = fact_old.join(dim_old, "dk")
+    changed_fk = spark.createDataFrame([(3,)], "fk long")
+    changed_dk = spark.createDataFrame([(20,)], "dk long")
+    got = sorted(
+        map(
+            tuple,
+            incremental_join_view(
+                view_old, fact_new, dim_new, changed_fk, changed_dk, "fk", "dk"
+            )
+            .select("fk", "dk", "m", "attr")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            fact_new.join(dim_new, "dk").select("fk", "dk", "m", "attr").collect(),
+        )
+    )
+    assert got == want
+    # Both duplicate pairs really survived.
+    assert got.count((2, 20, 200, "B2")) == 2
+    assert got.count((3, 10, 300, "a")) == 2

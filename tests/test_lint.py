@@ -59,7 +59,9 @@ def test_catalog_register_rejects_duplicate_names():
 def test_driver_contract_prefix_is_reference_surface():
     """The driver attests a 50-entry PREFIX of queries() (measured from
     CORRECTNESS_r06-r08); the reference-surface entries must lead it
-    every round, the rest must rotate with the round index, and the
+    every round, the rest must be ordered least-recently-attested first
+    (VERDICT r9 #3 — never-attested entries lead, so every remaining
+    entry is driver-attested within ceil(rest/40) rounds), and the
     reordering must lose nothing (same name set as the catalog, every
     name oracle-paired)."""
     import sys
@@ -79,3 +81,12 @@ def test_driver_contract_prefix_is_reference_surface():
     assert set(names) == set(QUERIES)
     for n, fn in q.items():
         assert fn is QUERIES[n].builder, n
+
+    # LRU ordering: attested-round keys are non-decreasing along the
+    # rest, so never-attested (key 0) entries always lead the window.
+    att = contract._last_attested_round()
+    rest = names[len(head) :]
+    keys = [att.get(n, 0) for n in rest]
+    assert keys == sorted(keys), "rest must be least-recently-attested first"
+    never = [n for n in rest if att.get(n, 0) == 0]
+    assert rest[: len(never)] == never

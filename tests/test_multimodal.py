@@ -541,3 +541,38 @@ def test_png_rejects_corruption():
     bad[41] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|zlib|length"):
         decode_png(bytes(bad))
+
+
+def test_image_neardup_block_cap_engages_and_reports(spark):
+    """r9 VERDICT hygiene item: a degenerate corpus (every image
+    identical -> ONE block holding the whole corpus) must not go
+    quadratic — the over-cap block is excluded from the pair join and
+    REPORTED in the dropped frame, never silently."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.llmdata import (
+        _IMG_BLOCK_CAP,
+        _image_neardup_parts,
+    )
+
+    n = _IMG_BLOCK_CAP + 10
+    # All-identical histograms -> identical block key for every doc,
+    # plus a tiny healthy block that must still produce its pair.
+    rows = [(i, 20, 4, 4, 1, 1, 1, 1, 0) for i in range(n)]
+    rows += [(10_000, 0, 0, 0, 0, 0, 0, 0, 32), (10_001, 1, 0, 0, 0, 0, 0, 0, 32)]
+    blocked = spark.createDataFrame(
+        rows, "doc_id long, h0 long, h1 long, h2 long, h3 long, h4 long, "
+        "h5 long, h6 long, h7 long",
+    )
+    mx = F.greatest(*(F.col(f"h{i}") for i in range(8)))
+    block = (
+        F.coalesce(*(F.when(F.col(f"h{i}") == mx, F.lit(i)) for i in range(8))) * 100
+        + mx
+    )
+    pairs, dropped = _image_neardup_parts(blocked.select("*", block.alias("block")))
+    got_pairs = sorted(map(tuple, pairs.collect()))
+    # The degenerate block contributes ZERO pairs (not ~cap^2/2)...
+    assert got_pairs == [(10_000, 10_001, 1)]
+    # ...and the drop is reported with its size.
+    rep = {r["block"]: r["n_docs"] for r in dropped.collect()}
+    assert list(rep.values()) == [n]

@@ -896,3 +896,30 @@ def test_session2_entries_no_cartesian_no_python(spark):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             bad.append((name, "PythonUDF"))
     assert not bad, bad
+
+
+AB_PARTITION_SCOPED_WINDOW_SWEEP = (
+    # r9 VERDICT #1/#2: the A/B-analytics + exact-quantile family ranks
+    # data-scale input (users, purchase values, half-corpus variants) —
+    # ranking must ride the two-phase prefix scan, never a partition-less
+    # ordered window.
+    "events_ltv_deciles",
+    "events_mannwhitney_u",
+    "events_qte",
+    "events_ab_bootstrap_ci",
+    "agg_exact_quantiles",
+)
+
+
+def test_ab_family_windows_are_partition_scoped(spark):
+    """No single-partition sort over data-cardinality input: every
+    Window operator visible in these plans must be the prefix-scan
+    offsets window — keyed by the spark partition id (`_pid`), whose
+    input is one row per partition — so the only SinglePartition
+    exchanges feed partition-count or 1-row aggregates, never a
+    data-scale NTILE/row_number/cumulative-sum sort."""
+    for name in AB_PARTITION_SCOPED_WINDOW_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "_pid" in line, (name, line.strip()[:200])

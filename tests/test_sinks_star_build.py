@@ -204,3 +204,42 @@ def test_layout_audit_drives_compaction(spark, tmp_path):
     assert after["n_files"] == n_after < 40
     assert after["n_rows"] == before["n_rows"]
     assert not after["needs_compaction"]
+
+
+def test_hash_key_collision_guard_fires(spark, monkeypatch):
+    """VERDICT r9 #6: a silent xxhash64 collision would corrupt every FK
+    join downstream, so build_dim's hash path must fail LOUD.  Force the
+    collision by stubbing the hash to a constant and assert the guard
+    raises before any frame is returned."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators import star
+
+    monkeypatch.setattr(star.F, "xxhash64", lambda *cols: F.lit(42))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    with pytest.raises(ValueError):
+        star.build_dim(df, ["k", "name"], "sk", hash_key=True)
+    # verify=False opts out (caller batches its own guard): no raise.
+    out = star.build_dim(df, ["k", "name"], "sk", hash_key=True, verify=False)
+    assert out.count() == 2
+
+
+def test_star_build_hash_big_dims_matches_dense(spark, tmp_path):
+    """The 100 TB dim-key path (collision-guarded xxhash64) must produce
+    the same fact/reporting row counts and join integrity as the dense
+    row_number path — only the key VALUES differ."""
+    from fotmobdatapipeline_spark.plans.star_build import run_star_build
+
+    p_dense = run_star_build(spark, SF_SMALL, str(tmp_path / "dense"))
+    p_hash = run_star_build(
+        spark, SF_SMALL, str(tmp_path / "hash"), hash_big_dims=True
+    )
+    for t in ("customer_dim", "part_dim", "supplier_dim", "sales_fact", "sales_reporting"):
+        nd = spark.read.parquet(p_dense[t]).count()
+        nh = spark.read.parquet(p_hash[t]).count()
+        assert nd == nh, (t, nd, nh)
+    # FK integrity: every fact surrogate key resolves in its dim.
+    fact = spark.read.parquet(p_hash["sales_fact"])
+    cust = spark.read.parquet(p_hash["customer_dim"])
+    assert fact.join(cust, "customer_sk", "left_anti").count() == 0
