@@ -428,6 +428,11 @@ _SCALE_QUERIES = [
     # preference tier: battles collapse to matchup cardinality before
     # the MM rounds, so sf1's 10x battle count must NOT 10x the solve
     "pref_btl_ratings",
+    # round-10 (VERDICT r9 #5): the A/B statistics family at sf1 — the
+    # 32x-explode bootstrap and the fixed two-phase-decile whale curve
+    # (was a global ntile window; must now scale with the prefix scan)
+    "events_ab_bootstrap",
+    "events_ltv_deciles",
 ]
 
 

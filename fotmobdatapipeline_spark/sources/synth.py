@@ -26,16 +26,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# v3: the embeddings table joined the layout (v2 added documents) —
+# v4: the events table joined the layout (v3 embeddings, v2 documents) —
 # older cached dirs regenerate so every scale query finds its table.
 # The marker alone is necessary but not sufficient: a dir written by a
 # code version that knew fewer tables carries a valid older marker, so
 # completeness is ALSO checked table-by-table (_TABLES) on every call.
-_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE_V3"
+_MARKER = "_SPARK_GRAFT_SYNTH_COMPLETE_V4"
 
 _TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "documents", "embeddings",
+    "lineitem", "documents", "embeddings", "events",
 )
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -236,6 +236,30 @@ def generate_scale_tables(
     ) / F.lit(10000.0)
     emb = F.transform(dims, lambda d: (centroid(d) + noise(d)).cast("float"))
     write(vecs.select("vec_id", emb.alias("embedding"), "label"), "embeddings")
+
+    # events: the A/B-analytics scale table (v4 — VERDICT r9 #5: the
+    # statistics family needs sf1-class volume for the same scale
+    # evidence the star build gets).  Same shape as the driver testdata:
+    # 1M rows/sf over a 30-day January-2024 span, 15k users/sf, 5
+    # uniform event types, 2-dp value in [0, 560) — all pure hash
+    # arithmetic, deterministic across runs.
+    n_events = int(1_000_000 * sf)
+    n_users = max(int(15_000 * sf), 100)
+    jan1_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    span_us = 30 * 24 * 3600 * 1_000_000
+    evs = spark.range(1, n_events + 1, numPartitions=partitions).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(jan1_us) + F.pmod(F.xxhash64(F.col("id"), F.lit("ets")), F.lit(span_us))
+        ).alias("ts"),
+        (_hmod(F.col("id"), "eu", n_users) + 1).cast("long").alias("user_id"),
+        _pick(F.col("id"), "eet", ("view", "click", "purchase", "signup", "error")).alias(
+            "event_type"
+        ),
+        (_hmod(F.col("id"), "ev", 56022) / F.lit(100.0)).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    write(evs, "events")
 
     with open(marker, "w") as fh:
         fh.write(f"sf={sf}\n")
