@@ -573,3 +573,39 @@ def extract_features_arrow(
             )
 
     return pruned.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def extract_png_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per PNG payload via the REAL decode —
+    a dedicated LONG schema (the extract_wav_signal_stats precedent:
+    the 32-bit halves exceed float32's 2^24 exact-integer range, so
+    they cannot ride the generic FloatType feature array).  Map-only
+    Arrow stage over (doc_id, payload); shuffle-free."""
+    import pandas as pd
+
+    from fotmobdatapipeline_spark.multimodal.png import png_dhash
+
+    _ship_for_workers(media, png_dhash)
+    pruned = media.select("doc_id", "payload")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            hashes = [png_dhash(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash_hi": [int(h[0]) for h in hashes],
+                    "dhash_lo": [int(h[1]) for h in hashes],
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=DHASH_SCHEMA)

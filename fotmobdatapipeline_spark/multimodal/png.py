@@ -188,3 +188,38 @@ def png_luma_histogram(payload: bytes, buckets: int = 8) -> list[float]:
         # indexed out of range whenever buckets didn't divide 256).
         hist[luma * buckets // 256] += 1
     return [float(c) for c in hist]
+
+
+def png_dhash(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> tuple[int, int]:
+    """Difference-hash (dHash) from a REAL decode: floor-sample the
+    image to a (grid_w x grid_h) luma grid (the resize_png sampling
+    rule), then one gradient bit per horizontally adjacent pair —
+    the standard 64-bit perceptual fingerprint.  Returned as two
+    (grid_h/2 x (grid_w-1))-bit halves (hi = bottom rows, lo = top
+    rows) so the values ride LongType columns without sign games.
+    All-integer arithmetic: Rec.601 luma via the exact
+    (299R + 587G + 114B) // 1000 expression, exact floor sampling —
+    bit-identical across engines by construction."""
+    src_w, src_h, px = decode_png(payload)
+    lum = []
+    for y in range(grid_h):
+        sy = y * src_h // grid_h
+        row = []
+        for x in range(grid_w):
+            sx = x * src_w // grid_w
+            base = (sy * src_w + sx) * _BPP
+            row.append(
+                (299 * px[base] + 587 * px[base + 1] + 114 * px[base + 2]) // 1000
+            )
+        lum.append(row)
+    lo = hi = 0
+    half = grid_h // 2
+    bits_per_row = grid_w - 1
+    for y in range(grid_h):
+        for x in range(bits_per_row):
+            bit = 1 if lum[y][x + 1] > lum[y][x] else 0
+            if y < half:
+                lo |= bit << (y * bits_per_row + x)
+            else:
+                hi |= bit << ((y - half) * bits_per_row + x)
+    return hi, lo

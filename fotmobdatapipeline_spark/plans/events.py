@@ -2585,3 +2585,278 @@ def events_switchback_delta(spark: SparkSession, sf_dir: str):
         mean_b.alias("mean_b"),
         (mean_a - mean_b).alias("delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: time from each user's first event to their
+# first purchase, users without a purchase right-censored at the corpus
+# end.  The time axis is integer DAYS — calendar-bounded cardinality
+# (the CUSUM doctrine: raw events collapse to one combinable per-user
+# aggregate, then everything ordered runs over ~days-of-history rows,
+# never events).  The risk-set arithmetic is integer-exact (prefix
+# aggregates over the broadcast day table); the survival product is a
+# SEQUENTIAL left fold in duration order replayed verbatim by DuckDB's
+# list_reduce (the holt pattern — LIST accumulator, both elements
+# computed from the PRE-update state), so values are bit-identical.
+# Scale shape: one per-user aggregate (map-combinable), one groupBy on
+# day, one 1-row collect_list of the day table (bounded), per-row
+# prefix folds over <= days elements.  No window, no data-scale join.
+# --------------------------------------------------------------------------
+_KM_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS entry,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS death
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+    d AS (
+      SELECT (COALESCE(death, gmax) - entry) // {_KM_DAY_US} AS dur,
+             CASE WHEN death IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM u CROSS JOIN g
+    ),
+    t AS (
+      SELECT dur, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM d GROUP BY dur
+    ),
+    n AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM t),
+    l AS (
+      SELECT list({{'dur': dur, 'd': CAST(d AS DOUBLE), 'c': CAST(c AS DOUBLE)}}
+                  ORDER BY dur) AS steps
+      FROM t
+    )
+    SELECT t.dur AS duration_days,
+           n.n0 - CAST(COALESCE((SELECT SUM(b.d + b.c) FROM t b WHERE b.dur < t.dur), 0)
+                       AS BIGINT) AS n_risk,
+           t.d AS n_events,
+           t.c AS n_censored,
+           list_reduce(
+             list_prepend([CAST(n.n0 AS DOUBLE), CAST(1 AS DOUBLE)],
+               list_transform(list_filter(l.steps, s -> s.dur <= t.dur),
+                              s -> [s.d, s.c])),
+             (a, x) -> [a[1] - x[1] - x[2],
+                        a[2] * (CAST(1 AS DOUBLE) - x[1] / a[1])])[2] AS survival
+    FROM t CROSS JOIN n CROSS JOIN l
+    """,
+    tags=("events", "stats", "survival"),
+    doc="Kaplan-Meier time-to-first-purchase with right censoring; bit-exact.",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min("tus").alias("entry"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("tus"))).alias("death"),
+    )
+    g = ev.agg(F.max("tus").alias("gmax"))
+    d = u.crossJoin(F.broadcast(g)).select(  # 1-row scalar by construction
+        F.expr(f"(COALESCE(death, gmax) - entry) div {_KM_DAY_US}").alias("dur"),
+        F.col("death").isNotNull().cast("int").alias("obs"),
+    )
+    t = d.groupBy("dur").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.sum(1 - F.col("obs")).cast("bigint").alias("c"),
+    )
+    t = t.localCheckpoint(eager=False)  # three consumers: rows, n0, steps
+    n0 = t.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n0"))
+    steps = t.agg(
+        F.array_sort(F.collect_list(F.struct("dur", "d", "c"))).alias("steps")
+    )
+    t2 = t.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(steps))
+    prior = F.filter("steps", lambda s: s["dur"] < F.col("dur"))
+    upto = F.filter("steps", lambda s: s["dur"] <= F.col("dur"))
+    n_risk = F.col("n0") - F.aggregate(
+        prior, F.lit(0).cast("bigint"), lambda a, s: a + s["d"] + s["c"]
+    )
+    surv = F.aggregate(
+        upto,
+        F.struct(
+            F.col("n0").cast("double").alias("rem"), F.lit(1.0).alias("surv")
+        ),
+        lambda a, s: F.struct(
+            (a["rem"] - s["d"] - s["c"]).alias("rem"),
+            (
+                a["surv"]
+                * (F.lit(1.0) - s["d"].cast("double") / a["rem"])
+            ).alias("surv"),
+        ),
+    )["surv"]
+    return t2.select(
+        F.col("dur").alias("duration_days"),
+        n_risk.alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        surv.alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Always-valid sequential A/B monitoring (mSPRT, Johari et al. 2017):
+# per calendar hour, the CUMULATIVE per-variant big-purchase conversion
+# counts and the mixture-SPRT log likelihood ratio
+#   log L = 0.5*ln(V/(V+tau^2)) + theta^2*tau^2 / (2*V*(V+tau^2))
+# against H0: theta = 0, with N(0, tau^2=0.01) mixture; the experiment
+# may stop the first hour log L >= ln(1/alpha) (alpha=.05) without
+# inflating false positives.  Cumulative counts are integer-exact
+# prefix aggregates over the broadcast hour table (calendar-bounded
+# cardinality — the CUSUM doctrine; Spark folds, the oracle uses an
+# integer window, both exact); the per-hour float readout is one fixed
+# IEEE tree (ln is bit-portable on this engine pair — the perplexity
+# family's proven precedent).  Degenerate hours (either arm empty, or
+# pooled rate 0/1 making V = 0) yield NULL log L in both engines.
+# --------------------------------------------------------------------------
+_MSPRT_TAU2 = 0.01
+_MSPRT_LN20 = 2.9957322735539909  # ln(1/0.05)
+
+
+@register(
+    "events_msprt_monitor",
+    oracle=f"""
+    WITH p AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant,
+             CASE WHEN value > 150 THEN 1 ELSE 0 END AS conv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT hour,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS xa,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS xb
+      FROM p GROUP BY hour
+    ),
+    c AS (
+      SELECT hour,
+             CAST(SUM(na) OVER w AS BIGINT) AS n_a,
+             CAST(SUM(xa) OVER w AS BIGINT) AS x_a,
+             CAST(SUM(nb) OVER w AS BIGINT) AS n_b,
+             CAST(SUM(xb) OVER w AS BIGINT) AS x_b
+      FROM h
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT hour, n_a, x_a, n_b, x_b,
+             CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS theta_hat,
+             (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE)
+                  - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS v
+      FROM c WHERE n_a > 0 AND n_b > 0
+    ),
+    r AS (
+      SELECT hour, n_a, x_a, n_b, x_b, theta_hat,
+             CASE WHEN v > 0 THEN
+               ROUND(CAST(0.5 AS DOUBLE) * ln(v / (v + CAST({_MSPRT_TAU2} AS DOUBLE)))
+               + theta_hat * theta_hat * CAST({_MSPRT_TAU2} AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * v * (v + CAST({_MSPRT_TAU2} AS DOUBLE))), 9)
+             END AS log_lambda
+      FROM m
+    )
+    SELECT hour, n_a, x_a, n_b, x_b, theta_hat, log_lambda,
+           log_lambda >= CAST({_MSPRT_LN20} AS DOUBLE) AS crossed
+    FROM r
+    """,
+    tags=("events", "stats", "abtest", "sequential"),
+    doc="Always-valid mSPRT monitoring per hour; exact cumulative counts.",
+)
+def events_msprt_monitor(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        _ab_variant().alias("variant"),
+        (F.col("value") > 150).cast("int").alias("conv"),
+    )
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    h = p.groupBy("hour").agg(
+        F.sum(is_a.cast("int")).cast("bigint").alias("na"),
+        F.sum(F.when(is_a, F.col("conv")).otherwise(0)).cast("bigint").alias("xa"),
+        F.sum(is_b.cast("int")).cast("bigint").alias("nb"),
+        F.sum(F.when(is_b, F.col("conv")).otherwise(0)).cast("bigint").alias("xb"),
+    )
+    h = h.localCheckpoint(eager=False)  # two consumers: rows + the steps list
+    steps = h.agg(
+        F.array_sort(F.collect_list(F.struct("hour", "na", "xa", "nb", "xb"))).alias(
+            "steps"
+        )
+    )
+    zero4 = F.struct(
+        F.lit(0).cast("bigint").alias("na"),
+        F.lit(0).cast("bigint").alias("xa"),
+        F.lit(0).cast("bigint").alias("nb"),
+        F.lit(0).cast("bigint").alias("xb"),
+    )
+    c = (
+        h.crossJoin(F.broadcast(steps))
+        .withColumn(
+            "cum",
+            F.aggregate(
+                F.filter("steps", lambda s: s["hour"] <= F.col("hour")),
+                zero4,
+                lambda a, s: F.struct(
+                    (a["na"] + s["na"]).alias("na"),
+                    (a["xa"] + s["xa"]).alias("xa"),
+                    (a["nb"] + s["nb"]).alias("nb"),
+                    (a["xb"] + s["xb"]).alias("xb"),
+                ),
+            ),
+        )
+        .select(
+            "hour",
+            F.col("cum")["na"].alias("n_a"),
+            F.col("cum")["xa"].alias("x_a"),
+            F.col("cum")["nb"].alias("n_b"),
+            F.col("cum")["xb"].alias("x_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    theta = (
+        F.col("x_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    )
+    v = (
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    m = c.select("hour", "n_a", "x_a", "n_b", "x_b", theta.alias("theta_hat"), v.alias("v"))
+    tau2 = F.lit(_MSPRT_TAU2)
+    # ln is NOT bit-portable across libm implementations (the
+    # text_diversity_simpson doctrine); the DSIR precedent applies —
+    # round the transcendental readout to 9 dp in BOTH engines (1-ulp
+    # input differences are ~1e-16; everything upstream of the ln/round
+    # is an exact fixed IEEE tree).
+    log_lambda = F.when(
+        F.col("v") > 0,
+        F.round(
+            F.lit(0.5) * F.log(F.col("v") / (F.col("v") + tau2))
+            + F.col("theta_hat")
+            * F.col("theta_hat")
+            * tau2
+            / (F.lit(2.0) * F.col("v") * (F.col("v") + tau2)),
+            9,
+        ),
+    )
+    return m.select(
+        "hour",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "theta_hat",
+        log_lambda.alias("log_lambda"),
+        (log_lambda >= F.lit(_MSPRT_LN20)).alias("crossed"),
+    )

@@ -9025,3 +9025,267 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
     blocked = hist.select("*", block.alias("block")).localCheckpoint(eager=False)
     pairs, _dropped = _image_neardup_parts(blocked)
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Collocation mining: top bigrams by PMI-style LIFT over the corpus —
+# lift(x,y) = P(xy) / (P(x)P(y)) with bigram/unigram probabilities from
+# exact integer counts.  Lift, not log-PMI: ln is not bit-portable
+# across engines (text_diversity_simpson doctrine) and the RANKING is
+# identical, so the exact-value readout stays log-free — three IEEE
+# divisions in one fixed tree per surviving bigram.  Scale shape: the
+# tokenized corpus is checkpointed and scanned once for both bigram and
+# unigram counts (map-side-combinable hash aggregates); the unigram
+# joins shuffle vocab-cardinality rows, never the corpus; top-k via
+# distributed TakeOrderedAndProject.  min-count >= 5 is the standard
+# collocation support floor (kills one-off pairs before the join).
+# --------------------------------------------------------------------------
+_LIFT_MIN_COUNT = 5
+_LIFT_TOPK = 50
+
+
+@register(
+    "text_bigram_lift",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {_LIFT_MIN_COUNT}
+    ),
+    cu AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(ws) AS tok FROM w) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cu),
+    btot AS (
+      SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM (
+        SELECT COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+      )
+    )
+    SELECT cb.w1, cb.w2, cb.n_pair,
+           (CAST(cb.n_pair AS DOUBLE) / CAST(btot.b AS DOUBLE))
+             / ((CAST(c1.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                * (CAST(c2.c AS DOUBLE) / CAST(tot.t AS DOUBLE))) AS lift
+    FROM cb JOIN cu c1 ON cb.w1 = c1.tok JOIN cu c2 ON cb.w2 = c2.tok
+    CROSS JOIN tot CROSS JOIN btot
+    ORDER BY lift DESC, cb.w1 ASC, cb.w2 ASC
+    LIMIT {_LIFT_TOPK}
+    """,
+    tags=("text", "collocation", "topk"),
+    doc="Top bigrams by exact-count lift (log-free PMI ranking).",
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("ws")).localCheckpoint(eager=False)
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    bg = w.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n1),
+                F.slice(F.col("ws"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = bg.localCheckpoint(eager=False)  # two consumers: counts + total
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _LIFT_MIN_COUNT)
+    )
+    cu = w.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    tot = cu.agg(F.sum("c").cast("bigint").alias("t"))
+    btot = bg.groupBy("w1", "w2").count().agg(
+        F.sum("count").cast("bigint").alias("b")
+    )
+    j = (
+        cb.join(cu.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(cu.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(tot))  # 1-row scalars by construction
+        .crossJoin(F.broadcast(btot))
+    )
+    lift = (F.col("n_pair").cast("double") / F.col("b").cast("double")) / (
+        (F.col("c1").cast("double") / F.col("t").cast("double"))
+        * (F.col("c2").cast("double") / F.col("t").cast("double"))
+    )
+    return (
+        j.select("w1", "w2", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(_LIFT_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit screen (dq family): the observed first-digit
+# distribution of lineitem extended prices vs Benford's law — the
+# classic fabricated-data / unit-mixup tripwire.  The digit comes from
+# the STRING rendering of floor(price) (both engines render int64
+# identically; double->int casts differ in rounding mode between
+# engines, floor does not); expected shares are precomputed log10
+# literals, so every float is one fixed IEEE tree over exact integer
+# counts — no transcendental evaluated at query time.  Max |dev| over
+# digits replaces chi-square: MAX is order-insensitive where the
+# chi-square SUM over per-digit doubles is not.  Shape: one
+# map-side-combinable digit count + a 1-row total, broadcast back.
+# --------------------------------------------------------------------------
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+    b(digit, benford_share) AS (
+      VALUES {", ".join(f"({d}, CAST({_BENFORD[d]!r} AS DOUBLE))" for d in range(1, 10))}
+    )
+    SELECT b.digit, COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS obs_share,
+           b.benford_share,
+           ABS(CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+               - b.benford_share) AS abs_dev
+    FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN t
+    """,
+    tags=("dq", "distribution"),
+    doc="Benford first-digit deviation report over prices; bit-exact.",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    b = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [(d, _BENFORD[d]) for d in range(1, 10)],
+            "digit int, benford_share double",
+        )
+    )
+    j = b.join(c, "digit", "left").crossJoin(F.broadcast(t))
+    obs_share = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return j.select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint")).alias("n_obs"),
+        obs_share.alias("obs_share"),
+        "benford_share",
+        F.abs(obs_share - F.col("benford_share")).alias("abs_dev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image fingerprint clusters: 64-bit dHash (difference hash)
+# over the REAL PNG decode — floor-sample to a 9x8 luma grid, one
+# gradient bit per horizontally adjacent pair — then the top hash
+# clusters by member count, the image-dedup step that catches
+# re-encoded/resized copies exact byte-hashing misses.  All-integer
+# arithmetic end to end (Rec.601 luma, floor sampling, bit packing as
+# two 32-bit halves), so the oracle replays it exactly from the
+# pre-encode pixel material; decode(encode(x)) == x is what the match
+# proves.  Scale shape: map-only Arrow stage (doc_id, payload) ->
+# 2 longs per image, one map-side-combinable groupBy, distributed
+# top-k.  Hamming-tolerant matching composes downstream as a banded
+# equi-join on hash quarters (the simhash pattern).
+# --------------------------------------------------------------------------
+def _dhash_halves_sql() -> tuple[str, str]:
+    def idx(x: int, y: int) -> int:  # 1-based list index of grid point
+        return (y * _PNG_H // 8) * _PNG_W + (x * _PNG_W // 9) + 1
+
+    lo, hi = [], []
+    for y in range(8):
+        for x in range(8):
+            term = (
+                f"(CASE WHEN ls[{idx(x + 1, y)}] > ls[{idx(x, y)}] "
+                f"THEN CAST({1 << ((y % 4) * 8 + x)} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+            (lo if y < 4 else hi).append(term)
+    return " + ".join(hi), " + ".join(lo)
+
+
+_DHASH_HI_SQL, _DHASH_LO_SQL = _dhash_halves_sql()
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(3 * p AS INT) AS r0, CAST(3 * p + 1 AS INT) AS g0,
+             CAST(3 * p + 2 AS INT) AS b0
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H})) AS t(p)
+    ),
+    rgb AS (
+      SELECT px.doc_id, px.p,
+             (CASE WHEN px.r0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS r,
+             (CASE WHEN px.g0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS g,
+             (CASE WHEN px.b0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS bb
+      FROM px JOIN b USING (doc_id)
+    ),
+    lum AS (
+      SELECT doc_id, p, (299 * r + 587 * g + 114 * bb) // 1000 AS luma FROM rgb
+    ),
+    l AS (
+      SELECT doc_id, list(luma ORDER BY p) AS ls FROM lum GROUP BY doc_id
+    ),
+    h AS (
+      SELECT doc_id, {_DHASH_HI_SQL} AS dhash_hi, {_DHASH_LO_SQL} AS dhash_lo
+      FROM l
+    )
+    SELECT dhash_hi, dhash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY dhash_hi, dhash_lo
+    ORDER BY n_docs DESC, dhash_hi ASC, dhash_lo ASC
+    LIMIT 50
+    """,
+    tags=("multimodal", "codec", "image", "dedup"),
+    doc="Top perceptual dHash clusters via the real PNG decode.",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_png_dhash,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    h = extract_png_dhash(png)
+    return (
+        h.groupBy("dhash_hi", "dhash_lo")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("dhash_hi"), F.asc("dhash_lo"))
+        .limit(50)
+    )

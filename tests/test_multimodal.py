@@ -576,3 +576,37 @@ def test_image_neardup_block_cap_engages_and_reports(spark):
     # ...and the drop is reported with its size.
     rep = {r["block"]: r["n_docs"] for r in dropped.collect()}
     assert list(rep.values()) == [n]
+
+
+def test_png_dhash_invariant_under_exact_upscale():
+    """The perceptual property, proven exactly: floor-sampling a
+    (2.25x, 4x) upscaled image hits pixels at floor(16x/18) =
+    floor(8x/9) and floor(8y/16) = floor(4y/8) — the SAME source pixels
+    — so dHash is bit-identical under that resize while a genuinely
+    different image hashes differently."""
+    from fotmobdatapipeline_spark.multimodal.png import (
+        encode_png,
+        png_dhash,
+        resize_png,
+    )
+
+    pixels = bytes((i * 37) % 256 for i in range(8 * 4 * 3))
+    img = encode_png(8, 4, pixels)
+    assert png_dhash(resize_png(img, 18, 16)) == png_dhash(img)
+    other = encode_png(8, 4, bytes((i * 91 + 5) % 256 for i in range(96)))
+    assert png_dhash(other) != png_dhash(img)
+
+
+def test_png_luma_histogram_any_bucket_count():
+    """ADVICE r9: buckets that do not divide 256 must not index out of
+    range; every histogram sums to the pixel count."""
+    from fotmobdatapipeline_spark.multimodal.png import (
+        encode_png,
+        png_luma_histogram,
+    )
+
+    img = encode_png(8, 4, bytes(range(96)))
+    for buckets in (3, 7, 8, 10, 100, 256):
+        h = png_luma_histogram(img, buckets=buckets)
+        assert len(h) == buckets
+        assert sum(h) == 32.0

@@ -923,3 +923,38 @@ def test_ab_family_windows_are_partition_scoped(spark):
         for line in plan.splitlines():
             if "windowspecdefinition" in line:
                 assert "_pid" in line, (name, line.strip()[:200])
+
+
+ROUND10_SWEEP = (
+    "events_survival_km",
+    "events_msprt_monitor",
+    "text_bigram_lift",
+    "dq_benford_digits",
+)
+
+
+def test_round10_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-10 additions — same
+    contract as the earlier round sweeps (the dHash entry is
+    Arrow-by-design and pinned by its own codec test below)."""
+    bad = []
+    for name in ROUND10_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
+
+
+def test_image_dhash_pruned_single_agg_topk(spark):
+    """The dHash tier must read ONLY (doc_id, text), run as chained
+    Arrow map stages into ONE map-side-combinable aggregate and a
+    distributed TakeOrderedAndProject — the petabyte-media-corpus
+    shape: scan-speed hashing, 2 longs per image on the shuffle."""
+    plan = _plan(_q("multimodal_image_dhash")(spark, SF_ORACLE))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert plan.count("MapInPandas") >= 2, plan  # encode + dhash stages
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan[:2000]
