@@ -2860,3 +2860,88 @@ def events_msprt_monitor(spark: SparkSession, sf_dir: str):
         log_lambda.alias("log_lambda"),
         (log_lambda >= F.lit(_MSPRT_LN20)).alias("crossed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend per event type: the median of all pairwise
+# slopes of the DAILY revenue series — the outlier-proof alternative to
+# OLS for "is this metric drifting".  Raw events collapse to one
+# combinable (type, day) integer-cents aggregate first (the CUSUM
+# doctrine), so the pairwise self-join is days² per type — calendar-
+# bounded (~435 pairs/month), never event-scale.  Slopes are single
+# IEEE divisions of exact integers; the median is lower-median rank
+# arithmetic over the per-type slope array (agg_weighted_median
+# precedent) — bit-identical in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    g AS (
+      SELECT p.event_type,
+             d.n_days,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             list(p.slope ORDER BY p.slope) AS slopes
+      FROM pairs p JOIN (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+      ) d USING (event_type)
+      GROUP BY p.event_type, d.n_days
+    )
+    SELECT event_type, n_days, n_pairs,
+           slopes[CAST((n_pairs - 1) // 2 AS INT) + 1] AS theilsen_slope
+    FROM g
+    """,
+    tags=("events", "stats", "time-series", "robust"),
+    doc="Theil-Sen median-of-slopes trend of daily revenue; bit-exact.",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum(F.col("v") * 100)).cast("bigint").alias("cents"))
+    )
+    daily = daily.localCheckpoint(eager=False)  # two consumers: pairs + n_days
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_days"))
+    g = (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.array_sort(F.collect_list("slope")).alias("slopes"),
+        )
+        .join(nd, "event_type")
+    )
+    med = F.element_at(
+        F.col("slopes"), (((F.col("n_pairs") - 1) / 2).cast("int") + 1)
+    )
+    return g.select("event_type", "n_days", "n_pairs", med.alias("theilsen_slope"))

@@ -9289,3 +9289,153 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_docs"), F.asc("dhash_hi"), F.asc("dhash_lo"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Hamming-tolerant perceptual near-dup pairs over the dHash tier: the
+# 64-bit fingerprint split into four 16-bit bands; by pigeonhole any
+# pair within Hamming distance <= 3 shares at least one exact band, so
+# candidates meet ONLY through banded equi-joins (the simhash doctrine
+# — never all-pairs), are de-duplicated across bands with one distinct
+# on the id pair, and verified with bit_count(xor()) — integer-exact in
+# both engines.  Hot bands (e.g. flat images hashing to all-zero
+# quarters) are CAPPED at _DHASH_BAND_CAP members and excluded, the
+# image_neardup/max_df precedent — mirrored in the oracle so parity
+# holds on any corpus.
+# --------------------------------------------------------------------------
+_DHASH_HAMMING_MAX = 3
+_DHASH_BAND_CAP = 256
+
+
+def _dhash_frame(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_png_dhash,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
+    return extract_png_dhash(png)
+
+
+@register(
+    "multimodal_image_dhash_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(3 * p AS INT) AS r0, CAST(3 * p + 1 AS INT) AS g0,
+             CAST(3 * p + 2 AS INT) AS b0
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H})) AS t(p)
+    ),
+    rgb AS (
+      SELECT px.doc_id, px.p,
+             (CASE WHEN px.r0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS r,
+             (CASE WHEN px.g0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS g,
+             (CASE WHEN px.b0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS bb
+      FROM px JOIN b USING (doc_id)
+    ),
+    lum AS (
+      SELECT doc_id, p, (299 * r + 587 * g + 114 * bb) // 1000 AS luma FROM rgb
+    ),
+    l AS (
+      SELECT doc_id, list(luma ORDER BY p) AS ls FROM lum GROUP BY doc_id
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, {_DHASH_HI_SQL} AS dhash_hi, {_DHASH_LO_SQL} AS dhash_lo
+      FROM l
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, dhash_hi, dhash_lo, band_id,
+             CASE band_id
+               WHEN 0 THEN dhash_lo & 65535
+               WHEN 1 THEN (dhash_lo >> 16) & 65535
+               WHEN 2 THEN dhash_hi & 65535
+               ELSE (dhash_hi >> 16) & 65535
+             END AS band_key
+      FROM h, UNNEST(range(0, 4)) AS t(band_id)
+    ),
+    ok AS MATERIALIZED (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) <= {_DHASH_BAND_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.dhash_hi AS ha, a.dhash_lo AS la,
+             c.dhash_hi AS hb, c.dhash_lo AS lb
+      FROM bands a JOIN ok USING (band_id, band_key)
+      JOIN bands c ON a.band_id = c.band_id AND a.band_key = c.band_key
+                   AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+            <= {_DHASH_HAMMING_MAX}
+    """,
+    tags=("multimodal", "codec", "image", "dedup", "lsh"),
+    doc="Perceptual near-dup pairs: banded dHash join, Hamming <= 3, capped bands.",
+)
+def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str):
+    h = _dhash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    band_key = (
+        F.when(F.col("band_id") == 0, F.col("dhash_lo").bitwiseAND(65535))
+        .when(F.col("band_id") == 1, F.shiftright("dhash_lo", 16).bitwiseAND(65535))
+        .when(F.col("band_id") == 2, F.col("dhash_hi").bitwiseAND(65535))
+        .otherwise(F.shiftright("dhash_hi", 16).bitwiseAND(65535))
+    )
+    bands = h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id"),
+    ).withColumn("band_key", band_key)
+    bands = bands.localCheckpoint(eager=False)  # two consumers: cap + join
+    ok = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _DHASH_BAND_CAP)
+        .select("band_id", "band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"),
+        "band_id",
+        "band_key",
+    )
+    c = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        a.join(ok, ["band_id", "band_key"])
+        .join(c, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ) + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= _DHASH_HAMMING_MAX)

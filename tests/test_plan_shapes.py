@@ -958,3 +958,17 @@ def test_image_dhash_pruned_single_agg_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_theilsen_pairs_bounded_and_km_fold_shapes(spark):
+    """Theil-Sen's self-join runs on the (type, day) aggregate — the
+    plan must show the partial/final aggregate pair BEFORE any join
+    (the pairwise blow-up is calendar-bounded, never event-scale) and
+    no cartesian product; KM and mSPRT must contain no Window at all
+    (prefix logic rides folds over broadcast day/hour tables)."""
+    plan = _plan(_q("events_theilsen_trend")(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    for name in ("events_survival_km", "events_msprt_monitor"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "Window" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
