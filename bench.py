@@ -96,6 +96,15 @@ HEADLINE = [
     "events_mannwhitney_u",
     "cdc_incremental_join_view",
     "pref_rank_centrality",
+    # round-10 additions
+    "events_ltv_deciles",
+    "events_survival_km",
+    "events_msprt_monitor",
+    "events_qte",
+    "text_bigram_lift",
+    "multimodal_image_dhash",
+    "multimodal_image_dhash_pairs",
+    "events_theilsen_trend",
 ]
 
 

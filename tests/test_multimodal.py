@@ -610,3 +610,66 @@ def test_png_luma_histogram_any_bucket_count():
         h = png_luma_histogram(img, buckets=buckets)
         assert len(h) == buckets
         assert sum(h) == 32.0
+
+
+def test_dhash_stream_maintenance_equals_batch(spark, tmp_path):
+    """Stream == batch for the perceptual-hash index: draining the
+    documents feed through dhash_cluster_maintenance_sink must leave a
+    table cell-identical to the batch encode->hash->groupBy over the
+    same documents, and replaying the same feed from a fresh checkpoint
+    (repeating batch ids) must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.multimodal import (
+        attach_binary_payload,
+        encode_media_as_png,
+        extract_png_dhash,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.multimodal import (
+        dhash_cluster_maintenance_sink,
+        read_dhash_clusters,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    schema = docs.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(src / "b0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b1"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = dhash_cluster_maintenance_sink(
+            stream, str(tmp_path / "idx"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain("ckpt0")
+    streamed = read_dhash_clusters(spark, str(tmp_path / "idx"))
+    got = sorted(
+        (r["dhash_hi"], r["dhash_lo"], r["n_docs"]) for r in streamed.collect()
+    )
+    png = encode_media_as_png(attach_binary_payload(docs), 8, 4)
+    want = sorted(
+        map(
+            tuple,
+            extract_png_dhash(png)
+            .groupBy("dhash_hi", "dhash_lo")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    drain("ckpt1")  # fresh checkpoint -> batch ids repeat -> replay guard
+    again = sorted(
+        (r["dhash_hi"], r["dhash_lo"], r["n_docs"])
+        for r in read_dhash_clusters(spark, str(tmp_path / "idx")).collect()
+    )
+    assert again == got
