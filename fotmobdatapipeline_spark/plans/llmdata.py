@@ -9439,3 +9439,76 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str):
     return cand.select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching report: documents assigned to power-of-two
+# token-length buckets (the padding-efficient batching layout next to
+# the concat-and-chunk / never-split packers), with each bucket's
+# padding waste 1 - tokens/capacity — the number a training pipeline
+# reads to choose between bucketing and packing.  Bucket = next power
+# of two >= n_tokens via exact integer doubling (no log2 — floats never
+# touch the bucketing); one map + one combinable aggregate, one IEEE
+# division per bucket row.  Whitespace token count matches the
+# text_token_stats definition.
+# --------------------------------------------------------------------------
+@register(
+    "pack_length_buckets",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             CASE WHEN n_tokens <= 1 THEN 1
+                  WHEN n_tokens <= 2 THEN 2
+                  WHEN n_tokens <= 4 THEN 4
+                  WHEN n_tokens <= 8 THEN 8
+                  WHEN n_tokens <= 16 THEN 16
+                  WHEN n_tokens <= 32 THEN 32
+                  WHEN n_tokens <= 64 THEN 64
+                  WHEN n_tokens <= 128 THEN 128
+                  WHEN n_tokens <= 256 THEN 256
+                  WHEN n_tokens <= 512 THEN 512
+                  WHEN n_tokens <= 1024 THEN 1024
+                  WHEN n_tokens <= 2048 THEN 2048
+                  WHEN n_tokens <= 4096 THEN 4096
+                  ELSE 8192 END AS bucket
+      FROM d
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS capacity,
+           CAST(1 AS DOUBLE)
+             - CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) * bucket AS DOUBLE)
+             AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+    tags=("llm", "packing", "batching"),
+    doc="Power-of-two length buckets with per-bucket padding waste; bit-exact.",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    bucket = F.lit(8192)
+    for size in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        bucket = F.when(n_tokens <= size, F.lit(size)).otherwise(bucket)
+    g = docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket")).groupBy(
+        "bucket"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    capacity = (F.col("n_docs") * F.col("bucket")).cast("bigint")
+    return g.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        capacity.alias("capacity"),
+        (
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double") / capacity.cast("double")
+        ).alias("padding_waste"),
+    )
