@@ -2321,3 +2321,119 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str):
         F.col("v").alias("weighted_median"),
         F.col("totw").alias("total_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF recall curve: recall@5 of the cell-probed search vs brute-force
+# truth at nprobe = 1/2/3 — the measured speed/recall trade-off an ANN
+# deployment reads before picking nprobe (the dedup_recall_report
+# doctrine: report QUALITY as data, don't assert it).  Truth is the
+# exact cosine top-5; each probe level re-ranks only its probed cells'
+# inverted lists; hits are exact id-pair joins and recall one IEEE
+# division — bit-exact.  Scale shape: the |Q|-row truth/ivf sides are
+# query-cardinality; the only corpus-wide work is the cell assignment
+# the IVF tier already does.
+# --------------------------------------------------------------------------
+@register(
+    "sim_ivf_recall_curve",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_norm
+      FROM v WHERE vec_id < {_N_CELLS}
+    ),
+    ranks AS (
+      SELECT v.vec_id AS vid, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_sql_dot('v.embedding', 'c.c_vec')} / (v.nrm * c.c_norm) DESC,
+                        c.cell ASC
+             ) AS crk
+      FROM v, c
+    ),
+    ca AS (SELECT vid, cell FROM ranks WHERE crk = 1),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_dot('q.embedding', 's.embedding')} / (q.nrm * s.nrm) DESC,
+                          s.vec_id ASC
+               ) AS rk
+        FROM v q, v s WHERE q.vec_id < {_N_QUERIES} AND s.vec_id != q.vec_id
+      ) WHERE rk <= 5
+    ),
+    nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+      FROM truth
+    ),
+    probes(nprobe) AS (VALUES (1), (2), (3)),
+    ivf AS (
+      SELECT pr.nprobe, qr.vid AS query_id, cc.vid AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY pr.nprobe, qr.vid
+               ORDER BY {_sql_dot('vq.embedding', 'vs.embedding')} / (vq.nrm * vs.nrm) DESC,
+                        cc.vid ASC
+             ) AS rk
+      FROM probes pr
+      JOIN ranks qr ON qr.crk <= pr.nprobe AND qr.vid < {_N_QUERIES}
+      JOIN ca cc ON cc.cell = qr.cell AND cc.vid != qr.vid
+      JOIN v vq ON vq.vec_id = qr.vid
+      JOIN v vs ON vs.vec_id = cc.vid
+    ),
+    h AS (
+      SELECT i.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ivf i JOIN truth t
+        ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+      WHERE i.rk <= 5
+      GROUP BY i.nprobe
+    )
+    SELECT pr.nprobe, nt.n_queries, nt.n_truth,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+             AS recall
+    FROM probes pr LEFT JOIN h USING (nprobe) CROSS JOIN nt
+    """,
+    tags=("similarity", "ivf", "recall", "eval"),
+    doc="IVF recall@5 vs brute force at nprobe 1/2/3; quality as data.",
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    truth = (
+        S.brute_force_topk(queries, emb, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # four consumers: counts + 3 hit joins
+    )
+    nt = truth.agg(
+        F.count("*").cast("bigint").alias("n_truth"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    parts = []
+    for p in (1, 2, 3):
+        ivf = S.ivf_topk(queries, emb, centroids, k=5, n_probes=p).select(
+            "query_id", "neighbor_id"
+        )
+        parts.append(
+            ivf.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(F.lit(p).alias("nprobe"), "n_hits")
+        )
+    hits = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return hits.crossJoin(F.broadcast(nt)).select(
+        "nprobe",
+        "n_queries",
+        "n_truth",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+            "recall"
+        ),
+    )

@@ -2945,3 +2945,109 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str):
         F.col("slopes"), (((F.col("n_pairs") - 1) / 2).cast("int") + 1)
     )
     return g.select("event_type", "n_days", "n_pairs", med.alias("theilsen_slope"))
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous treatment effect readout: the A/B revenue delta within
+# fixed user-activity bands (light < 40, regular < 70, heavy >= 70
+# events) — the "who moved" follow-up to the mean tests.  Fixed
+# thresholds, not data-adaptive terciles, so banding is a pure per-user
+# expression (an adaptive split would ride the exact_group_quantiles
+# prefix scan instead).  Per band: exact-decimal per-variant means in
+# one combinable aggregate, delta in one fixed IEEE tree — and each
+# band's delta minus the pooled delta (the interaction) from a 1-row
+# broadcast of the overall cells.
+# --------------------------------------------------------------------------
+@register(
+    "events_hte_by_activity",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS rev
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT CASE WHEN n_ev < 40 THEN 'light'
+                  WHEN n_ev < 70 THEN 'regular'
+                  ELSE 'heavy' END AS band,
+             rev,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    b AS (
+      SELECT band,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN variant = 0 THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_a,
+             SUM(CASE WHEN variant = 1 THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_b
+      FROM v GROUP BY band
+    ),
+    o AS (
+      SELECT CAST(SUM(s_a) AS DOUBLE) / CAST(SUM(n_a) AS DOUBLE)
+               - CAST(SUM(s_b) AS DOUBLE) / CAST(SUM(n_b) AS DOUBLE) AS pooled_delta
+      FROM b
+    )
+    SELECT band, n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta,
+           (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) - o.pooled_delta
+             AS interaction
+    FROM b CROSS JOIN o
+    """,
+    tags=("events", "stats", "abtest", "hte"),
+    doc="Per-activity-band A/B revenue deltas and interactions; bit-exact.",
+)
+def events_hte_by_activity(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(12,2)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+    band = (
+        F.when(F.col("n_ev") < 40, F.lit("light"))
+        .when(F.col("n_ev") < 70, F.lit("regular"))
+        .otherwise(F.lit("heavy"))
+    )
+    v = pu.select(band.alias("band"), "rev", _ab_variant().alias("variant"))
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    b = v.groupBy("band").agg(
+        F.sum(is_a.cast("int")).cast("bigint").alias("n_a"),
+        F.sum(is_b.cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("rev")).otherwise(dec0)).alias("s_a"),
+        F.sum(F.when(is_b, F.col("rev")).otherwise(dec0)).alias("s_b"),
+    )
+    b = b.localCheckpoint(eager=False)  # two consumers: rows + pooled cells
+    o = b.agg(
+        (
+            F.sum("s_a").cast("double") / F.sum("n_a").cast("double")
+            - F.sum("s_b").cast("double") / F.sum("n_b").cast("double")
+        ).alias("pooled_delta")
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    delta = mean_a - mean_b
+    return b.crossJoin(F.broadcast(o)).select(
+        "band",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        delta.alias("delta"),
+        (delta - F.col("pooled_delta")).alias("interaction"),
+    )
