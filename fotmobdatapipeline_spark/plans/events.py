@@ -3051,3 +3051,84 @@ def events_hte_by_activity(spark: SparkSession, sf_dir: str):
         delta.alias("delta"),
         (delta - F.col("pooled_delta")).alias("interaction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion-lag quantiles: per converting user, µs from first 'view'
+# to first subsequent 'purchase'; p50/p90 of the lag distribution —
+# the funnel's "how long" companion.  One per-user aggregate, then
+# exact PERCENTILE_CONT through operators/stats.py's distinct-value
+# prefix-scan rank arithmetic (scale-safe at ANY user cardinality —
+# the r10 de-windowed quantile path this entry deliberately exercises
+# on a genuine lag distribution).
+# --------------------------------------------------------------------------
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v0
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) - u.v0 AS lag_us
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase' AND u.v0 IS NOT NULL
+        AND epoch_us(e.ts) >= u.v0
+      GROUP BY e.user_id, u.v0
+    ),
+    r AS (
+      SELECT CAST(lag_us AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY lag_us) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           SUM(CASE WHEN rn = FLOOR((n - 1) * CAST(0.5 AS DOUBLE))
+                 THEN v * (CAST(1 AS DOUBLE)
+                           - ((n - 1) * CAST(0.5 AS DOUBLE)
+                              - FLOOR((n - 1) * CAST(0.5 AS DOUBLE))))
+               WHEN ((n - 1) * CAST(0.5 AS DOUBLE)
+                     - FLOOR((n - 1) * CAST(0.5 AS DOUBLE))) > 0
+                 AND rn = FLOOR((n - 1) * CAST(0.5 AS DOUBLE)) + 1
+                 THEN v * ((n - 1) * CAST(0.5 AS DOUBLE)
+                           - FLOOR((n - 1) * CAST(0.5 AS DOUBLE)))
+               ELSE CAST(0 AS DOUBLE) END) AS p50_lag_us,
+           SUM(CASE WHEN rn = FLOOR((n - 1) * CAST(0.9 AS DOUBLE))
+                 THEN v * (CAST(1 AS DOUBLE)
+                           - ((n - 1) * CAST(0.9 AS DOUBLE)
+                              - FLOOR((n - 1) * CAST(0.9 AS DOUBLE))))
+               WHEN ((n - 1) * CAST(0.9 AS DOUBLE)
+                     - FLOOR((n - 1) * CAST(0.9 AS DOUBLE))) > 0
+                 AND rn = FLOOR((n - 1) * CAST(0.9 AS DOUBLE)) + 1
+                 THEN v * ((n - 1) * CAST(0.9 AS DOUBLE)
+                           - FLOOR((n - 1) * CAST(0.9 AS DOUBLE)))
+               ELSE CAST(0 AS DOUBLE) END) AS p90_lag_us
+    FROM r
+    """,
+    tags=("events", "funnel", "quantiles"),
+    doc="First-view to first-purchase lag with exact p50/p90; bit-exact.",
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tus"))).alias("v0")
+    ).filter(F.col("v0").isNotNull())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("tus") >= F.col("v0"))
+        .groupBy("user_id", "v0")
+        .agg((F.min("tus") - F.col("v0")).cast("double").alias("lag_us"))
+        .select(F.lit(1).alias("g"), "lag_us")
+    )
+    q = exact_group_quantiles(p, "lag_us", ["g"], ps=(0.5, 0.9))
+    n = p.groupBy("g").agg(F.count("*").cast("bigint").alias("n_converted"))
+    return q.join(n, "g").select(
+        "n_converted",
+        F.col("p50").alias("p50_lag_us"),
+        F.col("p90").alias("p90_lag_us"),
+    )
