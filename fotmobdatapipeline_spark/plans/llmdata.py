@@ -9512,3 +9512,106 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str):
             - F.col("total_tokens").cast("double") / capacity.cast("double")
         ).alias("padding_waste"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ranked-retrieval quality: nDCG@10 of the BM25 ranking against a
+# binary relevance label (doc contains ALL query terms) — the ranking
+# eval next to sim_ivf_recall_curve's ANN recall (quality as data).
+# No log at query time: the 1/log2(r+1) discounts for ranks 1..10 and
+# their prefix sums (the ideal DCG table) are PYTHON-precomputed
+# literals, identical doubles in both engines; DCG is an EXPLICIT
+# fixed-order 10-term expression over the rank-sorted top-10 array —
+# no float aggregate whose order the shuffle picks.  Relevance counts
+# are exact integers; one corpus scan for labels, the BM25 tier's own
+# scan for the ranking.
+# --------------------------------------------------------------------------
+_NDCG_W = {r: 1.0 / __import__("math").log2(r + 1) for r in range(1, 11)}
+_NDCG_P = {k: sum(_NDCG_W[r] for r in range(1, k + 1)) for k in range(1, 11)}
+
+
+def _ndcg_dcg_sql() -> str:
+    expr = "CAST(0 AS DOUBLE)"
+    for r in range(1, 11):
+        expr = (
+            f"({expr} + CAST(COALESCE(arr[{r}].rel, 0) AS DOUBLE)"
+            f" * CAST({_NDCG_W[r]!r} AS DOUBLE))"
+        )
+    return expr
+
+
+@register(
+    "text_bm25_ndcg",
+    oracle=lambda: f"""
+    WITH top AS ({_bm25_oracle()}),
+    rel AS (
+      SELECT doc_id,
+             CASE WHEN {" AND ".join(
+                 f"list_contains(string_split(text, ' '), '{t}')"
+                 for t in _BM25_TERMS)}
+             THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ),
+    j AS (
+      SELECT t.doc_id, t.score, r.rel FROM top t JOIN rel r USING (doc_id)
+    ),
+    one AS (
+      SELECT list({{'ns': -score, 'd': doc_id, 'rel': rel}}
+                  ORDER BY -score, doc_id) AS arr
+      FROM j
+    ),
+    nr AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM rel),
+    m AS (
+      SELECT nr.n_rel,
+             {_ndcg_dcg_sql()} AS dcg,
+             CASE WHEN nr.n_rel <= 0 THEN NULL
+                  {" ".join(
+                      f"WHEN nr.n_rel = {k} THEN CAST({_NDCG_P[k]!r} AS DOUBLE)"
+                      for k in range(1, 10))}
+                  ELSE CAST({_NDCG_P[10]!r} AS DOUBLE) END AS idcg
+      FROM one CROSS JOIN nr
+    )
+    SELECT n_rel, dcg, idcg, dcg / idcg AS ndcg FROM m
+    """,
+    tags=("text", "retrieval", "eval"),
+    doc="nDCG@10 of BM25 vs all-terms relevance; literal discounts, bit-exact.",
+)
+def text_bm25_ndcg(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    top = bm25_topk(docs, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
+    ws = F.split("text", " ")
+    rel_flag = F.lit(True)
+    for t in _BM25_TERMS:
+        rel_flag = rel_flag & F.array_contains(ws, t)
+    rel = docs.select("doc_id", rel_flag.cast("int").alias("rel"))
+    rel = rel.localCheckpoint(eager=False)  # two consumers: join + n_rel
+    j = top.join(rel, "doc_id")
+    one = j.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("doc_id").alias("d"),
+                    F.col("rel").alias("rel"),
+                )
+            )
+        ).alias("arr")
+    )
+    nr = rel.agg(F.sum("rel").cast("bigint").alias("n_rel"))
+    dcg = F.lit(0.0)
+    for r in range(1, 11):
+        dcg = dcg + F.coalesce(
+            F.element_at("arr", r)["rel"], F.lit(0)
+        ).cast("double") * F.lit(_NDCG_W[r])
+    idcg = F.when(F.col("n_rel") <= 0, F.lit(None).cast("double"))
+    for k in range(1, 10):
+        idcg = idcg.when(F.col("n_rel") == k, F.lit(_NDCG_P[k]))
+    idcg = idcg.otherwise(F.lit(_NDCG_P[10]))
+    m = one.crossJoin(F.broadcast(nr)).select(
+        "n_rel", dcg.alias("dcg"), idcg.alias("idcg")
+    )
+    return m.select(
+        "n_rel", "dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg")
+    )
