@@ -442,6 +442,9 @@ _SCALE_QUERIES = [
     # (was a global ntile window; must now scale with the prefix scan)
     "events_ab_bootstrap",
     "events_ltv_deciles",
+    # round-10: the Python-codec tier at 10x documents (map-only Arrow
+    # stages — must scale linearly with the corpus)
+    "multimodal_image_dhash",
 ]
 
 

@@ -49,9 +49,12 @@ PICKS = [
     ("url_domain_mixture_psl", "PSL-as-data: one broadcast join per suffix depth, host side never shuffled before its own aggregate"),
     ("llm_prep_pipeline_v3", "Prep v3: blocklist anti-join + LM cut + hash dedup + prefix-sum packing — models broadcast, two corpus text scans"),
     ("pref_winrate", "Arena win rates: one exploded projection + one map-side-combinable hash aggregate — no join anywhere"),
-    ("events_mannwhitney_u", "Mann-Whitney U: the only ordered window runs over distinct-VALUE cardinality, never event volume"),
+    ("events_mannwhitney_u", "Mann-Whitney U: distinct-value collapse, then the two-phase prefix scan — every window _pid-scoped, no partition-less sort at any cardinality"),
     ("cdc_incremental_join_view", "IVM: carried-forward side is two anti-join key filters — the dimension appears only in the rebuilt branch"),
     ("multimodal_png_decode", "PNG decode: two chained Arrow stages over (doc_id, payload) only — column-pruned, shuffle-free"),
+    ("events_ltv_deciles", "Whale curve: prefix-scan ranks + integer NTILE arithmetic — the r9 global-ntile scale-killer de-windowed"),
+    ("multimodal_image_dhash", "Perceptual dHash: map-only Arrow hashing into one combinable aggregate and a distributed TakeOrderedAndProject"),
+    ("multimodal_image_dhash_pairs", "Hamming near-dup: four banded equi-joins with a hot-band cap — never all-pairs"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
