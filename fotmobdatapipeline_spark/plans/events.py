@@ -3132,3 +3132,164 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str):
         F.col("p50").alias("p50_lag_us"),
         F.col("p90").alias("p90_lag_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curves: users grouped by first-seen week, each cohort's
+# CUMULATIVE purchase revenue per user by age-week — the retention
+# matrix's revenue companion.  The running total is an EXACT-DECIMAL
+# window sum over (cohort, age) cells: cell cardinality is calendar² —
+# bounded at any event volume (the CUSUM doctrine) — and decimal
+# addition is order-insensitive, so the window is value-exact by
+# construction; the only doubles are the final per-user divisions.
+# --------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400_000_000
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts) // {_WEEK_US}) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cs AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM u GROUP BY cohort_week
+    ),
+    p AS (
+      SELECT u.cohort_week,
+             (epoch_us(e.ts) // {_WEEK_US}) - u.cohort_week AS age_week,
+             CAST(e.value AS DECIMAL(12,2)) AS v
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT cohort_week, age_week,
+             CAST(SUM(v) AS DECIMAL(18,2)) AS week_revenue
+      FROM p GROUP BY cohort_week, age_week
+    ),
+    cum AS (
+      SELECT cohort_week, age_week, week_revenue,
+             CAST(SUM(week_revenue) OVER (
+               PARTITION BY cohort_week ORDER BY age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(18,2)) AS cum_revenue
+      FROM cell
+    )
+    SELECT c.cohort_week, c.age_week,
+           CAST(c.week_revenue AS DOUBLE) AS week_revenue,
+           CAST(c.cum_revenue AS DOUBLE) AS cum_revenue,
+           s.cohort_size,
+           CAST(c.cum_revenue AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS ltv_per_user
+    FROM cum c JOIN cs s USING (cohort_week)
+    """,
+    tags=("events", "analytics", "cohort"),
+    doc="Cohort cumulative-LTV curves; exact-decimal running revenue.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "week", F.expr(f"unix_micros(ts) div {_WEEK_US}")
+    )
+    u = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    u = u.localCheckpoint(eager=False)  # two consumers: sizes + purchase join
+    cs = u.groupBy("cohort_week").agg(F.count("*").cast("bigint").alias("cohort_size"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_week"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+    )
+    cell = p.groupBy("cohort_week", "age_week").agg(
+        F.sum("v").cast("decimal(18,2)").alias("week_revenue")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn(
+        "cum_revenue", F.sum("week_revenue").over(w).cast("decimal(18,2)")
+    )
+    return cum.join(cs, "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        F.col("week_revenue").cast("double").alias("week_revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        "cohort_size",
+        (
+            F.col("cum_revenue").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive anomaly report: each (type, hour)'s revenue residual
+# against its hour-of-day baseline (the daily-seasonality complement to
+# the MAD and CUSUM detectors).  All-integer arithmetic: hourly exact
+# cents (operators/timeseries.hourly_cents), baseline = integer-div
+# mean per (type, hour-of-day), residual a subtraction — bit-exact with
+# no float anywhere; top anomalies by |residual| via a distributed
+# TakeOrderedAndProject.  Scale shape: events collapse to the
+# calendar-bounded hourly aggregate before anything else (CUSUM
+# doctrine); the baseline join is (type x 24)-cardinality.
+# --------------------------------------------------------------------------
+@register(
+    "events_seasonal_residuals",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, ho % 24 AS hod,
+             CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS base_cents
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.ho AS hour, h.cents, b.base_cents,
+           h.cents - b.base_cents AS residual_cents
+    FROM hourly h JOIN base b
+      ON h.event_type = b.event_type AND (h.ho % 24) = b.hod
+    ORDER BY ABS(h.cents - b.base_cents) DESC, h.event_type ASC, h.ho ASC
+    LIMIT 20
+    """,
+    tags=("events", "time-series", "anomaly"),
+    doc="Hour-of-day seasonal baseline residuals; integer-exact, top-20.",
+)
+def events_seasonal_residuals(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.timeseries import hourly_cents
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = hourly_cents(ev).localCheckpoint(eager=False)  # rows + baseline
+    base = (
+        hourly.withColumn("hod", F.col("ho") % 24)
+        .groupBy("event_type", "hod")
+        .agg(
+            F.expr("sum(cents) div count(*)").cast("bigint").alias("base_cents")
+        )
+    )
+    j = hourly.withColumn("hod", F.col("ho") % 24).join(
+        base, ["event_type", "hod"]
+    )
+    res = F.col("cents") - F.col("base_cents")
+    return (
+        j.select(
+            "event_type",
+            F.col("ho").alias("hour"),
+            "cents",
+            "base_cents",
+            res.alias("residual_cents"),
+        )
+        .orderBy(
+            F.abs(F.col("residual_cents")).desc(),
+            F.asc("event_type"),
+            F.asc("hour"),
+        )
+        .limit(20)
+    )

@@ -2087,3 +2087,97 @@ def test_kcore_matches_python_replay(spark, edges):
         for r in kcore(pairs, k=2, rounds=4).collect()
     }
     assert got == _kcore_replay(edges, k=2, rounds=4)
+
+
+def test_grouped_running_sum_matches_per_group_window(spark):
+    """grouped_running_sum must equal Window.partitionBy(group)
+    .orderBy exactly, at any partition count — including groups that
+    straddle range-partition boundaries and single-row groups."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [((i * 31) % 7, (i * 7919) % 500, i % 11 + 1) for i in range(4000)]
+    rows += [(99, 0, 5)]  # single-row group
+    df = (
+        spark.createDataFrame(rows, "g long, k long, v long")
+        .withColumn("rid", F.monotonically_increasing_id())
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = sorted(
+        df.withColumn("running", F.sum("v").over(w))
+        .select("g", "k", "rid", "running")
+        .collect()
+    )
+    for n_parts in (1, 3, 32):
+        got = sorted(
+            grouped_running_sum(df, ["g"], ["k", "rid"], "v", n_parts=n_parts)
+            .select("g", "k", "rid", "running")
+            .collect()
+        )
+        assert got == want, n_parts
+
+
+def test_kaplan_meier_matches_reference_implementation(spark, tmp_path):
+    """events_survival_km against a from-scratch Python KM on a
+    synthetic fixture with every edge: converters at the same duration,
+    never-converters (censored), a user whose first event IS a
+    purchase (duration 0), and censoring times interleaved with
+    events."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows, eid = [], 0
+
+    def add(u, tus, et):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, tus, u, et, 1.0, "{}"))
+
+    # u1: purchase on day 0; u2/u3: purchase day 2; u4: purchase day 5;
+    # u5, u6: never purchase (censored at corpus end, day 9).
+    add(1, base, "purchase")
+    for u in (2, 3):
+        add(u, base, "view")
+        add(u, base + 2 * day, "purchase")
+    add(4, base, "view")
+    add(4, base + 5 * day, "purchase")
+    for u in (5, 6):
+        add(u, base, "view")
+        add(u, base + 3 * day, "click")
+    add(1, base + 9 * day, "view")  # stretches the corpus end
+
+    df = spark.createDataFrame(
+        rows, "event_id long, tus long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_micros("tus").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    out = tmp_path / "km"
+    df.coalesce(1).write.parquet(str(out / "events.parquet"))
+
+    _load_all()
+    got = {
+        r["duration_days"]: (
+            r["n_risk"], r["n_events"], r["n_censored"], r["survival"]
+        )
+        for r in QUERIES["events_survival_km"].builder(spark, str(out)).collect()
+    }
+
+    # Reference KM: durations {0: d1, 2: d2, 5: d1, 9: c2}.
+    want = {}
+    at_risk, surv = 6, 1.0
+    for dur, (d, c) in sorted({0: (1, 0), 2: (2, 0), 5: (1, 0), 9: (0, 2)}.items()):
+        surv = surv * (1.0 - d / at_risk)
+        want[dur] = (at_risk, d, c, surv)
+        at_risk -= d + c
+    assert got == want
