@@ -9615,3 +9615,76 @@ def text_bm25_ndcg(spark: SparkSession, sf_dir: str):
     return m.select(
         "n_rel", "dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup (keep-one-per-cluster): every document's image
+# payload is fingerprinted with the real-decode dHash and only the
+# minimum doc_id per fingerprint survives — the multimodal twin of
+# exact text dedup (dedup_exact's keep-min rule), and the recipe step a
+# mixed-modality prep pipeline runs between byte-hash dedup and
+# expensive embedding screens.  Map-only Arrow hashing, one combinable
+# min/count aggregate per fingerprint, survivors by broadcast-eligible
+# hash-keyed join.  Survivor rows carry the cluster size so downstream
+# mixture weighting can reweight collapsed duplicates.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_dedup_perceptual",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(3 * p AS INT) AS r0, CAST(3 * p + 1 AS INT) AS g0,
+             CAST(3 * p + 2 AS INT) AS b0
+      FROM b, UNNEST(range(0, {_PNG_W * _PNG_H})) AS t(p)
+    ),
+    rgb AS (
+      SELECT px.doc_id, px.p,
+             (CASE WHEN px.r0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.r0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS r,
+             (CASE WHEN px.g0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.g0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS g,
+             (CASE WHEN px.b0 < b.n THEN
+                (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(b.hx, CAST(2 * px.b0 + 2 AS INT), 1)) - 1)
+              ELSE 0 END) AS bb
+      FROM px JOIN b USING (doc_id)
+    ),
+    lum AS (
+      SELECT doc_id, p, (299 * r + 587 * g + 114 * bb) // 1000 AS luma FROM rgb
+    ),
+    l AS (
+      SELECT doc_id, list(luma ORDER BY p) AS ls FROM lum GROUP BY doc_id
+    ),
+    h AS (
+      SELECT doc_id, {_DHASH_HI_SQL} AS dhash_hi, {_DHASH_LO_SQL} AS dhash_lo
+      FROM l
+    ),
+    cl AS (
+      SELECT dhash_hi, dhash_lo,
+             MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM h GROUP BY dhash_hi, dhash_lo
+    )
+    SELECT keeper AS doc_id, dhash_hi, dhash_lo, cluster_size FROM cl
+    """,
+    tags=("multimodal", "codec", "image", "dedup"),
+    doc="Keep-one-per-perceptual-cluster image dedup via real-decode dHash.",
+)
+def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str):
+    h = _dhash_frame(spark, sf_dir)
+    return (
+        h.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+        .select("doc_id", "dhash_hi", "dhash_lo", "cluster_size")
+    )
