@@ -673,3 +673,35 @@ def test_dhash_stream_maintenance_equals_batch(spark, tmp_path):
         for r in read_dhash_clusters(spark, str(tmp_path / "idx")).collect()
     )
     assert again == got
+
+
+def test_dhash_pairs_band_cap_engages(spark, tmp_path):
+    """Degenerate corpus for the Hamming tier: 300 byte-identical
+    images collapse into hot bands above _DHASH_BAND_CAP and must be
+    EXCLUDED from the pair join (no ~300²/2 blow-up), while a small
+    2-member cluster still yields its Hamming-0 pair."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.plans.llmdata import _DHASH_BAND_CAP
+
+    n_hot = _DHASH_BAND_CAP + 44
+    rows = [(i, "hot text payload everywhere the same", "en", "src0", 36)
+            for i in range(n_hot)]
+    rows += [
+        (9001, "cold pair text quite different body", "en", "src1", 35),
+        (9002, "cold pair text quite different body", "en", "src1", 35),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "deg"
+    docs.coalesce(1).write.parquet(str(out / "documents.parquet"))
+    _load_all()
+    got = sorted(
+        map(
+            tuple,
+            QUERIES["multimodal_image_dhash_pairs"].builder(spark, str(out)).collect(),
+        )
+    )
+    assert got == [(9001, 9002, 0)]
