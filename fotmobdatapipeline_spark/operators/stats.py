@@ -3,35 +3,41 @@
 ``approx_percentile`` (KLL/GK sketches) is the right default at 100 TB,
 but data-quality gates and oracle checks need *exact*, reproducible
 quantiles.  ``exact_group_quantiles`` computes linear-interpolated
-percentiles (the PERCENTILE_CONT definition) with NO per-group sort:
+percentiles (the PERCENTILE_CONT definition) by two-phase distributed
+SELECTION over the distinct-value counts — no group ever sorts inside
+one partition (the shape that killed the old
+``Window.partitionBy(group).orderBy(v)`` row_number at data-scale
+groups like the 2-arm A/B split), and only ONE data-scale shuffle:
 
-* rows collapse to one row per distinct (group, value) with counts —
-  a map-side-combinable hash aggregate, never a data-scale window;
-* the distinct-value table gets exact global ranks per group from the
-  two-phase distributed prefix sum (operators/prefix.py — range
-  shuffle + broadcast offsets; no group ever sorts inside ONE
-  partition, which is what killed the old Window.partitionBy(group)
-  .orderBy(v) row_number at data-scale groups like the 2-arm A/B
-  split: half the corpus per window task);
-* each percentile is picked out by rank arithmetic over the distinct
-  rows — at most two distinct values contribute, so the float SUM is
-  order-insensitive and the interpolation formula stays mirrored
-  verbatim in the DuckDB oracle: results are bit-identical.
+* rows range-partition by (group, value); equal keys co-locate, so the
+  distinct-value collapse ``groupBy(group, v).count()`` runs WITHOUT a
+  second exchange (RangePartitioning satisfies the aggregate's
+  clustering) — heavy-tie columns shrink to value cardinality here;
+* a local cumulative count per (spark partition, group) gives each
+  distinct value its local rank range; the per-(partition, group)
+  totals table (tiny: groups are range-contiguous, so
+  <= n_parts + n_groups - 1 rows) yields every group's exclusive
+  offsets AND its total n — no second pass over the data for either;
+* each requested p needs at most TWO order statistics per group (ranks
+  floor(pos) and floor(pos)+1, pos = (n-1)*p); the targets are computed
+  on the tiny table, broadcast back, and picked out by local rank-range
+  containment — the pick join matches <= 2*|ps| rows per group;
+* the interpolation v[flo]*(1-frac) + v[flo+1]*frac sums at most two
+  doubles (IEEE-commutative), mirrored verbatim in the DuckDB oracle:
+  results are bit-identical.
 
 Works for BOTH regimes: categorical group keys with data-scale groups
-(the prefix scan distributes each group across partitions) and
-high-cardinality group keys (each group spans few partitions; offsets
-stay <= n_parts + n_groups - 1 rows by range contiguity).
+(each group spreads across partitions) and high-cardinality group keys
+(each group spans few partitions; the totals table stays linear, not
+quadratic, by range contiguity).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
 
 
 def exact_group_quantiles(
@@ -40,50 +46,127 @@ def exact_group_quantiles(
     group_cols: Sequence[str],
     ps: Sequence[float] = (0.5, 0.9),
     names: Sequence[str] | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
-    """PERCENTILE_CONT per group via distinct-value rank arithmetic:
-    each requested p contributes v[floor(pos)]*(1-frac) +
-    v[floor(pos)+1]*frac where pos = (n-1)*p and v[r] is the r-th
-    0-based order statistic — located by [below, below+cnt) rank-range
-    containment on the distinct-value counts table instead of a
-    row_number over raw rows (same values, distributed ranking)."""
-    names = names or [f"p{int(p * 100)}" for p in ps]
+    """PERCENTILE_CONT per group via distributed rank selection (see
+    module docstring).  Returns one row per group with one column per
+    requested percentile."""
+    names = list(names or [f"p{int(p * 100)}" for p in ps])
     gcols = list(group_cols)
-    g = (
-        df.select(*gcols, F.col(value_col).alias("v"))
-        .groupBy(*gcols, "v")
-        .agg(F.count("*").alias("_cnt"))
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    parted = df.select(*gcols, F.col(value_col).alias("v")).repartitionByRange(
+        n_parts, *[F.col(c) for c in gcols], F.col("v")
     )
-    r = grouped_running_sum(g, gcols, ["v"], "_cnt", out_col="_upto")
-    # _below = exclusive rank offset: this distinct value covers 0-based
-    # ranks [_below, _upto).  n = group row count — a combinable
-    # aggregate joined back on the group key (AQE broadcasts the tiny
-    # per-group side), never a window: no ordered or partition-less
-    # window exists anywhere in this plan.
-    n_per_group = r.groupBy(*gcols).agg(F.sum("_cnt").alias("n"))
-    r = r.withColumn("_below", F.col("_upto") - F.col("_cnt"))
-    # Both consumers read grouped_running_sum's internal checkpoint, so
-    # the raw input is scanned exactly once.
-    r = r.join(n_per_group, gcols) if gcols else r.crossJoin(n_per_group)
-    aggs = []
-    for p, name in zip(ps, names):
+    # Equal (group, v) keys co-locate under range partitioning, so this
+    # aggregate needs no further exchange — the collapse is in-place.
+    dv = (
+        parted.groupBy(*gcols, "v")
+        .agg(F.count("*").alias("_cnt"))
+        .sortWithinPartitions(*gcols, "v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid", *gcols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # CHECKPOINT — correctness-critical (the operators/prefix.py rule):
+    # the ranked frame feeds both the totals aggregate and the final
+    # pick join; without one materialization each consumer re-runs
+    # repartitionByRange, whose boundary SAMPLING can differ between
+    # evaluations — offsets would then describe a different partitioning
+    # than the rows they select from.
+    local = dv.withColumn("_upto", F.sum("_cnt").over(w_local)).localCheckpoint(
+        eager=False
+    )
+
+    # Tiny by range contiguity: <= n_parts + n_groups - 1 rows.  The
+    # exclusive per-group prefix is each partition's rank offset; the
+    # per-group total n comes from the same table — no data-scale pass.
+    counts = local.groupBy("_pid", *gcols).agg(F.sum("_cnt").alias("_c"))
+    w_off = (
+        Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        if gcols
+        else Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).withColumn("n", F.sum("_c").over(w_grp))
+
+    # Per (partition, group): which 0-based target ranks land here.
+    # Each p contributes targets flo (weight 1-frac) and flo+1 (weight
+    # frac, only when frac > 0) — the PERCENTILE_CONT picks, mirrored
+    # verbatim in the oracle SQL.
+    targets = []
+    for i, p in enumerate(ps):
         pos = (F.col("n") - 1) * F.lit(p)
         flo = F.floor(pos)
         frac = pos - flo
-        hit_lo = (F.col("_below") <= flo) & (flo < F.col("_upto"))
-        hit_hi = (
-            (frac > 0)
-            & (F.col("_below") <= flo + 1)
-            & (flo + 1 < F.col("_upto"))
+        targets.append(
+            F.struct(
+                F.lit(i).alias("pi"),
+                flo.alias("t"),
+                (F.lit(1.0) - frac).alias("w"),
+            )
         )
-        # When both order statistics fall inside one tie run the two
-        # terms add on the same row — IEEE addition is commutative, so
-        # the value matches the per-row oracle sum bit for bit.
-        contrib = (
-            F.when(hit_lo & hit_hi, F.col("v") * (1 - frac) + F.col("v") * frac)
-            .when(hit_lo, F.col("v") * (1 - frac))
-            .when(hit_hi, F.col("v") * frac)
-            .otherwise(F.lit(0.0))
+        targets.append(
+            F.struct(
+                F.lit(i).alias("pi"),
+                F.when(frac > 0, flo + 1).otherwise(F.lit(None)).alias("t"),
+                frac.alias("w"),
+            )
         )
-        aggs.append(F.sum(contrib).alias(name))
-    return r.groupBy(*gcols).agg(*aggs)
+    needs = (
+        offs.select(
+            "_pid",
+            *gcols,
+            "_off",
+            "_c",
+            F.explode(F.array(*targets)).alias("tg"),
+        )
+        .filter(
+            F.col("tg.t").isNotNull()
+            & (F.col("tg.t") >= F.col("_off"))
+            & (F.col("tg.t") < F.col("_off") + F.col("_c"))
+        )
+        .select(
+            # Renamed: needs derives FROM local (via counts), so joining
+            # on same-named columns is an ambiguous self-join.
+            F.col("_pid").alias("_n_pid"),
+            *[F.col(c).alias(f"_n_{i}") for i, c in enumerate(gcols)],
+            F.col("tg.pi").alias("_pi"),
+            (F.col("tg.t") - F.col("_off")).alias("_tl"),  # local 0-based
+            F.col("tg.w").alias("_w"),
+        )
+    )
+
+    # A distinct-value row covers local 0-based ranks
+    # [_upto - _cnt, _upto); a tie run containing BOTH targets of one p
+    # matches twice and contributes v*(1-frac) + v*frac — exactly the
+    # per-row oracle sum.
+    cond = (
+        (F.col("_pid") == F.col("_n_pid"))
+        & (F.col("_tl") >= F.col("_upto") - F.col("_cnt"))
+        & (F.col("_tl") < F.col("_upto"))
+    )
+    for i, c in enumerate(gcols):
+        cond = cond & (F.col(c) == F.col(f"_n_{i}"))
+    picked = local.join(F.broadcast(needs), on=cond).select(
+        *gcols, "_pi", (F.col("v") * F.col("_w")).alias("_contrib")
+    )
+
+    # <= 2 contributions per (group, p): the SUM adds at most two
+    # doubles — IEEE addition is commutative, so partitioning order
+    # cannot change the value.
+    aggs = [
+        F.sum(F.when(F.col("_pi") == i, F.col("_contrib"))).alias(name)
+        for i, name in enumerate(names)
+    ]
+    if gcols:
+        return picked.groupBy(*gcols).agg(*aggs)
+    return picked.agg(*aggs)

@@ -913,16 +913,22 @@ AB_PARTITION_SCOPED_WINDOW_SWEEP = (
 
 def test_ab_family_windows_are_partition_scoped(spark):
     """No single-partition sort over data-cardinality input: every
-    Window operator visible in these plans must be the prefix-scan
-    offsets window — keyed by the spark partition id (`_pid`), whose
-    input is one row per partition — so the only SinglePartition
-    exchanges feed partition-count or 1-row aggregates, never a
-    data-scale NTILE/row_number/cumulative-sum sort."""
+    Window operator visible in these plans must either be keyed by the
+    spark partition id (`_pid` in its spec — the prefix-scan local
+    window) or run over the per-(partition, group) totals aggregate
+    (`keys=[_pid` in its subtree — one row per partition, the offsets/
+    n table).  Either way the only SinglePartition exchanges feed
+    partition-count or 1-row aggregates, never a data-scale
+    NTILE/row_number/cumulative-sum sort."""
     for name in AB_PARTITION_SCOPED_WINDOW_SWEEP:
         plan = _plan(_q(name)(spark, SF_ORACLE))
-        for line in plan.splitlines():
-            if "windowspecdefinition" in line:
-                assert "_pid" in line, (name, line.strip()[:200])
+        for sub in _tree_subtrees(plan, "windowspecdefinition"):
+            if "_pid" in sub[0]:
+                continue
+            assert any("keys=[_pid" in ln for ln in sub), (
+                name,
+                sub[0].strip()[:200],
+            )
 
 
 ROUND10_SWEEP = (
