@@ -3293,3 +3293,135 @@ def events_seasonal_residuals(spark: SparkSession, sf_dir: str):
         )
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Population stability index vs the pinned baseline snapshot: the
+# standard model-monitoring drift score, next to the exact-KS entry.
+# Fixed $50 value buckets (13 cells, overflow-clamped), add-1 smoothed
+# shares so empty cells stay finite; the per-bucket term
+# (pc - pb) * ln(pc / pb) is ROUNDED to 9 dp in both engines (ln is not
+# bit-portable — the mSPRT/DSIR precedent) and the total is a
+# SEQUENTIAL fold over the 13 bucket-sorted terms (a float SUM's order
+# is the shuffle's choice; the fold's is fixed).  Everything upstream
+# of the ln is exact integer counts; scale shape is two combinable
+# bucket aggregates, a 13-row join, one fold.
+# --------------------------------------------------------------------------
+_PSI_W, _PSI_BUCKETS = 50, 13
+
+
+@register(
+    "drift_value_psi",
+    oracle=f"""
+    WITH cur AS (
+      SELECT LEAST(CAST(FLOOR(value / {_PSI_W}) AS BIGINT), {_PSI_BUCKETS - 1})
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT LEAST(CAST(FLOOR(value / {_PSI_W}) AS BIGINT), {_PSI_BUCKETS - 1})
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM read_parquet('{{base_dir}}/events.parquet') GROUP BY 1
+    ),
+    grid(bucket) AS (
+      SELECT UNNEST(range(0, {_PSI_BUCKETS}))
+    ),
+    m AS (
+      SELECT g.bucket,
+             COALESCE(c.nc, 0) AS nc, COALESCE(b.nb, 0) AS nb
+      FROM grid g LEFT JOIN cur c ON g.bucket = c.bucket
+      LEFT JOIN base b ON g.bucket = b.bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(nc) AS BIGINT) AS nct, CAST(SUM(nb) AS BIGINT) AS nbt
+      FROM m
+    ),
+    terms AS (
+      SELECT m.bucket, m.nc, m.nb,
+             (CAST(m.nc + 1 AS DOUBLE) / CAST(t.nct + {_PSI_BUCKETS} AS DOUBLE))
+               AS pc,
+             (CAST(m.nb + 1 AS DOUBLE) / CAST(t.nbt + {_PSI_BUCKETS} AS DOUBLE))
+               AS pb
+      FROM m CROSS JOIN tot t
+    ),
+    r AS (
+      SELECT bucket, nc, nb, pc, pb,
+             ROUND((pc - pb) * ln(pc / pb), 9) AS psi_term
+      FROM terms
+    ),
+    total AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(psi_term ORDER BY bucket)),
+               (a, x) -> a + x) AS psi_total
+      FROM r
+    )
+    SELECT r.bucket, r.nc AS n_cur, r.nb AS n_base,
+           r.pc AS share_cur, r.pb AS share_base,
+           r.psi_term, total.psi_total
+    FROM r CROSS JOIN total
+    """.replace("{base_dir}", _DRIFT_BASELINE_DIR),
+    tags=("events", "dq", "drift", "stats"),
+    doc="PSI vs baseline over fixed value buckets; rounded ln terms, folded total.",
+)
+def drift_value_psi(spark: SparkSession, sf_dir: str):
+    bucket = F.least(
+        F.floor(F.col("value") / _PSI_W).cast("bigint"), F.lit(_PSI_BUCKETS - 1)
+    )
+    cur = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("nc"))
+    )
+    base = (
+        read_table(spark, _DRIFT_BASELINE_DIR, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
+    grid = spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    m = (
+        grid.join(cur, "bucket", "left")
+        .join(base, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("nc"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("nb"),
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # two consumers: rows + totals
+    tot = m.agg(
+        F.sum("nc").cast("bigint").alias("nct"),
+        F.sum("nb").cast("bigint").alias("nbt"),
+    )
+    t = m.crossJoin(F.broadcast(tot))
+    pc = (F.col("nc") + 1).cast("double") / (F.col("nct") + _PSI_BUCKETS).cast("double")
+    pb = (F.col("nb") + 1).cast("double") / (F.col("nbt") + _PSI_BUCKETS).cast("double")
+    r = t.select(
+        "bucket",
+        "nc",
+        "nb",
+        pc.alias("pc"),
+        pb.alias("pb"),
+        F.round((pc - pb) * F.log(pc / pb), 9).alias("psi_term"),
+    )
+    r = r.localCheckpoint(eager=False)  # two consumers: rows + fold
+    total = r.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "psi_term"))),
+                lambda s: s["psi_term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("psi_total")
+    )
+    return r.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.col("nc").alias("n_cur"),
+        F.col("nb").alias("n_base"),
+        F.col("pc").alias("share_cur"),
+        F.col("pb").alias("share_base"),
+        "psi_term",
+        "psi_total",
+    )

@@ -9688,3 +9688,58 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str):
         )
         .select("doc_id", "dhash_hi", "dhash_lo", "cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# LIX readability per document: words/sentence + 100 * long-word share
+# (Björnsson's läsbarhetsindex — the length-structural readability
+# score that needs no syllable model, so it stays exact on any corpus).
+# "Sentence" is the corpus's fixed 8-word segment convention
+# (_SENT_W, shared with sentence dedup); long = >6 characters.  All
+# counts exact integers, two IEEE divisions per row — bit-exact, pure
+# map stage (no shuffle at all).
+# --------------------------------------------------------------------------
+@register(
+    "text_lix_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(ceil(len(string_split(text, ' ')) / {_SENT_W}.0) AS BIGINT)
+               AS n_sentences,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) > 6)) AS BIGINT) AS n_long
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_long,
+           CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             + CAST(100 AS DOUBLE)
+               * (CAST(n_long AS DOUBLE) / CAST(n_words AS DOUBLE)) AS lix
+    FROM t
+    """,
+    tags=("text", "quality"),
+    doc="LIX readability per doc: structural, syllable-free, bit-exact.",
+)
+def text_lix_readability(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws).cast("bigint")
+    n_sent = F.ceil(F.size(ws) / F.lit(float(_SENT_W))).cast("bigint")
+    n_long = F.size(F.filter(ws, lambda w: F.length(w) > 6)).cast("bigint")
+    t = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_long.alias("n_long"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_long",
+        (
+            F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+            + F.lit(100.0)
+            * (F.col("n_long").cast("double") / F.col("n_words").cast("double"))
+        ).alias("lix"),
+    )
