@@ -3425,3 +3425,248 @@ def drift_value_psi(spark: SparkSession, sf_dir: str):
         "psi_term",
         "psi_total",
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2016): the
+# data-driven alternative to last-touch.  Each user's journey is the
+# ordered touch sequence up to the FIRST purchase (absorbing CONV; ends
+# without purchase absorb in NULL); first-order transition counts give
+# the chain, and each channel's contribution is its REMOVAL EFFECT —
+# the relative drop in P(conversion from START) when that channel's
+# state is clamped to zero.
+#
+# Scale shape: the data-scale work is ONE per-user ordered pass
+# (row_number + lead windows, user-partitioned) collapsing events to a
+# <= 30-cell transition-count table; the absorbing-chain solve runs on
+# that MODEL-sized table driver-side (the kmeans/BPE trainer precedent
+# — collects ~30 integers, never data).  Bit-exactness: both engines
+# run the IDENTICAL fixed iteration — 24 rounds, states in fixed
+# alphabetical order, left-associated adds, integer-count divisions —
+# Python floats and DuckDB doubles are the same IEEE ops in the same
+# order (the oracle replays the solve in ONE list_reduce over a 25-slot
+# LIST accumulator; struct accumulators are the documented DuckDB bug).
+# --------------------------------------------------------------------------
+_MKV_CH = ("click", "error", "signup", "view")  # alphabetical, fixed
+_MKV_STATES = ("START",) + _MKV_CH
+_MKV_ROUNDS = 24
+
+
+def _mkv_transition_sql() -> str:
+    return """
+    e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+      FROM e GROUP BY user_id
+    ),
+    k AS (
+      SELECT e.user_id, e.event_type, e.rn, pu.prn
+      FROM e JOIN pu USING (user_id)
+      WHERE pu.prn IS NULL OR e.rn < pu.prn
+    ),
+    k2 AS (
+      SELECT *,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+             MIN(rn) OVER (PARTITION BY user_id) AS mn
+      FROM k
+    ),
+    trans AS (
+      SELECT event_type AS f,
+             COALESCE(nxt, CASE WHEN prn IS NOT NULL THEN 'CONV'
+                                ELSE 'NULLS' END) AS t
+      FROM k2
+      UNION ALL
+      SELECT 'START', event_type FROM k2 WHERE rn = mn
+      UNION ALL
+      SELECT 'START', 'CONV' FROM pu WHERE prn = 1
+    ),
+    tc AS (
+      SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n FROM trans GROUP BY f, t
+    )
+    """
+
+
+def _mkv_oracle() -> str:
+    # Wide 1-row pivot: p_{fi}_{ti} = n / n_from (0 when the from-state
+    # never occurs), f over states, t over channels + CONV.
+    tos = list(_MKV_CH) + ["CONV"]
+    pivots, nfs = [], []
+    for fi, f in enumerate(_MKV_STATES):
+        nfs.append(
+            f"CAST(SUM(CASE WHEN f = '{f}' THEN n ELSE 0 END) AS BIGINT) AS nf{fi}"
+        )
+        for ti, t in enumerate(tos):
+            pivots.append(
+                f"CAST(SUM(CASE WHEN f = '{f}' AND t = '{t}' THEN n ELSE 0 END)"
+                f" AS BIGINT) AS n{fi}_{ti}"
+            )
+    pcols = ",\n             ".join(
+        f"CASE WHEN nf{fi} > 0 THEN CAST(n{fi}_{ti} AS DOUBLE)"
+        f" / CAST(nf{fi} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS p{fi}_{ti}"
+        for fi in range(5)
+        for ti in range(5)
+    )
+
+    # One list_reduce: 25-slot accumulator, layout a[solve*5 + state + 1]
+    # with solves [none, click, error, signup, view].
+    slots = []
+    for solve in range(5):  # 0 = none, 1..4 = clamp channel solve-1
+        for si in range(5):  # state index into _MKV_STATES
+            acc = "CAST(0 AS DOUBLE)"
+            for ti in range(4):  # channel targets, alphabetical
+                if solve >= 1 and ti == solve - 1:
+                    x = "CAST(0 AS DOUBLE)"
+                else:
+                    x = f"a[{solve * 5 + ti + 2}]"  # state idx ti+1
+                acc = f"({acc} + p{si}_{ti} * {x})"
+            acc = f"({acc} + p{si}_4)"  # CONV term, x = 1
+            slots.append(acc)
+    fold = (
+        "list_reduce(list_prepend("
+        f"[{', '.join(['CAST(0 AS DOUBLE)'] * 25)}], "
+        f"list_transform(range({_MKV_ROUNDS}), i -> [CAST(0 AS DOUBLE)])), "
+        f"(a, x) -> [{', '.join(slots)}])"
+    )
+
+    res_terms = []
+    for j in range(1, 5):
+        res_terms.append(
+            f"CASE WHEN r[1] > 0 THEN CAST(1 AS DOUBLE) - r[{j * 5 + 1}] / r[1] END"
+        )
+    sum_re = res_terms[0]
+    for t in res_terms[1:]:
+        sum_re = f"(({sum_re}) + ({t}))"
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, {res_terms[j]} AS removal_effect FROM solved"
+        for j, ch in enumerate(_MKV_CH)
+    )
+    return f"""
+    WITH {_mkv_transition_sql().strip().rstrip()},
+    wide AS (
+      SELECT {", ".join(nfs)},
+             {", ".join(pivots)}
+      FROM tc
+    ),
+    pw AS (
+      SELECT {pcols}
+      FROM wide
+    ),
+    solved AS (
+      SELECT {fold} AS r FROM pw
+    ),
+    eff AS (
+      {rows}
+    ),
+    base AS (SELECT r[1] AS base_cvr, {sum_re} AS sum_re FROM solved)
+    SELECT e.channel, b.base_cvr, e.removal_effect,
+           e.removal_effect / b.sum_re AS attribution_share
+    FROM eff e CROSS JOIN base b
+    """
+
+
+@register(
+    "events_markov_attribution",
+    oracle=lambda: _mkv_oracle(),
+    tags=("events", "analytics", "attribution", "markov"),
+    doc="Markov removal-effect attribution; fixed 24-round absorbing solve.",
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    e = e.localCheckpoint(eager=False)  # two consumers: pu + kept rows
+    pu = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("prn")
+    )
+    k = e.join(pu, "user_id").filter(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    k2 = k.select(
+        "user_id",
+        "event_type",
+        "rn",
+        "prn",
+        F.lead("event_type").over(wk).alias("nxt"),
+        F.min("rn").over(Window.partitionBy("user_id")).alias("mn"),
+    )
+    trans = (
+        k2.select(
+            F.col("event_type").alias("f"),
+            F.coalesce(
+                "nxt",
+                F.when(F.col("prn").isNotNull(), F.lit("CONV")).otherwise(
+                    F.lit("NULLS")
+                ),
+            ).alias("t"),
+        )
+        .unionByName(
+            k2.filter(F.col("rn") == F.col("mn")).select(
+                F.lit("START").alias("f"), F.col("event_type").alias("t")
+            )
+        )
+        .unionByName(
+            pu.filter(F.col("prn") == 1).select(
+                F.lit("START").alias("f"), F.lit("CONV").alias("t")
+            )
+        )
+    )
+    tc = trans.groupBy("f", "t").agg(F.count("*").alias("n"))
+
+    # MODEL-sized collect (<= 30 integer cells) — the kmeans/BPE
+    # trainer precedent; the solve below mirrors the oracle's fold
+    # op-for-op (same rounds, same fixed add order, same divisions).
+    cells = {(r["f"], r["t"]): r["n"] for r in tc.collect()}
+    nf = {f: sum(n for (ff, _), n in cells.items() if ff == f) for f in _MKV_STATES}
+    tos = list(_MKV_CH) + ["CONV"]
+    p = {
+        (fi, ti): (
+            cells.get((f, t), 0) / nf[f] if nf[f] > 0 else 0.0
+        )
+        for fi, f in enumerate(_MKV_STATES)
+        for ti, t in enumerate(tos)
+    }
+    a = [0.0] * 25
+    for _ in range(_MKV_ROUNDS):
+        nxt = []
+        for solve in range(5):
+            for si in range(5):
+                acc = 0.0
+                for ti in range(4):
+                    if solve >= 1 and ti == solve - 1:
+                        x = 0.0
+                    else:
+                        x = a[solve * 5 + ti + 1]
+                    acc = acc + p[(si, ti)] * x
+                acc = acc + p[(si, 4)]
+                nxt.append(acc)
+        a = nxt
+    base = a[0]
+    effects = []
+    for j in range(1, 5):
+        effects.append(1.0 - a[j * 5] / base if base > 0 else None)
+    sum_re = effects[0]
+    for t in effects[1:]:
+        sum_re = (sum_re + t) if (sum_re is not None and t is not None) else None
+    rows = [
+        (
+            ch,
+            float(base),
+            effects[j],
+            (effects[j] / sum_re) if (effects[j] is not None and sum_re is not None) else None,
+        )
+        for j, ch in enumerate(_MKV_CH)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removal_effect double, "
+        "attribution_share double",
+    )
