@@ -978,3 +978,30 @@ def test_theilsen_pairs_bounded_and_km_fold_shapes(spark):
         plan = _plan(_q(name)(spark, SF_ORACLE))
         assert "Window" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+ROUND10B_SWEEP = (
+    "events_cohort_ltv",
+    "events_seasonal_residuals",
+    "events_conversion_lag",
+    "events_hte_by_activity",
+    "sim_ivf_recall_curve",
+    "text_bm25_ndcg",
+    "pack_length_buckets",
+    "text_lix_readability",
+    "drift_value_psi",
+    "events_markov_attribution",
+)
+
+
+def test_round10b_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the later round-10 additions — same
+    contract as the earlier round sweeps."""
+    bad = []
+    for name in ROUND10B_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
