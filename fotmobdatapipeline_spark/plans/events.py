@@ -1340,19 +1340,12 @@ def events_decayed_popularity(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 def _ab_variant():
     """Portable md5 user->variant assignment shared by every A/B entry
-    (the SQL twin is _sql_hex32_ab): ONE definition of the split, so a
-    salt or width change cannot silently diverge between entries of the
-    same experiment family."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    (the SQL twin is _sql_hex32_ab) — delegates to the canonical
+    operators/abtest.ab_variant so batch entries and streaming twins
+    share ONE definition of the split."""
+    from fotmobdatapipeline_spark.operators.abtest import ab_variant
+
+    return ab_variant()
 
 
 def _sql_hex32_ab(col: str) -> str:
@@ -2709,8 +2702,10 @@ def events_survival_km(spark: SparkSession, sf_dir: str):
 # family's proven precedent).  Degenerate hours (either arm empty, or
 # pooled rate 0/1 making V = 0) yield NULL log L in both engines.
 # --------------------------------------------------------------------------
-_MSPRT_TAU2 = 0.01
-_MSPRT_LN20 = 2.9957322735539909  # ln(1/0.05)
+from fotmobdatapipeline_spark.operators.abtest import (  # noqa: E402
+    MSPRT_LN20 as _MSPRT_LN20,
+    MSPRT_TAU2 as _MSPRT_TAU2,
+)
 
 
 @register(
@@ -2768,98 +2763,12 @@ _MSPRT_LN20 = 2.9957322735539909  # ln(1/0.05)
     doc="Always-valid mSPRT monitoring per hour; exact cumulative counts.",
 )
 def events_msprt_monitor(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    p = ev.select(
-        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
-        _ab_variant().alias("variant"),
-        (F.col("value") > 150).cast("int").alias("conv"),
+    from fotmobdatapipeline_spark.operators.abtest import (
+        msprt_hourly_counts,
+        msprt_report,
     )
-    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
-    h = p.groupBy("hour").agg(
-        F.sum(is_a.cast("int")).cast("bigint").alias("na"),
-        F.sum(F.when(is_a, F.col("conv")).otherwise(0)).cast("bigint").alias("xa"),
-        F.sum(is_b.cast("int")).cast("bigint").alias("nb"),
-        F.sum(F.when(is_b, F.col("conv")).otherwise(0)).cast("bigint").alias("xb"),
-    )
-    h = h.localCheckpoint(eager=False)  # two consumers: rows + the steps list
-    steps = h.agg(
-        F.array_sort(F.collect_list(F.struct("hour", "na", "xa", "nb", "xb"))).alias(
-            "steps"
-        )
-    )
-    zero4 = F.struct(
-        F.lit(0).cast("bigint").alias("na"),
-        F.lit(0).cast("bigint").alias("xa"),
-        F.lit(0).cast("bigint").alias("nb"),
-        F.lit(0).cast("bigint").alias("xb"),
-    )
-    c = (
-        h.crossJoin(F.broadcast(steps))
-        .withColumn(
-            "cum",
-            F.aggregate(
-                F.filter("steps", lambda s: s["hour"] <= F.col("hour")),
-                zero4,
-                lambda a, s: F.struct(
-                    (a["na"] + s["na"]).alias("na"),
-                    (a["xa"] + s["xa"]).alias("xa"),
-                    (a["nb"] + s["nb"]).alias("nb"),
-                    (a["xb"] + s["xb"]).alias("xb"),
-                ),
-            ),
-        )
-        .select(
-            "hour",
-            F.col("cum")["na"].alias("n_a"),
-            F.col("cum")["xa"].alias("x_a"),
-            F.col("cum")["nb"].alias("n_b"),
-            F.col("cum")["xb"].alias("x_b"),
-        )
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
-    )
-    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
-    theta = (
-        F.col("x_a").cast("double") / F.col("n_a").cast("double")
-        - F.col("x_b").cast("double") / F.col("n_b").cast("double")
-    )
-    v = (
-        pooled
-        * (F.lit(1.0) - pooled)
-        * (
-            F.lit(1.0) / F.col("n_a").cast("double")
-            + F.lit(1.0) / F.col("n_b").cast("double")
-        )
-    )
-    m = c.select("hour", "n_a", "x_a", "n_b", "x_b", theta.alias("theta_hat"), v.alias("v"))
-    tau2 = F.lit(_MSPRT_TAU2)
-    # ln is NOT bit-portable across libm implementations (the
-    # text_diversity_simpson doctrine); the DSIR precedent applies —
-    # round the transcendental readout to 9 dp in BOTH engines (1-ulp
-    # input differences are ~1e-16; everything upstream of the ln/round
-    # is an exact fixed IEEE tree).
-    log_lambda = F.when(
-        F.col("v") > 0,
-        F.round(
-            F.lit(0.5) * F.log(F.col("v") / (F.col("v") + tau2))
-            + F.col("theta_hat")
-            * F.col("theta_hat")
-            * tau2
-            / (F.lit(2.0) * F.col("v") * (F.col("v") + tau2)),
-            9,
-        ),
-    )
-    return m.select(
-        "hour",
-        "n_a",
-        "x_a",
-        "n_b",
-        "x_b",
-        "theta_hat",
-        log_lambda.alias("log_lambda"),
-        (log_lambda >= F.lit(_MSPRT_LN20)).alias("crossed"),
-    )
+
+    return msprt_report(msprt_hourly_counts(read_table(spark, sf_dir, "events")))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Streaming A/B monitoring: maintain the mSPRT monitor's MERGEABLE
+hourly conversion counts as events stream in — the "stream maintains
+counts, batch re-derives the statistic" deployment (the CUSUM /
+win-matrix doctrine).  Counts are plain integer sums, so the maintained
+table is CELL-IDENTICAL to a batch build over the whole feed, and the
+always-valid readout derived from it (``read_msprt_report`` -> the
+shared ``operators/abtest.msprt_report``) is bit-identical to the batch
+entry.  Exactly-once + versioned publication contract shared with the
+sketch/leaderboard/cusum sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fotmobdatapipeline_spark.operators.abtest import (
+    msprt_hourly_counts,
+    msprt_report,
+)
+from fotmobdatapipeline_spark.streaming.sketches import (
+    _current_version,
+    _publish_version,
+)
+from fotmobdatapipeline_spark.streaming.statefs import StateFs
+
+
+def read_msprt_report(spark, path: str) -> DataFrame | None:
+    """The always-valid monitoring readout from the CURRENT maintained
+    hourly-counts table — the SAME shared fold/expression tree the
+    batch entry runs, so a drained stream reads bit-identically.  None
+    before the first batch commits."""
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    hourly = spark.read.parquet(f"{path}/{v}").select(
+        "hour", "na", "xa", "nb", "xb"
+    )
+    return msprt_report(hourly)
+
+
+def msprt_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keep_versions: int = 1,
+):
+    """Fold each micro-batch's hourly conversion-count increments (the
+    batch operator's own aggregate over batch-sized input) into the
+    stored table by hour-wise SUM."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = msprt_hourly_counts(batch_df)
+        if prev is not None:
+            merged = (
+                prev.select("hour", "na", "xa", "nb", "xb")
+                .unionByName(inc)
+                .groupBy("hour")
+                .agg(
+                    F.sum("na").cast("bigint").alias("na"),
+                    F.sum("xa").cast("bigint").alias("xa"),
+                    F.sum("nb").cast("bigint").alias("nb"),
+                    F.sum("xb").cast("bigint").alias("xb"),
+                )
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(events.sparkSession, path).mkdirs()
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

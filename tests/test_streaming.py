@@ -903,3 +903,69 @@ def test_cusum_sink_stream_equals_batch(spark, tmp_path, events_dir):
     got = sorted(map(tuple, read_cusum_report(spark, state).collect()))
     want = sorted(map(tuple, cusum_hourly_report(hourly_cents(feed)).collect()))
     assert got == want and len(want) > 0
+
+
+def test_msprt_stream_maintenance_equals_batch(spark, tmp_path):
+    """Stream == batch for the always-valid monitor: draining the
+    events feed through msprt_maintenance_sink and reading the shared
+    report must be BIT-identical to the batch entry over the same
+    events, and replaying the feed from a fresh checkpoint must be a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.abtest import (
+        msprt_maintenance_sink,
+        read_msprt_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    # Preserve the micro-batch semantics over the SAME instants: write
+    # ts as µs longs and rebuild the timestamp on read.
+    staged = ev.withColumn("tus", F.unix_micros("ts")).drop("ts")
+    staged.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    staged.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    staged.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    schema = ("event_id long, tus long, user_id long, event_type string, "
+              "value double, props string")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros("tus"))
+        )
+        q = msprt_maintenance_sink(
+            stream, str(tmp_path / "msprt"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain("ck0")
+    streamed = read_msprt_report(spark, str(tmp_path / "msprt"))
+    got = sorted(map(tuple, streamed.collect()))
+    _load_all()
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["events_msprt_monitor"].builder(spark, SF_SMALL).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    drain("ck1")  # repeat batch ids -> replay guard
+    again = sorted(
+        map(tuple, read_msprt_report(spark, str(tmp_path / "msprt")).collect())
+    )
+    assert again == got
