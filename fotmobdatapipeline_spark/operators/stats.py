@@ -170,3 +170,51 @@ def exact_group_quantiles(
     if gcols:
         return picked.groupBy(*gcols).agg(*aggs)
     return picked.agg(*aggs)
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n: int,
+    out_col: str = "ntile",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """SQL NTILE(n) OVER (ORDER BY order_cols ASC) without the
+    partition-less window (one executor sorting everything at data
+    scale): exact 1-based ranks from the two-phase distributed prefix
+    scan (operators/prefix.py), then the bucket by pure integer
+    arithmetic on the broadcast row count — with q = N div n,
+    rem = N % n, 0-based rank r0 lands in bucket r0 div (q+1) + 1 while
+    r0 < rem*(q+1), else rem + (r0 - rem*(q+1)) div q + 1: exactly
+    NTILE's definition, bit-identical to the SQL oracle.  The order key
+    must be a total order (add a unique tiebreak); for DESC terms pass
+    a negated column.  Appends ``out_col`` (int)."""
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ranked = running_sum(
+        df.withColumn("_nt_one", F.lit(1)),
+        list(order_cols),
+        "_nt_one",
+        out_col="_nt_rnk",
+        n_parts=n_parts,
+    ).drop("_nt_one")
+    nrow = df.agg(F.count("*").alias("_nt_n"))
+    out = (
+        ranked.crossJoin(F.broadcast(nrow))  # 1-row scalar by construction
+        .withColumn("_nt_q", F.expr(f"_nt_n div {n}"))
+        .withColumn("_nt_rem", F.col("_nt_n") % n)
+        .withColumn("_nt_r0", F.col("_nt_rnk") - 1)
+        .withColumn("_nt_cut", F.col("_nt_rem") * (F.col("_nt_q") + 1))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nt_r0") < F.col("_nt_cut"),
+                F.expr("_nt_r0 div (_nt_q + 1)") + F.lit(1),
+            )
+            .otherwise(
+                F.col("_nt_rem") + F.expr("(_nt_r0 - _nt_cut) div _nt_q") + F.lit(1)
+            )
+            .cast("int"),
+        )
+    )
+    return out.drop("_nt_rnk", "_nt_n", "_nt_q", "_nt_rem", "_nt_r0", "_nt_cut")

@@ -130,7 +130,7 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str):
     doc="Whale curve: users in LTV deciles with each decile's revenue share.",
 )
 def events_ltv_deciles(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.operators.prefix import running_sum
+    from fotmobdatapipeline_spark.operators.stats import exact_ntile
 
     ev = read_table(spark, sf_dir, "events")
     rev = (
@@ -138,38 +138,16 @@ def events_ltv_deciles(spark: SparkSession, sf_dir: str):
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"))
     )
-    # Exact 1-based rank under (revenue DESC, user_id ASC) — distributed
-    # two-phase prefix count, never a single-partition window sort.
-    rnk = running_sum(
-        rev.withColumn("_neg_rev", -F.col("revenue")).withColumn("_one", F.lit(1)),
+    # NTILE(10) under (revenue DESC, user_id ASC) via the shared
+    # two-phase helper (operators/stats.exact_ntile) — distributed
+    # ranks, integer bucket arithmetic, no partition-less window.
+    ranked = exact_ntile(
+        rev.withColumn("_neg_rev", -F.col("revenue")),
         ["_neg_rev", "user_id"],
-        "_one",
-        out_col="_rnk",
-    ).drop("_neg_rev", "_one")
-    # NTILE(10) by integer arithmetic on the broadcast (N) scalar: with
-    # q = N div 10, rem = N % 10, 0-based rank r0 lands in bucket
-    # r0 div (q+1) + 1 while r0 < rem*(q+1), else rem + (r0-cut) div q + 1.
-    nrow = rev.agg(
-        F.count("*").alias("_n"),
-        F.sum(F.col("revenue").cast("decimal(14,2)")).alias("t"),
-    )
-    ranked = (
-        rnk.crossJoin(F.broadcast(nrow))  # 1-row scalar by construction
-        .withColumn("_q", F.expr("_n div 10"))
-        .withColumn("_rem", F.col("_n") % 10)
-        .withColumn("_r0", F.col("_rnk") - 1)
-        .withColumn("_cut", F.col("_rem") * (F.col("_q") + 1))
-        .withColumn(
-            "decile",
-            F.when(
-                F.col("_r0") < F.col("_cut"),
-                F.expr("_r0 div (_q + 1)") + F.lit(1),
-            )
-            .otherwise(F.col("_rem") + F.expr("(_r0 - _cut) div _q") + F.lit(1))
-            .cast("int"),
-        )
-    )
-    tot = nrow.select("t")
+        10,
+        out_col="decile",
+    ).drop("_neg_rev")
+    tot = rev.agg(F.sum(F.col("revenue").cast("decimal(14,2)")).alias("t"))
     return (
         ranked.groupBy("decile")
         .agg(
@@ -3578,4 +3556,86 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str):
         rows,
         "channel string, base_cvr double, removal_effect double, "
         "attribution_share double",
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: every user scored into (recency, frequency,
+# monetary) quintiles — the classic CRM segmentation — then the
+# 125-cell segment report.  All three quintile assignments ride the
+# shared exact_ntile (two-phase distributed ranks + integer NTILE
+# arithmetic — users are data-scale, so no partition-less window), with
+# user_id as the deterministic tiebreak.  Monetary is the exact-decimal
+# purchase sum (0 for non-buyers); recency is integer days since the
+# corpus end.  The oracle runs the literal NTILE(5) windows — fine at
+# oracle scale, the exact semantics this engine reproduces without the
+# single-partition sort.
+# --------------------------------------------------------------------------
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+    u AS (
+      SELECT user_id,
+             (g.gmax - MAX(epoch_us(ts))) // {_KM_DAY_US} AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS mon
+      FROM events CROSS JOIN g GROUP BY user_id, g.gmax
+    ),
+    q AS (
+      SELECT user_id, rec_days, freq, mon,
+             NTILE(5) OVER (ORDER BY rec_days ASC, user_id ASC) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_q,
+             NTILE(5) OVER (ORDER BY mon DESC, user_id ASC) AS m_q
+      FROM u
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon) AS DOUBLE) AS segment_revenue
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+    tags=("events", "analytics", "segmentation"),
+    doc="RFM quintile segmentation via distributed exact NTILE; bit-exact.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_ntile
+
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    g = ev.agg(F.max("tus").alias("gmax"))
+    u = (
+        ev.crossJoin(F.broadcast(g))  # 1-row scalar by construction
+        .groupBy("user_id", "gmax")
+        .agg(
+            F.max("tus").alias("last_tus"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(12,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(18,2)")
+            .alias("mon"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"(gmax - last_tus) div {_KM_DAY_US}").alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    q = exact_ntile(u, ["rec_days", "user_id"], 5, out_col="r_q")
+    q = exact_ntile(
+        q.withColumn("_neg_f", -F.col("freq")), ["_neg_f", "user_id"], 5, out_col="f_q"
+    ).drop("_neg_f")
+    q = exact_ntile(
+        q.withColumn("_neg_m", -F.col("mon")), ["_neg_m", "user_id"], 5, out_col="m_q"
+    ).drop("_neg_m")
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("mon").cast("double").alias("segment_revenue"),
     )
