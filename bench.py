@@ -105,6 +105,8 @@ HEADLINE = [
     "multimodal_image_dhash",
     "multimodal_image_dhash_pairs",
     "events_theilsen_trend",
+    "events_markov_attribution",
+    "events_rfm_segments",
 ]
 
 
