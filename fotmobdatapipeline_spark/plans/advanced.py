@@ -2437,3 +2437,48 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str):
             "recall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact MODE per group with a deterministic tiebreak (highest count,
+# then smallest value) — the categorical central-tendency aggregate the
+# quantile family can't express.  Shape: one (group, value) count (map-
+# side combinable) then an argmax via struct-MAX — another combinable
+# aggregate, never a per-group sort or window (the min_cost_supplier
+# argmin pattern).  Ties: MAX of struct(n, -value-as-sort-proxy) —
+# encoded as struct(n DESC, value ASC) via negated value so the single
+# MAX realizes the whole tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, v, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v ASC) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, v AS mode_quantity, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+    tags=("agg", "mode"),
+    doc="Exact per-group mode via combinable struct-argmax; deterministic ties.",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    best = c.groupBy("l_returnflag").agg(
+        F.max(F.struct(F.col("n"), (-F.col("v")).alias("nv"))).alias("b")
+    )
+    return best.select(
+        "l_returnflag",
+        (-F.col("b.nv")).cast("bigint").alias("mode_quantity"),
+        F.col("b.n").cast("bigint").alias("mode_count"),
+    )

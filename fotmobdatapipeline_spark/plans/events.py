@@ -3639,3 +3639,81 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str):
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("mon").cast("double").alias("segment_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Error-rate monitor with Wilson score bounds: per hour, the error
+# share and its 95% Wilson interval — the SRE alerting readout that
+# stays sane at tiny per-hour counts (unlike the normal interval).
+# Wilson needs only +,*,/,sqrt — all IEEE correctly-rounded, so the
+# whole readout is bit-exact with NO rounding step (unlike the
+# ln-bearing monitors).  One combinable hourly aggregate; alert =
+# lower bound above the 10% SLO.
+# --------------------------------------------------------------------------
+_WILSON_Z = 1.959964
+
+
+@register(
+    "events_error_rate_wilson",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT hour, n, errors,
+             CAST(errors AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+             CAST({_WILSON_Z} AS DOUBLE) AS z,
+             CAST(n AS DOUBLE) AS nd
+      FROM h
+    ),
+    w AS (
+      SELECT hour, n, errors, rate,
+             (rate + (z * z) / (CAST(2 AS DOUBLE) * nd)
+              - z * sqrt(rate * (CAST(1 AS DOUBLE) - rate) / nd
+                         + (z * z) / (CAST(4 AS DOUBLE) * nd * nd)))
+               / (CAST(1 AS DOUBLE) + (z * z) / nd) AS wilson_lo,
+             (rate + (z * z) / (CAST(2 AS DOUBLE) * nd)
+              + z * sqrt(rate * (CAST(1 AS DOUBLE) - rate) / nd
+                         + (z * z) / (CAST(4 AS DOUBLE) * nd * nd)))
+               / (CAST(1 AS DOUBLE) + (z * z) / nd) AS wilson_hi
+      FROM m
+    )
+    SELECT hour, n, errors, rate, wilson_lo, wilson_hi,
+           wilson_lo > CAST(0.1 AS DOUBLE) AS alert
+    FROM w
+    """,
+    tags=("events", "dq", "monitoring", "stats"),
+    doc="Hourly error rate with 95% Wilson bounds; bit-exact, no rounding.",
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("hour")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("bigint").alias(
+            "errors"
+        ),
+    )
+    z = F.lit(_WILSON_Z)
+    nd = F.col("n").cast("double")
+    rate = F.col("errors").cast("double") / nd
+    m = h.select("hour", "n", "errors", rate.alias("rate"))
+    nd = F.col("n").cast("double")
+    half = (F.lit(1.0) - F.col("rate")) * F.col("rate")
+    root = F.sqrt(half / nd + (z * z) / (F.lit(4.0) * nd * nd))
+    denom = F.lit(1.0) + (z * z) / nd
+    center = F.col("rate") + (z * z) / (F.lit(2.0) * nd)
+    lo = (center - z * root) / denom
+    hi = (center + z * root) / denom
+    return m.select(
+        "hour",
+        "n",
+        "errors",
+        "rate",
+        lo.alias("wilson_lo"),
+        hi.alias("wilson_hi"),
+        (lo > F.lit(0.1)).alias("alert"),
+    )
