@@ -3717,3 +3717,66 @@ def events_error_rate_wilson(spark: SparkSession, sf_dir: str):
         hi.alias("wilson_hi"),
         (lo > F.lit(0.1)).alias("alert"),
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue inequality (Gini coefficient) over per-user purchase totals —
+# the whale-curve's scalar summary.  INTEGER-exact end to end: revenue
+# in exact cents, ranks from the two-phase distributed prefix scan
+# (users are data-scale — no partition-less window), the rank-weighted
+# sum Σ i·x_i in DECIMAL(38,0) (HUGEINT replay in the oracle), and the
+# classic G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n evaluated in one fixed IEEE
+# tree at the very end.
+# --------------------------------------------------------------------------
+@register(
+    "events_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC, user_id ASC) AS rk
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS total,
+             SUM(CAST(rk AS HUGEINT) * cents) AS s1
+      FROM r
+    )
+    SELECT n, CAST(total AS BIGINT) AS total_cents,
+           CAST(2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+           - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+    tags=("events", "analytics", "stats"),
+    doc="Gini coefficient of user revenue; integer-exact rank-weighted sums.",
+)
+def events_gini_revenue(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rev = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents")
+    )
+    r = running_sum(
+        rev.withColumn("_one", F.lit(1)), ["cents", "user_id"], "_one", out_col="rk"
+    ).drop("_one")
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+    )
+    return s.select(
+        "n",
+        F.col("total").cast("bigint").alias("total_cents"),
+        (
+            F.lit(2.0) * F.col("s1").cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
