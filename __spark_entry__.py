@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      schema the whole repo re-expresses) go FIRST, every round, so the
 #      core surface is driver-attested and not only parity-suite-attested
 #      (VERDICT r8 #4: 8 rounds of samples never drew them).
-#   2. The remaining entries are ordered LEAST-RECENTLY-ATTESTED first
-#      (VERDICT r9 #3): the CORRECTNESS_r*.json files already on disk
-#      record exactly which entries each past round attested, so
-#      never-attested entries lead, then oldest attestations — every
-#      remaining entry is driver-attested within ceil(rest/40) rounds,
-#      guaranteed, instead of a modular offset that can re-draw
-#      already-attested windows as the catalog grows.
+#   2. The remaining entries are ordered: latest-draw-FAILED first
+#      (VERDICT r10 #2 — a fixed entry must be re-attested next round,
+#      not in ~4 rounds), then never-attested, then oldest successful
+#      attestation (VERDICT r9 #3): the CORRECTNESS_r*.json files on
+#      disk record exactly which entries each past round attested and
+#      whether they passed, so every remaining entry is driver-attested
+#      within ceil(rest/40) rounds, guaranteed, and every fix is
+#      re-attested immediately.
 # Order is otherwise meaningless: every entry is name-keyed and the
 # in-repo parity suite (tests/test_oracle_parity.py) always runs all of
 # them regardless of this ordering.
@@ -57,19 +58,21 @@ _REFERENCE_SURFACE_FIRST = (
 )
 
 
-def _last_attested_round() -> dict[str, int]:
-    """name -> highest round number whose CORRECTNESS_r{N}.json contains
-    the entry (regardless of pass/fail — a failed draw still counts as
-    drawn; re-draws happen via the normal LRU cycle).  Unreadable files
-    are skipped: ordering is best-effort, correctness never depends on
-    it."""
+def _last_attested_round() -> dict[str, tuple[int, bool]]:
+    """name -> (highest round number whose CORRECTNESS_r{N}.json contains
+    the entry, whether that LATEST draw passed).  A failed latest draw
+    must NOT count as satisfied attestation — a fixed entry would
+    otherwise sit at the back of the rotation for rounds with its fix
+    unattested (VERDICT r10 #2) — so queries() re-draws failures first.
+    Unreadable files are skipped: ordering is best-effort, correctness
+    never depends on it."""
     import glob
     import json
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: dict[str, int] = {}
+    seen: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -82,8 +85,14 @@ def _last_attested_round() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, rec in data.items():
+            passed = isinstance(rec, dict) and all(
+                rec.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ) and not rec.get("err")
+            prev = seen.get(name)
+            if prev is None or rnd >= prev[0]:
+                seen[name] = (rnd, passed)
     return seen
 
 
@@ -99,10 +108,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head_set = set(head)
     attested = _last_attested_round()
     catalog_pos = {n: i for i, n in enumerate(qm)}
-    rest = sorted(
-        (n for n in qm if n not in head_set),
-        key=lambda n: (attested.get(n, 0), catalog_pos[n]),
-    )
+
+    def order_key(n: str) -> tuple[int, int, int]:
+        rec = attested.get(n)
+        if rec is not None and not rec[1]:
+            return (0, rec[0], catalog_pos[n])  # latest draw FAILED: re-draw now
+        if rec is None:
+            return (1, 0, catalog_pos[n])  # never driver-attested
+        return (2, rec[0], catalog_pos[n])  # oldest successful attestation first
+
+    rest = sorted((n for n in qm if n not in head_set), key=order_key)
     return {n: qm[n] for n in (*head, *rest)}
 
 

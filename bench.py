@@ -447,6 +447,14 @@ _SCALE_QUERIES = [
     # round-10: the Python-codec tier at 10x documents (map-only Arrow
     # stages — must scale linearly with the corpus)
     "multimodal_image_dhash",
+    # round-11 (VERDICT r10 #6): the round-10 statistics additions at
+    # sf1 — Markov's driver-side solve must stay flat (the collect is a
+    # <=30-cell transition matrix regardless of event volume), Gini's
+    # prefix-scan ranks and RFM's three chained exact_ntile scans must
+    # grow linearly with users, never via a global sort.
+    "events_markov_attribution",
+    "events_gini_revenue",
+    "events_rfm_segments",
 ]
 
 

@@ -40,6 +40,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _distinct_value_runs(
+    df: DataFrame,
+    value_col: str,
+    gcols: Sequence[str],
+    n_parts: int,
+) -> DataFrame:
+    """Range-partition (group, v), collapse to distinct values with
+    counts IN PLACE, and stamp each run with its partition id.
+
+    Correctness contract (ADVICE r10, pinned by
+    tests/test_plan_shapes.py::test_group_quantiles_agg_reuses_range_partitioning):
+    the groupBy(gcols, v) must REUSE the RangePartitioning — exactly one
+    ``Exchange rangepartitioning`` in this subtree and no ``Exchange
+    hashpartitioning`` — because downstream rank arithmetic assumes
+    ``_pid`` ascends with value ranges.  Spark satisfies the aggregate's
+    clustering requirement with the existing range exchange today; if a
+    planner change ever inserts a hash exchange here, the plan test
+    fails loud instead of quantiles going silently wrong."""
+    parted = df.select(*gcols, F.col(value_col).alias("v")).repartitionByRange(
+        n_parts, *[F.col(c) for c in gcols], F.col("v")
+    )
+    return (
+        parted.groupBy(*gcols, "v")
+        .agg(F.count("*").alias("_cnt"))
+        .sortWithinPartitions(*gcols, "v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
 def exact_group_quantiles(
     df: DataFrame,
     value_col: str,
@@ -56,17 +85,7 @@ def exact_group_quantiles(
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    parted = df.select(*gcols, F.col(value_col).alias("v")).repartitionByRange(
-        n_parts, *[F.col(c) for c in gcols], F.col("v")
-    )
-    # Equal (group, v) keys co-locate under range partitioning, so this
-    # aggregate needs no further exchange — the collapse is in-place.
-    dv = (
-        parted.groupBy(*gcols, "v")
-        .agg(F.count("*").alias("_cnt"))
-        .sortWithinPartitions(*gcols, "v")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    dv = _distinct_value_runs(df, value_col, gcols, n_parts)
     w_local = (
         Window.partitionBy("_pid", *gcols)
         .orderBy("v")

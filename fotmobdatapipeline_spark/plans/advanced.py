@@ -1040,7 +1040,7 @@ def dominant_promo_suppliers(spark: SparkSession, sf_dir: str):
     "pyds_jsonl_roundtrip",
     oracle="""
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM documents GROUP BY source, lang
     """,
@@ -1675,10 +1675,10 @@ def product_type_profit(spark: SparkSession, sf_dir: str):
     "late_shipment_priorities",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY

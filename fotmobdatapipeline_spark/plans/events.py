@@ -1899,11 +1899,11 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
     k AS (
       SELECT event_type, xs,
              CAST(len(xs) AS BIGINT) AS n_hours,
-             list_sum(xs) // len(xs) AS k_cents
+             CAST(list_sum(xs) // len(xs) AS BIGINT) AS k_cents
       FROM g
     )
     SELECT event_type, n_hours, k_cents,
-           list_reduce(
+           CAST(list_reduce(
              list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                            CAST(0 AS BIGINT)],
                           list_transform(xs, v -> [v, v, v])),
@@ -1912,8 +1912,8 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
                greatest(a[2], greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)),
                a[3] + CASE WHEN greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)
                                 > 2 * k_cents THEN 1 ELSE 0 END
-             ])[2] AS max_cusum_cents,
-           list_reduce(
+             ])[2] AS BIGINT) AS max_cusum_cents,
+           CAST(list_reduce(
              list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                            CAST(0 AS BIGINT)],
                           list_transform(xs, v -> [v, v, v])),
@@ -1922,7 +1922,7 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str):
                greatest(a[2], greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)),
                a[3] + CASE WHEN greatest(CAST(0 AS BIGINT), a[1] + x[1] - k_cents)
                                 > 2 * k_cents THEN 1 ELSE 0 END
-             ])[3] AS n_alarm_hours
+             ])[3] AS BIGINT) AS n_alarm_hours
     FROM k
     """,
     tags=("events", "time-series", "drift"),

@@ -241,8 +241,9 @@ def generate_scale_tables(
     # statistics family needs sf1-class volume for the same scale
     # evidence the star build gets).  Same shape as the driver testdata:
     # 1M rows/sf over a 30-day January-2024 span, 15k users/sf, 5
-    # uniform event types, 2-dp value in [0, 560) — all pure hash
-    # arithmetic, deterministic across runs.
+    # uniform event types, 2-dp value in [0, 560.22) (=_hmod(id,'ev',
+    # 56022)/100, max 560.21) — all pure hash arithmetic, deterministic
+    # across runs.
     n_events = int(1_000_000 * sf)
     n_users = max(int(15_000 * sf), 100)
     jan1_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs

@@ -56,6 +56,48 @@ def test_catalog_register_rejects_duplicate_names():
     assert catalog.QUERIES[some_name].builder is not _clash
 
 
+def test_oracle_output_types_are_driver_canon_safe(duck):
+    """Every oracle's output schema must contain only scalar types the
+    driver's pandas canonicalizer can sort and hash.  Round 10 shipped
+    five entries whose oracles produced DuckDB HUGEINT (int128 — hashes
+    differently from the Spark side's int64) or LIST (unhashable in the
+    pandas sort) columns; all five failed or would fail the driver gate
+    with bit-identical values (VERDICT r10 items 1–3).  DESCRIBE is
+    schema-only — this sweeps all ~300 oracles in about a minute.
+
+    Allowed: the scalar types observed across every driver-PASSING entry
+    in CORRECTNESS_r01–r10 (BIGINT/INTEGER/DOUBLE/VARCHAR/BOOLEAN/DATE/
+    TIMESTAMP/DECIMAL — join_range_banded passed three rounds with
+    DECIMAL(25,1)).  Banned: HUGEINT/UHUGEINT, LIST (any '[]' suffix),
+    STRUCT, MAP, UNION, BLOB."""
+    import re
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    allowed = re.compile(
+        r"^(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|VARCHAR|BOOLEAN"
+        r"|DATE|TIME|TIMESTAMP( WITH TIME ZONE)?|DECIMAL\(\d+,\d+\))$"
+    )
+    offenders = []
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        if spec.oracle is None:
+            continue
+        try:
+            cols = duck.execute("DESCRIBE " + spec.oracle_text()).fetchall()
+        except Exception as ex:  # noqa: BLE001 — any DESCRIBE failure is a defect
+            offenders.append(f"{name}: DESCRIBE failed: {ex}")
+            continue
+        for col, typ, *_ in cols:
+            if not allowed.match(typ):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle output columns the driver canon cannot hash:\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_driver_contract_prefix_is_reference_surface():
     """The driver attests a 50-entry PREFIX of queries() (measured from
     CORRECTNESS_r06-r08); the reference-surface entries must lead it
@@ -82,11 +124,27 @@ def test_driver_contract_prefix_is_reference_surface():
     for n, fn in q.items():
         assert fn is QUERIES[n].builder, n
 
-    # LRU ordering: attested-round keys are non-decreasing along the
-    # rest, so never-attested (key 0) entries always lead the window.
+    # Ordering (VERDICT r10 #2): entries whose LATEST driver draw FAILED
+    # lead (a fix must be re-attested next round, not after the whole
+    # LRU cycle), then never-attested, then oldest-successful — i.e. the
+    # (tier, round) keys are non-decreasing along the rest.
     att = contract._last_attested_round()
+
+    def tier(n):
+        rec = att.get(n)
+        if rec is not None and not rec[1]:
+            return (0, rec[0])
+        if rec is None:
+            return (1, 0)
+        return (2, rec[0])
+
     rest = names[len(head) :]
-    keys = [att.get(n, 0) for n in rest]
-    assert keys == sorted(keys), "rest must be least-recently-attested first"
-    never = [n for n in rest if att.get(n, 0) == 0]
-    assert rest[: len(never)] == never
+    keys = [tier(n) for n in rest]
+    assert keys == sorted(keys), (
+        "rest must be: failed-latest-draw first, then never-attested, "
+        "then oldest-successful-attestation"
+    )
+    failed = [n for n in rest if (r := att.get(n)) is not None and not r[1]]
+    assert rest[: len(failed)] == sorted(failed, key=tier), (
+        "entries whose latest draw failed must jump the queue"
+    )

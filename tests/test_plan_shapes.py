@@ -1005,3 +1005,21 @@ def test_round10b_entries_no_cartesian_no_python_udf(spark):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             bad.append((name, "PythonUDF"))
     assert not bad, bad
+
+
+def test_group_quantiles_agg_reuses_range_partitioning(spark):
+    """exact_group_quantiles' rank arithmetic is correct only if the
+    distinct-value aggregate REUSES the RangePartitioning laid down by
+    repartitionByRange — _pid must ascend with value ranges (ADVICE
+    r10).  Spark satisfies the aggregate's clustering requirement with
+    the existing range exchange today; this pin turns any future
+    planner/AQE change that inserts a hash exchange into a loud failure
+    instead of silently corrupted quantiles."""
+    from fotmobdatapipeline_spark.operators.stats import _distinct_value_runs
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    dv = _distinct_value_runs(li, "l_quantity", ["l_returnflag"], 8)
+    plan = _plan(dv)
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
