@@ -238,3 +238,61 @@ def triangle_counts(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def min_label_propagation(
+    pairs: DataFrame,
+    rounds: int = 6,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Connected components by fixed-round min-label propagation over an
+    undirected pair graph: every node starts labelled with its own id;
+    each round a node takes the minimum of its label and its neighbors'
+    labels.  After ``rounds`` rounds each node carries the minimum id
+    within ``rounds`` hops — on a graph whose component diameters are
+    <= rounds (the near-dup regime: dedup clusters are dense and tiny)
+    this IS the connected-component id, and the fixed round count makes
+    the computation replayable verbatim by the SQL oracle (the
+    pagerank/kcore doctrine).  Production callers on long-chain graphs
+    re-invoke with more rounds or switch to doubled label-forwarding.
+
+    Scale notes: each round is one (edges x labels) hash join on src —
+    both sides partitioned on the key — plus a min-aggregate on dst:
+    no node ever sees more than its own neighborhood, no collect, no
+    window.  ``localCheckpoint`` per round truncates the 2x-per-round
+    lineage growth exactly like pagerank above.
+
+    Output: (doc_id, component) for every node in >= 1 pair.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        neigh = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -3780,3 +3780,786 @@ def events_gini_revenue(spark: SparkSession, sf_dir: str):
             - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical-statistics tier, round 11.  Design rules shared by every
+# entry below (the mannwhitney/gini doctrine):
+#   * all rank/count/sum intermediates are EXACT integers (cents via
+#     DECIMAL(12,2)*100, 2x-midranks so ties stay integral), carried as
+#     BIGINT/DECIMAL(38,0) on the Spark side and BIGINT/HUGEINT in the
+#     oracle;
+#   * doubles appear only in the FINAL projection, where every operand
+#     is an exact integer converted once (correctly-rounded cast) and
+#     the expression tree is written in the SAME fixed order on both
+#     sides — +, -, *, /, sqrt are IEEE-correctly-rounded, so the
+#     result is bit-identical in any engine (no exp/ln anywhere);
+#   * no partition-less ordered window at data scale: global prefix
+#     counts ride operators/prefix.running_sum (two-phase distributed
+#     scan); windows appear only over frames bounded by construction
+#     (5 event types, 720 hours) and say so.
+# --------------------------------------------------------------------------
+def _cents():
+    return (F.col("value").cast(_DEC) * 100).cast("bigint")
+
+
+_SQL_CENTS = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "events_kruskal_wallis",
+    oracle=f"""
+    WITH p AS (
+      SELECT {_SQL_CENTS} AS v, event_type FROM events
+    ),
+    g AS (
+      SELECT v,
+             {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{i}" for i, t in enumerate(EVENT_TYPES))},
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM p GROUP BY v
+    ),
+    c AS (
+      SELECT *,
+             CAST(SUM(nv) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - nv AS below
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(nv) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(n_{i}) AS BIGINT) AS c_{i}" for i in range(len(EVENT_TYPES)))},
+             {", ".join(f"SUM(CAST(n_{i} AS HUGEINT) * (2 * below + nv + 1)) AS trs_{i}" for i in range(len(EVENT_TYPES)))},
+             SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tie
+      FROM c
+    ),
+    hh AS (
+      SELECT n, tie,
+             CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+               * ({" + ".join(f"(CAST(trs_{i} AS DOUBLE) / CAST(2 AS DOUBLE)) * (CAST(trs_{i} AS DOUBLE) / CAST(2 AS DOUBLE)) / CAST(c_{i} AS DOUBLE)" for i in range(len(EVENT_TYPES)))})
+               - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h
+      FROM s
+    )
+    SELECT n, CAST(4 AS INT) AS dof, h,
+           h / (CAST(1 AS DOUBLE)
+                - CAST(tie AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)) AS h_tie_adj
+    FROM hh
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Kruskal-Wallis H across the five event types on value; midrank "
+    "ties via exact 2x-ranksum integers, distributed prefix scan "
+    "(running_sum) — no global window at any distinct-value cardinality.",
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    k = len(EVENT_TYPES)
+    p = read_table(spark, sf_dir, "events").select(
+        _cents().alias("v"), "event_type"
+    )
+    g = p.groupBy("v").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{i}")
+            for i, t in enumerate(EVENT_TYPES)
+        ],
+        F.count("*").alias("nv"),
+    )
+    c = running_sum(g, ["v"], "nv", out_col="_upto").withColumn(
+        "below", F.col("_upto") - F.col("nv")
+    )
+    rank_weight = 2 * F.col("below") + F.col("nv") + 1
+    s = c.agg(
+        F.sum("nv").cast("bigint").alias("n"),
+        *[F.sum(f"n_{i}").cast("bigint").alias(f"c_{i}") for i in range(k)],
+        *[
+            F.sum(F.col(f"n_{i}").cast("decimal(38,0)") * rank_weight).alias(
+                f"trs_{i}"
+            )
+            for i in range(k)
+        ],
+        F.sum(
+            F.col("nv").cast("decimal(38,0)") * F.col("nv") * F.col("nv")
+            - F.col("nv")
+        ).alias("tie"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = (F.col("n") + 1).cast("double")
+    term = None
+    for i in range(k):
+        r = F.col(f"trs_{i}").cast("double") / F.lit(2.0)
+        t_i = r * r / F.col(f"c_{i}").cast("double")
+        term = t_i if term is None else term + t_i
+    h = F.lit(12.0) / (nd * n1d) * term - F.lit(3.0) * n1d
+    hh = s.select("n", "tie", h.alias("h"))
+    cub = (
+        F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    return hh.select(
+        "n",
+        F.lit(4).alias("dof"),
+        "h",
+        (F.col("h") / (F.lit(1.0) - F.col("tie").cast("double") / cub)).alias(
+            "h_tie_adj"
+        ),
+    )
+
+
+@register(
+    "events_chi2_independence",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(CASE WHEN variant = {a} AND event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS o_{a}_{j}" for a in (0, 1) for j, t in enumerate(EVENT_TYPES))},
+             {", ".join(f"CAST(SUM(CASE WHEN variant = {a} THEN 1 ELSE 0 END) AS BIGINT) AS r_{a}" for a in (0, 1))},
+             {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS k_{j}" for j, t in enumerate(EVENT_TYPES))}
+      FROM p
+    )
+    SELECT n, CAST(4 AS INT) AS dof,
+           {" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))} AS chi2
+    FROM s
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Chi-square independence test over the variant x event_type "
+    "contingency table; one map-side-combinable aggregate, the statistic "
+    "assembled from exact integer cell counts in fixed expression order.",
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str):
+    k = len(EVENT_TYPES)
+    p = read_table(spark, sf_dir, "events").select(
+        "event_type", _ab_variant().alias("variant")
+    )
+    s = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(
+                ((F.col("variant") == a) & (F.col("event_type") == t)).cast("long")
+            ).alias(f"o_{a}_{j}")
+            for a in (0, 1)
+            for j, t in enumerate(EVENT_TYPES)
+        ],
+        *[
+            F.sum((F.col("variant") == a).cast("long")).alias(f"r_{a}")
+            for a in (0, 1)
+        ],
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"k_{j}")
+            for j, t in enumerate(EVENT_TYPES)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for a in (0, 1):
+        for j in range(k):
+            e = F.col(f"r_{a}").cast("double") * F.col(f"k_{j}").cast("double") / nd
+            d = F.col(f"o_{a}_{j}").cast("double") - e
+            cell = d * d / e
+            chi2 = cell if chi2 is None else chi2 + cell
+    return s.select("n", F.lit(4).alias("dof"), chi2.alias("chi2"))
+
+
+def _anova_f_wide(s, k: int, n_col: str = "n"):
+    """Final fixed-order F projection shared by events_anova_f and
+    events_levene_bf: ``s`` is a 1-row frame with exact-integer columns
+    n, c_i (group counts), s_i (group sums, DECIMAL(38,0)), q_i (group
+    sum-of-squares, DECIMAL(38,0)).  Every double is converted once
+    from an exact integer; expression order is fixed (i ascending), so
+    the result is bit-identical to the oracle's identical SQL tree."""
+    nd = F.col(n_col).cast("double")
+    between = None
+    within_q = None
+    grand = None
+    for i in range(k):
+        sd = F.col(f"s_{i}").cast("double")
+        t_i = sd * sd / F.col(f"c_{i}").cast("double")
+        between = t_i if between is None else between + t_i
+        qd = F.col(f"q_{i}").cast("double")
+        within_q = qd if within_q is None else within_q + qd
+        grand = sd if grand is None else grand + sd
+    ssb = between - grand * grand / nd
+    ssw = within_q - between
+    f_stat = (ssb / F.lit(float(k - 1))) / (ssw / (nd - F.lit(float(k))))
+    return s.select(
+        F.col(n_col).alias("n"),
+        F.lit(k - 1).alias("dof_between"),
+        (F.col(n_col) - k).cast("bigint").alias("dof_within"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def _sql_anova_f(k: int, from_clause: str) -> str:
+    """SQL twin of _anova_f_wide over a source exposing (v, g 0-indexed
+    group) rows; mirrors the fixed expression order verbatim."""
+    between = " + ".join(
+        f"(CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE) / CAST(c_{i} AS DOUBLE))"
+        for i in range(k)
+    )
+    within_q = " + ".join(f"CAST(q_{i} AS DOUBLE)" for i in range(k))
+    grand = " + ".join(f"CAST(s_{i} AS DOUBLE)" for i in range(k))
+    return f"""
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(CASE WHEN g = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c_{i}" for i in range(k))},
+             {", ".join(f"SUM(CASE WHEN g = {i} THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_{i}" for i in range(k))},
+             {", ".join(f"SUM(CASE WHEN g = {i} THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q_{i}" for i in range(k))}
+      FROM {from_clause}
+    ),
+    f AS (
+      SELECT n,
+             ({between}) - (({grand}) * ({grand})) / CAST(n AS DOUBLE) AS ssb,
+             ({within_q}) - ({between}) AS ssw
+      FROM s
+    )
+    SELECT n, CAST({k - 1} AS INT) AS dof_between,
+           CAST(n - {k} AS BIGINT) AS dof_within, ssb, ssw,
+           (ssb / CAST({float(k - 1)!r} AS DOUBLE))
+             / (ssw / (CAST(n AS DOUBLE) - CAST({float(k)!r} AS DOUBLE))) AS f_stat
+    FROM f
+    """
+
+
+def _wide_group_sums(p, k: int):
+    """One map-side-combinable aggregate producing the n/c_i/s_i/q_i
+    row _anova_f_wide consumes; ``p`` has columns (v BIGINT, g INT)."""
+    return p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.sum((F.col("g") == i).cast("long")).alias(f"c_{i}") for i in range(k)],
+        *[
+            F.sum(
+                F.when(F.col("g") == i, F.col("v").cast("decimal(38,0)")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(f"s_{i}")
+            for i in range(k)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("g") == i,
+                    F.col("v").cast("decimal(38,0)") * F.col("v"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"q_{i}")
+            for i in range(k)
+        ],
+    )
+
+
+_SQL_TYPE_IDX = (
+    "CASE "
+    + " ".join(
+        f"WHEN event_type = '{t}' THEN {i}" for i, t in enumerate(EVENT_TYPES)
+    )
+    + " END"
+)
+
+
+@register(
+    "events_anova_f",
+    oracle=f"""
+    WITH p AS (
+      SELECT {_SQL_CENTS} AS v, {_SQL_TYPE_IDX} AS g FROM events
+    ),
+    {_sql_anova_f(len(EVENT_TYPES), "p")}
+    """,
+    tags=("events", "stats"),
+    doc="One-way ANOVA F across the five event types on value cents; "
+    "exact integer group sums/sum-of-squares in one aggregate, F "
+    "assembled in fixed order — bit-identical across engines.",
+)
+def events_anova_f(spark: SparkSession, sf_dir: str):
+    k = len(EVENT_TYPES)
+    type_idx = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(i))
+            for i, t in enumerate(EVENT_TYPES)
+        ]
+    )
+    p = read_table(spark, sf_dir, "events").select(
+        _cents().alias("v"), type_idx.alias("g")
+    )
+    return _anova_f_wide(_wide_group_sums(p, k), k)
+
+
+@register(
+    "events_levene_bf",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {_SQL_CENTS} AS x, {_SQL_TYPE_IDX} AS g FROM events
+    ),
+    med AS (
+      SELECT g, CAST(2 * PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY x)
+                 AS BIGINT) AS med2
+      FROM raw GROUP BY g
+    ),
+    p AS (
+      SELECT ABS(2 * raw.x - med.med2) AS v, raw.g
+      FROM raw JOIN med ON raw.g = med.g
+    ),
+    {_sql_anova_f(len(EVENT_TYPES), "p")}
+    """,
+    tags=("events", "stats", "robust"),
+    doc="Brown-Forsythe (median-centred Levene) variance-homogeneity "
+    "test across event types: per-group exact medians via the "
+    "distributed rank-selection quantile operator, half-cent integer "
+    "absolute deviations, then the shared fixed-order ANOVA F.  The "
+    "5-row median table is broadcast — the event scan never shuffles "
+    "for the join.",
+)
+def events_levene_bf(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    k = len(EVENT_TYPES)
+    type_idx = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(i))
+            for i, t in enumerate(EVENT_TYPES)
+        ]
+    )
+    raw = read_table(spark, sf_dir, "events").select(
+        _cents().alias("x"), type_idx.alias("g")
+    )
+    med = exact_group_quantiles(raw, "x", ["g"], ps=(0.5,), names=("p50",)).select(
+        F.col("g").alias("_mg"), (F.lit(2.0) * F.col("p50")).cast("bigint").alias("med2")
+    )
+    p = raw.join(F.broadcast(med), raw["g"] == med["_mg"]).select(
+        F.abs(2 * F.col("x") - F.col("med2")).alias("v"), "g"
+    )
+    return _anova_f_wide(_wide_group_sums(p, k), k)
+
+
+@register(
+    "events_spearman_corr",
+    oracle=f"""
+    WITH rev AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    gs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY s),
+    rs AS (
+      SELECT s, 2 * CAST(SUM(cnt) OVER (ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - cnt + 1 AS r2
+      FROM gs
+    ),
+    gc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY c),
+    rc AS (
+      SELECT c, 2 * CAST(SUM(cnt) OVER (ORDER BY c ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - cnt + 1 AS r2
+      FROM gc
+    ),
+    j AS (
+      SELECT rs.r2 AS rx, rc.r2 AS ry
+      FROM rev JOIN rs ON rev.s = rs.s JOIN rc ON rev.c = rc.c
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM j
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+    FROM t
+    """,
+    tags=("events", "stats", "analytics"),
+    doc="Spearman rank correlation between per-user purchase spend and "
+    "purchase count; midrank ties via exact 2x-rank integers from two "
+    "distributed prefix scans (running_sum), Pearson assembled from six "
+    "exact integer sums — no global window at any user cardinality.",
+)
+def events_spearman_corr(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    rev = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC) * 100).cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    # 2x-midrank of a tie run ending at inclusive prefix u with size cnt:
+    # 2*(u - cnt) + cnt + 1 = 2u - cnt + 1 — always an integer.
+    gs = rev.groupBy("s").agg(F.count("*").cast("bigint").alias("cnt"))
+    rs = running_sum(gs, ["s"], "cnt", out_col="_u").select(
+        "s", (2 * F.col("_u") - F.col("cnt") + 1).alias("rx")
+    )
+    gc = rev.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    rc = running_sum(gc, ["c"], "cnt", out_col="_u").select(
+        "c", (2 * F.col("_u") - F.col("cnt") + 1).alias("ry")
+    )
+    j = rev.join(rs, "s").join(rc, "c").select("rx", "ry")
+    t = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return t.select(
+        "n",
+        (
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("rho"),
+    )
+
+
+# BH step-up thresholds in z-space for m=5 hypotheses at q=0.1:
+# p_(i) <= q*i/m  <=>  |z|_(i) >= Phi^-1(1 - q*i/(2m)).  The five
+# constants are computed ONCE from Python's stdlib NormalDist and
+# embedded as literals in BOTH engines' expressions — no erf/exp in
+# either engine, so no transcendental-portability hazard (the doctrine
+# at plans/llmdata.py text_diversity_simpson).
+_BH_Q = 0.1
+_BH_THRESHOLDS = (
+    2.3263478740408408,  # i=1: Phi^-1(1 - 0.01)
+    2.053748910631822,
+    1.8807936081512504,
+    1.7506860712521695,
+    1.6448536269514715,  # i=5: Phi^-1(1 - 0.05)
+)
+
+
+@register(
+    "events_bh_fdr",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant,
+             {", ".join(f"MAX(CASE WHEN event_type = '{t}' AND value > 300 THEN 1 ELSE 0 END) AS f_{i}" for i, t in enumerate(EVENT_TYPES))}
+      FROM events GROUP BY user_id
+    ),
+    w AS (
+      SELECT {", ".join(f"CAST(SUM(CASE WHEN variant = {a} THEN 1 ELSE 0 END) AS BIGINT) AS n_{a}" for a in (0, 1))},
+             {", ".join(f"CAST(SUM(CASE WHEN variant = {a} THEN f_{i} ELSE 0 END) AS BIGINT) AS x_{a}_{i}" for a in (0, 1) for i in range(len(EVENT_TYPES)))}
+      FROM pu
+    ),
+    z AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{t}' AS event_type,
+             CASE WHEN x_0_{i} + x_1_{i} = 0 OR x_0_{i} + x_1_{i} = n_0 + n_1
+                  THEN CAST(0 AS DOUBLE) ELSE
+             (CAST(x_1_{i} AS DOUBLE) / CAST(n_1 AS DOUBLE)
+              - CAST(x_0_{i} AS DOUBLE) / CAST(n_0 AS DOUBLE))
+             / sqrt(CAST(x_0_{i} + x_1_{i} AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE)
+                    * (CAST(1 AS DOUBLE) - CAST(x_0_{i} + x_1_{i} AS DOUBLE)
+                       / CAST(n_0 + n_1 AS DOUBLE))
+                    * (CAST(1 AS DOUBLE) / CAST(n_0 AS DOUBLE)
+                       + CAST(1 AS DOUBLE) / CAST(n_1 AS DOUBLE))) END AS z_stat
+           FROM w''' for i, t in enumerate(EVENT_TYPES))}
+    ),
+    r AS (
+      SELECT event_type, z_stat,
+             CAST(ROW_NUMBER() OVER (ORDER BY ABS(z_stat) DESC, event_type ASC)
+               AS INT) AS p_rank
+      FROM z
+    ),
+    thr(p_rank, threshold) AS (
+      VALUES {", ".join(f"({i + 1}, CAST('{t!r}' AS DOUBLE))" for i, t in enumerate(_BH_THRESHOLDS))}
+    ),
+    passed AS (
+      SELECT r.*, thr.threshold,
+             CASE WHEN ABS(r.z_stat) >= thr.threshold THEN r.p_rank ELSE 0 END AS hit
+      FROM r JOIN thr ON r.p_rank = thr.p_rank
+    )
+    SELECT event_type, z_stat, p_rank, threshold,
+           p_rank <= (SELECT MAX(hit) FROM passed) AS reject
+    FROM passed
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Benjamini-Hochberg FDR step-up (q=0.1) over per-event-type "
+    "two-proportion A/B z-tests: thresholds precomputed in z-space as "
+    "literals (no erf in either engine); the windows run over a 5-row "
+    "frame — bounded by construction.",
+)
+def events_bh_fdr(spark: SparkSession, sf_dir: str):
+    k = len(EVENT_TYPES)
+    pu = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    ((F.col("event_type") == t) & (F.col("value") > 300)).cast(
+                        "int"
+                    )
+                ).alias(f"f_{i}")
+                for i, t in enumerate(EVENT_TYPES)
+            ]
+        )
+        .withColumn("variant", _ab_variant())
+    )
+    w = pu.agg(
+        *[
+            F.sum((F.col("variant") == a).cast("long")).alias(f"n_{a}")
+            for a in (0, 1)
+        ],
+        *[
+            F.sum(F.when(F.col("variant") == a, F.col(f"f_{i}")).otherwise(0))
+            .cast("bigint")
+            .alias(f"x_{a}_{i}")
+            for a in (0, 1)
+            for i in range(k)
+        ],
+    )
+    rows = []
+    for i, t in enumerate(EVENT_TYPES):
+        p0 = F.col(f"x_0_{i}").cast("double") / F.col("n_0").cast("double")
+        p1 = F.col(f"x_1_{i}").cast("double") / F.col("n_1").cast("double")
+        pp = (F.col(f"x_0_{i}") + F.col(f"x_1_{i}")).cast("double") / (
+            F.col("n_0") + F.col("n_1")
+        ).cast("double")
+        se = F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_0").cast("double")
+                + F.lit(1.0) / F.col("n_1").cast("double")
+            )
+        )
+        tot = F.col(f"x_0_{i}") + F.col(f"x_1_{i}")
+        z_expr = F.when(
+            (tot == 0) | (tot == F.col("n_0") + F.col("n_1")), F.lit(0.0)
+        ).otherwise((p1 - p0) / se)
+        rows.append(w.select(F.lit(t).alias("event_type"), z_expr.alias("z_stat")))
+    z = rows[0]
+    for r_df in rows[1:]:
+        z = z.unionByName(r_df)
+    # 5-row frame: the partition-less windows below are bounded by
+    # construction (|EVENT_TYPES| rows), the documented exception to
+    # the no-global-window rule.
+    rank_w = Window.orderBy(F.abs(F.col("z_stat")).desc(), F.col("event_type").asc())
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in _BH_THRESHOLDS]), F.col("p_rank")
+    )
+    ranked = z.withColumn("p_rank", F.row_number().over(rank_w)).withColumn(
+        "threshold", thr
+    )
+    hit = F.when(
+        F.abs(F.col("z_stat")) >= F.col("threshold"), F.col("p_rank")
+    ).otherwise(F.lit(0))
+    kmax = F.max(hit).over(Window.partitionBy())
+    return ranked.select(
+        "event_type",
+        "z_stat",
+        "p_rank",
+        "threshold",
+        (F.col("p_rank") <= kmax).alias("reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of the hourly revenue series at lags 1..6.  The
+# fractional mean is eliminated by scaling through n: with S = sum(x),
+# sum((x_t - S/n)(x_{t+k} - S/n)) * n^2 = sum((n*x_t - S)(n*x_{t+k} - S))
+# — every factor is an exact BIGINT (n <= hours-of-history, so n*x is
+# far inside int64 even at sf100), products/sums carried as
+# DECIMAL(38,0)/HUGEINT, one double division at the end.  Missing hours
+# are excluded pairwise (calendar-lag join), identically on both sides.
+# Scale shape: the events scan collapses to the hourly table first
+# (map-side combinable), so every join below is over <= hours rows —
+# model-sized by construction; the 6-row lag frame is broadcast.
+# --------------------------------------------------------------------------
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "events_acf_hourly",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM({_SQL_CENTS}) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+           FROM h),
+    den AS (
+      SELECT SUM(CAST(n * x - s AS HUGEINT) * (n * x - s)) AS d
+      FROM h, st
+    ),
+    lags AS (SELECT CAST(UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag),
+    num AS (
+      SELECT lags.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(st.n * a.x - st.s AS HUGEINT)
+                 * (st.n * b.x - st.s)) AS nu
+      FROM lags, st, h a JOIN h b ON b.ho = a.ho + lags.lag
+      GROUP BY lags.lag
+    )
+    SELECT num.lag, num.n_pairs,
+           CAST(nu AS DOUBLE) / CAST(d AS DOUBLE) AS acf
+    FROM num, den
+    """,
+    tags=("events", "time-series", "stats"),
+    doc="Exact hourly-revenue autocorrelation at lags 1..6 via the "
+    "n-scaled integer identity — no fractional mean, bit-identical.",
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("ho"),
+            _cents().alias("c"),
+        )
+        .groupBy("ho")
+        .agg(F.sum("c").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # three consumers: stats, den, pairs
+    )
+    st = h.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")  # BIGINT-exact
+    den = h.crossJoin(F.broadcast(st)).agg(
+        F.sum(dev.cast("decimal(19,0)") * dev).alias("d")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = h.select(F.col("ho").alias("ho_a"), F.col("x").alias("x_a"))
+    b = h.select(F.col("ho").alias("ho_b"), F.col("x").alias("x_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ho_b") == F.col("ho_a") + F.col("lag"))
+        .crossJoin(F.broadcast(st))
+    )
+    dev_a = F.col("n") * F.col("x_a") - F.col("s")
+    dev_b = F.col("n") * F.col("x_b") - F.col("s")
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(dev_a.cast("decimal(19,0)") * dev_b).alias("nu"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        (F.col("nu").cast("double") / F.col("d").cast("double")).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Single best changepoint of the hourly revenue series (the binary-
+# segmentation step): for every split k, SSE(left)+SSE(right) from
+# inclusive prefix sums P_k (sum) and Q_k (sum of squares), argmin with
+# deterministic tie-break on the split index.  Units are whole DOLLARS
+# (floor) so Q stays in int64 out to sf100-class hourly volumes
+# (cents^2 would overflow by sf10 — documented trade).  P_k <= 2^53 at
+# any plausible scale, so P_k*P_k/k is IEEE-exact-input arithmetic:
+# each double op is correctly rounded from identical operands on both
+# engines.  Prefix sums ride running_sum (distributed); the total row
+# is a broadcast scalar.
+# --------------------------------------------------------------------------
+@register(
+    "events_changepoint_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(12,2))) AS BIGINT))
+               AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT ho, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY ho ASC) AS BIGINT) AS i,
+             CAST(SUM(x) OVER (ORDER BY ho ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+             CAST(SUM(x * x) OVER (ORDER BY ho ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS q
+      FROM h
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS pn,
+                   CAST(SUM(x * x) AS BIGINT) AS qn
+            FROM h),
+    costs AS (
+      SELECT pre.i, pre.ho, tot.n, tot.pn, tot.qn,
+             (CAST(q AS DOUBLE)
+              - CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(i AS DOUBLE))
+             + (CAST(qn - q AS DOUBLE)
+                - CAST(pn - p AS DOUBLE) * CAST(pn - p AS DOUBLE)
+                  / CAST(n - i AS DOUBLE)) AS sse
+      FROM pre, tot WHERE pre.i < tot.n
+    )
+    SELECT n AS n_hours, i AS split_idx, ho AS split_hour,
+           CAST(qn AS DOUBLE)
+             - CAST(pn AS DOUBLE) * CAST(pn AS DOUBLE) / CAST(n AS DOUBLE)
+             AS sse_full,
+           sse AS sse_split
+    FROM costs ORDER BY sse ASC, i ASC LIMIT 1
+    """,
+    tags=("events", "time-series", "anomaly"),
+    doc="Best single changepoint of hourly revenue by SSE reduction "
+    "(binary segmentation step); exact integer prefix sums via the "
+    "distributed running_sum, one broadcast total row, deterministic "
+    "argmin tie-break.",
+)
+def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("ho"),
+            F.floor(F.col("value").cast(_DEC)).cast("bigint").alias("d"),
+        )
+        .groupBy("ho")
+        .agg(F.sum("d").cast("bigint").alias("x"))
+        .withColumn("x2", F.col("x") * F.col("x"))
+        .withColumn("_one", F.lit(1))
+    )
+    pre = running_sum(h, ["ho"], "_one", out_col="i")
+    pre = running_sum(pre, ["ho"], "x", out_col="p")
+    pre = running_sum(pre, ["ho"], "x2", out_col="q").drop("_one")
+    tot = h.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("pn"),
+        F.sum("x2").cast("bigint").alias("qn"),
+    )
+    c = pre.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("n"))
+    pd_, id_ = F.col("p").cast("double"), F.col("i").cast("double")
+    rp = (F.col("pn") - F.col("p")).cast("double")
+    ri = (F.col("n") - F.col("i")).cast("double")
+    sse = (F.col("q").cast("double") - pd_ * pd_ / id_) + (
+        (F.col("qn") - F.col("q")).cast("double") - rp * rp / ri
+    )
+    best = c.select(
+        "n",
+        "pn",
+        "qn",
+        F.struct(
+            sse.alias("sse"), F.col("i").alias("i"), F.col("ho").alias("ho")
+        ).alias("cand"),
+    ).agg(
+        F.first("n").alias("n"),
+        F.first("pn").alias("pn"),
+        F.first("qn").alias("qn"),
+        F.min("cand").alias("best"),
+    )
+    pnd, nd = F.col("pn").cast("double"), F.col("n").cast("double")
+    return best.select(
+        F.col("n").alias("n_hours"),
+        F.col("best.i").alias("split_idx"),
+        F.col("best.ho").alias("split_hour"),
+        (F.col("qn").cast("double") - pnd * pnd / nd).alias("sse_full"),
+        F.col("best.sse").alias("sse_split"),
+    )

@@ -9803,3 +9803,169 @@ def text_lix_readability(spark: SparkSession, sf_dir: str):
             * (F.col("n_long").cast("double") / F.col("n_words").cast("double"))
         ).alias("lix"),
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components over the LSH candidate graph by fixed-round
+# min-label propagation — the cluster-id assignment step that turns
+# near-dup PAIRS into dedup GROUPS (keep-one-per-component is then a
+# single groupBy(component).min(doc_id) semi-join).  Fourth member of
+# the graph-audit family after PageRank / k-core / triangles, same
+# fixed-round exact-replay doctrine: 6 rounds bounds component
+# diameter 6, ample for dense dedup clusters; the oracle unrolls the
+# identical rounds as materialized CTEs.
+# --------------------------------------------------------------------------
+_LP_ROUNDS = 6
+
+
+def _label_prop_oracle(rounds: int = _LP_ROUNDS) -> str:
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""n{r + 1} AS MATERIALIZED (
+      SELECT e.dst AS node, MIN(l.label) AS nl
+      FROM e0 e JOIN l{r} l ON e.src = l.node GROUP BY e.dst
+    ),
+    l{r + 1} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(n.nl, l.label)) AS label
+      FROM l{r} l LEFT JOIN n{r + 1} n ON l.node = n.node
+    )"""
+        )
+    return f"""
+    WITH tok AS ({_SQL_TOK}),
+    sig AS (SELECT doc_id, {_lsh_sigs} FROM tok),
+    bands AS ({_lsh_bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+                  AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+      )
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM e0
+    ),
+    {",".join(steps)}
+    SELECT node AS doc_id, label AS component FROM l{rounds}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_label_prop_oracle(),
+    tags=("graph", "iterative", "dedup"),
+    doc="Connected components of the LSH candidate graph via fixed-round "
+    "min-label propagation; per-round hash join + min aggregate, no "
+    "window, no collect — cluster ids for keep-one-per-group dedup.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import min_label_propagation
+
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    return min_label_propagation(pairs, rounds=_LP_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# Zipf-slope corpus health check: OLS fit of ln(freq) on ln(rank) over
+# the top-50 terms — natural corpora sit near slope -1; template farms
+# and synthetic spam flatten or steepen the curve, making this a cheap
+# DQ monitor next to text_diversity_simpson.  ln IS required here, so
+# the ln-bearing doctrine applies (the DSIR precedent): both engines
+# fold the 50 (ln rank, ln freq) pairs in the SAME rank order via an
+# ordered reduce, and the two regression outputs are ROUNDed to 6
+# decimals — ulp-level libm differences are ~1e-15 relative, absorbed
+# entirely.  Scale shape: the only corpus-scale work is the term-count
+# aggregate; top-50 is a distributed TakeOrdered; the fold runs over a
+# 50-element array (model-sized by construction).
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 50
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH occ AS (
+      SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY term),
+    top AS (
+      SELECT term, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS BIGINT)
+               AS rk
+      FROM tf ORDER BY freq DESC, term ASC LIMIT {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                 list([ln(CAST(rk AS DOUBLE)), ln(CAST(freq AS DOUBLE)),
+                       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)] ORDER BY rk)),
+               (a, e) -> [a[1] + e[1], a[2] + e[2],
+                          a[3] + e[1] * e[1], a[4] + e[1] * e[2]]) AS acc
+      FROM top
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * acc[4] - acc[1] * acc[2])
+               / (CAST(n AS DOUBLE) * acc[3] - acc[1] * acc[1]) AS slope,
+             acc[1] AS sx, acc[2] AS sy
+      FROM s
+    )
+    SELECT n AS n_terms, ROUND(slope, 6) AS zipf_slope,
+           ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM fit
+    """,
+    tags=("text", "dq", "distribution"),
+    doc="Zipf-law slope of the top-50 term frequencies (OLS on log-log); "
+    "ordered 50-element fold + ROUND(6) absorbs libm ln ulp variance.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import term_frequencies
+
+    tf = (
+        term_frequencies(read_table(spark, sf_dir, "documents"))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(_ZIPF_TOP)
+    # 50-row frame: the partition-less window is bounded by construction.
+    from pyspark.sql import Window
+
+    rk_w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = top.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("freq")))
+                ),
+                lambda e: F.array(
+                    F.log(e["rk"].cast("double")), F.log(e["freq"].cast("double"))
+                ),
+            ),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda a, e: F.array(
+                a[0] + e[0], a[1] + e[1], a[2] + e[0] * e[0], a[3] + e[0] * e[1]
+            ),
+        ).alias("acc"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("acc")[3] - F.col("acc")[0] * F.col("acc")[1]) / (
+        nd * F.col("acc")[2] - F.col("acc")[0] * F.col("acc")[0]
+    )
+    fit = s.select(
+        "n", slope.alias("slope"), F.col("acc")[0].alias("sx"), F.col("acc")[1].alias("sy")
+    )
+    return fit.select(
+        F.col("n").alias("n_terms"),
+        F.round(F.col("slope"), 6).alias("zipf_slope"),
+        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n").cast("double"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -138,3 +138,20 @@ def test_weighted_pagerank_weights_matter(spark):
         for r in weighted_pagerank(e.repartition(5), iters=6).collect()
     }
     assert got == many
+
+
+def test_min_label_propagation_two_components(spark):
+    """Two disjoint clusters (a path 1-2-3 and an edge 10-11) must
+    resolve to their min-node component ids within the default rounds;
+    a singleton chain longer than `rounds` would not — pinned here with
+    a 3-hop path inside the round budget."""
+    from fotmobdatapipeline_spark.operators.graph import min_label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in min_label_propagation(pairs, rounds=6).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -1023,3 +1023,45 @@ def test_group_quantiles_agg_reuses_range_partitioning(spark):
     plan = _plan(dv)
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+ROUND11_SWEEP = (
+    "events_kruskal_wallis",
+    "events_chi2_independence",
+    "events_anova_f",
+    "events_levene_bf",
+    "events_spearman_corr",
+    "events_bh_fdr",
+    "events_acf_hourly",
+    "events_changepoint_hourly",
+    "graph_label_propagation",
+    "text_zipf_slope",
+    "multimodal_image_neardup_dropped",
+)
+
+
+def test_round11_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-11 additions — same
+    contract as the earlier round sweeps.  (The 5-row BH window and the
+    50-row Zipf window are partition-less by documented exception —
+    bounded by construction — and produce no CartesianProduct.)"""
+    bad = []
+    for name in ROUND11_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
+
+
+def test_stats_family_prefix_scans_not_global_windows(spark):
+    """The rank-based round-11 statistics (Kruskal-Wallis, Spearman)
+    must ride the two-phase distributed prefix scan.  running_sum's
+    range exchange hides behind its internal localCheckpoint, so the
+    visible signature in the executed plan is the window partitioned
+    by the stamped _pid column — assert it is present, i.e. the ranks
+    are NOT computed by a partition-less data-scale window."""
+    for name in ("events_kruskal_wallis", "events_spearman_corr"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "hashpartitioning(_pid" in plan, (name, plan[:2000])
