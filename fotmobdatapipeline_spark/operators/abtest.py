@@ -136,3 +136,73 @@ def msprt_report(hourly: DataFrame) -> DataFrame:
         log_lambda.alias("log_lambda"),
         (log_lambda >= F.lit(MSPRT_LN20)).alias("crossed"),
     )
+
+
+CHI2_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def chi2_counts(events: DataFrame) -> DataFrame:
+    """The variant x event_type contingency cells — the MERGEABLE
+    sufficient statistics of the independence test: plain integer
+    counts per (variant, event_type), so a streaming sink can fold
+    micro-batch increments by cell-wise SUM and stay cell-identical to
+    a batch build over the whole feed (the msprt_hourly_counts
+    doctrine).  At most 2 x |event types| rows."""
+    return (
+        events.select("event_type", ab_variant().alias("variant"))
+        .groupBy("variant", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def chi2_report(counts: DataFrame) -> DataFrame:
+    """Chi-square independence statistic from the contingency-cell
+    table: one conditional aggregate pivots the (<= 10)-row cell table
+    to a single wide row of exact integers, then the statistic is
+    assembled in FIXED expression order (variant-major, event types in
+    CHI2_EVENT_TYPES order) — bit-identical across engines and across
+    the batch/stream split.  Missing cells count 0."""
+    k = len(CHI2_EVENT_TYPES)
+    s = counts.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("variant") == a) & (F.col("event_type") == t),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"o_{a}_{j}")
+            for a in (0, 1)
+            for j, t in enumerate(CHI2_EVENT_TYPES)
+        ],
+        *[
+            F.sum(F.when(F.col("variant") == a, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r_{a}")
+            for a in (0, 1)
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"k_{j}")
+            for j, t in enumerate(CHI2_EVENT_TYPES)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for a in (0, 1):
+        for j in range(k):
+            e = F.col(f"r_{a}").cast("double") * F.col(f"k_{j}").cast("double") / nd
+            d = F.col(f"o_{a}_{j}").cast("double") - e
+            cell = d * d / e
+            chi2 = cell if chi2 is None else chi2 + cell
+    # Cramér's V effect size: min(rows-1, cols-1) = min(1, k-1) = 1
+    # for the 2 x k table, so V = sqrt(chi2 / n).
+    return s.select(
+        "n",
+        F.lit(4).alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / F.col("n").cast("double")).alias("cramers_v"),
+    )

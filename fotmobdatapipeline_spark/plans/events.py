@@ -3921,46 +3921,24 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str):
       FROM p
     )
     SELECT n, CAST(4 AS INT) AS dof,
-           {" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))} AS chi2
+           {" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))} AS chi2,
+           sqrt(({" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))})
+                / CAST(n AS DOUBLE)) AS cramers_v
     FROM s
     """,
     tags=("events", "stats", "abtest"),
     doc="Chi-square independence test over the variant x event_type "
-    "contingency table; one map-side-combinable aggregate, the statistic "
-    "assembled from exact integer cell counts in fixed expression order.",
+    "contingency table with Cramér's V effect size; one map-side-"
+    "combinable aggregate, the statistic assembled from exact integer "
+    "cell counts in fixed expression order.",
 )
 def events_chi2_independence(spark: SparkSession, sf_dir: str):
-    k = len(EVENT_TYPES)
-    p = read_table(spark, sf_dir, "events").select(
-        "event_type", _ab_variant().alias("variant")
-    )
-    s = p.agg(
-        F.count("*").cast("bigint").alias("n"),
-        *[
-            F.sum(
-                ((F.col("variant") == a) & (F.col("event_type") == t)).cast("long")
-            ).alias(f"o_{a}_{j}")
-            for a in (0, 1)
-            for j, t in enumerate(EVENT_TYPES)
-        ],
-        *[
-            F.sum((F.col("variant") == a).cast("long")).alias(f"r_{a}")
-            for a in (0, 1)
-        ],
-        *[
-            F.sum((F.col("event_type") == t).cast("long")).alias(f"k_{j}")
-            for j, t in enumerate(EVENT_TYPES)
-        ],
-    )
-    nd = F.col("n").cast("double")
-    chi2 = None
-    for a in (0, 1):
-        for j in range(k):
-            e = F.col(f"r_{a}").cast("double") * F.col(f"k_{j}").cast("double") / nd
-            d = F.col(f"o_{a}_{j}").cast("double") - e
-            cell = d * d / e
-            chi2 = cell if chi2 is None else chi2 + cell
-    return s.select("n", F.lit(4).alias("dof"), chi2.alias("chi2"))
+    # Shared with the streaming twin (streaming/abtest.py::
+    # chi2_maintenance_sink): ONE definition of the contingency cells
+    # and of the statistic, so stream == batch is a code-level identity.
+    from fotmobdatapipeline_spark.operators.abtest import chi2_counts, chi2_report
+
+    return chi2_report(chi2_counts(read_table(spark, sf_dir, "events")))
 
 
 def _anova_f_wide(s, k: int, n_col: str = "n"):

@@ -9969,3 +9969,35 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str):
             "intercept"
         ),
     )
+
+
+@register(
+    "dedup_component_survivors",
+    oracle=_label_prop_oracle().replace(
+        f"SELECT node AS doc_id, label AS component FROM l{_LP_ROUNDS}",
+        f"""SELECT label AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS survivor_doc_id
+    FROM l{_LP_ROUNDS} GROUP BY label HAVING COUNT(*) >= 2""",
+    ),
+    tags=("dedup", "graph", "llmdata"),
+    doc="Keep-one-per-cluster over the LSH candidate graph: connected "
+    "components via the shared min-label operator, min-doc_id survivor "
+    "and member count per >= 2-member component — the pair->group->"
+    "survivor step that turns candidate pairs into an actionable dedup "
+    "decision (the perceptual-image keep-one precedent, text tier).",
+)
+def dedup_component_survivors(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import min_label_propagation
+
+    labels = min_label_propagation(
+        _lsh_pairs_shared(spark, sf_dir), rounds=_LP_ROUNDS
+    )
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -83,3 +83,62 @@ def msprt_maintenance_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_chi2_report(spark, path: str) -> DataFrame | None:
+    """Chi-square independence readout from the CURRENT maintained
+    contingency-cell table — the SAME shared expression tree the batch
+    entry runs (``operators/abtest.chi2_report``), so a drained stream
+    reads bit-identically.  None before the first batch commits."""
+    from fotmobdatapipeline_spark.operators.abtest import chi2_report
+
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    cells = spark.read.parquet(f"{path}/{v}").select("variant", "event_type", "n")
+    return chi2_report(cells)
+
+
+def chi2_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keep_versions: int = 1,
+):
+    """Fold each micro-batch's contingency-cell increments (the batch
+    operator's own aggregate over batch-sized input) into the stored
+    <= 2 x |event types|-row table by cell-wise SUM — mergeable exact
+    integers under the exactly-once versioned-publication contract
+    shared with the mSPRT/CUSUM/sketch sinks."""
+    from fotmobdatapipeline_spark.operators.abtest import chi2_counts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = chi2_counts(batch_df)
+        if prev is not None:
+            merged = (
+                prev.select("variant", "event_type", "n")
+                .unionByName(inc)
+                .groupBy("variant", "event_type")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(events.sparkSession, path).mkdirs()
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

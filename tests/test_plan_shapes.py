@@ -1037,6 +1037,7 @@ ROUND11_SWEEP = (
     "graph_label_propagation",
     "text_zipf_slope",
     "multimodal_image_neardup_dropped",
+    "dedup_component_survivors",
 )
 
 

@@ -969,3 +969,61 @@ def test_msprt_stream_maintenance_equals_batch(spark, tmp_path):
         map(tuple, read_msprt_report(spark, str(tmp_path / "msprt")).collect())
     )
     assert again == got
+
+
+def test_chi2_stream_maintenance_equals_batch(spark, tmp_path):
+    """Stream == batch for the chi-square independence monitor:
+    draining the events feed through chi2_maintenance_sink and reading
+    the shared report must be BIT-identical to the batch entry over the
+    same events, and replaying the feed from a fresh checkpoint must be
+    a no-op (exactly-once contract)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.abtest import (
+        chi2_maintenance_sink,
+        read_chi2_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = ev.withColumn("tus", F.unix_micros("ts")).drop("ts")
+    for i in range(3):
+        staged.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    schema = ("event_id long, tus long, user_id long, event_type string, "
+              "value double, props string")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros("tus"))
+        )
+        q = chi2_maintenance_sink(
+            stream, str(tmp_path / "chi2"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain("ck0")
+    got = sorted(map(tuple, read_chi2_report(spark, str(tmp_path / "chi2")).collect()))
+    _load_all()
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["events_chi2_independence"].builder(spark, SF_SMALL).collect(),
+        )
+    )
+    assert got == want and len(got) == 1
+
+    drain("ck1")  # repeat batch ids -> replay guard
+    again = sorted(
+        map(tuple, read_chi2_report(spark, str(tmp_path / "chi2")).collect())
+    )
+    assert again == got
