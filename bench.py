@@ -107,6 +107,15 @@ HEADLINE = [
     "events_theilsen_trend",
     "events_markov_attribution",
     "events_rfm_segments",
+    # round-11 additions
+    "events_kruskal_wallis",
+    "events_spearman_corr",
+    "events_chi2_independence",
+    "events_acf_hourly",
+    "events_changepoint_hourly",
+    "graph_label_propagation",
+    "dedup_component_survivors",
+    "text_zipf_slope",
 ]
 
 
