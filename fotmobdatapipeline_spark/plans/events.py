@@ -4171,7 +4171,7 @@ def events_spearman_corr(spark: SparkSession, sf_dir: str):
     rev = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast(_DEC) * 100).cast("bigint").alias("s"),
         F.count("*").cast("bigint").alias("c"),
-    )
+    ).localCheckpoint(eager=False)  # three consumers: two rank scans + the join
     # 2x-midrank of a tie run ending at inclusive prefix u with size cnt:
     # 2*(u - cnt) + cnt + 1 = 2u - cnt + 1 — always an integer.
     gs = rev.groupBy("s").agg(F.count("*").cast("bigint").alias("cnt"))
@@ -4304,6 +4304,11 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str):
             for i in range(k)
         ],
     )
+    # CHECKPOINT — the 1-row wide aggregate fans out into 5 union
+    # branches (one per event type); without a materialization each
+    # branch re-runs the full events scan + aggregate (ReusedExchange
+    # is best-effort, not a contract).  One row: free.
+    w = w.localCheckpoint(eager=False)
     rows = []
     for i, t in enumerate(EVENT_TYPES):
         p0 = F.col(f"x_0_{i}").cast("double") / F.col("n_0").cast("double")
@@ -4504,6 +4509,7 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
         .agg(F.sum("d").cast("bigint").alias("x"))
         .withColumn("x2", F.col("x") * F.col("x"))
         .withColumn("_one", F.lit(1))
+        .localCheckpoint(eager=False)  # two consumers: prefix chain + totals
     )
     pre = running_sum(h, ["ho"], "_one", out_col="i")
     pre = running_sum(pre, ["ho"], "x", out_col="p")
