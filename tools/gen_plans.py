@@ -55,6 +55,10 @@ PICKS = [
     ("events_ltv_deciles", "Whale curve: prefix-scan ranks + integer NTILE arithmetic — the r9 global-ntile scale-killer de-windowed"),
     ("multimodal_image_dhash", "Perceptual dHash: map-only Arrow hashing into one combinable aggregate and a distributed TakeOrderedAndProject"),
     ("multimodal_image_dhash_pairs", "Hamming near-dup: four banded equi-joins with a hot-band cap — never all-pairs"),
+    ("events_kruskal_wallis", "Kruskal-Wallis: distinct-value collapse, two-phase prefix scan, every window _pid-scoped — the mannwhitney shape at k=5"),
+    ("events_spearman_corr", "Spearman: two prefix-scan rank tables broadcast-joined back to the user table, Pearson from one combinable aggregate"),
+    ("events_changepoint_hourly", "Changepoint: hourly collapse, chained prefix sums, broadcast total row, struct-min argmin — no global sort"),
+    ("graph_label_propagation", "Min-label propagation: per-round hash join + min aggregate, checkpoint-truncated lineage — no window, no collect"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
