@@ -2181,3 +2181,42 @@ def test_kaplan_meier_matches_reference_implementation(spark, tmp_path):
         want[dur] = (at_risk, d, c, surv)
         at_risk -= d + c
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_label_propagation_matches_union_find(spark, edges):
+    """On any small graph, fixed-round min-label propagation with
+    rounds >= node count must equal true connected components (min node
+    id per component), checked against a pure-Python union-find."""
+    from fotmobdatapipeline_spark.operators.graph import min_label_propagation
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in min_label_propagation(pairs, rounds=15).collect()
+    }
+    assert got == want
