@@ -138,7 +138,12 @@ def msprt_report(hourly: DataFrame) -> DataFrame:
     )
 
 
-CHI2_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+# Canonical event-type enumeration for the events table.  ONE
+# definition (plans/events.py imports it): the chi2 batch entry's
+# oracle, the Spark-side report, and the streaming sink all enumerate
+# cells in this order, so the tuple's contents AND order are part of
+# the bit-identity contract (the ab_variant doctrine).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def chi2_counts(events: DataFrame) -> DataFrame:
@@ -160,9 +165,9 @@ def chi2_report(counts: DataFrame) -> DataFrame:
     table: one conditional aggregate pivots the (<= 10)-row cell table
     to a single wide row of exact integers, then the statistic is
     assembled in FIXED expression order (variant-major, event types in
-    CHI2_EVENT_TYPES order) — bit-identical across engines and across
+    EVENT_TYPES order) — bit-identical across engines and across
     the batch/stream split.  Missing cells count 0."""
-    k = len(CHI2_EVENT_TYPES)
+    k = len(EVENT_TYPES)
     s = counts.agg(
         F.sum("n").cast("bigint").alias("n"),
         *[
@@ -175,7 +180,7 @@ def chi2_report(counts: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias(f"o_{a}_{j}")
             for a in (0, 1)
-            for j, t in enumerate(CHI2_EVENT_TYPES)
+            for j, t in enumerate(EVENT_TYPES)
         ],
         *[
             F.sum(F.when(F.col("variant") == a, F.col("n")).otherwise(0))
@@ -187,7 +192,7 @@ def chi2_report(counts: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("event_type") == t, F.col("n")).otherwise(0))
             .cast("bigint")
             .alias(f"k_{j}")
-            for j, t in enumerate(CHI2_EVENT_TYPES)
+            for j, t in enumerate(EVENT_TYPES)
         ],
     )
     nd = F.col("n").cast("double")
@@ -196,7 +201,14 @@ def chi2_report(counts: DataFrame) -> DataFrame:
         for j in range(k):
             e = F.col(f"r_{a}").cast("double") * F.col(f"k_{j}").cast("double") / nd
             d = F.col(f"o_{a}_{j}").cast("double") - e
-            cell = d * d / e
+            # Zero marginal => the observed cell is necessarily 0 too;
+            # the 0/0 term is defined as 0 (and guarded identically in
+            # the oracle) — without the guard a degenerate corpus (or a
+            # first micro-batch missing one event type in the streaming
+            # twin) raises ANSI divide-by-zero instead of reporting.
+            cell = F.when(
+                F.col(f"r_{a}") * F.col(f"k_{j}") == 0, F.lit(0.0)
+            ).otherwise(d * d / e)
             chi2 = cell if chi2 is None else chi2 + cell
     # Cramér's V effect size: min(rows-1, cols-1) = min(1, k-1) = 1
     # for the 2 x k table, so V = sqrt(chi2 / n).

@@ -246,22 +246,27 @@ def min_label_propagation(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
 ) -> DataFrame:
-    """Connected components by fixed-round min-label propagation over an
-    undirected pair graph: every node starts labelled with its own id;
-    each round a node takes the minimum of its label and its neighbors'
-    labels.  After ``rounds`` rounds each node carries the minimum id
-    within ``rounds`` hops — on a graph whose component diameters are
-    <= rounds (the near-dup regime: dedup clusters are dense and tiny)
-    this IS the connected-component id, and the fixed round count makes
-    the computation replayable verbatim by the SQL oracle (the
-    pagerank/kcore doctrine).  Production callers on long-chain graphs
-    re-invoke with more rounds or switch to doubled label-forwarding.
+    """Connected components by fixed-round min-label propagation WITH
+    pointer jumping over an undirected pair graph: every node starts
+    labelled with its own id; each round a node takes (a) the minimum
+    of its neighbors' labels and (b) its label's own label (pointer
+    jumping — labels are always node ids, so every label resolves in
+    the label table).  Propagation alone needs diameter rounds; the
+    jumping step halves chain lengths per round, so ``rounds`` rounds
+    converge any component of diameter up to ~2**rounds (64 at the
+    default 6) — the same doubling trick as the converged, loop-
+    terminated :func:`fotmobdatapipeline_spark.operators.dedup.
+    connected_dup_clusters`, but with a FIXED round count so the SQL
+    oracle can replay the computation verbatim (the pagerank/kcore
+    doctrine) and the result is value-exact-verifiable.  For truly
+    unbounded diameters (pathological at LSH-graph scale) use the
+    loop-terminated operator, which is rows-only checkable.
 
-    Scale notes: each round is one (edges x labels) hash join on src —
-    both sides partitioned on the key — plus a min-aggregate on dst:
-    no node ever sees more than its own neighborhood, no collect, no
-    window.  ``localCheckpoint`` per round truncates the 2x-per-round
-    lineage growth exactly like pagerank above.
+    Scale notes: each round is one (edges x labels) hash join on src
+    plus a min-aggregate on dst, and one label-table self-join for the
+    jump — all key-partitioned; no node ever sees more than its own
+    neighborhood, no collect, no window.  ``localCheckpoint`` per round
+    truncates the per-round lineage growth exactly like pagerank above.
 
     Output: (doc_id, component) for every node in >= 1 pair.
     """
@@ -285,13 +290,21 @@ def min_label_propagation(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("_nl"))
         )
+        merged = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer jumping: follow my label to ITS label.  Labels are
+        # node ids drawn from the label table's own node set, so the
+        # inner self-join resolves every row.
+        a, b = merged.alias("a"), merged.alias("b")
         labels = (
-            labels.join(neigh, "node", "left")
+            a.join(b, F.col("a.label") == F.col("b.node"))
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.label"), F.col("b.label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

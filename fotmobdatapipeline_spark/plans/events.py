@@ -18,10 +18,9 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from fotmobdatapipeline_spark.operators.abtest import EVENT_TYPES
 from fotmobdatapipeline_spark.plans.catalog import register
 from fotmobdatapipeline_spark.sources.registry import read_table
-
-EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _DEC = "decimal(12,2)"
 
@@ -3921,8 +3920,8 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str):
       FROM p
     )
     SELECT n, CAST(4 AS INT) AS dof,
-           {" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))} AS chi2,
-           sqrt(({" + ".join(f"(CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE))" for a in (0, 1) for j in range(len(EVENT_TYPES)))})
+           {" + ".join(f"(CASE WHEN r_{a} * k_{j} = 0 THEN CAST(0 AS DOUBLE) ELSE (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) END)" for a in (0, 1) for j in range(len(EVENT_TYPES)))} AS chi2,
+           sqrt(({" + ".join(f"(CASE WHEN r_{a} * k_{j} = 0 THEN CAST(0 AS DOUBLE) ELSE (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o_{a}_{j} AS DOUBLE) - CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(r_{a} AS DOUBLE) * CAST(k_{j} AS DOUBLE) / CAST(n AS DOUBLE)) END)" for a in (0, 1) for j in range(len(EVENT_TYPES)))})
                 / CAST(n AS DOUBLE)) AS cramers_v
     FROM s
     """,
@@ -4405,7 +4404,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events")
     h = (
         ev.select(
-            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("ho"),
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
             _cents().alias("c"),
         )
         .groupBy("ho")
@@ -4502,7 +4501,7 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
     ev = read_table(spark, sf_dir, "events")
     h = (
         ev.select(
-            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("ho"),
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
             F.floor(F.col("value").cast(_DEC)).cast("bigint").alias("d"),
         )
         .groupBy("ho")
@@ -4539,6 +4538,10 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
         F.first("qn").alias("qn"),
         F.min("cand").alias("best"),
     )
+    # Degenerate corpus (one hour / empty): the candidate frame is empty
+    # and the ungrouped agg yields one all-NULL row where the oracle's
+    # LIMIT 1 yields zero rows — drop it so both sides agree.
+    best = best.filter(F.col("best").isNotNull())
     pnd, nd = F.col("pn").cast("double"), F.col("n").cast("double")
     return best.select(
         F.col("n").alias("n_hours"),

@@ -8998,23 +8998,12 @@ _IMG_BLOCKED_CTE = f"""
     )"""
 
 
-@register(
-    "multimodal_image_neardup",
-    oracle=f"""{_IMG_BLOCKED_CTE},
-    ok AS MATERIALIZED (
-      SELECT block FROM blocked GROUP BY block
-      HAVING COUNT(*) <= {_IMG_BLOCK_CAP}
-    )
-    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-           {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} AS l1_dist
-    FROM blocked a JOIN ok USING (block) JOIN blocked b2
-      ON a.block = b2.block AND a.doc_id < b2.doc_id
-    WHERE {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} <= {_IMG_L1_MAX}
-    """,
-    tags=("multimodal", "codec", "image", "dedup"),
-    doc="Image near-dup screen: luma-histogram L1 within dominant-bucket blocks.",
-)
-def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
+def _image_blocked(spark: SparkSession, sf_dir: str):
+    """Spark twin of _IMG_BLOCKED_CTE: PNG decode -> 8-bin luma
+    histogram -> (dominant bucket, dominant count) block key.  ONE
+    definition shared by the pair screen and its dropped-block report,
+    mirroring the SQL side's shared CTE — a block-formula change cannot
+    desynchronize the two entries."""
     from fotmobdatapipeline_spark.multimodal import (
         attach_binary_payload,
         encode_media_as_png,
@@ -9038,7 +9027,27 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
         * 100
         + mx
     )
-    blocked = hist.select("*", block.alias("block")).localCheckpoint(eager=False)
+    return hist.select("*", block.alias("block"))
+
+
+@register(
+    "multimodal_image_neardup",
+    oracle=f"""{_IMG_BLOCKED_CTE},
+    ok AS MATERIALIZED (
+      SELECT block FROM blocked GROUP BY block
+      HAVING COUNT(*) <= {_IMG_BLOCK_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} AS l1_dist
+    FROM blocked a JOIN ok USING (block) JOIN blocked b2
+      ON a.block = b2.block AND a.doc_id < b2.doc_id
+    WHERE {" + ".join(f"ABS(a.h{i} - b2.h{i})" for i in range(8))} <= {_IMG_L1_MAX}
+    """,
+    tags=("multimodal", "codec", "image", "dedup"),
+    doc="Image near-dup screen: luma-histogram L1 within dominant-bucket blocks.",
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
+    blocked = _image_blocked(spark, sf_dir).localCheckpoint(eager=False)
     pairs, _dropped = _image_neardup_parts(blocked)
     return pairs
 
@@ -9059,29 +9068,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str):
     "exercises the non-empty path.",
 )
 def multimodal_image_neardup_dropped(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.multimodal import (
-        attach_binary_payload,
-        encode_media_as_png,
-        extract_features,
-    )
-    from fotmobdatapipeline_spark.multimodal.png import png_luma_histogram
-
-    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
-    png = encode_media_as_png(media, width=_PNG_W, height=_PNG_H)
-    feats = extract_features(png, decoder=png_luma_histogram)
-    h = [
-        F.element_at("feature", i + 1).cast("bigint").alias(f"h{i}")
-        for i in range(8)
-    ]
-    hist = feats.select("doc_id", *h)
-    mx = F.greatest(*(F.col(f"h{i}") for i in range(8)))
-    block = (
-        F.coalesce(*(F.when(F.col(f"h{i}") == mx, F.lit(i)) for i in range(8)))
-        * 100
-        + mx
-    )
-    blocked = hist.select("*", block.alias("block"))
-    _pairs, dropped = _image_neardup_parts(blocked)
+    _pairs, dropped = _image_neardup_parts(_image_blocked(spark, sf_dir))
     return dropped.select("block", F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
@@ -9826,9 +9813,13 @@ def _label_prop_oracle(rounds: int = _LP_ROUNDS) -> str:
       SELECT e.dst AS node, MIN(l.label) AS nl
       FROM e0 e JOIN l{r} l ON e.src = l.node GROUP BY e.dst
     ),
-    l{r + 1} AS MATERIALIZED (
+    m{r + 1} AS MATERIALIZED (
       SELECT l.node, LEAST(l.label, COALESCE(n.nl, l.label)) AS label
       FROM l{r} l LEFT JOIN n{r + 1} n ON l.node = n.node
+    ),
+    l{r + 1} AS MATERIALIZED (
+      SELECT a.node, LEAST(a.label, b.label) AS label
+      FROM m{r + 1} a JOIN m{r + 1} b ON a.label = b.node
     )"""
         )
     return f"""
@@ -9859,8 +9850,11 @@ def _label_prop_oracle(rounds: int = _LP_ROUNDS) -> str:
     oracle=_label_prop_oracle(),
     tags=("graph", "iterative", "dedup"),
     doc="Connected components of the LSH candidate graph via fixed-round "
-    "min-label propagation; per-round hash join + min aggregate, no "
-    "window, no collect — cluster ids for keep-one-per-group dedup.",
+    "min-label propagation with pointer jumping (6 rounds converge "
+    "diameter <= ~2**6); per-round hash joins + min aggregate, no "
+    "window, no collect — cluster ids for keep-one-per-group dedup.  "
+    "The converged, loop-terminated twin is "
+    "operators/dedup.connected_dup_clusters (rows-only checkable).",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.operators.graph import min_label_propagation

@@ -24,6 +24,59 @@ from fotmobdatapipeline_spark.streaming.sketches import (
 from fotmobdatapipeline_spark.streaming.statefs import StateFs
 
 
+def _merge_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    counts_fn,
+    key_cols: list[str],
+    sum_cols: list[str],
+    keep_versions: int = 1,
+):
+    """Shared skeleton of the "mergeable integer counts" maintenance
+    sinks: per micro-batch, compute the batch operator's own aggregate
+    over the batch, fold it into the stored table by key-wise SUM, and
+    publish under the exactly-once versioned contract (replayed batch
+    ids are no-ops).  ONE copy of the replay-guard/merge/publish logic,
+    so a fix cannot silently miss a sibling sink."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sfs = StateFs(spark, path)
+        prev_v = _current_version(path, spark)
+        prev = spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
+        if prev is not None:
+            applied = prev.agg(F.max("last_batch")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-applied batch: no-op
+        inc = counts_fn(batch_df)
+        if prev is not None:
+            merged = (
+                prev.select(*key_cols, *sum_cols)
+                .unionByName(inc)
+                .groupBy(*key_cols)
+                .agg(
+                    *[
+                        F.sum(c).cast("bigint").alias(c)
+                        for c in sum_cols
+                    ]
+                )
+            )
+        else:
+            merged = inc
+        out = merged.withColumn("last_batch", F.lit(batch_id))
+        new_v = f"v{batch_id}"
+        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
+        _publish_version(sfs, new_v, keep_versions)
+
+    StateFs(events.sparkSession, path).mkdirs()
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def read_msprt_report(spark, path: str) -> DataFrame | None:
     """The always-valid monitoring readout from the CURRENT maintained
     hourly-counts table — the SAME shared fold/expression tree the
@@ -47,41 +100,14 @@ def msprt_maintenance_sink(
     """Fold each micro-batch's hourly conversion-count increments (the
     batch operator's own aggregate over batch-sized input) into the
     stored table by hour-wise SUM."""
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sfs = StateFs(spark, path)
-        prev_v = _current_version(path, spark)
-        prev = spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
-        if prev is not None:
-            applied = prev.agg(F.max("last_batch")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replay of an already-applied batch: no-op
-        inc = msprt_hourly_counts(batch_df)
-        if prev is not None:
-            merged = (
-                prev.select("hour", "na", "xa", "nb", "xb")
-                .unionByName(inc)
-                .groupBy("hour")
-                .agg(
-                    F.sum("na").cast("bigint").alias("na"),
-                    F.sum("xa").cast("bigint").alias("xa"),
-                    F.sum("nb").cast("bigint").alias("nb"),
-                    F.sum("xb").cast("bigint").alias("xb"),
-                )
-            )
-        else:
-            merged = inc
-        out = merged.withColumn("last_batch", F.lit(batch_id))
-        new_v = f"v{batch_id}"
-        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
-        _publish_version(sfs, new_v, keep_versions)
-
-    StateFs(events.sparkSession, path).mkdirs()
-    return (
-        events.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    return _merge_maintenance_sink(
+        events,
+        path,
+        checkpoint,
+        msprt_hourly_counts,
+        key_cols=["hour"],
+        sum_cols=["na", "xa", "nb", "xb"],
+        keep_versions=keep_versions,
     )
 
 
@@ -107,38 +133,15 @@ def chi2_maintenance_sink(
 ):
     """Fold each micro-batch's contingency-cell increments (the batch
     operator's own aggregate over batch-sized input) into the stored
-    <= 2 x |event types|-row table by cell-wise SUM — mergeable exact
-    integers under the exactly-once versioned-publication contract
-    shared with the mSPRT/CUSUM/sketch sinks."""
+    <= 2 x |event types|-row table by cell-wise SUM."""
     from fotmobdatapipeline_spark.operators.abtest import chi2_counts
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sfs = StateFs(spark, path)
-        prev_v = _current_version(path, spark)
-        prev = spark.read.parquet(f"{path}/{prev_v}") if prev_v is not None else None
-        if prev is not None:
-            applied = prev.agg(F.max("last_batch")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replay of an already-applied batch: no-op
-        inc = chi2_counts(batch_df)
-        if prev is not None:
-            merged = (
-                prev.select("variant", "event_type", "n")
-                .unionByName(inc)
-                .groupBy("variant", "event_type")
-                .agg(F.sum("n").cast("bigint").alias("n"))
-            )
-        else:
-            merged = inc
-        out = merged.withColumn("last_batch", F.lit(batch_id))
-        new_v = f"v{batch_id}"
-        out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_v}")
-        _publish_version(sfs, new_v, keep_versions)
-
-    StateFs(events.sparkSession, path).mkdirs()
-    return (
-        events.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    return _merge_maintenance_sink(
+        events,
+        path,
+        checkpoint,
+        chi2_counts,
+        key_cols=["variant", "event_type"],
+        sum_cols=["n"],
+        keep_versions=keep_versions,
     )

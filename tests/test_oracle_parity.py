@@ -30,16 +30,22 @@ def _normalize(v):
     return v
 
 
-def _driver_canon(pdf, name, side):
-    """Replay the driver's canonicalization: select columns sorted by
-    name, then pandas sort_values over ALL of them.  Raises (→ test
-    failure) on any cell type pandas cannot factorize — the exact
-    failure mode that killed text_inverted_index in CORRECTNESS_r10."""
-    cols = sorted(pdf.columns)
+def _driver_canon(rows, cols, name, side):
+    """Replay the driver's canonicalization — pandas sort_values over
+    ALL columns — on the ALREADY-FETCHED rows (one engine execution per
+    side, not two).  None is mapped to NaN first, matching what the
+    driver's toPandas/df() conversion does for nullable columns.
+    Raises (→ test failure) on any cell type pandas cannot factorize —
+    the exact failure mode that killed text_inverted_index in
+    CORRECTNESS_r10."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols, dtype=object)
+    if len(pdf):
+        pdf = pdf.fillna(np.nan).infer_objects(copy=False)
     try:
-        return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(
-            drop=True
-        )
+        return pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     except TypeError as ex:  # unhashable cell (list/dict/ndarray)
         raise AssertionError(
             f"{name}: {side} result is not driver-canon-safe "
@@ -48,18 +54,21 @@ def _driver_canon(pdf, name, side):
 
 
 def _spark_rows(df, name):
-    _driver_canon(df.toPandas(), name, "spark")
     cols = sorted(df.columns)
-    return [tuple(_normalize(row[c]) for c in cols) for row in df.collect()], cols
+    raw = df.collect()
+    _driver_canon([[row[c] for c in cols] for row in raw], cols, name, "spark")
+    return [tuple(_normalize(row[c]) for c in cols) for row in raw], cols
 
 
 def _duck_rows(con, sql, name):
-    _driver_canon(con.execute(sql).df(), name, "oracle")
     res = con.execute(sql)
     cols = [d[0] for d in res.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(_normalize(r[i]) for i in order) for r in res.fetchall()]
-    return rows, sorted(cols)
+    raw = res.fetchall()
+    scols = sorted(cols)
+    _driver_canon([[r[i] for i in order] for r in raw], scols, name, "oracle")
+    rows = [tuple(_normalize(r[i]) for i in order) for r in raw]
+    return rows, scols
 
 
 def _query_names():
