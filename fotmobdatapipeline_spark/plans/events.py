@@ -4550,3 +4550,207 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
         (F.col("qn").cast("double") - pnd * pnd / nd).alias("sse_full"),
         F.col("best.sse").alias("sse_split"),
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), numbered AS (
+      SELECT user_id, event_type, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(purchased) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS purchase_session_rate,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY dur_us) AS p50_dur_us,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY dur_us) AS p90_dur_us
+    FROM sess
+    """,
+    tags=("events", "session", "analytics", "quantiles"),
+    doc="Corpus-level session distribution: bounce rate, purchase-session "
+    "rate, and exact p50/p90 session duration (30-min-gap sessionization, "
+    "the events_sessionize semantics; durations through the distributed "
+    "rank-selection quantile path — no global sort at any session count).",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
+
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull() | ((F.col("tus") - F.col("prev")) > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    sess = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ev"),
+            (F.max("tus") - F.min("tus")).cast("bigint").alias("dur_us"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: totals + quantiles
+    )
+    t = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_ev") == 1).cast("long")).cast("bigint").alias("bounce_sessions"),
+        F.sum("purchased").cast("bigint").alias("n_purchase_sessions"),
+    )
+    q = exact_group_quantiles(
+        sess, "dur_us", [], ps=(0.5, 0.9), names=("p50_dur_us", "p90_dur_us")
+    )
+    return t.crossJoin(F.broadcast(q)).select(
+        "n_sessions",
+        "bounce_sessions",
+        (
+            F.col("bounce_sessions").cast("double") / F.col("n_sessions").cast("double")
+        ).alias("bounce_rate"),
+        (
+            F.col("n_purchase_sessions").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("purchase_session_rate"),
+        "p50_dur_us",
+        "p90_dur_us",
+    )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (triple exponential smoothing,
+# alpha = beta = gamma = 0.5, period 24 hours) over the gap-filled
+# hourly revenue series — the seasonal upgrade of events_holt_forecast.
+# Dyadic smoothing constants make every step adds + exponent shifts in
+# a FIXED order, so the fold is bit-identical across engines (the Holt
+# doctrine; no division anywhere).  The 26-slot accumulator is
+# [level, trend, s_1..s_24] with the seasonal ring kept ROTATED so the
+# current hour's seasonal is always slot 3 — the update is then a
+# concat (new head + ring shift + new seasonal), never a per-slot CASE.
+# Rotation requires a DENSE hour series, so missing hours are
+# gap-filled with 0 on both sides first.  Init is the all-zeros state
+# folded over the whole series (deterministic, documented variant).
+# Scale shape: the events scan collapses to <= hours-of-history rows,
+# the dense fill is a broadcast range join, and the fold runs over one
+# model-sized array — one group, no window, no UDF.
+# --------------------------------------------------------------------------
+_HW_PERIOD = 24
+
+
+def _hw_oracle() -> str:
+    m = _HW_PERIOD
+    # 1-indexed: a[1]=level, a[2]=trend, a[3]=seasonal(current hour),
+    # a[4..m+2]=seasonal ring tail; element e=[x].
+    lp = "(CAST(0.5 AS DOUBLE) * (e[1] - a[3]) + CAST(0.5 AS DOUBLE) * (a[1] + a[2]))"
+    bp = f"(CAST(0.5 AS DOUBLE) * ({lp} - a[1]) + CAST(0.5 AS DOUBLE) * a[2])"
+    sn = f"(CAST(0.5 AS DOUBLE) * (e[1] - {lp}) + CAST(0.5 AS DOUBLE) * a[3])"
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * (m + 2))
+    return f"""
+    WITH hh AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM({_SQL_CENTS}) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(ho) AS lo, MAX(ho) AS hi FROM hh),
+    dense AS (
+      SELECT lo + u AS ho
+      FROM bounds, UNNEST(range(0, CAST(hi - lo + 1 AS BIGINT))) AS t(u)
+    ),
+    filled AS (
+      SELECT dense.ho, CAST(COALESCE(hh.x, 0) AS DOUBLE) AS x
+      FROM dense LEFT JOIN hh ON dense.ho = hh.ho
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             list(x ORDER BY ho) AS xs
+      FROM filled
+    ),
+    f AS (
+      SELECT n_hours,
+        list_reduce(
+          list_prepend([{zeros}],
+                       list_transform(xs, v -> [v])),
+          (a, e) -> list_concat(list_concat([{lp}, {bp}], a[4:{m + 2}]), [{sn}])
+        ) AS st
+      FROM g
+    )
+    SELECT n_hours, st[1] AS hw_level, st[2] AS hw_trend,
+           st[3] AS s_next, st[1] + st[2] + st[3] AS forecast_next_hour
+    FROM f
+    """
+
+
+@register(
+    "events_holt_winters_hourly",
+    oracle=_hw_oracle(),
+    tags=("events", "time-series", "forecast"),
+    doc="Holt-Winters additive seasonal forecast (period 24h, dyadic "
+    "alpha=beta=gamma=0.5) over the gap-filled hourly revenue series; "
+    "rotated-ring seasonal state, sequential fold, bit-exact.",
+)
+def events_holt_winters_hourly(spark: SparkSession, sf_dir: str):
+    m = _HW_PERIOD
+    ev = read_table(spark, sf_dir, "events")
+    hh = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+            _cents().alias("c"),
+        )
+        .groupBy("ho")
+        .agg(F.sum("c").cast("bigint").alias("x"))
+    )
+    bounds = hh.agg(F.min("ho").alias("lo"), F.max("ho").alias("hi"))
+    dense = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("ho")
+    )
+    filled = dense.join(hh, "ho", "left").select(
+        "ho", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
+    )
+    g = filled.agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ho", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+    )
+    init = F.array(*[F.lit(0.0)] * (m + 2))
+
+    def step(a, x):
+        half = F.lit(0.5)
+        lp = half * (x - F.element_at(a, 3)) + half * (
+            F.element_at(a, 1) + F.element_at(a, 2)
+        )
+        bp = half * (lp - F.element_at(a, 1)) + half * F.element_at(a, 2)
+        sn = half * (x - lp) + half * F.element_at(a, 3)
+        return F.concat(F.array(lp, bp), F.slice(a, 4, m - 1), F.array(sn))
+
+    st = F.aggregate(F.col("xs"), init, step)
+    f = g.select("n_hours", st.alias("st"))
+    return f.select(
+        "n_hours",
+        F.element_at("st", 1).alias("hw_level"),
+        F.element_at("st", 2).alias("hw_trend"),
+        F.element_at("st", 3).alias("s_next"),
+        (
+            F.element_at("st", 1) + F.element_at("st", 2) + F.element_at("st", 3)
+        ).alias("forecast_next_hour"),
+    )

@@ -1038,6 +1038,8 @@ ROUND11_SWEEP = (
     "text_zipf_slope",
     "multimodal_image_neardup_dropped",
     "dedup_component_survivors",
+    "events_session_stats",
+    "events_holt_winters_hourly",
 )
 
 
