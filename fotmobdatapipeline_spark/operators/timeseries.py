@@ -67,3 +67,60 @@ def hourly_cents(events: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+
+
+HW_PERIOD = 24
+
+
+def holt_winters_hourly_report(hourly: DataFrame, period: int = HW_PERIOD) -> DataFrame:
+    """Holt-Winters additive seasonal state from the (event_type, ho,
+    cents) hourly table — the SAME table :func:`hourly_cents` builds in
+    batch and ``streaming/events.hourly_cents_maintenance_sink``
+    maintains online, so the streaming readout is a code-level identity
+    with the batch entry (the cusum_hourly_report doctrine).
+
+    Triple exponential smoothing with dyadic alpha=beta=gamma=0.5 over
+    the total-cents series: per-type cells collapse to one value per
+    hour, missing hours gap-fill to 0 (the rotated seasonal ring
+    requires a dense series), then one sequential fold over the
+    model-sized (hours-of-history) array.  Dyadic constants make every
+    step adds + exponent shifts in fixed order — bit-identical in any
+    engine; the oracle replays the fold with list_reduce.
+
+    Accumulator layout: [level, trend, s_1..s_period], ring rotated so
+    the CURRENT hour's seasonal is always slot 3 (1-indexed) — each
+    step is a concat, never a per-slot update."""
+    hh = hourly.groupBy("ho").agg(F.sum("cents").cast("bigint").alias("x"))
+    bounds = hh.agg(F.min("ho").alias("lo"), F.max("ho").alias("hi"))
+    dense = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("ho"))
+    filled = dense.join(hh, "ho", "left").select(
+        "ho", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
+    )
+    g = filled.agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ho", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+    )
+    init = F.array(*[F.lit(0.0)] * (period + 2))
+
+    def step(a, x):
+        half = F.lit(0.5)
+        lp = half * (x - F.element_at(a, 3)) + half * (
+            F.element_at(a, 1) + F.element_at(a, 2)
+        )
+        bp = half * (lp - F.element_at(a, 1)) + half * F.element_at(a, 2)
+        sn = half * (x - lp) + half * F.element_at(a, 3)
+        return F.concat(F.array(lp, bp), F.slice(a, 4, period - 1), F.array(sn))
+
+    st = F.aggregate(F.col("xs"), init, step)
+    f = g.select("n_hours", st.alias("st"))
+    return f.select(
+        "n_hours",
+        F.element_at("st", 1).alias("hw_level"),
+        F.element_at("st", 2).alias("hw_trend"),
+        F.element_at("st", 3).alias("s_next"),
+        (
+            F.element_at("st", 1) + F.element_at("st", 2) + F.element_at("st", 3)
+        ).alias("forecast_next_hour"),
+    )

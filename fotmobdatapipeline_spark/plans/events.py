@@ -4709,48 +4709,15 @@ def _hw_oracle() -> str:
     "rotated-ring seasonal state, sequential fold, bit-exact.",
 )
 def events_holt_winters_hourly(spark: SparkSession, sf_dir: str):
-    m = _HW_PERIOD
-    ev = read_table(spark, sf_dir, "events")
-    hh = (
-        ev.select(
-            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
-            _cents().alias("c"),
-        )
-        .groupBy("ho")
-        .agg(F.sum("c").cast("bigint").alias("x"))
+    # Shared with the streaming readout (streaming/events.py::
+    # read_holt_winters_report over the maintained hourly-cents table):
+    # ONE definition of the gap-fill + fold, so stream == batch is a
+    # code-level identity (the cusum doctrine).
+    from fotmobdatapipeline_spark.operators.timeseries import (
+        holt_winters_hourly_report,
+        hourly_cents,
     )
-    bounds = hh.agg(F.min("ho").alias("lo"), F.max("ho").alias("hi"))
-    dense = bounds.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("ho")
-    )
-    filled = dense.join(hh, "ho", "left").select(
-        "ho", F.coalesce(F.col("x"), F.lit(0)).cast("double").alias("x")
-    )
-    g = filled.agg(
-        F.count("*").cast("bigint").alias("n_hours"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ho", "x"))), lambda s: s["x"]
-        ).alias("xs"),
-    )
-    init = F.array(*[F.lit(0.0)] * (m + 2))
 
-    def step(a, x):
-        half = F.lit(0.5)
-        lp = half * (x - F.element_at(a, 3)) + half * (
-            F.element_at(a, 1) + F.element_at(a, 2)
-        )
-        bp = half * (lp - F.element_at(a, 1)) + half * F.element_at(a, 2)
-        sn = half * (x - lp) + half * F.element_at(a, 3)
-        return F.concat(F.array(lp, bp), F.slice(a, 4, m - 1), F.array(sn))
-
-    st = F.aggregate(F.col("xs"), init, step)
-    f = g.select("n_hours", st.alias("st"))
-    return f.select(
-        "n_hours",
-        F.element_at("st", 1).alias("hw_level"),
-        F.element_at("st", 2).alias("hw_trend"),
-        F.element_at("st", 3).alias("s_next"),
-        (
-            F.element_at("st", 1) + F.element_at("st", 2) + F.element_at("st", 3)
-        ).alias("forecast_next_hour"),
+    return holt_winters_hourly_report(
+        hourly_cents(read_table(spark, sf_dir, "events"))
     )

@@ -721,3 +721,21 @@ def read_cusum_report(spark, path: str) -> DataFrame | None:
         return None
     t = spark.read.parquet(f"{path}/{v}")
     return cusum_hourly_report(t.select("event_type", "ho", "cents"))
+
+
+def read_holt_winters_report(spark, path: str) -> DataFrame | None:
+    """Holt-Winters seasonal forecast over the SAME maintained
+    hourly-cents table the CUSUM readout uses — one stored state, two
+    always-on monitors; the shared fold makes a drained stream read
+    bit-identically to events_holt_winters_hourly over the full feed.
+    None before the first batch commits."""
+    from fotmobdatapipeline_spark.operators.timeseries import (
+        holt_winters_hourly_report,
+    )
+    from fotmobdatapipeline_spark.streaming.sketches import _current_version
+
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    t = spark.read.parquet(f"{path}/{v}")
+    return holt_winters_hourly_report(t.select("event_type", "ho", "cents"))

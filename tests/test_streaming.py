@@ -1027,3 +1027,36 @@ def test_chi2_stream_maintenance_equals_batch(spark, tmp_path):
         map(tuple, read_chi2_report(spark, str(tmp_path / "chi2")).collect())
     )
     assert again == got
+
+
+def test_holt_winters_read_from_cusum_state_equals_batch(spark, tmp_path, events_dir):
+    """One maintained hourly-cents state, two monitors: the Holt-Winters
+    readout from the SAME drained table must be bit-identical to the
+    batch events_holt_winters_hourly entry over the full feed."""
+    from fotmobdatapipeline_spark.operators.timeseries import (
+        holt_winters_hourly_report,
+        hourly_cents,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.events import (
+        hourly_cents_maintenance_sink,
+        read_events_stream,
+        read_holt_winters_report,
+    )
+    from tests.conftest import SF_SMALL
+
+    state = str(tmp_path / "hw_state")
+    q = hourly_cents_maintenance_sink(
+        read_events_stream(spark, events_dir),
+        path=state,
+        checkpoint=str(tmp_path / "hw_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    feed = read_table(spark, SF_SMALL, "events")
+    want = sorted(
+        map(tuple, holt_winters_hourly_report(hourly_cents(feed)).collect())
+    )
+    got = sorted(map(tuple, read_holt_winters_report(spark, state).collect()))
+    assert got == want and len(got) == 1
