@@ -4721,3 +4721,96 @@ def events_holt_winters_hourly(spark: SparkSession, sf_dir: str):
     return holt_winters_hourly_report(
         hourly_cents(read_table(spark, sf_dir, "events"))
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal strength of the hourly revenue series: eta-squared of the
+# hour-of-day grouping — SSB/(SSB+SSW) over the 24 hour-of-day buckets,
+# i.e. "how much of hourly variance does the daily cycle explain"
+# (the STL seasonal-strength diagnostic, variance-decomposition form).
+# Exactness: per-bucket (n_h, S_h, Q_h) are exact integers from one
+# combinable aggregate; the 24 per-bucket fraction terms S_h^2/n_h are
+# summed by a SEQUENTIAL fold over the hod-sorted 24-element list (the
+# switchback precedent — a plain agg over 24 doubles would be
+# partition-order-dependent), so both engines add in identical order.
+# Scale shape: events collapse to (hod, hour) first, then to 24 bucket
+# rows — the fold is model-sized by construction.
+# --------------------------------------------------------------------------
+@register(
+    "events_seasonal_strength",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM({_SQL_CENTS}) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(ho % 24 AS INT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(x) AS BIGINT) AS s_h,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_h
+      FROM h GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+             CAST(SUM(s_h) AS HUGEINT) AS s,
+             CAST(SUM(q_h) AS HUGEINT) AS q,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                      / CAST(n_h AS DOUBLE) ORDER BY hod)),
+               (a, v) -> a + v) AS within_groups
+      FROM b
+    )
+    SELECT n,
+           CAST(q AS DOUBLE) - within_groups AS ssw,
+           within_groups - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ssb,
+           (within_groups - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS seasonal_strength
+    FROM t
+    """,
+    tags=("events", "time-series", "stats"),
+    doc="Seasonal strength (hour-of-day eta-squared) of hourly revenue: "
+    "SSB/SST over 24 buckets from exact integer sums; the 24 fraction "
+    "terms summed by a sequential hod-ordered fold (switchback "
+    "precedent) so both engines add in identical order.",
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+            _cents().alias("c"),
+        )
+        .groupBy("ho")
+        .agg(F.sum("c").cast("bigint").alias("x"))
+    )
+    b = h.groupBy((F.col("ho") % 24).cast("int").alias("hod")).agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum("x").cast("bigint").alias("s_h"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q_h"),
+    )
+    terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("hod", "n_h", "s_h"))),
+        lambda e: e["s_h"].cast("double") * e["s_h"].cast("double")
+        / e["n_h"].cast("double"),
+    )
+    t = b.agg(
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.sum("s_h").cast("decimal(38,0)").alias("s"),
+        F.sum("q_h").alias("q"),
+        F.aggregate(terms, F.lit(0.0), lambda a, v: a + v).alias("within_groups"),
+    )
+    qd = F.col("q").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    wg = F.col("within_groups")
+    return t.select(
+        "n",
+        (qd - wg).alias("ssw"),
+        (wg - sd * sd / nd).alias("ssb"),
+        ((wg - sd * sd / nd) / (qd - sd * sd / nd)).alias("seasonal_strength"),
+    )

@@ -1040,6 +1040,8 @@ ROUND11_SWEEP = (
     "dedup_component_survivors",
     "events_session_stats",
     "events_holt_winters_hourly",
+    "events_seasonal_strength",
+    "agg_pearson_qty_price",
 )
 
 
