@@ -116,6 +116,10 @@ HEADLINE = [
     "graph_label_propagation",
     "dedup_component_survivors",
     "text_zipf_slope",
+    "events_session_stats",
+    "events_holt_winters_hourly",
+    "events_seasonal_strength",
+    "agg_pearson_qty_price",
 ]
 
 
