@@ -119,7 +119,6 @@ HEADLINE = [
     "events_session_stats",
     "events_holt_winters_hourly",
     "events_seasonal_strength",
-    "agg_pearson_qty_price",
 ]
 
 

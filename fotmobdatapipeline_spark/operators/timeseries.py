@@ -114,7 +114,10 @@ def holt_winters_hourly_report(hourly: DataFrame, period: int = HW_PERIOD) -> Da
         return F.concat(F.array(lp, bp), F.slice(a, 4, period - 1), F.array(sn))
 
     st = F.aggregate(F.col("xs"), init, step)
-    f = g.select("n_hours", st.alias("st"))
+    # Empty feed: emit ZERO rows (the oracle filters n_hours > 0 the
+    # same way) — an all-zeros forecast row for no data would read as a
+    # real forecast (r11 review).
+    f = g.select("n_hours", st.alias("st")).filter(F.col("n_hours") > 0)
     return f.select(
         "n_hours",
         F.element_at("st", 1).alias("hw_level"),

@@ -2482,67 +2482,3 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str):
         (-F.col("b.nv")).cast("bigint").alias("mode_quantity"),
         F.col("b.n").cast("bigint").alias("mode_count"),
     )
-
-
-@register(
-    "agg_pearson_qty_price",
-    oracle="""
-    WITH p AS (
-      SELECT l_returnflag AS flag,
-             CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT) AS x,
-             CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
-      FROM lineitem
-    ),
-    s AS (
-      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-             SUM(CAST(x AS HUGEINT) * x) AS sxx,
-             SUM(CAST(y AS HUGEINT) * y) AS syy,
-             SUM(CAST(x AS HUGEINT) * y) AS sxy
-      FROM p GROUP BY flag
-    )
-    SELECT flag, n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
-    FROM s
-    """,
-    tags=("agg", "stats", "tpch"),
-    doc="Exact per-group Pearson correlation (quantity vs extended price "
-    "in cents): six exact integer sums per group in ONE map-side-"
-    "combinable aggregate, one fixed IEEE tree — the parametric "
-    "complement to events_spearman_corr's rank correlation.",
-)
-def agg_pearson_qty_price(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.sources.registry import read_table
-
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        (F.col("l_quantity").cast("decimal(15,2)") * 100).cast("bigint").alias("x"),
-        (F.col("l_extendedprice").cast("decimal(15,2)") * 100).cast("bigint").alias("y"),
-    )
-    d38 = "decimal(38,0)"
-    s = li.groupBy("flag").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast(d38).alias("sx"),
-        F.sum("y").cast(d38).alias("sy"),
-        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
-        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
-        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
-    )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    return s.select(
-        "flag",
-        "n",
-        (
-            (nd * F.col("sxy").cast("double") - sxd * syd)
-            / (
-                F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
-                * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
-            )
-        ).alias("pearson_r"),
-    )

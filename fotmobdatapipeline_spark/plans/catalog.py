@@ -14,6 +14,14 @@ value hash.  Determinism rules every query here follows:
 * Every LIMIT is preceded by a total ORDER BY with a unique tiebreak.
 * Raw timestamps are bucketed (date_trunc) or cast to string/epoch; the
   events table is µs-precision so both engines see identical instants.
+* Integer-to-double conversions of values that can exceed 2**64 go
+  through VARCHAR in the oracle: DuckDB's direct HUGEINT→DOUBLE and
+  DECIMAL(38,0)→DOUBLE casts are NOT correctly rounded above 2**64
+  (measured: ~1/1500 values off by 1 ulp) while Spark's
+  Decimal→Double is, so `CAST(x AS DOUBLE)` silently diverges there;
+  `CAST(CAST(x AS VARCHAR) AS DOUBLE)` is correctly rounded (strtod).
+  Found via events_acf_hourly, whose n-scaled squares cross 2**64
+  already at sf0.01 (round-11 review).
 """
 
 from __future__ import annotations

@@ -170,23 +170,53 @@ def events_ltv_deciles(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 # Sessionization: 30-min inactivity gap, gaps-and-islands.
 # --------------------------------------------------------------------------
-@register(
-    "events_sessionize",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS tus,
-             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
-      FROM events
-    ), flagged AS (
-      SELECT user_id, event_id, tus,
-             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-      FROM e
-    ), numbered AS (
-      SELECT user_id, event_id, tus,
+# 30-min-gap sessionization shared by events_sessionize and
+# events_session_stats: ONE definition of the gap constant and the
+# gaps-and-islands assignment on each side (Spark builder + oracle CTE),
+# so session semantics cannot silently diverge between entries.
+SESSION_GAP_US = 1_800_000_000
+
+_SQL_SESSION_NUMBERED = f"""
+      SELECT user_id, event_id, event_type, tus,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged
+      FROM (
+        SELECT user_id, event_id, event_type, tus,
+               CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+                 LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+          FROM events
+        )
+      )"""
+
+
+def _session_numbered(ev):
+    """(user_id, event_id, event_type, tus, session_id) — the
+    gaps-and-islands session assignment (SQL twin:
+    _SQL_SESSION_NUMBERED).  Per-user windows: partitioned on the
+    natural key, never a global sort."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn("tus", F.unix_micros("ts")).withColumn(
+        "prev", F.lag("tus").over(w)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull()
+            | ((F.col("tus") - F.col("prev")) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH numbered AS ({_SQL_SESSION_NUMBERED}
     ), sess AS (
       SELECT user_id, session_id, COUNT(*) AS n_ev,
              MAX(tus) - MIN(tus) AS dur_us
@@ -201,16 +231,7 @@ def events_ltv_deciles(spark: SparkSession, sf_dir: str):
     tags=("events", "session", "window"),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
-    w = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = ev.withColumn("prev", F.lag("tus").over(w)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev").isNull() | ((F.col("tus") - F.col("prev")) > 1_800_000_000), 1
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    numbered = _session_numbered(read_table(spark, sf_dir, "events"))
     sess = numbered.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_ev"),
         (F.max("tus") - F.min("tus")).alias("dur_us"),
@@ -3834,14 +3855,15 @@ _SQL_CENTS = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
     hh AS (
       SELECT n, tie,
              CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
-               * ({" + ".join(f"(CAST(trs_{i} AS DOUBLE) / CAST(2 AS DOUBLE)) * (CAST(trs_{i} AS DOUBLE) / CAST(2 AS DOUBLE)) / CAST(c_{i} AS DOUBLE)" for i in range(len(EVENT_TYPES)))})
+               * ({" + ".join(f"(CAST(CAST(trs_{i} AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)) * (CAST(CAST(trs_{i} AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)) / CAST(c_{i} AS DOUBLE)" for i in range(len(EVENT_TYPES)))})
                - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h
       FROM s
     )
     SELECT n, CAST(4 AS INT) AS dof, h,
            h / (CAST(1 AS DOUBLE)
-                - CAST(tie AS DOUBLE)
-                  / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)) AS h_tie_adj
+                - CAST(CAST(tie AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(CAST(n AS HUGEINT) * n * n - n AS VARCHAR)
+                         AS DOUBLE)) AS h_tie_adj
     FROM hh
     """,
     tags=("events", "stats", "abtest"),
@@ -4147,11 +4169,11 @@ def events_levene_bf(spark: SparkSession, sf_dir: str):
       FROM j
     )
     SELECT n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
     FROM t
     """,
@@ -4393,7 +4415,8 @@ _ACF_MAX_LAG = 6
       GROUP BY lags.lag
     )
     SELECT num.lag, num.n_pairs,
-           CAST(nu AS DOUBLE) / CAST(d AS DOUBLE) AS acf
+           CAST(CAST(nu AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS acf
     FROM num, den
     """,
     tags=("events", "time-series", "stats"),
@@ -4554,21 +4577,8 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
 
 @register(
     "events_session_stats",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
-             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
-      FROM events
-    ), flagged AS (
-      SELECT user_id, event_id, event_type, tus,
-             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-      FROM e
-    ), numbered AS (
-      SELECT user_id, event_type, tus,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged
+    oracle=f"""
+    WITH numbered AS ({_SQL_SESSION_NUMBERED}
     ), sess AS (
       SELECT user_id, session_id,
              CAST(COUNT(*) AS BIGINT) AS n_ev,
@@ -4595,16 +4605,7 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
 def events_session_stats(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.operators.stats import exact_group_quantiles
 
-    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
-    w = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = ev.withColumn("prev", F.lag("tus").over(w)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev").isNull() | ((F.col("tus") - F.col("prev")) > 1_800_000_000), 1
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    numbered = _session_numbered(read_table(spark, sf_dir, "events"))
     sess = (
         numbered.groupBy("user_id", "session_id")
         .agg(
@@ -4654,11 +4655,13 @@ def events_session_stats(spark: SparkSession, sf_dir: str):
 # the dense fill is a broadcast range join, and the fold runs over one
 # model-sized array — one group, no window, no UDF.
 # --------------------------------------------------------------------------
-_HW_PERIOD = 24
-
-
 def _hw_oracle() -> str:
-    m = _HW_PERIOD
+    # ONE period constant: the oracle is generated from the SAME
+    # HW_PERIOD the shared operator folds with — changing either alone
+    # is impossible (r11 review).
+    from fotmobdatapipeline_spark.operators.timeseries import HW_PERIOD
+
+    m = HW_PERIOD
     # 1-indexed: a[1]=level, a[2]=trend, a[3]=seasonal(current hour),
     # a[4..m+2]=seasonal ring tail; element e=[x].
     lp = "(CAST(0.5 AS DOUBLE) * (e[1] - a[3]) + CAST(0.5 AS DOUBLE) * (a[1] + a[2]))"
@@ -4696,7 +4699,7 @@ def _hw_oracle() -> str:
     )
     SELECT n_hours, st[1] AS hw_level, st[2] AS hw_trend,
            st[3] AS s_next, st[1] + st[2] + st[3] AS forecast_next_hour
-    FROM f
+    FROM f WHERE n_hours > 0
     """
 
 
@@ -4763,12 +4766,13 @@ def events_holt_winters_hourly(spark: SparkSession, sf_dir: str):
       FROM b
     )
     SELECT n,
-           CAST(q AS DOUBLE) - within_groups AS ssw,
+           CAST(CAST(q AS VARCHAR) AS DOUBLE) - within_groups AS ssw,
            within_groups - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
              / CAST(n AS DOUBLE) AS ssb,
            (within_groups - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
               / CAST(n AS DOUBLE))
-           / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+           / (CAST(CAST(q AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE)
               / CAST(n AS DOUBLE)) AS seasonal_strength
     FROM t
     """,

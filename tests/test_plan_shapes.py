@@ -1041,7 +1041,6 @@ ROUND11_SWEEP = (
     "events_session_stats",
     "events_holt_winters_hourly",
     "events_seasonal_strength",
-    "agg_pearson_qty_price",
 )
 
 
