@@ -4818,3 +4818,144 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str):
         (wg - sd * sd / nd).alias("ssb"),
         ((wg - sd * sd / nd) / (qd - sd * sd / nd)).alias("seasonal_strength"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall's tau-b between per-user purchase spend and purchase count —
+# the third member of the correlation family (Pearson on raw values,
+# Spearman on midranks, Kendall on pair orderings; tau is the one
+# robust to any monotone transform AND interpretable as a pair-level
+# probability).  Everything up to the final division is an exact
+# integer: concordant pairs come from operators/ordinal.py's
+# distributed merge-sort dominance count (O(cells * log R) rows through
+# ordinary shuffles — never an O(n^2) pair join and never a
+# single-partition sort), discordant pairs from the inclusion-exclusion
+# identity n0 = C + D + n1 + n2 - n_xy over the tie marginals (each a
+# plain group-by aggregate).  tau-b = (C - D) / sqrt((n0-n1)(n0-n2)) as
+# ONE fixed IEEE tree (int64->double casts are correctly rounded in
+# both engines; the product is done in double because (n0-n1)(n0-n2)
+# overflows int64 at ~3e9 pairs).  Oracle: C and D are
+# algorithm-independent integers, so DuckDB simply pair-joins the
+# per-user table (O(users^2) at oracle scale only).  Int64-safe to
+# ~4.3e9 users (n0 < 2^63).
+# --------------------------------------------------------------------------
+@register(
+    "events_kendall_tau",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, CAST(SUM({_SQL_CENTS}) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    p AS (
+      SELECT a.s AS sa, a.c AS ca, b.s AS sb, b.c AS cb
+      FROM pu a JOIN pu b ON a.user_id < b.user_id
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n,
+        CAST(COALESCE(SUM(CASE WHEN (sa < sb AND ca < cb)
+                               OR (sa > sb AND ca > cb)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_pairs,
+        CAST(COALESCE(SUM(CASE WHEN (sa < sb AND ca > cb)
+                               OR (sa > sb AND ca < cb)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_pairs,
+        CAST(COALESCE(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS ties_x,
+        CAST(COALESCE(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS ties_y
+      FROM p
+    )
+    SELECT n, c_pairs, d_pairs, ties_x, ties_y,
+           CASE WHEN n * (n - 1) // 2 = ties_x OR n * (n - 1) // 2 = ties_y
+                THEN NULL
+                ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+                     / SQRT(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE)
+                            * CAST(n * (n - 1) // 2 - ties_y AS DOUBLE))
+           END AS tau_b
+    FROM agg
+    """,
+    tags=("events", "stats", "correlation"),
+    doc="Exact Kendall tau-b (spend vs purchase count per user) via the "
+    "distributed merge-sort dominance count; integer C/D/tie counts, one "
+    "fixed float tree.",
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.ordinal import dominated_pair_weight
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.sum(_cents()).cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    cells = (
+        pu.groupBy("s", "c")
+        .agg(F.count("*").cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)  # consumers: marginals x2, n, rank join
+    )
+    # Tie marginals: w*(w-1) is always even, so integer halving is exact.
+    ws = cells.groupBy("s").agg(F.sum("m").cast("bigint").alias("w"))
+    ws = ws.localCheckpoint(eager=True)  # consumers: n1, dense rank, R
+    n1 = ws.agg(
+        F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("ties_x")
+    )
+    n2 = (
+        cells.groupBy("c")
+        .agg(F.sum("m").cast("bigint").alias("w"))
+        .agg(
+            F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+            .cast("bigint")
+            .alias("ties_y")
+        )
+    )
+    txy = cells.agg(
+        F.coalesce(F.sum(F.expr("m * (m - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("t_xy")
+    )
+    nrow = cells.agg(F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n"))
+    # Dense zero-based rank of the distinct spend values (two-phase
+    # distributed prefix count); R is the one driver-side scalar the
+    # dyadic level count needs — a count, not data.
+    n_ranks = ws.count()
+    rk = running_sum(
+        ws.select("s", F.lit(1).alias("one")), ["s"], "one", out_col="r"
+    ).select("s", (F.col("r") - 1).alias("rk0"))
+    ranked = cells.join(rk, "s").select("rk0", "c", "m")
+    conc = dominated_pair_weight(ranked, "rk0", "c", "m", n_ranks, out_col="c_pairs")
+    j = (
+        nrow.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(txy))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    d_pairs = (n0 - F.col("ties_x") - F.col("ties_y") + F.col("t_xy") - F.col("c_pairs")).cast("bigint")
+    num = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    den = F.sqrt(
+        (n0 - F.col("ties_x")).cast("double") * (n0 - F.col("ties_y")).cast("double")
+    )
+    return j.select(
+        "n",
+        "c_pairs",
+        d_pairs.alias("d_pairs"),
+        "ties_x",
+        "ties_y",
+    ).select(
+        "n",
+        "c_pairs",
+        "d_pairs",
+        "ties_x",
+        "ties_y",
+        F.when(
+            (n0 == F.col("ties_x")) | (n0 == F.col("ties_y")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(num / den)
+        .alias("tau_b"),
+    )
