@@ -4959,3 +4959,267 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str):
         .otherwise(num / den)
         .alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation (CCF) between the hourly purchase-revenue series and
+# the hourly click-count series at lags -6..+6 — the lead/lag companion
+# to events_acf_hourly (do clicks lead purchases, and by how many
+# hours?).  Same determinism doctrine as the ACF: both series are
+# gap-filled to the common dense hour range (missing hour = 0 — a true
+# zero, not missing data), the fractional means are eliminated by the
+# N-scaling identity (N*x_t - Sx), every deviation product is exact
+# DECIMAL(38,0)/HUGEINT, and the only floats are the final fixed tree
+# num / (sqrt(dx) * sqrt(dy)) over VARCHAR-routed casts (the catalog's
+# >2^64 cast rule).  Scale shape: one events scan collapses to the
+# hourly table (map-side combinable); the dense range, the 13-row lag
+# frame, and the stats row are all time-scale or literal — every join
+# below the collapse is over <= hours rows.
+# --------------------------------------------------------------------------
+_CCF_MAX_LAG = 6
+
+
+@register(
+    "events_ccf_hourly",
+    oracle=f"""
+    WITH hx AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN {_SQL_CENTS} ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(ho) AS lo, MAX(ho) AS hi FROM hx),
+    dense AS (
+      SELECT CAST(UNNEST(range(lo, hi + 1)) AS BIGINT) AS ho FROM bounds
+    ),
+    h AS (
+      SELECT d.ho, COALESCE(hx.x, 0) AS x, COALESCE(hx.y, 0) AS y
+      FROM dense d LEFT JOIN hx ON hx.ho = d.ho
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy FROM h),
+    den AS (
+      SELECT SUM(CAST(n * x - sx AS HUGEINT) * (n * x - sx)) AS dx,
+             SUM(CAST(n * y - sy AS HUGEINT) * (n * y - sy)) AS dy
+      FROM h, st
+    ),
+    lags AS (SELECT CAST(UNNEST(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1}))
+                    AS BIGINT) AS lag),
+    num AS (
+      SELECT lags.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(st.n * a.x - st.sx AS HUGEINT)
+                 * (st.n * b.y - st.sy)) AS nu
+      FROM lags, st, h a JOIN h b ON b.ho = a.ho + lags.lag
+      GROUP BY lags.lag
+    )
+    SELECT num.lag, num.n_pairs,
+           CAST(CAST(nu AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(dx AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(dy AS VARCHAR) AS DOUBLE))) AS ccf
+    FROM num, den
+    """,
+    tags=("events", "time-series", "stats"),
+    doc="Exact cross-correlation of hourly purchase revenue vs click "
+    "counts at lags -6..+6; gap-filled series, N-scaled integer "
+    "deviations, one fixed float tree.",
+)
+def events_ccf_hourly(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    hx = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+            F.when(F.col("event_type") == "purchase", _cents())
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("ho")
+        .agg(
+            F.sum("xc").cast("bigint").alias("x"),
+            F.sum("yc").cast("bigint").alias("y"),
+        )
+    )
+    bounds = hx.agg(F.min("ho").alias("lo"), F.max("ho").alias("hi"))
+    dense = bounds.select(F.explode(F.sequence("lo", "hi")).alias("ho"))
+    h = (
+        dense.join(hx, "ho", "left")
+        .select(
+            "ho",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # three consumers: stats, den, pairs
+    )
+    st = h.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    devx = F.col("n") * F.col("x") - F.col("sx")
+    devy = F.col("n") * F.col("y") - F.col("sy")
+    den = h.crossJoin(F.broadcast(st)).agg(
+        F.sum(devx.cast("decimal(19,0)") * devx).alias("dx"),
+        F.sum(devy.cast("decimal(19,0)") * devy).alias("dy"),
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = h.select(F.col("ho").alias("ho_a"), F.col("x").alias("x_a"))
+    b = h.select(F.col("ho").alias("ho_b"), F.col("y").alias("y_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ho_b") == F.col("ho_a") + F.col("lag"))
+        .crossJoin(F.broadcast(st))
+    )
+    dev_a = F.col("n") * F.col("x_a") - F.col("sx")
+    dev_b = F.col("n") * F.col("y_b") - F.col("sy")
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(dev_a.cast("decimal(19,0)") * dev_b).alias("nu"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        (
+            F.col("nu").cast("double")
+            / (F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double")))
+        ).alias("ccf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-metric A/B test with DELTA-METHOD variance — the estimator real
+# experimentation platforms need when the metric is a ratio of two
+# user-level sums (here: purchase revenue per event) and the
+# randomization unit is the user, so a naive per-event variance is
+# wrong (events within a user are correlated).  With R = Sy/Sk the
+# per-user residuals d_u = y_u - R*k_u sum to zero EXACTLY, so the
+# delta-method variance collapses to n*(Syy - 2R*Syk + R^2*Skk)
+# / ((n-1)*Sk^2) — every S-term an exact integer/DECIMAL(38,0) from one
+# map-side-combinable pass, and the variance/z a single fixed IEEE tree
+# both engines evaluate identically (sums > 2^64 routed through VARCHAR
+# on the DuckDB side per the catalog cast rule).  Scale: one events
+# scan -> user-level aggregate -> 1-row variant aggregate; nothing
+# downstream of the user collapse is data-scale.
+# --------------------------------------------------------------------------
+@register(
+    "events_ab_ratio_delta",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN {_SQL_CENTS} ELSE 0 END) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT y, k,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM pu
+    ),
+    t AS (
+      SELECT {", ".join(
+        f'''CAST(SUM(CASE WHEN variant = {a} THEN 1 ELSE 0 END) AS BIGINT) AS n_{s},
+             CAST(SUM(CASE WHEN variant = {a} THEN y ELSE 0 END) AS BIGINT) AS sy_{s},
+             CAST(SUM(CASE WHEN variant = {a} THEN k ELSE 0 END) AS BIGINT) AS sk_{s},
+             SUM(CASE WHEN variant = {a} THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_{s},
+             SUM(CASE WHEN variant = {a} THEN CAST(y AS HUGEINT) * k ELSE 0 END) AS syk_{s},
+             SUM(CASE WHEN variant = {a} THEN CAST(k AS HUGEINT) * k ELSE 0 END) AS skk_{s}'''
+        for a, s in ((0, "a"), (1, "b")))}
+      FROM v
+    ),
+    r AS (
+      SELECT n_a, n_b,
+             {", ".join(
+        f'''CAST(sy_{s} AS DOUBLE) / CAST(sk_{s} AS DOUBLE) AS ratio_{s},
+             CAST(n_{s} AS DOUBLE)
+               * (CAST(CAST(syy_{s} AS VARCHAR) AS DOUBLE)
+                  - CAST(2 AS DOUBLE) * (CAST(sy_{s} AS DOUBLE) / CAST(sk_{s} AS DOUBLE))
+                    * CAST(CAST(syk_{s} AS VARCHAR) AS DOUBLE)
+                  + (CAST(sy_{s} AS DOUBLE) / CAST(sk_{s} AS DOUBLE))
+                    * (CAST(sy_{s} AS DOUBLE) / CAST(sk_{s} AS DOUBLE))
+                    * CAST(CAST(skk_{s} AS VARCHAR) AS DOUBLE))
+               / (CAST(n_{s} - 1 AS DOUBLE)
+                  * CAST(sk_{s} AS DOUBLE) * CAST(sk_{s} AS DOUBLE)) AS var_{s}'''
+        for s in ("a", "b"))}
+      FROM t
+      WHERE n_a >= 2 AND n_b >= 2 AND sk_a > 0 AND sk_b > 0
+    )
+    SELECT n_a, n_b, ratio_a, ratio_b, var_a, var_b,
+           (ratio_b - ratio_a) / SQRT(var_a + var_b) AS z_stat,
+           abs((ratio_b - ratio_a) / SQRT(var_a + var_b))
+             > CAST(1.96 AS DOUBLE) AS significant
+    FROM r
+    """,
+    tags=("events", "stats", "abtest"),
+    doc="Delta-method ratio-metric A/B test (revenue per event, "
+    "user-randomized): exact moment sums, fixed float tree.",
+)
+def events_ab_ratio_delta(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _cents()).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    v = pu.select("y", "k", _ab_variant().alias("variant"))
+    d38 = "decimal(38,0)"
+    aggs = []
+    for a, s in ((0, "a"), (1, "b")):
+        hit = (F.col("variant") == a).cast("long")
+        aggs += [
+            F.sum(hit).cast("bigint").alias(f"n_{s}"),
+            F.sum(F.col("y") * hit).cast("bigint").alias(f"sy_{s}"),
+            F.sum(F.col("k") * hit).cast("bigint").alias(f"sk_{s}"),
+            F.sum(F.col("y").cast(d38) * F.col("y") * hit).alias(f"syy_{s}"),
+            F.sum(F.col("y").cast(d38) * F.col("k") * hit).alias(f"syk_{s}"),
+            F.sum(F.col("k").cast(d38) * F.col("k") * hit).alias(f"skk_{s}"),
+        ]
+    t = v.agg(*aggs).filter(
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (F.col("sk_a") > 0)
+        & (F.col("sk_b") > 0)
+    )
+    cols = ["n_a", "n_b"]
+    exprs = []
+    for s in ("a", "b"):
+        ratio = F.col(f"sy_{s}").cast("double") / F.col(f"sk_{s}").cast("double")
+        var = (
+            F.col(f"n_{s}").cast("double")
+            * (
+                F.col(f"syy_{s}").cast("double")
+                - F.lit(2.0) * ratio * F.col(f"syk_{s}").cast("double")
+                + ratio * ratio * F.col(f"skk_{s}").cast("double")
+            )
+            / (
+                (F.col(f"n_{s}") - 1).cast("double")
+                * F.col(f"sk_{s}").cast("double")
+                * F.col(f"sk_{s}").cast("double")
+            )
+        )
+        exprs += [ratio.alias(f"ratio_{s}"), var.alias(f"var_{s}")]
+    r = t.select(*cols, *exprs)
+    z = (F.col("ratio_b") - F.col("ratio_a")) / F.sqrt(
+        F.col("var_a") + F.col("var_b")
+    )
+    return r.select(
+        "n_a",
+        "n_b",
+        "ratio_a",
+        "ratio_b",
+        "var_a",
+        "var_b",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
