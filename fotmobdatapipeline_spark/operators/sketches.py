@@ -417,3 +417,65 @@ def cms_estimate(
     return joined.groupBy(*probes.columns).agg(
         F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Append ``out_col`` to EVERY row of ``df``: does ``key_col`` pass
+    the (broadcast) bloom filter?  This is the pre-shuffle join-pruning
+    shape: :func:`bloom_probe` groups by distinct key, so joining its
+    verdicts back to a 100 TB fact would itself be a data-scale shuffle
+    — the very cost the bloom exists to avoid.  Here the fact instead
+    takes ``n_hashes`` BROADCAST hash-joins against the m/32-row word
+    table: map-side only, zero fact shuffle.  No false negatives; false
+    positives at the standard (1 - e^(-kn/m))^k rate — callers follow
+    with the exact join on the surviving rows.  NULL keys get ``false``
+    (a NULL was never inserted)."""
+    clash = [c for c in df.columns if c.startswith("__bp_") or c == out_col]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with bloom_prefilter internals"
+        )
+    out = df
+    hits = []
+    for j, p in enumerate(
+        _bloom_positions(F.col(key_col), m_bits, n_hashes, salt)
+    ):
+        out = (
+            out.withColumn(f"__bp_p{j}", p)
+            .withColumn(f"__bp_w{j}", (F.col(f"__bp_p{j}") / 32).cast("int"))
+            .withColumn(
+                f"__bp_m{j}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__bp_p{j} % 32 AS INT))"
+                ),
+            )
+        )
+        words = bloom.select(
+            F.col("word_idx").alias(f"__bp_w{j}"),
+            F.col("bits").alias(f"__bp_b{j}"),
+        )
+        out = out.join(F.broadcast(words), f"__bp_w{j}", "left")
+        hits.append(
+            F.coalesce(F.col(f"__bp_b{j}"), F.lit(0).cast("bigint")).bitwiseAND(
+                F.col(f"__bp_m{j}")
+            )
+            == F.col(f"__bp_m{j}")
+        )
+    verdict = hits[0]
+    for h in hits[1:]:
+        verdict = verdict & h
+    out = out.withColumn(
+        out_col, F.coalesce(verdict.cast("boolean"), F.lit(False))
+    )
+    drop = [
+        f"__bp_{t}{j}" for j in range(n_hashes) for t in ("p", "w", "m", "b")
+    ]
+    return out.drop(*drop)

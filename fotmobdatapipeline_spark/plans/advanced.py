@@ -2482,3 +2482,275 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str):
         (-F.col("b.nv")).cast("bigint").alias("mode_quantity"),
         F.col("b.n").cast("bigint").alias("mode_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact 10%-trimmed mean per group — the robust-center companion to
+# agg_winsorized (winsorize CLIPS the tails at the percentile bounds;
+# trimming DROPS them).  Scale shape: per-(group, value) counts first
+# (map-side combinable, collapses duplicates), then ONE grouped
+# two-phase prefix scan gives each value-run its inclusive rank span
+# [u-cnt, u]; the kept weight is the overlap of that span with the kept
+# rank window (k, n-k], pure integer arithmetic per row — no per-group
+# sort, no window over raw rows, no collapse at any group size.  The
+# trimmed sum rides DECIMAL(38,0); the single float is the final
+# division (VARCHAR-routed on the oracle side per the >2^64 cast rule).
+# Oracle: per-group sorted-list slice — O(group) at oracle scale only.
+# --------------------------------------------------------------------------
+_TRIM_FRAC_DEN = 10  # drop floor(n/10) rows from EACH tail
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, list_sort(list(c)) AS xs, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY grp
+    ),
+    t AS (
+      SELECT grp, n, n // {_TRIM_FRAC_DEN} AS k,
+             CAST(n - 2 * (n // {_TRIM_FRAC_DEN}) AS BIGINT) AS n_kept,
+             CAST(list_sum(list_slice(xs, n // {_TRIM_FRAC_DEN} + 1,
+                                      n - n // {_TRIM_FRAC_DEN}))
+                  AS HUGEINT) AS s
+      FROM g
+    )
+    SELECT grp, n, n_kept,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_kept AS DOUBLE)
+             / CAST(100 AS DOUBLE) AS trimmed_mean
+    FROM t
+    """,
+    tags=("agg", "robust"),
+    doc="Exact per-group 10%-trimmed mean via rank-span overlap on the "
+    "grouped prefix scan; no per-group sort at any cardinality.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    cells = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    run = grouped_running_sum(cells, ["grp"], ["c"], "cnt", out_col="u")
+    tn = cells.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
+    k = (F.col("n") / _TRIM_FRAC_DEN).cast("bigint")  # floor: n, den > 0
+    j = run.join(F.broadcast(tn), "grp").select(
+        "grp",
+        "c",
+        "n",
+        k.alias("k"),
+        # overlap of this value-run's rank span (u-cnt, u] with (k, n-k]
+        (
+            F.least(F.col("u"), F.col("n") - k)
+            - F.greatest(F.col("u") - F.col("cnt"), k)
+        ).alias("w"),
+    )
+    g = (
+        j.filter(F.col("w") > 0)
+        .groupBy("grp", "n", "k")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)") * F.col("w")).alias("s"))
+    )
+    n_kept = (F.col("n") - 2 * F.col("k")).cast("bigint")
+    return g.select(
+        "grp",
+        "n",
+        n_kept.alias("n_kept"),
+        (
+            F.col("s").cast("double")
+            / n_kept.cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered join — the 100 TB join-pruning pattern as a
+# first-class, oracle-verified entry: when the build side (urgent
+# orders) is too big to broadcast but its KEY SET fits a few KB of
+# bloom words, the fact (lineitem) takes k map-side broadcast joins
+# against the word table and only the surviving rows enter the exact
+# shuffle join.  No false negatives (the exact join result is
+# IDENTICAL to the unfiltered join — pinned by n_matched); false
+# positives only cost shuffled bytes and are REPORTED (n_false_pos), so
+# the m/k sizing trade is visible as data.  The bloom bits are
+# deterministic md5 chunks (operators/sketches.py:_bloom_positions), so
+# DuckDB replays membership exactly via a distinct-position set.
+# --------------------------------------------------------------------------
+_BJ_M = 65536  # ~21 bits/key at sf0.01's ~3k urgent orders -> FP ~0.1%
+_BJ_SALT = "bj"
+
+
+def _sql_bj_pos(key_expr: str, j: int) -> str:
+    from fotmobdatapipeline_spark.plans.llmdata import _sql_hex32
+
+    chunk = f"substr(md5('{_BJ_SALT}:' || {key_expr}), {j * 8 + 1}, 8)"
+    return f"({_sql_hex32(chunk)}) % {_BJ_M}"
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=lambda: f"""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    pos AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_sql_bj_pos('CAST(k AS VARCHAR)', j)} AS p FROM bk"
+            for j in range(3))}
+      )
+    ),
+    pk AS (
+      SELECT k, ({" AND ".join(
+          f"{_sql_bj_pos('CAST(k AS VARCHAR)', j)} IN (SELECT p FROM pos)"
+          for j in range(3))}) AS pass
+      FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+    ),
+    l AS (
+      SELECT li.l_orderkey AS k, li.l_extendedprice, pk.pass
+      FROM lineitem li JOIN pk ON pk.k = li.l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN k IN (SELECT k FROM bk) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN pass AND k NOT IN (SELECT k FROM bk)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN k IN (SELECT k FROM bk)
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS matched_revenue
+    FROM l
+    """,
+    tags=("join", "sketch", "bloom", "scale"),
+    doc="Bloom-prefiltered fact join with surfaced false-positive cost; "
+    "map-side word-table broadcasts, exact join on survivors.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_prefilter,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    bk = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: bloom build + exact join
+    )
+    bloom = bloom_filter_table(bk, "k", m_bits=_BJ_M, salt=_BJ_SALT)
+    probed = bloom_prefilter(
+        li.select(F.col("l_orderkey").alias("k"), "l_extendedprice"),
+        "k",
+        bloom,
+        m_bits=_BJ_M,
+        salt=_BJ_SALT,
+        out_col="pass",
+    )
+    probed = probed.localCheckpoint(eager=False)  # counts + survivors join
+    survivors = probed.filter(F.col("pass")).join(
+        bk.withColumn("matched", F.lit(1)), "k", "left"
+    )
+    base = probed.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.col("pass").cast("long")).cast("bigint").alias("n_pass"),
+    )
+    post = survivors.agg(
+        F.sum(F.coalesce(F.col("matched"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum((F.col("matched").isNull()).cast("long"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when(
+                F.col("matched").isNotNull(),
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("matched_revenue"),
+    )
+    return base.crossJoin(F.broadcast(post))
+
+
+# --------------------------------------------------------------------------
+# Zone-map audit: the data-skipping ledger a lakehouse layout lives or
+# dies by.  Shards are the classic time-partitioned layout
+# (year-quarter of l_shipdate); each shard's zone map is its per-column
+# min/max/count, and the entry EVALUATES a concrete predicate
+# (l_shipdate in 1995-H1) against the maps — ``skip_ship`` says the
+# whole shard is provably irrelevant without reading a row.  On this
+# range layout most shards skip by construction; the contrast with a
+# hash layout (where every shard spans the full date range and nothing
+# skips) is pinned in tests/test_zorder.py::test_zone_maps_hash_layout
+# _skips_nothing, not duplicated here.  Pure group-by aggregates;
+# shards are calendar-scale, never data-scale.
+# --------------------------------------------------------------------------
+@register(
+    "layout_zone_maps",
+    oracle="""
+    WITH ranged AS (
+      SELECT (CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) - 1992) * 4
+             + (CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) - 1) // 3
+               AS shard,
+             l_shipdate, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS d_min,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS d_max,
+           CAST(MIN(price) AS DOUBLE) AS p_min,
+           CAST(MAX(price) AS DOUBLE) AS p_max,
+           (MAX(l_shipdate) < DATE '1995-01-01'
+            OR MIN(l_shipdate) > DATE '1995-06-30') AS skip_ship
+    FROM ranged GROUP BY shard
+    """,
+    tags=("layout", "dq", "scale"),
+    doc="Per-shard zone maps (time-partitioned layout) with a concrete "
+    "predicate evaluated against them — the data-skipping ledger.",
+)
+def layout_zone_maps(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    shard = (F.year("l_shipdate") - 1992) * 4 + (
+        (F.month("l_shipdate") - 1) / 3
+    ).cast("bigint")
+    g = (
+        li.select(
+            shard.cast("bigint").alias("shard"),
+            "l_shipdate",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_shipdate").alias("dmin"),
+            F.max("l_shipdate").alias("dmax"),
+            F.min("price").cast("double").alias("p_min"),
+            F.max("price").cast("double").alias("p_max"),
+        )
+    )
+    return g.select(
+        "shard",
+        "n_rows",
+        F.col("dmin").cast("string").alias("d_min"),
+        F.col("dmax").cast("string").alias("d_max"),
+        "p_min",
+        "p_max",
+        (
+            (F.col("dmax") < F.lit("1995-01-01").cast("date"))
+            | (F.col("dmin") > F.lit("1995-06-30").cast("date"))
+        ).alias("skip_ship"),
+    )

@@ -9995,3 +9995,123 @@ def dedup_component_survivors(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Ranked-retrieval eval, part 2: MRR and AP@10 of the BM25 top-10
+# against the same all-terms binary relevance text_bm25_ndcg uses —
+# together the three standard ranking metrics (reciprocal rank, average
+# precision, nDCG) share one ranking and one label scan.  Determinism:
+# the top-10 lands in a SORTED 10-struct array, and both MRR and AP are
+# EXPLICIT fixed-order 10-term expressions with literal 1/r doubles —
+# integer rel/cum counts, no float aggregate whose order the shuffle
+# picks, no log/exp.  AP@10 = sum_r rel_r * (cum_r / r) / min(n_rel,
+# 10); MRR = 1/first-relevant-rank (0 when nothing relevant ranks).
+# --------------------------------------------------------------------------
+def _ap10_sql() -> str:
+    cum = " + ".join(f"COALESCE(arr[{i}].rel, 0)" for i in range(1, 11))
+    expr = "CAST(0 AS DOUBLE)"
+    for r in range(1, 11):
+        cum_r = " + ".join(f"COALESCE(arr[{i}].rel, 0)" for i in range(1, r + 1))
+        expr = (
+            f"({expr} + CAST(COALESCE(arr[{r}].rel, 0) * ({cum_r}) AS DOUBLE)"
+            f" * CAST({1.0 / r!r} AS DOUBLE))"
+        )
+    return expr
+
+
+def _mrr_sql() -> str:
+    expr = "CAST(0 AS DOUBLE)"
+    for r in range(10, 0, -1):
+        expr = (
+            f"CASE WHEN COALESCE(arr[{r}].rel, 0) = 1 "
+            f"THEN CAST({1.0 / r!r} AS DOUBLE) ELSE {expr} END"
+        )
+    return expr
+
+
+@register(
+    "text_retrieval_mrr_map",
+    oracle=lambda: f"""
+    WITH top AS ({_bm25_oracle()}),
+    rel AS (
+      SELECT doc_id,
+             CASE WHEN {" AND ".join(
+                 f"list_contains(string_split(text, ' '), '{t}')"
+                 for t in _BM25_TERMS)}
+             THEN 1 ELSE 0 END AS rel
+      FROM documents
+    ),
+    j AS (
+      SELECT t.doc_id, t.score, r.rel FROM top t JOIN rel r USING (doc_id)
+    ),
+    one AS (
+      SELECT list({{'ns': -score, 'd': doc_id, 'rel': rel}}
+                  ORDER BY -score, doc_id) AS arr
+      FROM j
+    ),
+    nr AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM rel)
+    SELECT nr.n_rel,
+           CAST(({" + ".join(f"COALESCE(arr[{i}].rel, 0)" for i in range(1, 11))})
+                AS BIGINT) AS rel_at_10,
+           {_mrr_sql()} AS mrr,
+           CASE WHEN nr.n_rel <= 0 THEN NULL
+                ELSE {_ap10_sql()}
+                     / CAST(CASE WHEN nr.n_rel < 10 THEN nr.n_rel ELSE 10 END
+                            AS DOUBLE) END AS ap10
+    FROM one CROSS JOIN nr
+    """,
+    tags=("text", "retrieval", "eval"),
+    doc="MRR and AP@10 of BM25 vs all-terms relevance; fixed-order "
+    "literal-weight trees over the sorted top-10, bit-exact.",
+)
+def text_retrieval_mrr_map(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    top = bm25_topk(docs, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
+    ws = F.split("text", " ")
+    rel_flag = F.lit(True)
+    for t in _BM25_TERMS:
+        rel_flag = rel_flag & F.array_contains(ws, t)
+    rel = docs.select("doc_id", rel_flag.cast("int").alias("rel"))
+    rel = rel.localCheckpoint(eager=False)  # two consumers: join + n_rel
+    j = top.join(rel, "doc_id")
+    one = j.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("doc_id").alias("d"),
+                    F.col("rel").alias("rel"),
+                )
+            )
+        ).alias("arr")
+    )
+    nr = rel.agg(F.sum("rel").cast("bigint").alias("n_rel"))
+
+    def rel_at(r: int):
+        return F.coalesce(F.element_at("arr", r)["rel"], F.lit(0))
+
+    rel10 = rel_at(1)
+    for i in range(2, 11):
+        rel10 = rel10 + rel_at(i)
+    ap = F.lit(0.0)
+    for r in range(1, 11):
+        cum_r = rel_at(1)
+        for i in range(2, r + 1):
+            cum_r = cum_r + rel_at(i)
+        ap = ap + (rel_at(r) * cum_r).cast("double") * F.lit(1.0 / r)
+    mrr = F.lit(0.0)
+    for r in range(10, 0, -1):
+        mrr = F.when(rel_at(r) == 1, F.lit(1.0 / r)).otherwise(mrr)
+    kdenom = F.when(F.col("n_rel") < 10, F.col("n_rel")).otherwise(F.lit(10))
+    m = one.crossJoin(F.broadcast(nr))
+    return m.select(
+        "n_rel",
+        rel10.cast("bigint").alias("rel_at_10"),
+        mrr.alias("mrr"),
+        F.when(F.col("n_rel") <= 0, F.lit(None).cast("double"))
+        .otherwise(ap / kdenom.cast("double"))
+        .alias("ap10"),
+    )

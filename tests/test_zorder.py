@@ -110,3 +110,42 @@ def test_zorder_correct_results_after_pruned_scan(spark, tmp_path):
         .first()
     )
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_zone_maps_hash_layout_skips_nothing(spark):
+    """layout_zone_maps' point of contrast: the identical 1995-H1
+    predicate evaluated against zone maps of an md5-HASH layout skips
+    zero shards (every hash shard spans the whole date range), while the
+    time-partitioned layout the entry ships skips most of them."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    _load_all()
+    ranged = QUERIES["layout_zone_maps"].builder(spark, SF_SMALL).collect()
+    assert sum(1 for r in ranged if r["skip_ship"]) > 0
+    assert sum(1 for r in ranged if not r["skip_ship"]) > 0  # H1-95 shards read
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    hashed = (
+        li.select(
+            (
+                F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+                .cast("bigint")
+                % 8
+            ).alias("shard"),
+            "l_shipdate",
+        )
+        .groupBy("shard")
+        .agg(F.min("l_shipdate").alias("dmin"), F.max("l_shipdate").alias("dmax"))
+        .select(
+            (
+                (F.col("dmax") < F.lit("1995-01-01").cast("date"))
+                | (F.col("dmin") > F.lit("1995-06-30").cast("date"))
+            ).alias("skip_ship")
+        )
+        .collect()
+    )
+    assert all(not r["skip_ship"] for r in hashed)
