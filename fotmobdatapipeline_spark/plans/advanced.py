@@ -2754,3 +2754,175 @@ def layout_zone_maps(spark: SparkSession, sf_dir: str):
             | (F.col("dmin") > F.lit("1995-06-30").cast("date"))
         ).alias("skip_ship"),
     )
+
+
+# --------------------------------------------------------------------------
+# Geospatial tier — grid binning and a banded 2-D neighbor join, the
+# spatial siblings of join_range_banded's 1-D band pattern.  The tables
+# carry no coordinates, so each entity gets a DETERMINISTIC synthetic
+# position from md5 chunks of its key (the ab_variant / synth-column
+# precedent), in INTEGER MICRO-DEGREES: every bin id, distance and
+# threshold below is exact int64 arithmetic — no sin/cos/haversine (libm
+# transcendentals are not bit-portable across engines; the planar
+# degree-space metric keeps the tier exact and still exercises the real
+# scale mechanics: cell partitioning, bounded 3x3 neighbor fan-out,
+# post-filter on the exact metric).
+# --------------------------------------------------------------------------
+_GEO_CELL = 15_000_000  # 15-degree cells for occupancy stats
+_GEO_JCELL = 5_000_000  # 5-degree cells = neighbor-join band width
+_GEO_R2 = 25_000_000_000_000  # (5 degrees)^2 in micro-degrees^2
+
+
+def _sql_geo(axis: str, key_expr: str, span: int, shift: int) -> str:
+    from fotmobdatapipeline_spark.plans.llmdata import _sql_hex32
+
+    chunk = f"substr(md5('{axis}:' || {key_expr}), 1, 8)"
+    return f"(({_sql_hex32(chunk)}) % {span} - {shift})"
+
+
+def _geo_col(axis: str, key) -> F.Column:
+    span, shift = (
+        (180_000_001, 90_000_000) if axis == "lat" else (360_000_001, 180_000_000)
+    )
+    h = F.md5(F.concat(F.lit(f"{axis}:"), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % span - shift
+    ).cast("bigint")
+
+
+def _sql_geo_lat(key_expr: str) -> str:
+    return _sql_geo("lat", key_expr, 180_000_001, 90_000_000)
+
+
+def _sql_geo_lon(key_expr: str) -> str:
+    return _sql_geo("lon", key_expr, 360_000_001, 180_000_000)
+
+
+@register(
+    "geo_cell_stats",
+    oracle=f"""
+    WITH pos AS (
+      SELECT c_custkey,
+             {_sql_geo_lat("CAST(c_custkey AS VARCHAR)")} AS lat,
+             {_sql_geo_lon("CAST(c_custkey AS VARCHAR)")} AS lon
+      FROM customer
+    ),
+    b AS (
+      SELECT ((lat + 90000000) // {_GEO_CELL}) AS cell_y,
+             ((lon + 180000000) // {_GEO_CELL}) AS cell_x,
+             lat, lon
+      FROM pos
+    )
+    SELECT CAST(cell_x AS BIGINT) AS cell_x, CAST(cell_y AS BIGINT) AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(lat) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE) AS centroid_lat,
+           CAST(CAST(SUM(lon) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE) AS centroid_lon
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("geo", "grid"),
+    doc="15-degree grid occupancy + exact-integer centroids over "
+    "hash-derived customer positions.",
+)
+def geo_cell_stats(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    pos = cust.select(
+        _geo_col("lat", F.col("c_custkey")).alias("lat"),
+        _geo_col("lon", F.col("c_custkey")).alias("lon"),
+    )
+    g = (
+        pos.select(
+            F.expr(f"(lat + 90000000) div {_GEO_CELL}").alias("cell_y"),
+            F.expr(f"(lon + 180000000) div {_GEO_CELL}").alias("cell_x"),
+            "lat",
+            "lon",
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("lat").cast("decimal(38,0)").alias("slat"),
+            F.sum("lon").cast("decimal(38,0)").alias("slon"),
+        )
+    )
+    return g.select(
+        "cell_x",
+        "cell_y",
+        "n",
+        (
+            F.col("slat").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+        ).alias("centroid_lat"),
+        (
+            F.col("slon").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+        ).alias("centroid_lon"),
+    )
+
+
+@register(
+    "geo_neighbor_pairs",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             {_sql_geo_lat("CAST(c_custkey AS VARCHAR)")} AS lat,
+             {_sql_geo_lon("CAST(c_custkey AS VARCHAR)")} AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             {_sql_geo_lat("'s' || CAST(s_suppkey AS VARCHAR)")} AS lat,
+             {_sql_geo_lon("'s' || CAST(s_suppkey AS VARCHAR)")} AS lon
+      FROM supplier
+    ),
+    p AS (
+      SELECT c.c_nationkey, c.c_custkey
+      FROM c JOIN s
+        ON (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) <= {_GEO_R2}
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM p GROUP BY c_nationkey
+    """,
+    tags=("geo", "join", "scale"),
+    doc="Banded 2-D neighbor join: customers within 5 planar degrees of "
+    "a supplier via 3x3 cell fan-out + exact integer distance filter; "
+    "O(n^2) oracle at oracle scale only.",
+)
+def geo_neighbor_pairs(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        _geo_col("lat", F.col("c_custkey")).alias("clat"),
+        _geo_col("lon", F.col("c_custkey")).alias("clon"),
+    ).select(
+        "*",
+        F.expr(f"(clat + 90000000) div {_GEO_JCELL}").alias("cy"),
+        F.expr(f"(clon + 180000000) div {_GEO_JCELL}").alias("cx"),
+    )
+    s = supp.select(
+        _geo_col("lat", F.concat(F.lit("s"), F.col("s_suppkey"))).alias("slat"),
+        _geo_col("lon", F.concat(F.lit("s"), F.col("s_suppkey"))).alias("slon"),
+    )
+    # 3x3 neighbor fan-out on the SUPPLIER side (the small side here;
+    # at scale, fan out whichever side is smaller): a (cust, supp) pair
+    # within R can only meet in the customer's own cell, and meets it
+    # in exactly one of the supplier's nine offset cells — no dedup.
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    se = s.crossJoin(F.broadcast(offs)).select(
+        "slat",
+        "slon",
+        (F.expr(f"(slat + 90000000) div {_GEO_JCELL}") + F.col("dy")).alias("cy"),
+        (F.expr(f"(slon + 180000000) div {_GEO_JCELL}") + F.col("dx")).alias("cx"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    pairs = c.join(se, ["cy", "cx"]).filter(d2 <= F.lit(_GEO_R2))
+    return pairs.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+    )

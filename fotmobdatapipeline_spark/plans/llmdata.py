@@ -3384,7 +3384,14 @@ def shuffle_shards(spark: SparkSession, sf_dir: str):
 _PAGERANK_ITERS = 5
 
 
-def _pagerank_oracle(iters: int = _PAGERANK_ITERS) -> str:
+def _pagerank_oracle(
+    iters: int = _PAGERANK_ITERS, edges_cte: str | None = None
+) -> str:
+    """Exact-decimal PageRank replay; ``edges_cte`` overrides the graph
+    (a full ``WITH``-prefix ending in an ``edges(src, dst)`` CTE) —
+    default is the LSH candidate graph.  The iteration/rounding math is
+    graph-independent, so text_textrank_keywords reuses it verbatim on
+    the word co-occurrence graph."""
     rounds = []
     for k in range(iters):
         rounds.append(
@@ -3400,8 +3407,8 @@ def _pagerank_oracle(iters: int = _PAGERANK_ITERS) -> str:
       FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
     )"""
         )
-    return f"""
-    WITH tok AS ({_SQL_TOK}),
+    if edges_cte is None:
+        edges_cte = f"""WITH tok AS ({_SQL_TOK}),
     sig AS (SELECT doc_id, {_lsh_sigs} FROM tok),
     bands AS ({_lsh_bands}),
     pairs AS (
@@ -3414,7 +3421,9 @@ def _pagerank_oracle(iters: int = _PAGERANK_ITERS) -> str:
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
       )
-    ),
+    )"""
+    return f"""
+    {edges_cte},
     nodes AS (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
@@ -10114,4 +10123,77 @@ def text_retrieval_mrr_map(spark: SparkSession, sf_dir: str):
         F.when(F.col("n_rel") <= 0, F.lit(None).cast("double"))
         .otherwise(ap / kdenom.cast("double"))
         .alias("ap10"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction: PageRank over the word co-occurrence
+# graph (adjacent-token edges, undirected, self-loops dropped) — the
+# classic unsupervised keyword ranker, and a second, structurally
+# different client of operators/graph.py::pagerank (string nodes, a
+# graph built from token adjacency instead of LSH collisions).  The
+# iteration itself is the exact-decimal fold graph_pagerank pinned in
+# round 3, so the oracle replays it bit-identically via the shared
+# _pagerank_oracle with only the edges CTE swapped.  Scale shape: the
+# edge build is one corpus scan + DISTINCT over vocab-pair-bounded
+# rows; every PageRank round shuffles edges joined to vocab-sized
+# ranks; top-k via distributed TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+_TEXTRANK_TOPK = 20
+
+_TEXTRANK_EDGES_CTE = """WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT w1 AS src, w2 AS dst FROM bg WHERE w1 <> w2
+        UNION ALL SELECT w2 AS src, w1 AS dst FROM bg WHERE w1 <> w2
+      )
+    )"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    SELECT * FROM (
+      {_pagerank_oracle(edges_cte=_TEXTRANK_EDGES_CTE)}
+    ) ORDER BY rank_approx DESC, node ASC LIMIT {_TEXTRANK_TOPK}
+    """,
+    tags=("text", "graph", "keywords", "topk"),
+    doc="TextRank keywords: exact-decimal PageRank over the adjacent-"
+    "token co-occurrence graph; top-20 by rank.",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("ws"))
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    bg = (
+        w.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n1),
+                    F.slice(F.col("ws"), 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    ranked = pagerank(edges, iters=_PAGERANK_ITERS)
+    return (
+        ranked.select("node", F.col("rank").cast("double").alias("rank_approx"))
+        .orderBy(F.desc("rank_approx"), F.asc("node"))
+        .limit(_TEXTRANK_TOPK)
     )

@@ -2349,3 +2349,46 @@ def test_kendall_identity_holds(spark):
     assert row["ties_x"] == tx_b
     assert row["ties_y"] == ty_b
     assert n0 == c_b + d_b + tx_b + ty_b - txy_b
+
+
+def test_geo_banded_join_equals_bruteforce(spark):
+    """geo_neighbor_pairs' 3x3 cell fan-out is complete: with band width
+    == R, |dlat| <= R implies adjacent-or-same cells, so the banded join
+    must equal the unbanded O(n^2) join exactly (same pairs, no dups)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.advanced import _GEO_R2, _geo_col
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    _load_all()
+    got = {
+        (r["c_nationkey"], r["n_pairs"], r["n_customers"])
+        for r in QUERIES["geo_neighbor_pairs"].builder(spark, SF_SMALL).collect()
+    }
+    c = read_table(spark, SF_SMALL, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _geo_col("lat", F.col("c_custkey")).alias("clat"),
+        _geo_col("lon", F.col("c_custkey")).alias("clon"),
+    )
+    s = read_table(spark, SF_SMALL, "supplier").select(
+        _geo_col("lat", F.concat(F.lit("s"), F.col("s_suppkey"))).alias("slat"),
+        _geo_col("lon", F.concat(F.lit("s"), F.col("s_suppkey"))).alias("slon"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    brute = {
+        (r["c_nationkey"], r["n_pairs"], r["n_customers"])
+        for r in c.crossJoin(s)
+        .filter(d2 <= F.lit(_GEO_R2))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        )
+        .collect()
+    }
+    assert got == brute and got
