@@ -119,6 +119,13 @@ HEADLINE = [
     "events_session_stats",
     "events_holt_winters_hourly",
     "events_seasonal_strength",
+    # round-11 continuation: correlation/ranking/join-pruning additions
+    "events_kendall_tau",
+    "events_ccf_hourly",
+    "agg_trimmed_mean",
+    "join_bloom_prefilter",
+    "text_textrank_keywords",
+    "geo_neighbor_pairs",
 ]
 
 
@@ -467,6 +474,13 @@ _SCALE_QUERIES = [
     "events_markov_attribution",
     "events_gini_revenue",
     "events_rfm_segments",
+    # round-11 continuation: the dyadic dominance count must grow
+    # n log n with users (cells x log2(distinct spends) through ordinary
+    # shuffles, never a pair join); the bloom prefilter and the banded
+    # geo join are map-side/banded shapes that must grow linearly.
+    "events_kendall_tau",
+    "join_bloom_prefilter",
+    "geo_neighbor_pairs",
 ]
 
 

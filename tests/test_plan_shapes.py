@@ -1069,3 +1069,84 @@ def test_stats_family_prefix_scans_not_global_windows(spark):
     for name in ("events_kruskal_wallis", "events_spearman_corr"):
         plan = _plan(_q(name)(spark, SF_ORACLE))
         assert "hashpartitioning(_pid" in plan, (name, plan[:2000])
+
+
+ROUND11B_SWEEP = (
+    "events_kendall_tau",
+    "events_ccf_hourly",
+    "events_ab_ratio_delta",
+    "agg_trimmed_mean",
+    "text_retrieval_mrr_map",
+    "layout_zone_maps",
+    "text_textrank_keywords",
+    "geo_cell_stats",
+)
+
+
+def test_round11b_entries_no_cartesian_no_python_udf(spark):
+    """Blanket doctrine sweep over the round-11 continuation additions
+    (join_bloom_prefilter and geo_neighbor_pairs are covered by their
+    dedicated shape tests below — the bloom entry's 1-row x 1-row
+    summary crossJoin is broadcast, not Cartesian, and asserted
+    there)."""
+    bad = []
+    for name in ROUND11B_SWEEP:
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            bad.append((name, "PythonUDF"))
+    assert not bad, bad
+
+
+def test_kendall_tau_windows_are_partition_scoped(spark):
+    """events_kendall_tau's dominance count may ship some dyadic levels
+    through a plain Window — but ONLY keyed by (lvl, blk), never
+    partition-less; the deep levels must ride the _pid-stamped prefix
+    scan.  Assert every windowspecdefinition in the plan carries a
+    partition key (lvl or _pid)."""
+    plan = _plan(_q("events_kendall_tau")(spark, SF_ORACLE))
+    for sub in _tree_subtrees(plan, "windowspecdefinition"):
+        head = sub[0]
+        assert ("_pid" in head) or ("lvl" in head) or any(
+            "keys=[_pid" in ln for ln in sub
+        ), head.strip()[:200]
+
+
+def test_bloom_prefilter_fact_side_not_shuffled(spark):
+    """bloom_prefilter doctrine: all three word-table joins on the fact
+    must be BroadcastHashJoins (map-side; zero fact shuffle — the only
+    exchanges allowed feed the m/32-row bloom BUILD aggregate, never
+    the fact).  Asserted on the operator's own plan because the catalog
+    entry's localCheckpoint hides the prefilter subtree from the final
+    plan string."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_prefilter,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom = bloom_filter_table(keys, "k", m_bits=1024, salt="bj")
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    plan = _plan(bloom_prefilter(li, "k", bloom, m_bits=1024, salt="bj"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3, plan[:1500]
+    # the catalog entry itself: no Cartesian anywhere, survivors join
+    # present
+    eplan = _plan(_q("join_bloom_prefilter")(spark, SF_ORACLE))
+    assert "CartesianProduct" not in eplan
+
+
+def test_geo_neighbor_join_is_cell_keyed(spark):
+    """geo_neighbor_pairs must join on the (cy, cx) cell keys — a hash
+    join with bounded 3x3 fan-out — never an unkeyed cross/theta join
+    of customers x suppliers."""
+    plan = _plan(_q("geo_neighbor_pairs")(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "cy" in plan and "cx" in plan
