@@ -5223,3 +5223,130 @@ def events_ab_ratio_delta(spark: SparkSession, sf_dir: str):
         z.alias("z_stat"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test over the hourly revenue series — the
+# nonparametric "is this metric drifting?" monitor (no distributional
+# assumption, robust to outliers; the hypothesis-test companion to
+# events_theilsen_trend's slope estimate).  S = #increasing-in-time
+# pairs - #decreasing ones: BOTH counts come from operators/ordinal.py's
+# distributed dominance kernel (time order is already a dense rank; the
+# decreasing count is dominance on the negated value), so S is exact at
+# any series length without the O(h^2) pair join the textbook formula
+# implies.  Var(S) keeps the /18 rational: var_num = n(n-1)(2n+5) -
+# SUM t(t-1)(2t+5) over value-tie runs stays integer, and z =
+# (S -/+ 1) / sqrt(var_num / 18) is one fixed IEEE tree.  Oracle:
+# O(hours^2) pair join — hours-scale at oracle SF only.
+# --------------------------------------------------------------------------
+@register(
+    "events_mann_kendall",
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS ho,
+             CAST(SUM({_SQL_CENTS}) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+    p AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS c_inc,
+             CAST(COALESCE(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS c_dec
+      FROM h a JOIN h b ON a.ho < b.ho
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM h GROUP BY x)
+    ),
+    m AS (
+      SELECT st.n, p.c_inc - p.c_dec AS s_stat,
+             st.n * (st.n - 1) * (2 * st.n + 5) - ties.tt AS var_num
+      FROM st, p, ties
+    )
+    SELECT n, s_stat, var_num,
+           CASE WHEN var_num <= 0 THEN NULL
+                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     / SQRT(CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE))
+                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     / SQRT(CAST(var_num AS DOUBLE) / CAST(18 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS z_stat
+    FROM m
+    """,
+    tags=("events", "time-series", "stats"),
+    doc="Mann-Kendall trend test on hourly revenue: exact S via the "
+    "distributed dominance kernel (both directions), rational variance, "
+    "continuity-corrected z.",
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.ordinal import dominated_pair_weight
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("ho"),
+            _cents().alias("c"),
+        )
+        .groupBy("ho")
+        .agg(F.sum("c").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)  # consumers: rank, ties, n, 2x kernel
+    )
+    n_ranks = h.count()
+    rk = running_sum(
+        h.select("ho", F.lit(1).alias("one")), ["ho"], "one", out_col="r"
+    ).select("ho", (F.col("r") - 1).alias("rk0"))
+    cells = h.join(rk, "ho").select(
+        "rk0", F.col("x").alias("y"), F.lit(1).cast("bigint").alias("m")
+    )
+    cells = cells.localCheckpoint(eager=False)  # two kernel passes
+    c_inc = dominated_pair_weight(cells, "rk0", "y", "m", n_ranks, out_col="c_inc")
+    c_dec = dominated_pair_weight(
+        cells.select("rk0", (-F.col("y")).alias("y"), "m"),
+        "rk0",
+        "y",
+        "m",
+        n_ranks,
+        out_col="c_dec",
+    )
+    nrow = h.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        h.groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    m = (
+        nrow.crossJoin(F.broadcast(c_inc))
+        .crossJoin(F.broadcast(c_dec))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            (F.col("c_inc") - F.col("c_dec")).cast("bigint").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tt")
+            )
+            .cast("bigint")
+            .alias("var_num"),
+        )
+    )
+    den = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    return m.select(
+        "n",
+        "s_stat",
+        "var_num",
+        F.when(F.col("var_num") <= 0, F.lit(None).cast("double"))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / den)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / den)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

@@ -10197,3 +10197,85 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("rank_approx"), F.asc("node"))
         .limit(_TEXTRANK_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) second-moment sketch: F2 = sum over keys of
+# count^2 — the join-size / self-join-cardinality estimator and the
+# skew gauge CBO-style planners run BEFORE committing to a shuffle
+# strategy.  Five independent +/-1 sign hashes; each sketch counter is
+# z_i = SUM over EVENTS of sign_i(user) (equal to sum count*sign by
+# linearity, so the sketch needs NO per-key aggregation — one map-side
+# combinable pass, mergeable across partitions/streams by addition);
+# estimate = median of the five z^2.  Everything is exact integer
+# arithmetic in both engines (the estimate's integer square carried as
+# DECIMAL(38,0)/HUGEINT); the exact F2 rides the one per-user group-by
+# the VERIFICATION needs (the sketch itself never pays it).
+# --------------------------------------------------------------------------
+_AMS_DEPTH = 5
+
+
+def _sql_ams_sign(i: int) -> str:
+    chunk = f"substr(md5('ams{i}:' || CAST(user_id AS VARCHAR)), 1, 8)"
+    return f"(({_sql_hex32(chunk)}) % 2) * 2 - 1"
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH z AS (
+      SELECT {", ".join(
+          f"CAST(SUM({_sql_ams_sign(i)}) AS BIGINT) AS z{i}"
+          for i in range(_AMS_DEPTH))}
+      FROM events
+    ),
+    ex AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id)
+    )
+    SELECT {", ".join(f"z{i}" for i in range(_AMS_DEPTH))},
+           CAST(CAST(list_sort([{", ".join(
+               f"CAST(z{i} AS HUGEINT) * z{i}" for i in range(_AMS_DEPTH))}])[3]
+                AS VARCHAR) AS DOUBLE) AS f2_est,
+           CAST(CAST(ex.f2 AS VARCHAR) AS DOUBLE) AS f2_exact
+    FROM z, ex
+    """,
+    tags=("sketch", "ams", "stats"),
+    doc="AMS F2 second-moment sketch (5 sign hashes, median of squares) "
+    "vs the exact self-join size; map-only mergeable counters.",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+
+    def sign(i: int):
+        h = F.md5(F.concat(F.lit(f"ams{i}:"), F.col("user_id").cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 2
+        ) * 2 - 1
+
+    z = ev.agg(
+        *[
+            F.sum(sign(i)).cast("bigint").alias(f"z{i}")
+            for i in range(_AMS_DEPTH)
+        ]
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("f2")
+        )
+    )
+    sq = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"z{i}").cast("decimal(38,0)") * F.col(f"z{i}"))
+                for i in range(_AMS_DEPTH)
+            ]
+        )
+    )
+    return z.crossJoin(F.broadcast(ex)).select(
+        *[f"z{i}" for i in range(_AMS_DEPTH)],
+        F.element_at(sq, 3).cast("double").alias("f2_est"),
+        F.col("f2").cast("double").alias("f2_exact"),
+    )

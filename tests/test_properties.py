@@ -2392,3 +2392,41 @@ def test_geo_banded_join_equals_bruteforce(spark):
         .collect()
     }
     assert got == brute and got
+
+
+def test_ams_sketch_is_mergeable_and_sane(spark):
+    """sketch_ams_f2's counters are linear: the sketch of two disjoint
+    halves sums, component-wise, to the sketch of the whole — the
+    mergeability the map-side-combinable claim rests on.  Also pin the
+    estimator's 5-wise-median sanity: est within 10x of exact F2 on the
+    real table (a loose bound; AMS guarantees relative error in
+    expectation, not per-draw)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    _load_all()
+    full = QUERIES["sketch_ams_f2"].builder(spark, SF_SMALL).collect()[0]
+    assert full["f2_est"] <= 10 * full["f2_exact"]
+    assert full["f2_est"] >= full["f2_exact"] / 10
+
+    ev = read_table(spark, SF_SMALL, "events")
+
+    def sketch(df):
+        from fotmobdatapipeline_spark.plans.llmdata import _AMS_DEPTH
+
+        def sign(i):
+            h = F.md5(F.concat(F.lit(f"ams{i}:"), F.col("user_id").cast("string")))
+            return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 2) * 2 - 1
+
+        return df.agg(
+            *[F.sum(sign(i)).cast("bigint").alias(f"z{i}") for i in range(_AMS_DEPTH)]
+        ).collect()[0]
+
+    whole = sketch(ev)
+    a = sketch(ev.filter(F.col("event_id") % 2 == 0))
+    b = sketch(ev.filter(F.col("event_id") % 2 == 1))
+    for i in range(5):
+        assert a[f"z{i}"] + b[f"z{i}"] == whole[f"z{i}"]
