@@ -479,3 +479,46 @@ def bloom_prefilter(
         f"__bp_{t}{j}" for j in range(n_hashes) for t in ("p", "w", "m", "b")
     ]
     return out.drop(*drop)
+
+AMS_DEPTH = 5
+
+
+def ams_sign(i: int, key: Column) -> Column:
+    """+/-1 four-wise-ish sign hash for AMS row ``i``: parity of the
+    first 32-bit chunk of md5('ams<i>:' || key) — the md5-chunk family
+    every sketch in this module rides (SQL twin:
+    plans/llmdata.py::_sql_ams_sign)."""
+    h = F.md5(F.concat(F.lit(f"ams{i}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 2) * 2 - 1
+
+
+def ams_counters(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """One-row AMS F2 sketch of ``df``'s ``key_col`` frequency
+    distribution: columns sketch='ams', z0..z{AMS_DEPTH-1}.  By
+    linearity z_i = SUM over ROWS of sign_i(key) — no per-key
+    aggregation, one map-side-combinable pass, and counters of disjoint
+    inputs merge by plain addition (the streaming maintenance sink's
+    contract).  Estimate = median of z_i^2 (:func:`ams_estimate`)."""
+    return df.agg(
+        *[
+            F.sum(ams_sign(i, F.col(key_col))).cast("bigint").alias(f"z{i}")
+            for i in range(AMS_DEPTH)
+        ]
+    ).select(F.lit("ams").alias("sketch"), *[f"z{i}" for i in range(AMS_DEPTH)])
+
+
+def ams_estimate(counters: DataFrame) -> DataFrame:
+    """F2 estimate from a (merged) counters row: median of the
+    DECIMAL(38,0)-exact squares, cast to double last."""
+    sq = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"z{i}").cast("decimal(38,0)") * F.col(f"z{i}"))
+                for i in range(AMS_DEPTH)
+            ]
+        )
+    )
+    return counters.select(
+        *[f"z{i}" for i in range(AMS_DEPTH)],
+        F.element_at(sq, AMS_DEPTH // 2 + 1).cast("double").alias("f2_est"),
+    )

@@ -10245,20 +10245,13 @@ def _sql_ams_sign(i: int) -> str:
     "vs the exact self-join size; map-only mergeable counters.",
 )
 def sketch_ams_f2(spark: SparkSession, sf_dir: str):
-    ev = read_table(spark, sf_dir, "events")
-
-    def sign(i: int):
-        h = F.md5(F.concat(F.lit(f"ams{i}:"), F.col("user_id").cast("string")))
-        return (
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 2
-        ) * 2 - 1
-
-    z = ev.agg(
-        *[
-            F.sum(sign(i)).cast("bigint").alias(f"z{i}")
-            for i in range(_AMS_DEPTH)
-        ]
+    from fotmobdatapipeline_spark.operators.sketches import (
+        ams_counters,
+        ams_estimate,
     )
+
+    ev = read_table(spark, sf_dir, "events")
+    est = ams_estimate(ams_counters(ev, "user_id"))
     ex = (
         ev.groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("c"))
@@ -10266,16 +10259,8 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str):
             F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("f2")
         )
     )
-    sq = F.array_sort(
-        F.array(
-            *[
-                (F.col(f"z{i}").cast("decimal(38,0)") * F.col(f"z{i}"))
-                for i in range(_AMS_DEPTH)
-            ]
-        )
-    )
-    return z.crossJoin(F.broadcast(ex)).select(
+    return est.crossJoin(F.broadcast(ex)).select(
         *[f"z{i}" for i in range(_AMS_DEPTH)],
-        F.element_at(sq, 3).cast("double").alias("f2_est"),
+        "f2_est",
         F.col("f2").cast("double").alias("f2_exact"),
     )

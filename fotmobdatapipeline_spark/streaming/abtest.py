@@ -145,3 +145,44 @@ def chi2_maintenance_sink(
         sum_cols=["n"],
         keep_versions=keep_versions,
     )
+
+
+def read_ams_estimate(spark, path: str) -> DataFrame | None:
+    """AMS F2 estimate from the CURRENT maintained counters row — the
+    SAME shared median-of-squares expression the batch entry runs
+    (``operators/sketches.ams_estimate``), so a drained stream reads
+    bit-identically to a batch sketch of the whole feed.  None before
+    the first batch commits."""
+    from fotmobdatapipeline_spark.operators.sketches import AMS_DEPTH, ams_estimate
+
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    counters = spark.read.parquet(f"{path}/{v}").select(
+        "sketch", *[f"z{i}" for i in range(AMS_DEPTH)]
+    )
+    return ams_estimate(counters)
+
+
+def ams_maintenance_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    keep_versions: int = 1,
+):
+    """Fold each micro-batch's AMS counters (one row, AMS_DEPTH integer
+    sums) into the stored sketch by component-wise SUM — counters are
+    linear in the input, so the maintained row is CELL-IDENTICAL to a
+    batch sketch over everything streamed so far (pinned in
+    test_streaming)."""
+    from fotmobdatapipeline_spark.operators.sketches import AMS_DEPTH, ams_counters
+
+    return _merge_maintenance_sink(
+        events,
+        path,
+        checkpoint,
+        lambda b: ams_counters(b, "user_id"),
+        key_cols=["sketch"],
+        sum_cols=[f"z{i}" for i in range(AMS_DEPTH)],
+        keep_versions=keep_versions,
+    )

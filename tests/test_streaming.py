@@ -1060,3 +1060,57 @@ def test_holt_winters_read_from_cusum_state_equals_batch(spark, tmp_path, events
     )
     got = sorted(map(tuple, read_holt_winters_report(spark, state).collect()))
     assert got == want and len(got) == 1
+
+
+def test_ams_stream_maintenance_equals_batch(spark, tmp_path):
+    """Stream == batch for the AMS F2 sketch: counters are linear, so
+    draining the feed through ams_maintenance_sink must leave a counters
+    row CELL-identical to the batch sketch of the whole feed, and the
+    shared median-of-squares readout bit-identical to the batch entry's
+    estimate columns.  Replay from a fresh checkpoint is a no-op."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.abtest import (
+        ams_maintenance_sink,
+        read_ams_estimate,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = ev.withColumn("tus", F.unix_micros("ts")).drop("ts")
+    for i in range(3):
+        staged.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    schema = ("event_id long, tus long, user_id long, event_type string, "
+              "value double, props string")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros("tus"))
+        )
+        q = ams_maintenance_sink(
+            stream, str(tmp_path / "ams"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain("ck0")
+    got = read_ams_estimate(spark, str(tmp_path / "ams")).collect()
+    assert len(got) == 1
+    _load_all()
+    want = QUERIES["sketch_ams_f2"].builder(spark, SF_SMALL).collect()[0]
+    for i in range(5):
+        assert got[0][f"z{i}"] == want[f"z{i}"]
+    assert got[0]["f2_est"] == want["f2_est"]
+
+    drain("ck1")  # repeat batch ids -> replay guard
+    again = read_ams_estimate(spark, str(tmp_path / "ams")).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
