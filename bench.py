@@ -126,6 +126,8 @@ HEADLINE = [
     "join_bloom_prefilter",
     "text_textrank_keywords",
     "geo_neighbor_pairs",
+    "events_mann_kendall",
+    "sketch_ams_f2",
 ]
 
 
