@@ -522,3 +522,49 @@ def ams_estimate(counters: DataFrame) -> DataFrame:
         *[f"z{i}" for i in range(AMS_DEPTH)],
         F.element_at(sq, AMS_DEPTH // 2 + 1).cast("double").alias("f2_est"),
     )
+
+
+def kmv_anotb(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV set-DIFFERENCE estimator (the theta-sketch A-not-B shape on
+    the same Beyer et al. construction as :func:`kmv_join_overlap`):
+    estimate |A \\ B| from two k-row sketches without joining the
+    tables.  rho = (#union-sketch hashes present in A's sketch but NOT
+    B's) / n_sketch; est = rho * est_union.  Everything after the two
+    bottom-k passes is sketch-sized; exact integers until the final
+    IEEE divisions.
+
+    Output (one row): n_sketch, kth_hash, n_anotb, est_union,
+    est_anotb."""
+    ka = kmv_sketch(a, key_a, k, salt).localCheckpoint(eager=False)
+    kb = kmv_sketch(b, key_b, k, salt).localCheckpoint(eager=False)
+    comb = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(k).localCheckpoint(eager=False)
+    )
+    n_anotb_df = (
+        comb.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_anti")
+        .agg(F.count("*").alias("n_anotb"))
+    )
+    agg = comb.agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth_hash"))
+    est_union = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float((k - 1) * 2**32)) / F.col("kth_hash"))
+    rho = F.col("n_anotb").cast("double") / F.col("n_sketch").cast("double")
+    return (
+        agg.crossJoin(n_anotb_df)
+        .withColumn("est_union", est_union)
+        .select(
+            "n_sketch",
+            "kth_hash",
+            "n_anotb",
+            "est_union",
+            (rho * F.col("est_union")).alias("est_anotb"),
+        )
+    )

@@ -5350,3 +5350,136 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str):
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Uplift-by-decile with a Qini readout — the eval an uplift/targeting
+# model ships with: users ranked by a targeting score (here: pre-period
+# view+click activity), cut into NTILE(10) deciles via the shared
+# exact_ntile (distributed ranks, integer bucket arithmetic — never a
+# partition-less window over users), then per-decile treatment/control
+# conversion and the CUMULATIVE Qini numerator X_t*N_c - X_c*N_t
+# carried as DECIMAL(38,0)/HUGEINT (it crosses int64 near ~3e9 users).
+# The only window is over the 10-row decile frame — bounded by
+# construction (the funnel/BH doctrine).  Floats: per-decile uplift and
+# qini are each one fixed tree over exact integers.
+# --------------------------------------------------------------------------
+@register(
+    "events_uplift_qini",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type IN ('view', 'click')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS conv,
+             ({_sql_hex32_ab("substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)")})
+               % 2 AS variant
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT variant, conv,
+             NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+      FROM pu
+    ),
+    g AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_t, x_t, n_c, x_c,
+             SUM(CAST(n_t AS HUGEINT)) OVER w AS cnt,
+             SUM(CAST(x_t AS HUGEINT)) OVER w AS cxt,
+             SUM(CAST(n_c AS HUGEINT)) OVER w AS cnc,
+             SUM(CAST(x_c AS HUGEINT)) OVER w AS cxc
+      FROM g
+      WINDOW w AS (ORDER BY decile ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, n_t, x_t, n_c, x_c,
+           CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                     - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS uplift,
+           CASE WHEN cnc = 0 THEN NULL
+                ELSE CAST(CAST(cxt * cnc - cxc * cnt AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(cnc AS VARCHAR) AS DOUBLE) END AS qini
+    FROM c
+    """,
+    tags=("events", "stats", "abtest", "uplift"),
+    doc="Uplift by targeting-score decile + cumulative Qini; exact_ntile "
+    "deciles, exact integer cells, fixed float trees.",
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.stats import exact_ntile
+
+    ev = read_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(
+            F.col("event_type").isin("view", "click").cast("long")
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150)).cast(
+                "int"
+            )
+        ).alias("conv"),
+    )
+    pu = pu.select("*", _ab_variant().alias("variant"))
+    d = exact_ntile(
+        pu.withColumn("_neg_score", -F.col("score")),
+        ["_neg_score", "user_id"],
+        10,
+        out_col="decile",
+    )
+    g = d.groupBy("decile").agg(
+        F.sum((F.col("variant") == 1).cast("long")).cast("bigint").alias("n_t"),
+        F.sum(F.col("conv") * (F.col("variant") == 1).cast("long"))
+        .cast("bigint")
+        .alias("x_t"),
+        F.sum((F.col("variant") == 0).cast("long")).cast("bigint").alias("n_c"),
+        F.sum(F.col("conv") * (F.col("variant") == 0).cast("long"))
+        .cast("bigint")
+        .alias("x_c"),
+    )
+    # 10-row frame: bounded by construction (decile count is a literal).
+    w = Window.orderBy(F.asc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d38 = "decimal(38,0)"
+    c = g.select(
+        "decile",
+        "n_t",
+        "x_t",
+        "n_c",
+        "x_c",
+        F.sum(F.col("n_t").cast(d38)).over(w).alias("cnt"),
+        F.sum(F.col("x_t").cast(d38)).over(w).alias("cxt"),
+        F.sum(F.col("n_c").cast(d38)).over(w).alias("cnc"),
+        F.sum(F.col("x_c").cast(d38)).over(w).alias("cxc"),
+    )
+    uplift = F.when(
+        (F.col("n_t") == 0) | (F.col("n_c") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("x_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    )
+    qini = F.when(F.col("cnc") == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("cxt") * F.col("cnc") - F.col("cxc") * F.col("cnt"))
+        .cast(d38)
+        .cast("double")
+        / F.col("cnc").cast("double")
+    )
+    return c.select(
+        "decile",
+        "n_t",
+        "x_t",
+        "n_c",
+        "x_c",
+        uplift.alias("uplift"),
+        qini.alias("qini"),
+    )

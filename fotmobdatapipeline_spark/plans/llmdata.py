@@ -10264,3 +10264,69 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str):
         "f2_est",
         F.col("f2").cast("double").alias("f2_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV A-not-B: estimated size of the UN-MONETIZED audience (users who
+# viewed but never purchased) from two k-row sketches — the set-
+# difference member of the KMV family (distinct / merge / overlap /
+# difference), i.e. the theta-sketch A-not-B on the same portable-md5
+# construction.  Exact |A \ B| rides along so the estimator's error is
+# visible as data (the family's self-auditing shape).
+# --------------------------------------------------------------------------
+def _sql_kmv_user(tp: str) -> str:
+    return (
+        "SELECT DISTINCT "
+        + _sql_hex32("substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)")
+        + f" AS h FROM events WHERE event_type = '{tp}'"
+    )
+
+
+@register(
+    "sketch_kmv_anotb",
+    oracle=f"""
+    WITH ka AS (SELECT h FROM ({_sql_kmv_user("view")}) ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM ({_sql_kmv_user("purchase")}) ORDER BY h LIMIT {_KMV_K}),
+    comb AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    agg AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_hash FROM comb),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_anotb FROM comb
+      WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_anotb FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        AND user_id NOT IN (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      )
+    )
+    SELECT n_sketch, kth_hash, n_anotb,
+           CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE {float((_KMV_K - 1) * 2 ** 32)} / kth_hash END AS est_union,
+           (CAST(n_anotb AS DOUBLE) / CAST(n_sketch AS DOUBLE))
+             * (CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                     ELSE {float((_KMV_K - 1) * 2 ** 32)} / kth_hash END)
+             AS est_anotb,
+           exact_anotb
+    FROM agg, nd, ex
+    """,
+    tags=("sketch", "cardinality", "setop"),
+    doc="KMV set-difference estimate (viewers who never purchase) with "
+    "the exact answer alongside.",
+)
+def sketch_kmv_anotb(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.sketches import kmv_anotb
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = kmv_anotb(a, "user_id", b, "user_id", k=_KMV_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "user_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("exact_anotb"))
+    )
+    return est.crossJoin(F.broadcast(exact))
