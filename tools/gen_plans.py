@@ -59,6 +59,11 @@ PICKS = [
     ("events_spearman_corr", "Spearman: two prefix-scan rank tables broadcast-joined back to the user table, Pearson from one combinable aggregate"),
     ("events_changepoint_hourly", "Changepoint: hourly collapse, chained prefix sums, broadcast total row, struct-min argmin — no global sort"),
     ("graph_label_propagation", "Min-label propagation: per-round hash join + min aggregate, checkpoint-truncated lineage — no window, no collect"),
+    ("events_kendall_tau", "Kendall tau: dyadic dominance count — (lvl, blk)-keyed windows for wide levels, _pid-scoped prefix scan for deep ones; no partition-less sort, no pair join"),
+    ("join_bloom_prefilter", "Bloom join pruning: 3 broadcast word-table joins on the fact (map-side), exact join on survivors only"),
+    ("geo_neighbor_pairs", "Banded 2-D neighbor join: (cy, cx) cell-keyed equi-join with 3x3 fan-out on the small side — no cartesian"),
+    ("agg_trimmed_mean", "Trimmed mean: per-(group, value) collapse, ONE grouped prefix scan, rank-span overlap arithmetic — no per-group sort"),
+    ("sketch_ams_f2", "AMS F2: five sign-hash sums in one map-side-combinable pass; the only shuffle is the exact-F2 verification group-by"),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
