@@ -1080,6 +1080,10 @@ ROUND11B_SWEEP = (
     "layout_zone_maps",
     "text_textrank_keywords",
     "geo_cell_stats",
+    "events_mann_kendall",
+    "sketch_ams_f2",
+    "events_uplift_qini",
+    "sketch_kmv_anotb",
 )
 
 
