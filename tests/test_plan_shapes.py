@@ -908,6 +908,9 @@ AB_PARTITION_SCOPED_WINDOW_SWEEP = (
     "events_qte",
     "events_ab_bootstrap_ci",
     "agg_exact_quantiles",
+    # round-11 continuation: trimmed mean ranks (group, value) cells
+    # through the same grouped prefix scan.
+    "agg_trimmed_mean",
 )
 
 
