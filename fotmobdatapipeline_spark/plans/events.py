@@ -5483,3 +5483,144 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str):
         uplift.alias("uplift"),
         qini.alias("qini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) attribution — completes the attribution
+# family (last-touch = one window; Markov = removal effects; this =
+# the 40/20/40 industry standard): each user's first purchase credits
+# its prior touch path 40% to the first touch, 40% to the last, 20%
+# split over the middle (k=1 -> 100%, k=2 -> 50/50, no touches ->
+# 'direct').  Exactness: positions collapse to INTEGER (channel, k,
+# first/last/middle) cells, and each channel's credit is a SEQUENTIAL
+# k-ASCENDING FOLD of fixed-expression terms (the switchback/seasonal
+# fold doctrine) — the only division is 0.2/(k-2) inside a term, so
+# both engines add the same doubles in the same order.  Scale shape:
+# per-user windows (user-sized groups — the last_touch precedent), one
+# (channel, k) aggregate, folds over k-cardinality arrays.
+# --------------------------------------------------------------------------
+@register(
+    "events_attribution_position",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, tus, event_id FROM (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    ),
+    t AS (
+      SELECT e.user_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY epoch_us(e.ts), e.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS k
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (epoch_us(e.ts) < fp.tus
+             OR (epoch_us(e.ts) = fp.tus AND e.event_id < fp.event_id))
+    ),
+    g AS (
+      SELECT channel, k,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f,
+             CAST(SUM(CASE WHEN rn = k AND k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS l,
+             CAST(SUM(CASE WHEN rn > 1 AND rn < k THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM t GROUP BY 1, 2
+      UNION ALL
+      SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS f, CAST(0 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS m
+      FROM fp WHERE user_id NOT IN (SELECT DISTINCT user_id FROM t)
+      HAVING COUNT(*) > 0
+    ),
+    terms AS (
+      SELECT channel, k, f, l, m,
+             CASE WHEN k <= 1 THEN CAST(f AS DOUBLE)
+                  WHEN k = 2 THEN CAST(0.5 AS DOUBLE) * CAST(f + l AS DOUBLE)
+                  ELSE CAST(0.4 AS DOUBLE) * CAST(f + l AS DOUBLE)
+                       + CAST(0.2 AS DOUBLE) * CAST(m AS DOUBLE)
+                         / CAST(k - 2 AS DOUBLE) END AS term
+      FROM g
+    )
+    SELECT channel,
+           CAST(SUM(f) AS BIGINT) AS n_first,
+           CAST(SUM(l) AS BIGINT) AS n_last,
+           CAST(SUM(m) AS BIGINT) AS n_mid,
+           list_reduce(list(term ORDER BY k ASC), (a, b) -> a + b) AS credit
+    FROM terms GROUP BY channel
+    """,
+    tags=("events", "analytics", "attribution"),
+    doc="U-shaped 40/20/40 position attribution; integer position cells, "
+    "sequential k-ordered credit fold.",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    wp = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("tus").alias("ptus"), F.col("event_id").alias("peid"))
+    )
+    fp = fp.localCheckpoint(eager=False)  # two consumers: touches join + direct
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(
+            (F.col("tus") < F.col("ptus"))
+            | ((F.col("tus") == F.col("ptus")) & (F.col("event_id") < F.col("peid")))
+        )
+        .select("user_id", F.col("event_type").alias("channel"), "tus", "event_id")
+    )
+    wk = Window.partitionBy("user_id")
+    t = touches.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "k", F.count("*").over(wk)
+    )
+    t = t.localCheckpoint(eager=False)  # two consumers: cells + direct anti
+    g = t.groupBy("channel", F.col("k").cast("bigint").alias("k")).agg(
+        F.sum((F.col("rn") == 1).cast("long")).cast("bigint").alias("f"),
+        F.sum(((F.col("rn") == F.col("k")) & (F.col("k") > 1)).cast("long"))
+        .cast("bigint")
+        .alias("l"),
+        F.sum(((F.col("rn") > 1) & (F.col("rn") < F.col("k"))).cast("long"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    direct = (
+        fp.join(t.select("user_id").distinct(), "user_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .filter(F.col("f") > 0)
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("bigint").alias("k"),
+            "f",
+            F.lit(0).cast("bigint").alias("l"),
+            F.lit(0).cast("bigint").alias("m"),
+        )
+    )
+    g = g.unionByName(direct)
+    term = (
+        F.when(F.col("k") <= 1, F.col("f").cast("double"))
+        .when(F.col("k") == 2, F.lit(0.5) * (F.col("f") + F.col("l")).cast("double"))
+        .otherwise(
+            F.lit(0.4) * (F.col("f") + F.col("l")).cast("double")
+            + F.lit(0.2)
+            * F.col("m").cast("double")
+            / (F.col("k") - 2).cast("double")
+        )
+    )
+    terms = g.select("channel", "k", "f", "l", "m", term.alias("term"))
+    folded = terms.groupBy("channel").agg(
+        F.sum("f").cast("bigint").alias("n_first"),
+        F.sum("l").cast("bigint").alias("n_last"),
+        F.sum("m").cast("bigint").alias("n_mid"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("credit"),
+    )
+    return folded

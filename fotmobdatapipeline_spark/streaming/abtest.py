@@ -32,13 +32,18 @@ def _merge_maintenance_sink(
     key_cols: list[str],
     sum_cols: list[str],
     keep_versions: int = 1,
+    agg_fn=None,
 ):
     """Shared skeleton of the "mergeable integer counts" maintenance
     sinks: per micro-batch, compute the batch operator's own aggregate
-    over the batch, fold it into the stored table by key-wise SUM, and
-    publish under the exactly-once versioned contract (replayed batch
-    ids are no-ops).  ONE copy of the replay-guard/merge/publish logic,
-    so a fix cannot silently miss a sibling sink."""
+    over the batch, fold it into the stored table by key-wise SUM
+    (``agg_fn`` overrides the fold — e.g. bit_or for the bloom word
+    table, where merge-of-unions is bitwise OR), and publish under the
+    exactly-once versioned contract (replayed batch ids are no-ops).
+    ONE copy of the replay-guard/merge/publish logic, so a fix cannot
+    silently miss a sibling sink."""
+    if agg_fn is None:
+        agg_fn = F.sum
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -57,7 +62,7 @@ def _merge_maintenance_sink(
                 .groupBy(*key_cols)
                 .agg(
                     *[
-                        F.sum(c).cast("bigint").alias(c)
+                        agg_fn(c).cast("bigint").alias(c)
                         for c in sum_cols
                     ]
                 )
@@ -186,3 +191,49 @@ def ams_maintenance_sink(
         sum_cols=[f"z{i}" for i in range(AMS_DEPTH)],
         keep_versions=keep_versions,
     )
+
+
+def bloom_index_sink(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "text",
+    m_bits: int = 8192,
+    keep_versions: int = 1,
+):
+    """Maintain a bloom membership index over a streaming corpus: each
+    micro-batch's word table (operators/sketches.bloom_filter_table —
+    the batch operator itself) folds into the stored index by bitwise
+    OR, which IS the bloom of the union — so the maintained index is
+    bit-identical to a batch build over everything streamed (pinned in
+    test_streaming).  The decontamination / incremental-dedup probe
+    ("might this doc already be in the corpus?") then runs against the
+    m/32-row index without touching the corpus."""
+    from fotmobdatapipeline_spark.operators.sketches import bloom_filter_table
+
+    return _merge_maintenance_sink(
+        docs,
+        path,
+        checkpoint,
+        lambda b: bloom_filter_table(
+            b.filter(F.col(key_col).isNotNull()).select(
+                F.col(key_col).alias("k")
+            ),
+            "k",
+            m_bits=m_bits,
+        ),
+        key_cols=["word_idx"],
+        sum_cols=["bits"],
+        keep_versions=keep_versions,
+        agg_fn=F.bit_or,
+    )
+
+
+def read_bloom_index(spark, path: str) -> DataFrame | None:
+    """The CURRENT maintained bloom word table (word_idx, bits) — feed
+    it to operators/sketches.bloom_probe / bloom_prefilter.  None
+    before the first batch commits."""
+    v = _current_version(path, spark)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{path}/{v}").select("word_idx", "bits")

@@ -2430,3 +2430,27 @@ def test_ams_sketch_is_mergeable_and_sane(spark):
     b = sketch(ev.filter(F.col("event_id") % 2 == 1))
     for i in range(5):
         assert a[f"z{i}"] + b[f"z{i}"] == whole[f"z{i}"]
+
+
+def test_position_attribution_conserves_credit(spark):
+    """events_attribution_position invariant: every converting user
+    contributes exactly 1.0 total credit (40/20/40 weights sum to 1 for
+    any path length), so summed channel credits must equal the number
+    of users with >= 1 purchase up to float fold error."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    _load_all()
+    rows = QUERIES["events_attribution_position"].builder(spark, SF_SMALL).collect()
+    total = sum(r["credit"] for r in rows)
+    conv = (
+        read_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total - conv) < 1e-9 * max(conv, 1)

@@ -1114,3 +1114,61 @@ def test_ams_stream_maintenance_equals_batch(spark, tmp_path):
     drain("ck1")  # repeat batch ids -> replay guard
     again = read_ams_estimate(spark, str(tmp_path / "ams")).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_bloom_index_stream_equals_batch(spark, tmp_path):
+    """Stream == batch for the bloom membership index: bit_or of
+    per-batch word tables IS the bloom of the union, so the drained
+    index must be bit-identical to a batch bloom_filter_table over the
+    whole corpus, and probe verdicts through it identical too."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.abtest import (
+        bloom_index_sink,
+        read_bloom_index,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = bloom_index_sink(stream, str(tmp_path / "bloom"), str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = read_bloom_index(spark, str(tmp_path / "bloom"))
+    batch = bloom_filter_table(
+        docs.select(F.col("text").alias("k")), "k", m_bits=8192
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    probes = docs.limit(5).select(F.col("text").alias("k")).unionByName(
+        spark.createDataFrame([("absent-xyzzy",)], "k string")
+    )
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(streamed, probes, "k", m_bits=8192).collect()
+    }
+    want = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(batch, probes, "k", m_bits=8192).collect()
+    }
+    assert got == want
+    assert all(v for k, v in got.items() if k != "absent-xyzzy")
