@@ -483,6 +483,10 @@ _SCALE_QUERIES = [
     "events_kendall_tau",
     "join_bloom_prefilter",
     "geo_neighbor_pairs",
+    # map-only AMS must scale linearly; uplift rides exact_ntile's
+    # prefix scan at 10x users.
+    "sketch_ams_f2",
+    "events_uplift_qini",
 ]
 
 
