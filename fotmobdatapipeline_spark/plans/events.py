@@ -5624,3 +5624,215 @@ def events_attribution_position(spark: SparkSession, sf_dir: str):
         ).alias("credit"),
     )
     return folded
+
+
+# --------------------------------------------------------------------------
+# Sweep-line session analytics: peak concurrent sessions, when the peak
+# starts, and the total wall-clock covered by >= 1 active session —
+# the capacity-planning trio (how many sessions at once, when, and what
+# share of time the system is busy).  The classic algorithm is a
+# sequential sweep over +1/-1 boundary deltas; here the sweep is fully
+# distributed: boundary deltas collapse by timestamp, rank and running
+# concurrency are two chained two-phase prefix scans, the segment
+# length is a rank -> rank+1 HASH JOIN against the same frame (the scale-safe
+# spelling of a global LEAD — never a partition-less window), and the
+# final maxima/sums are combinable aggregates.  Sessions are the shared
+# 30-min-gap islands (_session_numbered), intervals closed on both ends
+# (+1 at start, -1 at end + 1 micro).  All integers; zero floats
+# anywhere.  Oracle: the same sweep as ordinary windows — fine at
+# oracle scale.
+# --------------------------------------------------------------------------
+@register(
+    "events_session_sweepline",
+    oracle=f"""
+    WITH numbered AS ({_SQL_SESSION_NUMBERED}
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(tus) AS s, MAX(tus) + 1 AS e
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM (
+        SELECT s AS t, 1 AS d FROM sess
+        UNION ALL SELECT e AS t, -1 AS d FROM sess
+      ) GROUP BY t
+    ),
+    run AS (
+      SELECT t, net,
+             SUM(net) OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS active,
+             LEAD(t) OVER (ORDER BY t ASC) AS next_t
+      FROM deltas
+    ),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+             CAST(MAX(active) AS BIGINT) AS peak_concurrency,
+             CAST(MIN(CASE WHEN active = (SELECT MAX(active) FROM run)
+                      THEN t END) AS BIGINT) AS peak_start_us,
+             CAST(COALESCE(SUM(CASE WHEN active >= 1
+                                    THEN next_t - t END), 0) AS BIGINT)
+               AS covered_us
+      FROM run
+    )
+    SELECT * FROM m
+    """,
+    tags=("events", "sessions", "sweep-line", "scale"),
+    doc="Peak concurrent sessions + busy wall-clock via a distributed "
+    "sweep-line: prefix-scan concurrency, rank-join global LEAD, all "
+    "integer.",
+)
+def events_session_sweepline(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import running_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = (
+        _session_numbered(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tus").alias("s"), (F.max("tus") + 1).alias("e"))
+    )
+    sess = sess.localCheckpoint(eager=False)  # two consumers: deltas + count
+    deltas = (
+        sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionByName(sess.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").cast("bigint").alias("net"))
+    )
+    # Two chained prefix scans over the boundary table (rank, then
+    # running concurrency); the global LEAD is a rank -> rank+1 hash
+    # self-join — never a partition-less window at any boundary count.
+    ranked = running_sum(
+        deltas.withColumn("one", F.lit(1)), ["t"], "one", out_col="rnk"
+    )
+    run = running_sum(ranked, ["t"], "net", out_col="active").localCheckpoint(
+        eager=False
+    )  # three consumers: peak, argmin, covered join
+    nxt = run.select((F.col("rnk") - 1).alias("rnk"), F.col("t").alias("next_t"))
+    seg = run.join(nxt, "rnk", "left")
+    n_sessions = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    peak = run.agg(F.max("active").cast("bigint").alias("peak_concurrency"))
+    stats = (
+        seg.crossJoin(F.broadcast(peak))
+        .agg(
+            F.min(
+                F.when(F.col("active") == F.col("peak_concurrency"), F.col("t"))
+            )
+            .cast("bigint")
+            .alias("peak_start_us"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("active") >= 1, F.col("next_t") - F.col("t")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("covered_us"),
+        )
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(stats))
+        .select("n_sessions", "peak_concurrency", "peak_start_us", "covered_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top conversion paths — the descriptive companion to the attribution
+# family (last-touch / position / Markov assign credit; this one shows
+# the raw journeys): each converting user's ordered touch sequence
+# before the first purchase, truncated to the first 5 touches, counted
+# and ranked.  Pure structure — per-user windows (user-sized groups),
+# one path-string group-by, distributed TakeOrderedAndProject for the
+# top-k; no floats anywhere.
+# --------------------------------------------------------------------------
+_TOP_PATHS_K = 20
+_PATH_PREFIX_LEN = 5
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, tus, event_id FROM (
+        SELECT user_id, epoch_us(ts) AS tus, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    ),
+    t AS (
+      SELECT e.user_id, e.event_type AS channel, epoch_us(e.ts) AS tus, e.event_id
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (epoch_us(e.ts) < fp.tus
+             OR (epoch_us(e.ts) = fp.tus AND e.event_id < fp.event_id))
+    ),
+    paths AS (
+      SELECT user_id,
+             array_to_string(list(channel ORDER BY tus, event_id)
+                             [1:{_PATH_PREFIX_LEN}], '>') AS path
+      FROM t GROUP BY user_id
+    ),
+    allp AS (
+      SELECT path FROM paths
+      UNION ALL
+      SELECT 'direct' AS path FROM fp
+      WHERE user_id NOT IN (SELECT user_id FROM paths)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM allp GROUP BY path
+    ORDER BY n_users DESC, path ASC LIMIT {_TOP_PATHS_K}
+    """,
+    tags=("events", "analytics", "attribution", "topk"),
+    doc="Top first-purchase touch paths (first 5 touches), counted and "
+    "ranked; integer-only.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    wp = Window.partitionBy("user_id").orderBy(F.asc("tus"), F.asc("event_id"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("tus").alias("ptus"), F.col("event_id").alias("peid"))
+    )
+    fp = fp.localCheckpoint(eager=False)  # two consumers: touch join + direct
+    t = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(
+            (F.col("tus") < F.col("ptus"))
+            | ((F.col("tus") == F.col("ptus")) & (F.col("event_id") < F.col("peid")))
+        )
+        .select("user_id", F.col("event_type").alias("channel"), "tus", "event_id")
+    )
+    paths = (
+        t.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("tus", "event_id", "channel"))
+                        ),
+                        lambda s: s["channel"],
+                    ),
+                    1,
+                    _PATH_PREFIX_LEN,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    paths = paths.localCheckpoint(eager=False)  # two consumers: union + anti
+    direct = fp.join(paths.select("user_id"), "user_id", "left_anti").select(
+        F.lit("direct").alias("path")
+    )
+    allp = paths.select("path").unionByName(direct)
+    return (
+        allp.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_TOP_PATHS_K)
+    )
