@@ -1087,6 +1087,9 @@ ROUND11B_SWEEP = (
     "sketch_ams_f2",
     "events_uplift_qini",
     "sketch_kmv_anotb",
+    "events_attribution_position",
+    "events_session_sweepline",
+    "events_top_paths",
 )
 
 
