@@ -128,6 +128,9 @@ HEADLINE = [
     "geo_neighbor_pairs",
     "events_mann_kendall",
     "sketch_ams_f2",
+    "events_session_sweepline",
+    "events_attribution_position",
+    "events_uplift_qini",
 ]
 
 
