@@ -2454,3 +2454,41 @@ def test_position_attribution_conserves_credit(spark):
         .count()
     )
     assert abs(total - conv) < 1e-9 * max(conv, 1)
+
+
+def test_session_sweepline_matches_bruteforce(spark):
+    """events_session_sweepline vs a driver-side brute-force sweep over
+    the same session intervals at sf0.001: peak, peak start, and covered
+    wall-clock must match exactly (the distributed prefix-scan sweep is
+    an exact algorithm, not an estimate)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.plans.events import _session_numbered
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    _load_all()
+    got = QUERIES["events_session_sweepline"].builder(spark, SF_SMALL).collect()[0]
+    sess = (
+        _session_numbered(read_table(spark, SF_SMALL, "events"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tus").alias("s"), (F.max("tus") + 1).alias("e"))
+        .collect()
+    )
+    deltas: dict[int, int] = {}
+    for r in sess:
+        deltas[r["s"]] = deltas.get(r["s"], 0) + 1
+        deltas[r["e"]] = deltas.get(r["e"], 0) - 1
+    ts = sorted(deltas)
+    active, peak, peak_t, covered = 0, 0, None, 0
+    for i, t in enumerate(ts):
+        active += deltas[t]
+        if active > peak:
+            peak, peak_t = active, t
+        if active >= 1 and i + 1 < len(ts):
+            covered += ts[i + 1] - t
+    assert got["n_sessions"] == len(sess)
+    assert got["peak_concurrency"] == peak
+    assert got["peak_start_us"] == peak_t
+    assert got["covered_us"] == covered
