@@ -44,6 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Order is otherwise meaningless: every entry is name-keyed and the
 # in-repo parity suite (tests/test_oracle_parity.py) always runs all of
 # them regardless of this ordering.
+# Never-attested entries that carry a shipped FIX (r10's HUGEINT cast
+# repairs) jump to the front of the never-attested band: with ~147
+# entries contending for ~40 slots, catalog-position order would leave
+# these two fixed-but-unattested entries undrawn for several more
+# rounds (VERDICT r11 #3 asked for exactly this bump).  Remove a name
+# once a CORRECTNESS_r*.json shows it green.
+_PRIORITY_ATTEST = (
+    "pyds_jsonl_roundtrip",
+    "late_shipment_priorities",
+)
+
 _REFERENCE_SURFACE_FIRST = (
     "fotmob_json_ingest",
     "fotmob_shot_grid",
@@ -120,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if rec is not None and not rec[1]:
             return (0, rec[0], catalog_pos[n])  # latest draw FAILED: re-draw now
         if rec is None:
+            if n in _PRIORITY_ATTEST:  # fixed-but-never-attested: draw now
+                return (1, -1, _PRIORITY_ATTEST.index(n))
             return (1, 0, catalog_pos[n])  # never driver-attested
         return (2, rec[0], catalog_pos[n])  # oldest successful attestation first
 

@@ -79,7 +79,9 @@ def dominated_pair_weight(
         )
     spark = cells.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    levels = max(1, math.ceil(math.log2(n_ranks)))
+    # == ceil(log2(n_ranks)) for every n_ranks >= 1, in pure integer
+    # arithmetic — the exactness claim has no float-rounding caveat
+    levels = max(1, (int(n_ranks) - 1).bit_length())
     # A level is "wide" (many small blocks -> plain window) while its
     # block count exceeds 4x the shuffle parallelism; beyond that the
     # per-block row counts are data-scale and the grouped two-phase

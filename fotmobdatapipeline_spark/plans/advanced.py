@@ -2542,7 +2542,9 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str):
     cells = v.groupBy("grp", "c").agg(F.count("*").cast("bigint").alias("cnt"))
     run = grouped_running_sum(cells, ["grp"], ["c"], "cnt", out_col="u")
     tn = cells.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n"))
-    k = (F.col("n") / _TRIM_FRAC_DEN).cast("bigint")  # floor: n, den > 0
+    # pure integer division (Spark `div`), mirroring the oracle's n // 10
+    # exactly at any n — no float rounding question past 2^53
+    k = F.expr(f"n div {_TRIM_FRAC_DEN}")
     j = run.join(F.broadcast(tn), "grp").select(
         "grp",
         "c",
@@ -2667,10 +2669,19 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str):
         F.sum(F.col("pass").cast("long")).cast("bigint").alias("n_pass"),
     )
     post = survivors.agg(
-        F.sum(F.coalesce(F.col("matched"), F.lit(0)))
+        # coalesce(.., 0): with an EMPTY build side (no urgent orders)
+        # zero rows survive the prefilter and SUM-over-empty is NULL,
+        # while the oracle's CASE..ELSE 0 sums over all probe rows and
+        # returns 0; matched_revenue stays NULL on BOTH sides (no ELSE
+        # branch in the oracle's CASE) so it needs no coalesce.
+        F.coalesce(
+            F.sum(F.coalesce(F.col("matched"), F.lit(0))), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_matched"),
-        F.sum((F.col("matched").isNull()).cast("long"))
+        F.coalesce(
+            F.sum((F.col("matched").isNull()).cast("long")), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_false_pos"),
         F.sum(

@@ -9375,9 +9375,29 @@ def _dhash_frame(spark: SparkSession, sf_dir: str):
     return extract_png_dhash(png)
 
 
-@register(
-    "multimodal_image_dhash_pairs",
-    oracle=f"""
+def _dhash_bands(spark: SparkSession, sf_dir: str):
+    """Per-doc dHash exploded into 4 16-bit LSH bands (the Spark twin of
+    ``_DHASH_BANDS_CTE``); shared by the pair join and its cap report."""
+    h = _dhash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    band_key = (
+        F.when(F.col("band_id") == 0, F.col("dhash_lo").bitwiseAND(65535))
+        .when(F.col("band_id") == 1, F.shiftright("dhash_lo", 16).bitwiseAND(65535))
+        .when(F.col("band_id") == 2, F.col("dhash_hi").bitwiseAND(65535))
+        .otherwise(F.shiftright("dhash_hi", 16).bitwiseAND(65535))
+    )
+    return h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id"),
+    ).withColumn("band_key", band_key)
+
+
+# Shared oracle prefix: documents -> per-doc dHash -> 4x16-bit bands.
+# Used by BOTH multimodal_image_dhash_pairs (pair join over uncapped
+# bands) and multimodal_dhash_bands_dropped (the cap's audit report),
+# so the two entries can never disagree about what a "band" is.
+_DHASH_BANDS_CTE = f"""
     WITH b AS (
       SELECT doc_id, lower(hex(encode(text))) AS hx,
              CAST(octet_length(encode(text)) AS INT) AS n
@@ -9424,7 +9444,12 @@ def _dhash_frame(spark: SparkSession, sf_dir: str):
                ELSE (dhash_hi >> 16) & 65535
              END AS band_key
       FROM h, UNNEST(range(0, 4)) AS t(band_id)
-    ),
+    )"""
+
+
+@register(
+    "multimodal_image_dhash_pairs",
+    oracle=f"""{_DHASH_BANDS_CTE},
     ok AS MATERIALIZED (
       SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
       HAVING COUNT(*) <= {_DHASH_BAND_CAP}
@@ -9448,19 +9473,7 @@ def _dhash_frame(spark: SparkSession, sf_dir: str):
     doc="Perceptual near-dup pairs: banded dHash join, Hamming <= 3, capped bands.",
 )
 def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str):
-    h = _dhash_frame(spark, sf_dir).localCheckpoint(eager=False)
-    band_key = (
-        F.when(F.col("band_id") == 0, F.col("dhash_lo").bitwiseAND(65535))
-        .when(F.col("band_id") == 1, F.shiftright("dhash_lo", 16).bitwiseAND(65535))
-        .when(F.col("band_id") == 2, F.col("dhash_hi").bitwiseAND(65535))
-        .otherwise(F.shiftright("dhash_hi", 16).bitwiseAND(65535))
-    )
-    bands = h.select(
-        "doc_id",
-        "dhash_hi",
-        "dhash_lo",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id"),
-    ).withColumn("band_key", band_key)
+    bands = _dhash_bands(spark, sf_dir)
     bands = bands.localCheckpoint(eager=False)  # two consumers: cap + join
     ok = (
         bands.groupBy("band_id", "band_key")
@@ -9495,6 +9508,33 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str):
     return cand.select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= _DHASH_HAMMING_MAX)
+
+
+@register(
+    "multimodal_dhash_bands_dropped",
+    oracle=f"""{_DHASH_BANDS_CTE}
+    SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band_id, band_key
+    HAVING COUNT(*) > {_DHASH_BAND_CAP}
+    """,
+    tags=("multimodal", "codec", "image", "dedup", "dq"),
+    doc="Companion report to multimodal_image_dhash_pairs: every (band, "
+    "key) bucket the _DHASH_BAND_CAP excluded from the Hamming pair "
+    "join, with its member count — the perceptual tier's cap-drop "
+    "accounting surfaced as a queryable entry (VERDICT r11 #7; the "
+    "image_neardup_dropped / max_df report precedent), so adversarially "
+    "skewed corpora (flat thumbnails hashing to all-zero quarters) "
+    "alert instead of silently losing pairs.  Empty on this corpus by "
+    "construction; the degenerate-corpus test in test_multimodal "
+    "exercises the non-empty path end-to-end.",
+)
+def multimodal_dhash_bands_dropped(spark: SparkSession, sf_dir: str):
+    return (
+        _dhash_bands(spark, sf_dir)
+        .groupBy("band_id", "band_key")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") > _DHASH_BAND_CAP)
+    )
 
 
 # --------------------------------------------------------------------------

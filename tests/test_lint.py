@@ -56,6 +56,20 @@ def test_catalog_register_rejects_duplicate_names():
     assert catalog.QUERIES[some_name].builder is not _clash
 
 
+def test_every_catalog_entry_has_a_coverage_row():
+    """COVERAGE.md is the judge's line-by-line inventory (SURVEY.md §2);
+    VERDICT r11 #5 found four catalog entries with no ledger row.  Every
+    `query_map()` key must appear somewhere in COVERAGE.md so the ledger
+    can't silently drift from the catalog again."""
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+
+    ledger = (PKG.parent / "COVERAGE.md").read_text()
+    missing = [n for n in query_map() if n not in ledger]
+    assert not missing, (
+        "catalog entries with no COVERAGE.md row: " + ", ".join(missing)
+    )
+
+
 def test_oracle_output_types_are_driver_canon_safe(duck):
     """Every oracle's output schema must contain only scalar types the
     driver's pandas canonicalizer can sort and hash.  Round 10 shipped
@@ -147,4 +161,14 @@ def test_driver_contract_prefix_is_reference_surface():
     failed = [n for n in rest if (r := att.get(n)) is not None and not r[1]]
     assert rest[: len(failed)] == sorted(failed, key=tier), (
         "entries whose latest draw failed must jump the queue"
+    )
+
+    # VERDICT r11 #3: fixed-but-never-attested entries in
+    # _PRIORITY_ATTEST must lead the never-attested band (drop the name
+    # from the list once a round attests it green — this assert flips
+    # to vacuous then).
+    prio = [n for n in contract._PRIORITY_ATTEST if att.get(n) is None]
+    never = [n for n in rest if att.get(n) is None]
+    assert never[: len(prio)] == prio, (
+        "_PRIORITY_ATTEST never-attested entries must lead the band"
     )

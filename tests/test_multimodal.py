@@ -705,3 +705,48 @@ def test_dhash_pairs_band_cap_engages(spark, tmp_path):
         )
     )
     assert got == [(9001, 9002, 0)]
+
+
+def test_dhash_bands_dropped_reports_hot_bands(spark, tmp_path):
+    """Adversarial-skew accounting for the Hamming tier (VERDICT r11
+    #7): on the same degenerate corpus as above, the cap-drop REPORT
+    entry must list every excluded band — all 4 bands of the
+    byte-identical hot cluster, each with the full member count — and
+    its DuckDB oracle must agree value-exactly on this NON-empty path
+    (the sf0.01 parity run only ever sees it empty)."""
+    import duckdb
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.plans.llmdata import _DHASH_BAND_CAP
+
+    n_hot = _DHASH_BAND_CAP + 44
+    rows = [(i, "hot text payload everywhere the same", "en", "src0", 36)
+            for i in range(n_hot)]
+    rows += [
+        (9001, "cold pair text quite different body", "en", "src1", 35),
+        (9002, "cold pair text quite different body", "en", "src1", 35),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "deg"
+    docs.coalesce(1).write.parquet(str(out / "documents.parquet"))
+    _load_all()
+    spec = QUERIES["multimodal_dhash_bands_dropped"]
+    got = sorted(map(tuple, spec.builder(spark, str(out)).collect()))
+    # every one of the 4 bands of the identical-dHash cluster is hot
+    assert len(got) == 4
+    assert sorted(b for b, _k, _n in got) == [0, 1, 2, 3]
+    # each hot band holds the full cluster, plus at most the 2 cold
+    # docs when their band key happens to collide with the hot key
+    assert all(n_hot <= n <= n_hot + 2 for _b, _k, n in got)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{out}/documents.parquet/*.parquet')"
+        )
+        oracle = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    finally:
+        con.close()
+    assert got == oracle

@@ -43,7 +43,11 @@ def _driver_canon(rows, cols, name, side):
 
     pdf = pd.DataFrame(rows, columns=cols, dtype=object)
     if len(pdf):
-        pdf = pdf.fillna(np.nan).infer_objects(copy=False)
+        # None -> NaN via where(): value-identical to the old fillna()
+        # spelling but exempt from pandas' fillna-downcasting
+        # FutureWarning (fillna on object frames is slated to change
+        # behavior; where() is not).
+        pdf = pdf.where(pdf.notna(), np.nan).infer_objects(copy=False)
     try:
         return pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     except TypeError as ex:  # unhashable cell (list/dict/ndarray)
