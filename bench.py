@@ -141,13 +141,20 @@ def _calibration_spin() -> float:
     CPU one thread actually gets.  Recorded before and after the suite
     so a cross-round slowdown can be ATTRIBUTED (r2 and r4 both showed
     uniform ~1.2-1.9x drifts on byte-identical queries that could only
-    be inferred, not proven, to be machine load)."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(5_000_000):
-        x += i * i
-    assert x  # keep the loop un-optimizable
-    return round(time.perf_counter() - t0, 3)
+    be inferred, not proven, to be machine load).  Min of 2 spins — the
+    suite's own low-noise estimator doctrine — because the FIRST spin
+    in a fresh process pays interpreter warmup (~+15%), enough to trip
+    the 0.33 s quiet-gate threshold on an otherwise idle box."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        assert x  # keep the loop un-optimizable
+        return time.perf_counter() - t0
+
+    return round(min(one(), one()), 3)
 
 
 def _load_snapshot() -> dict:
@@ -158,6 +165,59 @@ def _load_snapshot() -> dict:
         "loadavg_15m": round(la15, 2),
         "calib_spin_sec": _calibration_spin(),
     }
+
+
+# Quiet-box gate thresholds (VERDICT r11 #2): BENCH_r11's final numbers
+# were recorded at loadavg 5.5-6.5 and 12/23 comparable entries read
+# 1.1-1.5x slower than r10 purely from ambient load.  A bench that
+# starts on a busy box now WAITS for it to drain (re-sampling at a
+# fixed cadence), and if the box never quiets within the budget, the
+# emitted JSON carries `"degraded": true` plus the gate evidence so a
+# cross-round comparison can never silently mistake load for plan drift.
+_QUIET_SPIN_MAX = 0.33  # calib_spin_sec above this = contended CPU
+_QUIET_LOAD_MAX = 2.0  # loadavg_1m above this = busy box
+_QUIET_POLL_SEC = 20.0
+# 300 s default: loadavg_1m decays on a ~1 min time constant, so a
+# just-finished heavy job drains well under this; bounded so the gate
+# can never push the whole bench past an external harness timeout.
+_QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "300"))
+
+
+def _await_quiet_box() -> dict:
+    """Sample the load snapshot until the box is quiet (spin and
+    loadavg both under threshold) or the wait budget runs out.  Returns
+    the gate record for the result JSON: the final snapshot, how long
+    the gate waited, and whether the suite is starting CLEAN.  Set
+    SPARK_GRAFT_QUIET_WAIT_MAX=0 to sample once and never wait."""
+    t0 = time.perf_counter()
+    waited = 0.0
+    attempts = 0
+    while True:
+        snap = _load_snapshot()
+        attempts += 1
+        clean = (
+            snap["calib_spin_sec"] <= _QUIET_SPIN_MAX
+            and snap["loadavg_1m"] <= _QUIET_LOAD_MAX
+        )
+        waited = round(time.perf_counter() - t0, 1)
+        if clean or waited + _QUIET_POLL_SEC > _QUIET_WAIT_MAX:
+            return {
+                "clean": clean,
+                "attempts": attempts,
+                "waited_sec": waited,
+                "snapshot": snap,
+                "thresholds": {
+                    "calib_spin_sec": _QUIET_SPIN_MAX,
+                    "loadavg_1m": _QUIET_LOAD_MAX,
+                },
+            }
+        print(
+            f"# quiet gate: box busy ({snap}), waiting {_QUIET_POLL_SEC}s "
+            f"({waited}/{_QUIET_WAIT_MAX}s used)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(_QUIET_POLL_SEC)
 
 
 def _wrapper_main() -> int:
@@ -213,7 +273,9 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    load_before = _load_snapshot()
+    quiet_gate = _await_quiet_box()
+    print(f"# quiet gate: {quiet_gate}", file=sys.stderr)
+    load_before = quiet_gate["snapshot"]
     print(f"# load before: {load_before}", file=sys.stderr)
 
     from fotmobdatapipeline_spark.plans.catalog import query_map
@@ -368,6 +430,11 @@ def main() -> int:
         "streaming": streaming,
         "scale": scale,
         "load": {"before": load_before, "after": load_after},
+        "quiet_gate": quiet_gate,
+        # degraded = the gate's wait budget ran out on a still-busy box;
+        # the numbers below are then load-contaminated and must not be
+        # used for cross-round regression calls.
+        "degraded": not quiet_gate["clean"],
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
@@ -429,6 +496,7 @@ def _compact_line(full: dict) -> str:
             "value": full["value"],
             "unit": full["unit"],
             "sf": full["sf"],
+            "degraded": bool(full.get("degraded", False)),
             "queries": {k: round(v, 2) for k, v in queries.items()},
             "queries_total": len(full["queries"]),
             "baselines": full["baselines"],
