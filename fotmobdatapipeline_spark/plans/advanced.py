@@ -607,7 +607,7 @@ _DUAL_SQL = """
 def sql_dual_dialect(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "customer"))
     return spark.sql(_DUAL_SQL)
 
 
@@ -656,7 +656,7 @@ GROUP BY user_id
 def sql_recursive_walk(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     return spark.sql(_RECURSIVE_SQL)
 
 
@@ -1839,7 +1839,7 @@ _LATERAL_SQL = """
 def lateral_topk_per_nation(spark: SparkSession, sf_dir: str):
     from fotmobdatapipeline_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("nation", "customer"))
     return spark.sql(_LATERAL_SQL)
 
 

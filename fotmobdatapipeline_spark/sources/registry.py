@@ -100,15 +100,27 @@ def write_file_sink(
     writer.format(fmt).save(path)
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Lazily bind every testdata table under ``sf_dir``."""
-    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+def load_tables(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Lazily bind every testdata table under ``sf_dir`` (or just the
+    ``only`` subset — binding reads parquet footers eagerly, so a query
+    that touches one table shouldn't pay footer I/O for ten, and a
+    partial dataset — e.g. the sf10 probe's events-only generation —
+    shouldn't fail on tables the query never reads)."""
+    names = TABLES if only is None else only
+    unknown = set(names) - set(TABLES)
+    if unknown:
+        raise ValueError(f"unknown tables: {sorted(unknown)}")
+    return {t: read_table(spark, sf_dir, t) for t in names}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
     """Bind tables and register them as temp views so ``spark.sql`` works
     with the same names the DuckDB oracle uses."""
-    dfs = load_tables(spark, sf_dir)
+    dfs = load_tables(spark, sf_dir, only=only)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

@@ -93,19 +93,44 @@ def generate_scale_tables(
     path: str,
     partitions: int = 32,
     force: bool = False,
+    tables: tuple[str, ...] | None = None,
+    doc_vocab: int | None = None,
 ) -> str:
     """Materialize region/nation/customer/supplier/part/orders/lineitem
     at scale factor ``sf`` under ``path`` (one parquet dataset per table,
     same layout as the driver testdata).  Idempotent: a marker file makes
-    later calls a no-op, so the bench amortizes generation across runs."""
+    later calls a no-op, so the bench amortizes generation across runs.
+
+    ``tables`` restricts generation to a subset (VERDICT r11 #6: the
+    sf10 slow-tail probe needs only events/documents/embeddings — at
+    sf10 the full lineitem would be 60M rows of dead weight).  Each
+    table's DataFrame construction below is lazy, so skipped tables
+    cost nothing; already-written tables (per-table _SUCCESS) are not
+    rewritten unless ``force``.
+
+    ``doc_vocab`` (opt-in; default keeps the legacy 30-word list so
+    sf1 bench corpora stay byte-comparable across rounds) widens the
+    documents vocabulary to N words.  The fixed 30-word list SATURATES
+    the 3-gram shingle space at 27k distinct shingles, so shingle df
+    grows LINEARLY with corpus size (measured: avg df 9.6 at sf0.1 →
+    1709 at sf10) — a density no real corpus has (Heaps' law: vocab
+    grows ~n^0.4-0.6) and one that makes every lossless
+    posting-list-driven join degenerate by construction.  sf10-class
+    probes of the dedup tier should pass a Heaps-consistent vocab
+    (~170 at sf10 reproduces sf0.1's shingle density)."""
+    want = set(tables if tables is not None else _TABLES)
+    unknown = want - set(_TABLES)
+    if unknown:
+        raise ValueError(f"unknown synth tables: {sorted(unknown)}")
     marker = os.path.join(path, _MARKER)
-    complete = all(
-        os.path.exists(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
-        for t in _TABLES
-    )
-    if os.path.exists(marker) and complete and not force:
+
+    def _done(t: str) -> bool:
+        return os.path.exists(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
+
+    if os.path.exists(marker) and all(_done(t) for t in want) and not force:
         return path
     os.makedirs(path, exist_ok=True)
+    skip_existing = os.path.exists(marker) and not force
 
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -114,6 +139,8 @@ def generate_scale_tables(
     lines_per_order = 4  # ~6M lineitems at sf1, TPC-H's average
 
     def write(df: DataFrame, name: str) -> None:
+        if name not in want or (skip_existing and _done(name)):
+            return
         df.write.mode("overwrite").parquet(os.path.join(path, f"{name}.parquet"))
 
     region = spark.createDataFrame(
@@ -192,7 +219,10 @@ def generate_scale_tables(
     # share a text SEED with their 13-block leader, planting exact
     # duplicate clusters for the dedup tier to find.
     n_docs = int(50_000 * sf)
-    vocab = F.array(*[F.lit(w) for w in _DOC_WORDS])
+    doc_words = list(_DOC_WORDS)
+    if doc_vocab is not None and doc_vocab > len(doc_words):
+        doc_words += [f"w{i:04d}" for i in range(doc_vocab - len(doc_words))]
+    vocab = F.array(*[F.lit(w) for w in doc_words])
     ids = spark.range(0, n_docs, numPartitions=partitions)
     dup = _hmod(F.col("id"), "ddup", 7) == 0
     seed = F.when(dup, F.col("id") - F.pmod(F.col("id"), F.lit(13))).otherwise(
@@ -203,7 +233,7 @@ def generate_scale_tables(
         F.sequence(F.lit(1), length),
         lambda i: F.element_at(
             vocab,
-            (F.pmod(F.xxhash64(seed, F.lit("dw"), i), F.lit(len(_DOC_WORDS))) + 1)
+            (F.pmod(F.xxhash64(seed, F.lit("dw"), i), F.lit(len(doc_words))) + 1)
             .cast("int"),
         ),
     )
