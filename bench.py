@@ -157,6 +157,30 @@ def _calibration_spin() -> float:
     return round(min(one(), one()), 3)
 
 
+def _calibration_spin_mt(workers: int = 8) -> float:
+    """The single-thread spin can read clean while MULTI-thread
+    throughput is degraded (host-level co-tenancy / frequency capping
+    scales with core count and is invisible to one busy thread — the
+    round-12 finding: calib within 5% of its best while untouched
+    suite entries drifted a uniform ~1.2x).  Run the same fixed spin in
+    N processes at once and report the wall: on an unthrottled box this
+    tracks the single spin closely; under shared-host pressure it
+    stretches by the true parallel-throughput deficit the suite will
+    actually experience.  Plain subprocesses (not a process pool): no
+    pickling of callables, so the measurement works identically when
+    bench.py is exec'd under a synthetic module name (tests)."""
+    import subprocess
+
+    code = "x=0\nfor i in range(5_000_000): x+=i*i\nassert x"
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code]) for _ in range(workers)
+    ]
+    for p in procs:
+        p.wait()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _load_snapshot() -> dict:
     la1, la5, la15 = os.getloadavg()
     return {
@@ -164,6 +188,7 @@ def _load_snapshot() -> dict:
         "loadavg_5m": round(la5, 2),
         "loadavg_15m": round(la15, 2),
         "calib_spin_sec": _calibration_spin(),
+        "calib_mt_sec": _calibration_spin_mt(),
     }
 
 
@@ -382,7 +407,14 @@ def main() -> int:
     # Add-on sections are skipped when the headline suite already blew
     # the time budget (heavily loaded machine): the ONE JSON line must
     # always appear well inside any external timeout.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+    # 480s: the guard was sized at 300s when the headline suite was ~40
+    # entries; at 100 entries the batch runs alone take ~300s wall on a
+    # quiet box, so 300 silently dropped the streaming/scale add-ons
+    # (caught in round 12 — a 6s overshoot cost the whole sf1 section).
+    # The r11 driver capture ran streaming+batch+scale in ~450s total,
+    # well inside the external window, so 480 keeps the add-ons while
+    # still bounding the worst case.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     over_budget = elapsed > budget
     if over_budget:
         print(
@@ -479,6 +511,7 @@ def _compact_line(full: dict) -> str:
     snaps = [s for s in (load.get("before"), load.get("after")) if isinstance(s, dict)]
     if snaps:
         calib_flat["calib_spin_sec"] = max(s.get("calib_spin_sec", 0) for s in snaps)
+        calib_flat["calib_mt_sec"] = max(s.get("calib_mt_sec", 0) for s in snaps)
         calib_flat["loadavg_1m"] = max(s.get("loadavg_1m", 0) for s in snaps)
     scale_flat = {}
     for k in ["star_build_write", "flagship_revenue_topk"]:
