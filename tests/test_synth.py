@@ -96,3 +96,70 @@ def test_synth_stale_partial_cache_regenerates(spark, tmp_path):
     shutil.rmtree(os.path.join(path, "embeddings.parquet"))
     generate_scale_tables(spark, 0.002, path, partitions=2)
     assert read_table(spark, path, "embeddings").count() > 0
+
+
+def test_synth_table_subset_and_vocab_scaling(spark, tmp_path):
+    """Round-12 additions: ``tables=`` writes ONLY the requested subset
+    (the sf10 probe's events-only generation must not pay for 60M
+    lineitems), unknown names fail loudly, and ``doc_vocab=`` widens
+    the documents vocabulary (Heaps-consistent probe corpora) while the
+    DEFAULT corpus stays on the legacy word list."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    path = str(tmp_path / "subset")
+    generate_scale_tables(
+        spark, 0.002, path, partitions=2, tables=("documents", "events")
+    )
+    present = {
+        t
+        for t in ("region", "lineitem", "documents", "events", "embeddings")
+        if os.path.exists(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
+    }
+    assert present == {"documents", "events"}
+
+    with pytest.raises(ValueError, match="unknown synth tables"):
+        generate_scale_tables(spark, 0.002, path, tables=("nope",))
+
+    def vocab_size(d):
+        return (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .agg(F.countDistinct("w"))
+            .collect()[0][0]
+        )
+
+    default_vocab = vocab_size(path)
+    assert default_vocab <= 30  # legacy list, unchanged by the new knob
+
+    wide = str(tmp_path / "wide")
+    generate_scale_tables(
+        spark, 0.002, wide, partitions=2, tables=("documents",), doc_vocab=170
+    )
+    assert default_vocab < vocab_size(wide) <= 170
+
+
+def test_registry_only_subset(spark, tmp_path):
+    """``load_tables/register_views(only=...)`` bind just the requested
+    tables (partial datasets must not fail on tables a query never
+    reads) and reject unknown names."""
+    import pytest
+
+    from fotmobdatapipeline_spark.sources.registry import (
+        load_tables,
+        register_views,
+    )
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    path = str(tmp_path / "only")
+    generate_scale_tables(spark, 0.002, path, partitions=2, tables=("events",))
+    dfs = register_views(spark, path, only=("events",))
+    assert set(dfs) == {"events"}
+    assert spark.sql("SELECT COUNT(*) FROM events").collect()[0][0] > 0
+
+    with pytest.raises(ValueError, match="unknown tables"):
+        load_tables(spark, path, only=("not_a_table",))
