@@ -1940,9 +1940,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str):
 # discrete p05/p95 before summing, so a handful of outliers can't move a
 # 100 TB metric.  Bounds come from rank arithmetic (value at position
 # ceil(p*n) — percentile_disc semantics, deterministic under ties because
-# the *value* at a rank is order-unique even when row_number isn't), then
-# a broadcast join ships the tiny per-group bounds back.  The clipped sum
-# is exact decimal; clip counters are integers.
+# the *value* at a rank is order-unique even when row_number isn't).
+#
+# Scale shape (fixed round 12): the original spelling ranked RAW rows
+# with a window partitioned by l_returnflag — only 3 partitions, each
+# data-scale, i.e. three single-task sorts (the sf10 probe measured the
+# superlinear bite: 1.08 s at sf0.1 → 140 s at sf10, 130× on 100× —
+# while the doctrine-shaped trimmed mean stayed linear).  Now it rides
+# the same machinery as agg_trimmed_mean: collapse to distinct-value
+# CELLS (grp, v, cnt), run the distributed grouped prefix scan for
+# cumulative counts, read both percentile values as min(v | cum >= rank)
+# (rank arithmetic in pure integers: ceil(p·n) = (p_num·n + den-1) div
+# den, exactly DuckDB's decimal-ceil), and assemble the clipped sum and
+# clip counters FROM THE CELLS — the raw table is scanned exactly once.
 # --------------------------------------------------------------------------
 @register(
     "agg_winsorized",
@@ -1973,31 +1983,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str):
     doc="Per-group p05/p95 winsorized sum with clip accounting.",
 )
 def agg_winsorized(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
     li = read_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("decimal(12,2)")
-    grp = Window.partitionBy("l_returnflag")
-    r = li.select(
-        "l_returnflag",
-        v.alias("v"),
-        F.row_number().over(grp.orderBy("l_extendedprice")).alias("rn"),
-        F.count("*").over(grp).alias("n"),
+    cells = (
+        li.select("l_returnflag", v.alias("v"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers: prefix scan + final agg
     )
-    lo_pos = F.ceil(F.lit(0.05) * F.col("n")).cast("bigint")
-    hi_pos = F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
-    bounds = r.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("rn") == lo_pos, F.col("v"))).alias("lo"),
-        F.min(F.when(F.col("rn") == hi_pos, F.col("v"))).alias("hi"),
+    run = grouped_running_sum(cells, ["l_returnflag"], ["v"], "cnt", out_col="u")
+    tn = cells.groupBy("l_returnflag").agg(F.sum("cnt").cast("bigint").alias("n"))
+    # ceil(0.05·n) and ceil(0.95·n) in pure integer arithmetic — bit-equal
+    # to DuckDB's exact-decimal CEIL(0.05 * n) at any n (a double 0.05·n
+    # can land an ulp above an integer and ceil one rank too far).
+    lo_rank = F.expr("(n + 19) div 20")
+    hi_rank = F.expr("(19 * n + 19) div 20")
+    bounds = (
+        run.join(F.broadcast(tn), "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(
+            # u is the cumulative count THROUGH v, so the value at rank k
+            # is the smallest v whose u reaches k.
+            F.min(F.when(F.col("u") >= lo_rank, F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("u") >= hi_rank, F.col("v"))).alias("hi"),
+        )
     )
     clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     return (
-        r.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag")
+        cells.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "n")
         .agg(
-            F.max("n").alias("n"),
-            F.sum(clipped).cast("double").alias("sum_winsorized"),
-            F.count_if(F.col("v") < F.col("lo")).alias("n_clipped_lo"),
-            F.count_if(F.col("v") > F.col("hi")).alias("n_clipped_hi"),
+            # cnt·clipped summed in exact decimal = the oracle's row sum
+            F.sum(F.col("cnt").cast("decimal(38,0)") * clipped)
+            .cast("double")
+            .alias("sum_winsorized"),
+            F.sum(F.when(F.col("v") < F.col("lo"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("v") > F.col("hi"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
         )
+        .select("l_returnflag", "n", "sum_winsorized", "n_clipped_lo", "n_clipped_hi")
     )
 
 
@@ -2260,13 +2289,19 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
 # Exact WEIGHTED median per group (lower weighted median: the smallest
 # value whose cumulative weight reaches half the group's total) — the
 # op behind "median price weighted by quantity sold", which the
-# unweighted quantile family cannot express.  Scale contract: one
-# per-group window sort — groups must individually fit a partition
-# (categorical keys only; exact_group_quantiles now routes ranks
-# through the distributed prefix scan and has no such bound),
-# rank arithmetic instead of a second pass, integer
-# weight sums so the half-total comparison is exact (2*cumw >= totw —
-# no division, no doubles until the output value itself).
+# unweighted quantile family cannot express.  Integer weight sums keep
+# the half-total comparison exact (2*cumw >= totw — no division, no
+# doubles until the output value itself).
+#
+# Scale shape (fixed round 12): the old spelling carried the documented
+# "groups must individually fit a partition" bound — a per-group window
+# sort over RAW rows with only 3 partition keys, the same class the
+# sf10 probe caught superlinear on agg_winsorized.  Now unbounded:
+# collapse to distinct-value cells (grp, v, Σweight), cumulative weight
+# through the distributed grouped prefix scan, answer = min v with
+# 2·cumw >= totw.  The first row-level crossing always lands inside
+# that v's run, so the cell-level answer is identical to the old
+# row-level one (and to the oracle's row_number spelling).
 # --------------------------------------------------------------------------
 @register(
     "agg_weighted_median",
@@ -2297,29 +2332,28 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str):
     doc="Exact lower weighted median per group (integer cumulative-weight rank).",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str):
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
     li = read_table(spark, sf_dir, "lineitem")
-    w_ord = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    cells = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+        .localCheckpoint(eager=False)  # two consumers: prefix scan + totals
     )
-    w_all = Window.partitionBy("l_returnflag")
-    r = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum(F.col("l_quantity").cast("bigint")).over(w_ord).alias("cumw"),
-        F.sum(F.col("l_quantity").cast("bigint")).over(w_all).alias("totw"),
+    run = grouped_running_sum(cells, ["l_returnflag"], ["v"], "w", out_col="cumw")
+    tot = cells.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("totw")
     )
-    hit = r.filter(2 * F.col("cumw") >= F.col("totw")).select(
-        "l_returnflag",
-        "v",
-        "totw",
-        F.row_number()
-        .over(Window.partitionBy("l_returnflag").orderBy("cumw", "v"))
-        .alias("rn"),
-    )
-    return hit.filter(F.col("rn") == 1).select(
-        "l_returnflag",
-        F.col("v").alias("weighted_median"),
-        F.col("totw").alias("total_weight"),
+    return (
+        run.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag", "totw")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(
+            "l_returnflag",
+            "weighted_median",
+            F.col("totw").cast("bigint").alias("total_weight"),
+        )
     )
 
 

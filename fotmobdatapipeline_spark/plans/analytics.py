@@ -571,6 +571,14 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str):
 # (DECIMAL × BIGINT), with one double division at the end — mirrored
 # verbatim in the oracle.  Last row per group has no successor and drops
 # out (zero holding time), same in both engines.
+#
+# Scale shape (fixed round 12): lead() over a window partitioned by the
+# 5 priority classes is 5 data-scale single-task sorts (sf10 probe:
+# 0.45 s → 28.4 s, 63× on 100× — the agg_winsorized class).  The lead
+# is now spelled the sweepline way (events_session_sweepline precedent):
+# per-group rank via the distributed grouped prefix scan, then a
+# rank → rank+1 hash join supplies each row's successor timestamp.  Two
+# linear shuffles, no group ever on one task.
 # --------------------------------------------------------------------------
 @register(
     "agg_time_weighted",
@@ -597,23 +605,43 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str):
     doc="Interval-weighted (time-weighted) average via lead() µs gaps.",
 )
 def agg_time_weighted(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
 
     orders = read_table(spark, sf_dir, "orders")
     # o_orderdate is TIMESTAMP_NTZ in parquet; the session is pinned to
     # UTC (session.py), so the cast to TIMESTAMP is a pure reinterpret
     # and matches DuckDB epoch_us on the naive value.
     ts = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    w = Window.partitionBy("o_orderpriority").orderBy(ts, "o_orderkey")
     cents = (
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("decimal(38,0)")
     )
-    seq = orders.select(
+    ranked = grouped_running_sum(
+        orders.select(
+            "o_orderpriority",
+            cents.alias("cents"),
+            ts.alias("t"),
+            "o_orderkey",
+            F.lit(1).alias("one"),
+        ),
+        ["o_orderpriority"],
+        ["t", "o_orderkey"],
+        "one",
+        out_col="rk",
+    ).localCheckpoint(eager=False)  # both sides of the successor join
+    nxt = ranked.select(
         "o_orderpriority",
-        cents.alias("cents"),
-        (F.lead(ts).over(w) - ts).alias("dt_us"),
-    ).filter(F.col("dt_us").isNotNull())
+        (F.col("rk") - 1).alias("rk"),
+        F.col("t").alias("next_t"),
+    )
+    seq = (
+        ranked.join(nxt, ["o_orderpriority", "rk"])  # inner: last row drops
+        .select(
+            "o_orderpriority",
+            "cents",
+            (F.col("next_t") - F.col("t")).alias("dt_us"),
+        )
+    )
     return seq.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_weighted"),
         F.sum("dt_us").alias("total_us"),

@@ -1160,3 +1160,31 @@ def test_geo_neighbor_join_is_cell_keyed(spark):
     plan = _plan(_q("geo_neighbor_pairs")(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "cy" in plan and "cx" in plan
+
+
+def test_robust_aggregates_ride_prefix_scan_not_group_sorts(spark):
+    """Round-12 fix pin: agg_winsorized / agg_weighted_median /
+    agg_time_weighted previously ranked RAW rows with windows
+    partitioned by a 3-5 value categorical key — three-to-five
+    data-scale single-task sorts (sf10 measured them 63-130x
+    superlinear).  They now ride the cells + grouped prefix scan
+    (winsorized 140.4s -> 7.3s at sf10).  Pin: the executed plan
+    carries the _pid-scoped prefix-scan window and none of the old
+    spelling's rank functions (row_number/lead over raw rows; the
+    remaining group-keyed window is the prefix scan's own offsets
+    window — n_parts + n_groups - 1 rows by construction, ordered by
+    _pid, not by data)."""
+    for name in ("agg_winsorized", "agg_weighted_median"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "hashpartitioning(_pid" in plan, (name, plan[:2000])
+        for bad in ("row_number()", "lead("):
+            assert bad not in plan, (name, bad)
+    # agg_time_weighted checkpoints the ranked frame (two join consumers),
+    # which truncates the visible plan at the checkpoint — the prefix
+    # scan's _pid window sits above it.  Pin the downstream shape instead:
+    # the successor lookup is a rank-equi hash join on (priority, rk),
+    # and neither of the old window functions appears anywhere.
+    plan = _plan(_q("agg_time_weighted")(spark, SF_ORACLE))
+    assert "hashpartitioning(o_orderpriority" in plan, plan[:2000]
+    for bad in ("row_number()", "lead("):
+        assert bad not in plan, ("agg_time_weighted", bad)
