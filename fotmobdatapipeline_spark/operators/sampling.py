@@ -19,6 +19,54 @@ from pyspark.sql import functions as F
 _HEX2 = 256
 
 
+def bounded_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str] | tuple[str, ...],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group WITHOUT ever sorting a whole group in
+    one task — the scale-safe replacement for
+    ``row_number().over(Window.partitionBy(group).orderBy(...)) <= k``
+    when groups are few and data-scale (the agg_winsorized class: a
+    handful of categorical keys means a handful of single-task sorts).
+
+    Two phases, both bounded: (1) prune within each INPUT partition — a
+    window over (spark_partition_id, group) sorts at most one task's
+    rows and keeps its local top-k, leaving ≤ k·n_parts survivors per
+    group; (2) rank ONLY the survivors per group (window input bounded
+    by construction).  Lossless for any partition assignment: every
+    global top-k row is in its own partition's local top-k, and its
+    global rank is decided by rows above it, all of which also survive
+    — so ``rank_col`` (if requested) is the exact global rank.
+
+    ``order_cols`` are Column expressions (use ``F.desc(...)`` for
+    descending) and must be deterministic — they are evaluated in both
+    phases.  The total order they induce must be unique per group for a
+    deterministic row set (same contract as the window it replaces)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gcols = list(group_cols)
+    w_local = Window.partitionBy("__tk_pid", *gcols).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__tk_pid", F.spark_partition_id())
+        .withColumn("__tk_lrk", F.row_number().over(w_local))
+        .filter(F.col("__tk_lrk") <= k)
+    )
+    w_global = Window.partitionBy(*gcols).orderBy(*order_cols)
+    ranked = (
+        survivors.withColumn("__tk_rk", F.row_number().over(w_global))
+        .filter(F.col("__tk_rk") <= k)
+        .drop("__tk_pid", "__tk_lrk")
+    )
+    if rank_col is None:
+        return ranked.drop("__tk_rk")
+    return ranked.withColumnRenamed("__tk_rk", rank_col)
+
+
 def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep rows whose md5(key) falls in the first ``fraction`` of the
     hash space (granularity 1/256).  Map-side only — no shuffle, no RNG,
@@ -70,24 +118,19 @@ def reservoir_per_group(
     same rows are chosen on any partitioning, cluster size, or engine,
     and a new ``salt`` is a fresh independent redraw (epoch resample).
 
-    Plan: one shuffle on the group key + per-group sort (row_number
-    window) — each group's rows land in one task, the right trade when
-    k << group size and groups are data-parallel-many.  The degenerate
-    single-giant-group case is global bottom-k: use ``orderBy(pr).
-    limit(k)`` (TakeOrderedAndProject) instead, which never concentrates
-    a group in one task.
+    Plan (two-phase distributed bottom-k, round 12 — the single
+    per-group window this replaces concentrated each stratum in one
+    task, the agg_winsorized class): phase 1 prunes WITHIN each input
+    partition — a window over (spark_partition_id, group) keeps each
+    partition's local bottom-k, never sorting more than one task's rows
+    — leaving ≤ k·n_parts survivors per group; phase 2 ranks only those
+    survivors per group (bounded by construction, so its window input
+    is k·n_parts rows per group, not the corpus).  Lossless for ANY
+    partition assignment: every global bottom-k row is in its own
+    partition's local bottom-k.
     """
-    from pyspark.sql import Window
-
-    if k < 1:
-        raise ValueError("k must be >= 1")
     pr = shuffle_key(F.col(key), salt)
-    w = Window.partitionBy(*group_cols).orderBy(pr, F.col(key))
-    return (
-        df.withColumn("__rsv_rk", F.row_number().over(w))
-        .filter(F.col("__rsv_rk") <= k)
-        .drop("__rsv_rk")
-    )
+    return bounded_topk_per_group(df, group_cols, [pr, F.col(key)], k)
 
 
 def shuffle_key(key: Column, salt: str = "0") -> Column:

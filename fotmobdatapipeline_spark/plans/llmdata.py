@@ -1517,12 +1517,18 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str):
             S.dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
         ).alias("centrality"),
     )
-    w = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _CB_N_PER_CELL)
-        .select("vec_id", "cell", "centrality", F.col("rk").cast("int").alias("rk"))
-    )
+    from fotmobdatapipeline_spark.operators.sampling import bounded_topk_per_group
+
+    # two-phase distributed top-m per cell (round 12): cells are few
+    # (k=8) and data-scale, so a bare per-cell window is 8 single-task
+    # sorts; the survivor rank is the exact global rank (see operator doc)
+    return bounded_topk_per_group(
+        scored,
+        ["cell"],
+        [F.desc("centrality"), F.asc("vec_id")],
+        _CB_N_PER_CELL,
+        rank_col="rk",
+    ).select("vec_id", "cell", "centrality", F.col("rk").cast("int").alias("rk"))
 
 
 # --------------------------------------------------------------------------
@@ -2373,7 +2379,7 @@ _TOKEN_BUDGET = 2000
     doc="Per-source token-budget admission in deterministic doc order.",
 )
 def mixture_token_budget(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
 
     docs = read_table(spark, sf_dir, "documents")
     sized = docs.select(
@@ -2381,13 +2387,13 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str):
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("doc_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # per-source cumulative tokens through the distributed grouped
+    # prefix scan (round 12): 10 sources over the corpus would
+    # otherwise be 10 single-task running sums
     return (
-        sized.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+        grouped_running_sum(
+            sized, ["source"], ["doc_id"], "doc_tokens", out_col="cum_tokens"
+        )
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
         .select("source", "doc_id", "doc_tokens", "cum_tokens")
     )
@@ -3262,15 +3268,17 @@ _BOTTOMK = 10
     doc="Bottom-k content-hash sample: fixed-size, deterministic, mergeable.",
 )
 def sample_bottomk(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
+    from fotmobdatapipeline_spark.operators.sampling import bounded_topk_per_group
 
     docs = read_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
-    return (
-        docs.select("source", "doc_id", h.alias("h"), F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= _BOTTOMK)
-        .drop("rk")
+    # two-phase distributed bottom-k (round 12): 10 sources over the
+    # whole corpus would otherwise mean 10 single-task sorts
+    return bounded_topk_per_group(
+        docs.select("source", "doc_id", h.alias("h")),
+        ["source"],
+        [F.col("h"), F.col("doc_id")],
+        _BOTTOMK,
     )
 
 
@@ -6235,13 +6243,29 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=False)
 
     def lower_median(df, val_col, out_col):
-        w = Window.partitionBy("label").orderBy(val_col, "vec_id")
-        wn = Window.partitionBy("label")
+        # distributed per-label median (round 12): 10 labels over the
+        # embeddings table would otherwise be 10 single-task sorts —
+        # distinct-value cells + the grouped prefix scan, value at rank
+        # ceil(n/2) = min v with cum >= (n+1) div 2 (exact integer rank;
+        # value-at-rank is tie-insensitive, so collapsing to cells is
+        # lossless)
+        from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
+        cells = df.groupBy("label", F.col(val_col).alias("_mv")).agg(
+            F.count("*").cast("bigint").alias("_mc")
+        )
+        run = grouped_running_sum(cells, ["label"], ["_mv"], "_mc", out_col="_mu")
+        tn = cells.groupBy("label").agg(F.sum("_mc").cast("bigint").alias("_mn"))
         return (
-            df.withColumn("rk", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(wn))
-            .filter(F.col("rk") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
-            .select("label", F.col(val_col).alias(out_col))
+            run.join(F.broadcast(tn), "label")
+            .groupBy("label")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("_mu") >= F.expr("(_mn + 1) div 2"), F.col("_mv")
+                    )
+                ).alias(out_col)
+            )
         )
 
     med = lower_median(lens, "v", "med_v")

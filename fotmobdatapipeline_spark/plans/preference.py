@@ -8,9 +8,10 @@ fixed rule (longer text wins; ties to the earlier doc).  ``source``
 plays the role of the model under comparison.  A real deployment feeds
 actual judge logs in the same (model_a, model_b, winner) shape.
 
-Scale shape: the derivation is one lead() window (partitioned by lang —
+Scale shape: the derivation pairs consecutive docs per lang through the
+distributed prefix-scan rank + rank->rank+1 join (``_docs_with_next`` —
 a synthetic stand-in; real battle logs arrive pre-formed and need no
-window); win_rates is a single map-side-combinable aggregate; the BTL
+successor lookup); win_rates is a single map-side-combinable aggregate; the BTL
 win matrix collapses data-scale battles to matchup-cardinality rows
 before any iteration, and each MM round is two hash joins + one
 aggregate over that matrix (pagerank shape, operators/graph.py).
@@ -22,7 +23,7 @@ in HUGEINT, so ``pref_btl_ratings`` is value-exact, not approximate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fotmobdatapipeline_spark.operators.preference import (
@@ -54,18 +55,51 @@ _SQL_BATTLES = """
 """
 
 
-def _battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_next(
+    spark: SparkSession, sf_dir: str, cols: list[str], next_cols: dict[str, str]
+) -> DataFrame:
+    """Documents with their per-lang SUCCESSOR's columns attached — the
+    scale-safe lead() (round 12): lang has 3-5 values, so a bare
+    per-lang window is 3-5 single-task data-scale sorts.  Spelled the
+    sweepline way instead (events_session_sweepline precedent): rank
+    within lang via the distributed grouped prefix scan, then a
+    rank → rank+1 hash join ships each row its successor.  The inner
+    join drops each lang's last row — exactly lead()'s NULL row."""
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sum
+
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    s = docs.select(
+    ranked = (
+        grouped_running_sum(
+            docs.select("lang", "doc_id", *cols, F.lit(1).alias("one")),
+            ["lang"],
+            ["doc_id"],
+            "one",
+            out_col="rk",
+        )
+        .drop("one")
+        .localCheckpoint(eager=False)  # both sides of the successor join
+    )
+    nxt = ranked.select(
+        "lang",
+        (F.col("rk") - 1).alias("rk"),
+        *[F.col(src).alias(dst) for src, dst in next_cols.items()],
+    )
+    return ranked.join(nxt, ["lang", "rk"]).drop("rk")
+
+
+def _battles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_next(
+        spark,
+        sf_dir,
+        cols=["source", "n_chars"],
+        next_cols={"source": "model_b", "n_chars": "chars_b"},
+    ).select(
         F.col("source").alias("model_a"),
         F.col("n_chars").alias("chars_a"),
-        F.lead("source").over(w).alias("model_b"),
-        F.lead("n_chars").over(w).alias("chars_b"),
+        "model_b",
+        "chars_b",
     )
-    return s.filter(
-        F.col("model_b").isNotNull() & (F.col("model_b") != F.col("model_a"))
-    ).select(
+    return s.filter(F.col("model_b") != F.col("model_a")).select(
         "model_a",
         "model_b",
         F.when(F.col("chars_b") > F.col("chars_a"), F.col("model_b"))
@@ -219,21 +253,18 @@ _DPO_MIN_CHARS = 60
     doc="DPO (chosen, rejected) pair export with curation gates; zero joins.",
 )
 def pref_dpo_pairs(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    s = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "text",
-        F.lead("doc_id").over(w).alias("doc_b"),
-        F.lead("source").over(w).alias("model_b"),
-        F.lead("n_chars").over(w).alias("chars_b"),
-        F.lead("text").over(w).alias("text_b"),
+    s = _docs_with_next(
+        spark,
+        sf_dir,
+        cols=["source", "n_chars", "text"],
+        next_cols={
+            "doc_id": "doc_b",
+            "source": "model_b",
+            "n_chars": "chars_b",
+            "text": "text_b",
+        },
     ).filter(
-        F.col("doc_b").isNotNull()
-        & (F.col("model_b") != F.col("source"))
+        (F.col("model_b") != F.col("source"))
         & (F.col("n_chars") >= _DPO_MIN_CHARS)
         & (F.col("chars_b") >= _DPO_MIN_CHARS)
     )

@@ -833,26 +833,28 @@ def test_prep_v3_broadcasts_models_no_cartesian_no_python(spark):
 
 
 def test_preference_entries_shapes(spark):
-    """Preference family doctrine: win_rates is one hash aggregate over
-    an exploded projection (no join at all); the BTL MM rounds are hash
-    joins over the matchup matrix plus the 1-row normalization scalar
-    (broadcast by construction) — never a cartesian, never Python."""
-    plan = _plan(_q("pref_winrate")(spark, SF_ORACLE))
-    assert "Join" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    """Preference family doctrine (round 12): the battle derivation's
+    per-lang successor comes from the prefix-scan rank + rank→rank+1
+    equi-join (_docs_with_next), NOT a per-lang lead() window (3-5
+    langs = 3-5 single-task data-scale sorts); the BTL MM rounds are
+    hash joins over the matchup matrix plus the 1-row normalization
+    scalar (broadcast by construction) — never a cartesian, never
+    Python, never lead()."""
+    for name in ("pref_winrate", "pref_btl_ratings"):
+        plan = _plan(_q(name)(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "lead(" not in plan, (name, plan)
 
-    df = _q("pref_btl_ratings")(spark, SF_ORACLE)
-    plan = _plan(df)
-    assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
-
-def test_dpo_pairs_zero_joins_one_window(spark):
-    """DPO pair export resolves both sides from the lead() window row —
-    the plan must contain a Window but NO join operator and no Python."""
+def test_dpo_pairs_successor_join_not_lead_window(spark):
+    """DPO pair export resolves both sides via the rank → rank+1
+    successor equi-join (round 12; the ranked frame's prefix scan sits
+    behind its checkpoint) — no lead() window over raw rows, no
+    cartesian, no Python."""
     plan = _plan(_q("pref_dpo_pairs")(spark, SF_ORACLE))
-    assert "Window" in plan, plan
-    assert "Join" not in plan, plan
+    assert "lead(" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
