@@ -44,16 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Order is otherwise meaningless: every entry is name-keyed and the
 # in-repo parity suite (tests/test_oracle_parity.py) always runs all of
 # them regardless of this ordering.
-# Never-attested entries that carry a shipped FIX (r10's HUGEINT cast
-# repairs) jump to the front of the never-attested band: with ~147
-# entries contending for ~40 slots, catalog-position order would leave
-# these two fixed-but-unattested entries undrawn for several more
-# rounds (VERDICT r11 #3 asked for exactly this bump).  Remove a name
-# once a CORRECTNESS_r*.json shows it green.
-_PRIORITY_ATTEST = (
-    "pyds_jsonl_roundtrip",
-    "late_shipment_priorities",
-)
+# Never-attested entries that carry a shipped FIX jump to the front of
+# the never-attested band (VERDICT r11 #3): catalog-position order would
+# otherwise leave a fixed-but-unattested entry undrawn for several more
+# rounds.  Remove a name once a CORRECTNESS_r*.json shows it green —
+# r12 attested both r10 HUGEINT repairs, so the band is currently empty.
+_PRIORITY_ATTEST: tuple[str, ...] = ()
 
 _REFERENCE_SURFACE_FIRST = (
     "fotmob_json_ingest",

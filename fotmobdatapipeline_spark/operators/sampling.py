@@ -44,11 +44,22 @@ def bounded_topk_per_group(
     ``order_cols`` are Column expressions (use ``F.desc(...)`` for
     descending) and must be deterministic — they are evaluated in both
     phases.  The total order they induce must be unique per group for a
-    deterministic row set (same contract as the window it replaces)."""
+    deterministic row set (same contract as the window it replaces).
+
+    Raises on input columns that collide with the three internal helper
+    columns (same contract as ``block_spans``): a caller frame already
+    carrying one of these names would otherwise be silently overwritten
+    and dropped, corrupting output."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    clash = {"__tk_pid", "__tk_lrk", "__tk_rk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bounded_topk_per_group helper columns collide with input: "
+            f"{sorted(clash)}"
+        )
     gcols = list(group_cols)
     w_local = Window.partitionBy("__tk_pid", *gcols).orderBy(*order_cols)
     survivors = (

@@ -124,13 +124,34 @@ def generate_scale_tables(
         raise ValueError(f"unknown synth tables: {sorted(unknown)}")
     marker = os.path.join(path, _MARKER)
 
+    # The marker records the GENERATION PARAMETERS, not just completion:
+    # a dir populated at a different sf (all tables stale) or with a
+    # different documents vocabulary (documents stale — the r12 sweep
+    # hit exactly this: a legacy-vocab corpus silently reused for a
+    # doc_vocab=170 probe) must regenerate, not return stale data.
+    def _read_marker() -> dict[str, str] | None:
+        try:
+            with open(marker) as fh:
+                return dict(ln.strip().split("=", 1) for ln in fh if "=" in ln)
+        except OSError:
+            return None
+
+    rec = _read_marker()
+    vocab_tag = str(doc_vocab) if doc_vocab is not None else "legacy"
+    marker_fresh = rec is not None and rec.get("sf") == str(sf)
+    # Pre-V5 markers recorded only sf; treat their documents vocab as
+    # legacy (the only vocab that existed when they were written).
+    docs_fresh = marker_fresh and rec.get("doc_vocab", "legacy") == vocab_tag
+
     def _done(t: str) -> bool:
+        if t == "documents" and not docs_fresh:
+            return False
         return os.path.exists(os.path.join(path, f"{t}.parquet", "_SUCCESS"))
 
-    if os.path.exists(marker) and all(_done(t) for t in want) and not force:
+    if marker_fresh and all(_done(t) for t in want) and not force:
         return path
     os.makedirs(path, exist_ok=True)
-    skip_existing = os.path.exists(marker) and not force
+    skip_existing = marker_fresh and not force
 
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -292,6 +313,13 @@ def generate_scale_tables(
     )
     write(evs, "events")
 
+    # Preserve the on-disk documents vocab when this call didn't touch
+    # documents (the record describes what's on disk, not what was asked).
+    final_vocab = (
+        vocab_tag
+        if "documents" in want or rec is None
+        else rec.get("doc_vocab", "legacy")
+    )
     with open(marker, "w") as fh:
-        fh.write(f"sf={sf}\n")
+        fh.write(f"sf={sf}\ndoc_vocab={final_vocab}\n")
     return path

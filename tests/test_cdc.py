@@ -155,3 +155,26 @@ def test_table_checksum_null_position_matters(spark):
     c1 = table_checksum(d1, ["a", "b"]).collect()[0]["checksum"]
     c2 = table_checksum(d2, ["a", "b"]).collect()[0]["checksum"]
     assert c1 != c2
+
+
+def test_bounded_topk_helper_column_collision_raises(spark):
+    """ADVICE r12: bounded_topk_per_group must refuse input frames that
+    already carry one of its internal helper names — silently
+    overwriting and dropping a caller's column corrupts output (same
+    contract as block_spans in operators/prefix.py)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.sampling import (
+        bounded_topk_per_group,
+    )
+
+    clean = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    assert bounded_topk_per_group(clean, ["g"], [F.desc("v")], k=2).count() == 4
+
+    for bad in ("__tk_pid", "__tk_lrk", "__tk_rk"):
+        poisoned = clean.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            bounded_topk_per_group(poisoned, ["g"], [F.desc("v")], k=2)

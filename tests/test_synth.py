@@ -163,3 +163,75 @@ def test_registry_only_subset(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown tables"):
         load_tables(spark, path, only=("not_a_table",))
+
+
+def test_synth_vocab_change_regenerates_documents(spark, tmp_path):
+    """ADVICE r12: the completion marker must record doc_vocab, not just
+    sf — a path populated with one vocabulary and then requested with
+    another must regenerate documents, never silently return the stale
+    corpus (the r12 sf10 sweep hit exactly this against /tmp caches)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    def vocab_size(d):
+        return (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .agg(F.countDistinct("w"))
+            .collect()[0][0]
+        )
+
+    path = str(tmp_path / "vocabswap")
+    generate_scale_tables(spark, 0.002, path, partitions=2, tables=("documents",))
+    assert vocab_size(path) <= 30  # legacy list
+
+    # Same path, wider vocab: must REGENERATE, not no-op on the marker.
+    generate_scale_tables(
+        spark, 0.002, path, partitions=2, tables=("documents",), doc_vocab=170
+    )
+    assert vocab_size(path) > 30
+
+    # And back: the legacy request against the now-wide corpus regenerates too.
+    generate_scale_tables(spark, 0.002, path, partitions=2, tables=("documents",))
+    assert vocab_size(path) <= 30
+
+    # A vocab-blind call that does NOT touch documents must not clobber
+    # the marker's record of what's on disk.
+    generate_scale_tables(
+        spark, 0.002, path, partitions=2, tables=("events",), doc_vocab=170
+    )
+    generate_scale_tables(spark, 0.002, path, partitions=2, tables=("documents",))
+    assert vocab_size(path) <= 30  # still fresh: third call was a no-op
+
+
+def test_synth_window_partition_cardinalities_stay_bounded(spark, synth_dir):
+    """VERDICT r12 #7: ``window_distribution`` (PARTITION BY
+    c_mktsegment) and ``topk_per_group`` (PARTITION BY p_brand) are
+    scale-safe ONLY while the generator keeps those key cardinalities
+    small — each partition is a single-task sort, so cardinality is the
+    parallelism AND the per-task data fraction.  Pin the generator
+    contract so a future synth change can't silently turn either entry
+    superlinear (the agg_winsorized class, SCALE.md round-12)."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.sources.registry import read_table
+
+    n_seg = (
+        read_table(spark, synth_dir, "customer")
+        .agg(F.countDistinct("c_mktsegment"))
+        .collect()[0][0]
+    )
+    assert 1 <= n_seg <= 5, (
+        f"c_mktsegment cardinality {n_seg} breaks window_distribution's "
+        "documented single-task-sort bound (plans/advanced.py)"
+    )
+    n_brand = (
+        read_table(spark, synth_dir, "part")
+        .agg(F.countDistinct("p_brand"))
+        .collect()[0][0]
+    )
+    assert 1 <= n_brand <= 25, (
+        f"p_brand cardinality {n_brand} breaks topk_per_group's "
+        "documented single-task-sort bound (plans/core.py)"
+    )
