@@ -6,13 +6,14 @@ Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect, no disk write) — the number is engine time, not
 transfer time.  Cold session, one warm-up of the parquet footer reads.
 
-Every reported number is the MIN OF 2 back-to-back runs: round-2 showed
-the identical pandas baseline swinging 7x between rounds from ambient
-machine load, so a single sample conflates engine time with whatever
-else the box is doing; the min of two adjacent runs is the standard
-low-noise estimator for deterministic workloads.  The budget guard uses
-the TRUE elapsed wall (both runs) so the JSON line still always appears
-inside external timeouts.
+Every reported number is the MIN of 2 back-to-back runs, escalated to
+MIN of 3 when the first two disagree by >5% (round-2 showed the
+identical pandas baseline swinging 7x between rounds from ambient
+machine load; r12 measured a ±13% same-code band at min-of-2 — the
+tie-breaker third sample tightens exactly the noisy entries).  All raw
+samples are persisted in BENCH_FULL.json (query_runs).  The budget
+guard uses the TRUE elapsed wall (all runs) so the JSON line still
+always appears inside external timeouts.
 """
 
 from __future__ import annotations
@@ -181,15 +182,22 @@ def _calibration_spin_mt(workers: int = 8) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _load_snapshot() -> dict:
+def _load_snapshot(mt: bool = True) -> dict:
+    """``mt=False`` (gate polls) skips the 8-process spin: the mt spin
+    itself adds ~8 runnable processes to the loadavg_1m being gated, so
+    polling with it every 20 s actively delays the drain it is waiting
+    for (ADVICE r12) — polls gate on the cheap signals and the mt number
+    is taken once, on the final otherwise-clean snapshot."""
     la1, la5, la15 = os.getloadavg()
-    return {
+    snap = {
         "loadavg_1m": round(la1, 2),
         "loadavg_5m": round(la5, 2),
         "loadavg_15m": round(la15, 2),
         "calib_spin_sec": _calibration_spin(),
-        "calib_mt_sec": _calibration_spin_mt(),
     }
+    if mt:
+        snap["calib_mt_sec"] = _calibration_spin_mt()
+    return snap
 
 
 # Quiet-box gate thresholds (VERDICT r11 #2): BENCH_r11's final numbers
@@ -201,6 +209,15 @@ def _load_snapshot() -> dict:
 # cross-round comparison can never silently mistake load for plan drift.
 _QUIET_SPIN_MAX = 0.33  # calib_spin_sec above this = contended CPU
 _QUIET_LOAD_MAX = 2.0  # loadavg_1m above this = busy box
+# The 8-process spin catches the profile the single spin is blind to
+# (round-12 finding: host co-tenancy / frequency capping that scales
+# with core count reads clean single-threaded).  Clean-box floor is
+# ~0.66-0.69 s (BENCH_r12 before/after); 0.9 gives ~1.3x headroom while
+# still tripping on a genuinely throughput-degraded box (measured 1.04+
+# under mild ambient load).  Checked once on the final otherwise-clean
+# snapshot, never during polls (ADVICE r12: the spin feeds the loadavg
+# it gates).
+_QUIET_MT_MAX = 0.9
 _QUIET_POLL_SEC = 20.0
 # 300 s default: loadavg_1m decays on a ~1 min time constant, so a
 # just-finished heavy job drains well under this; bounded so the gate
@@ -218,14 +235,23 @@ def _await_quiet_box() -> dict:
     waited = 0.0
     attempts = 0
     while True:
-        snap = _load_snapshot()
+        snap = _load_snapshot(mt=False)  # cheap poll: no mt spin (ADVICE r12)
         attempts += 1
         clean = (
             snap["calib_spin_sec"] <= _QUIET_SPIN_MAX
             and snap["loadavg_1m"] <= _QUIET_LOAD_MAX
         )
+        if clean:
+            # The expensive mt spin runs ONCE, here: the box already
+            # reads clean on the cheap signals, so the spin can't delay
+            # its own drain; it catches the clean-single-thread /
+            # degraded-multi-thread co-tenancy profile (r12 finding).
+            snap["calib_mt_sec"] = _calibration_spin_mt()
+            clean = snap["calib_mt_sec"] <= _QUIET_MT_MAX
         waited = round(time.perf_counter() - t0, 1)
         if clean or waited + _QUIET_POLL_SEC > _QUIET_WAIT_MAX:
+            if "calib_mt_sec" not in snap:  # budget ran out mid-poll
+                snap["calib_mt_sec"] = _calibration_spin_mt()
             return {
                 "clean": clean,
                 "attempts": attempts,
@@ -234,6 +260,7 @@ def _await_quiet_box() -> dict:
                 "thresholds": {
                     "calib_spin_sec": _QUIET_SPIN_MAX,
                     "loadavg_1m": _QUIET_LOAD_MAX,
+                    "calib_mt_sec": _QUIET_MT_MAX,
                 },
             }
         print(
@@ -355,20 +382,52 @@ def main() -> int:
         except Exception as e:  # never fail the bench over the add-on
             print(f"# streaming bench skipped: {e}", file=sys.stderr)
 
+    # Per-entry estimator (VERDICT r12 #3): min-of-2, escalated to
+    # min-of-3 whenever the first two runs disagree by more than 5%
+    # (and more than 0.1 s absolute — sub-second entries jitter a few
+    # hundredths without it meaning anything).  r12's same-code band
+    # was ±13% at min-of-2, wide enough that three per-entry regressions
+    # had to be attributed by code-diff elimination instead of
+    # measurement; a tie-breaker third sample on exactly the noisy
+    # entries tightens the band where it matters without tripling the
+    # whole suite's wall.  Tie-breakers draw from a bounded side budget
+    # so the worst case (every entry noisy on a churning box) can never
+    # push the JSON line past the external timeout; entries denied a
+    # tie-breaker are counted in the emitted JSON (tiebreaks_skipped).
     timings: dict[str, float] = {}
-    total = 0.0  # sum of reported (min-of-2) times
+    query_runs: dict[str, list[float]] = {}
+    total = 0.0  # sum of reported (min-of-n) times
     elapsed = 0.0  # true wall across all runs — drives the budget guard
+    tiebreak_budget = float(os.environ.get("SPARK_GRAFT_TIEBREAK_BUDGET", "60"))
+    tiebreak_spent = 0.0
+    tiebreaks_run = 0
+    tiebreaks_skipped = 0
+
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+        runs = [timed_run(name), timed_run(name)]
+        spread = max(runs) - min(runs)
+        if spread > max(0.05 * min(runs), 0.1):
+            if tiebreak_spent < tiebreak_budget:
+                runs.append(timed_run(name))
+                tiebreak_spent += runs[-1]
+                tiebreaks_run += 1
+            else:
+                tiebreaks_skipped += 1
         elapsed += sum(runs)
         timings[name] = min(runs)
+        query_runs[name] = runs
         total += timings[name]
         print(f"# {name}: {min(runs):.3f}s (runs: {runs})", file=sys.stderr)
+    print(
+        f"# tie-breakers: {tiebreaks_run} run ({tiebreak_spent:.1f}s of "
+        f"{tiebreak_budget:.0f}s budget), {tiebreaks_skipped} denied",
+        file=sys.stderr,
+    )
 
     # BASELINE.md target #5: the full star-schema build incl. all writes.
     import tempfile
@@ -383,6 +442,7 @@ def main() -> int:
             star_runs.append(round(time.perf_counter() - t0, 3))
     elapsed += sum(star_runs)
     timings["star_build_write"] = min(star_runs)
+    query_runs["star_build_write"] = star_runs
     total += timings["star_build_write"]
     print(f"# star_build_write: {min(star_runs):.3f}s (runs: {star_runs})", file=sys.stderr)
 
@@ -457,6 +517,13 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # ALL raw per-entry samples (VERDICT r12 #3): the r13+ judge can
+        # compute per-entry spread and the cross-round diff from data
+        # instead of trusting the min.
+        "query_runs": query_runs,
+        "tiebreaks": {"run": tiebreaks_run, "skipped": tiebreaks_skipped,
+                      "budget_sec": tiebreak_budget,
+                      "spent_sec": round(tiebreak_spent, 1)},
         "baselines": baselines,
         "sf": sf,
         "streaming": streaming,
@@ -524,12 +591,17 @@ def _compact_line(full: dict) -> str:
         sorted(full["queries"].items(), key=lambda kv: -kv[1])
     )
     while True:
+        tb = full.get("tiebreaks") or {}
         compact = {
             "metric": full["metric"],
             "value": full["value"],
             "unit": full["unit"],
             "sf": full["sf"],
             "degraded": bool(full.get("degraded", False)),
+            # non-zero = some noisy entries were denied their third
+            # sample (tie-break budget exhausted): treat their minima
+            # as min-of-2 quality when comparing across rounds.
+            **({"tiebreaks_skipped": tb["skipped"]} if tb.get("skipped") else {}),
             "queries": {k: round(v, 2) for k, v in queries.items()},
             "queries_total": len(full["queries"]),
             "baselines": full["baselines"],
