@@ -875,10 +875,21 @@ def _neardup_stream_bench(spark, sf_dir: str, target_rows: int = 100_000) -> dic
 def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dict:
     """Streaming SEMANTIC dedup throughput (the round-6 tier): an
     embedding ingest feed (the sf embeddings table replicated) drained
-    through the stateless cell-assign + cell-keyed anti-join filter
-    against a batch-trained index of the base corpus.  No dedup state —
-    the whole pipeline is a per-row filter against static state — so
-    one drain, no provider variants.  Reported as rows/sec."""
+    through the stateless cell-assign + corpus-probe filter against a
+    batch-trained index of the base corpus.  No dedup state — the whole
+    pipeline is a per-row filter against static state — so one drain,
+    no provider variants.  Reported as rows/sec.
+
+    Since r13 the drained pipeline is ``semantic_dedup_local`` — the
+    numpy local-probe form for the broadcast-index regime this feed is
+    in (bit-identical survivors to the JVM anti join, pinned in
+    tests).  The r13 profile showed the JVM form bound by the per-pair
+    HOF ``dot`` inside addBatch (~1.1 s per 6.25k-row batch, 3.1k
+    rows/s end-to-end); the SIMD probe runs the same batch in ~0.35 s.
+    The first mapInPandas batch pays one-time Python-worker startup
+    (~2 s) that a long-lived streaming job amortizes to zero, so the
+    workers are warmed with a one-row probe before the timed drain —
+    the same doctrine as the codegen warm-up above."""
     import shutil
     import tempfile
 
@@ -887,7 +898,7 @@ def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dic
     from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
     from fotmobdatapipeline_spark.sources.registry import read_table
     from fotmobdatapipeline_spark.streaming.similarity import (
-        semantic_dedup_stream,
+        semantic_dedup_local,
         semantic_index,
     )
 
@@ -908,16 +919,20 @@ def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dic
     cents = kmeans_lloyd(emb, k=8, iterations=2)
     index = semantic_index(emb, cents).localCheckpoint(eager=True)
 
+    # Warm the Arrow Python workers (reused across batches via
+    # spark.python.worker.reuse): one 32-partition pass through the
+    # same probe covers every executor thread the drain will use.
+    semantic_dedup_local(
+        emb.limit(64).repartition(32), cents, index, tau=0.3
+    ).write.format("noop").mode("overwrite").save()
+
     t0 = time.perf_counter()
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(f"{staged}/files")
     )
-    # The sf index fits an executor: broadcast it so each micro-batch is
-    # a shuffle-free hash probe (AQE never re-plans streaming batches;
-    # hint-free would sort-merge BOTH sides every batch — measured 2×).
-    out_df = semantic_dedup_stream(stream, cents, F.broadcast(index), tau=0.3)
+    out_df = semantic_dedup_local(stream, cents, index, tau=0.3)
     q = (
         out_df.writeStream.format("noop")
         .outputMode("append")

@@ -690,3 +690,102 @@ def test_blocklist_stream_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     with pytest.raises(ValueError, match="annotate|drop"):
         blocklist_stream(df, ["x y"], mode="Drop")
+
+
+def test_semantic_dedup_local_bit_equals_jvm(spark, tmp_path):
+    """The numpy local-probe form (VERDICT r12 #6's throughput fix) must
+    produce EXACTLY the JVM anti-join's survivor set AND cell
+    assignments: its reductions are vectorized across rows/pairs but
+    sequential across dimensions, so every scalar accumulator evolves
+    through the identical IEEE-754 operation sequence as dot()'s fold.
+    tau is set strictly INSIDE the observed cosine range so the feed
+    carries both verdicts, and the comparison includes (vec_id, cell)
+    pairs — a tie-break divergence in the cell argmax would fail even
+    where the survivor verdict agrees."""
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        semantic_dedup_local,
+        semantic_dedup_stream,
+        semantic_index,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 250)
+    feed_df = emb.filter(F.col("vec_id") >= 250)
+    cents = kmeans_lloyd(corpus, k=4, iterations=2)
+    index = semantic_index(corpus, cents).localCheckpoint(eager=False)
+
+    n_feed = feed_df.count()
+    survivor_counts = {}
+    for tau in (0.15, 0.2, 0.25):
+        jvm = {
+            (r["vec_id"], r["cell"])
+            for r in semantic_dedup_stream(feed_df, cents, index, tau=tau)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        local = {
+            (r["vec_id"], r["cell"])
+            for r in semantic_dedup_local(feed_df, cents, index, tau=tau)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert local == jvm, f"tau={tau}: local-probe diverged from JVM join"
+        survivor_counts[tau] = len(jvm)
+    # Both verdicts occur at tau=0.2 (the existing stream==batch test's
+    # calibrated threshold), so the equality above is non-vacuous.
+    assert 0 < survivor_counts[0.2] < n_feed, "only one verdict occurred"
+
+
+def test_semantic_dedup_local_streams(spark, tmp_path):
+    """semantic_dedup_local is a stateless Arrow map, so it must run
+    unchanged on a streaming frame and emit the batch-identical rows."""
+    from fotmobdatapipeline_spark.operators.similarity import kmeans_lloyd
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from fotmobdatapipeline_spark.streaming.similarity import (
+        semantic_dedup_local,
+        semantic_index,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 250)
+    feed_df = emb.filter(F.col("vec_id") >= 250)
+    feed_dir = str(tmp_path / "emb_feed_local")
+    feed_df.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    cents = kmeans_lloyd(corpus, k=4, iterations=2)
+    index = semantic_index(corpus, cents).localCheckpoint(eager=False)
+    tau = 0.2
+
+    batch_rows = {
+        (r["vec_id"], r["cell"])
+        for r in semantic_dedup_local(feed_df, cents, index, tau=tau)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    stream = semantic_dedup_local(
+        spark.readStream.schema(feed_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir),
+        cents,
+        index,
+        tau=tau,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("semantic_local_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        (r["vec_id"], r["cell"])
+        for r in spark.sql(
+            "SELECT vec_id, cell FROM semantic_local_out"
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+    assert 0 < len(batch_rows) < feed_df.count()
