@@ -113,3 +113,28 @@ def test_compact_line_carries_degraded_stamp():
         parsed = json.loads(line)
         assert parsed["degraded"] is degraded
         assert len(line) <= 1400
+
+
+def test_compact_line_surfaces_denied_tiebreaks():
+    """VERDICT r12 #3: when the tie-break budget runs out, the compact
+    JSON line must say how many noisy entries kept min-of-2 quality —
+    and stay silent when none were denied (budget space is the common
+    case and the line is size-capped)."""
+    b = _load_bench()
+    base = {
+        "metric": "headline_suite_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"q1": 1.0},
+        "baselines": {},
+        "degraded": False,
+    }
+    with_skips = json.loads(
+        b._compact_line({**base, "tiebreaks": {"run": 7, "skipped": 3}})
+    )
+    assert with_skips["tiebreaks_skipped"] == 3
+    no_skips = json.loads(
+        b._compact_line({**base, "tiebreaks": {"run": 7, "skipped": 0}})
+    )
+    assert "tiebreaks_skipped" not in no_skips

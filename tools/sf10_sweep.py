@@ -1,0 +1,167 @@
+"""Rotating sf10 superlinear audit (VERDICT r12 #2): every catalog
+entry eventually gets an sf10 wall measurement next to its sf0.1 wall,
+~40 entries per round, with results accumulated in a persistent ledger
+(tools/sf10_ledger.json) so the rotation resumes where it left off.
+
+Why: round-12 proved sf1 probes can hide 100x+ superlinear terms
+(`agg_winsorized` read clean at sf1 and blew up 130x at sf10).  The
+only reliable detector is measuring every entry at 100x the suite's
+data volume.
+
+Protocol (the r12 probe's, unchanged): synthetic sf10 tables via
+sources/synth.generate_scale_tables with the Heaps-consistent
+doc_vocab=170 corpus (the legacy 31-word list saturates the 3-gram
+shingle space and degenerates every lossless posting-list join by
+construction — a corpus artifact, not a plan defect), warm min-of-2,
+noop sink, local[32], 48g driver (one JVM hosting 100x the suite's
+data needs the headroom a real cluster gives each executor),
+64 shuffle partitions at sf10 / 32 at sf0.1.
+
+Flag rule: ratio = sf10_wall / sf0.1_wall on 100x the data.  Healthy
+distributed shapes on this box land well under 10x (32-way parallelism
+plus fixed overhead absorb most of the growth; r12's clean probes:
+recursive walk 5x, PPJoin 20x on corpus-sized joins).  ratio > 30
+(3x the healthy band) = flagged for investigation: plan drift, a
+documented cardinality bound, or a fix.  A per-entry watchdog cancels
+anything past --budget seconds (default 300) and records TIMEOUT —
+an automatic flag.
+
+Usage: python tools/sf10_sweep.py [--n 40] [--budget 300]
+                                  [--entries name1,name2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+LEDGER = os.path.join(HERE, "sf10_ledger.json")
+SF01 = "/root/testdata/sf0.1"
+SF10_DIR = "/tmp/spark_graft_synth_sf10"
+FLAG_RATIO = 30.0
+
+
+def load_ledger() -> dict:
+    try:
+        with open(LEDGER) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_ledger(ledger: dict) -> None:
+    with open(LEDGER, "w") as fh:
+        json.dump(ledger, fh, indent=1, sort_keys=True)
+
+
+def timed_min2(spark, builder, sf_dir: str, parts: int, budget: float):
+    """Warm min-of-2 noop-sink wall, watchdog-cancelled at ``budget``
+    seconds per RUN.  Returns seconds (float) or 'TIMEOUT>n'/'ERR ...'."""
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    runs = []
+    for i in range(2):
+        group = f"sf10sweep-{time.monotonic_ns()}"
+        done = threading.Event()
+        timed_out = []
+
+        def watchdog():
+            if not done.wait(budget):
+                timed_out.append(True)
+                sc.cancelJobGroup(group)
+
+        t = threading.Thread(target=watchdog, daemon=True)
+        sc.setJobGroup(group, "sf10 sweep", interruptOnCancel=True)
+        t.start()
+        t0 = time.perf_counter()
+        try:
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 2))
+        except Exception as e:
+            if timed_out:
+                return f"TIMEOUT>{budget:g}"
+            return f"ERR {type(e).__name__}: {str(e)[:120]}"
+        finally:
+            done.set()
+            # PySpark has no clearJobGroup; detach by resetting the
+            # thread-local property so later jobs aren't cancellable
+            # under a stale group id.
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        # A first run already past budget won't improve: skip the rerun.
+        if runs[-1] > budget:
+            break
+    return min(runs)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=40)
+    ap.add_argument("--budget", type=float, default=300.0)
+    ap.add_argument("--entries", default="")
+    ap.add_argument("--round", dest="round_tag", default="r13")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from fotmobdatapipeline_spark.plans.catalog import QUERIES, _load_all
+    from fotmobdatapipeline_spark.session import tune_session
+    from fotmobdatapipeline_spark.sources.synth import generate_scale_tables
+
+    print("loadavg", os.getloadavg(), flush=True)
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    tune_session(spark)
+    _load_all()
+
+    t0 = time.perf_counter()
+    generate_scale_tables(spark, 10, SF10_DIR, partitions=64, doc_vocab=170)
+    print(f"sf10 generate/verify: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    ledger = load_ledger()
+    if args.entries:
+        todo = [n for n in args.entries.split(",") if n in QUERIES]
+    else:
+        todo = [n for n in sorted(QUERIES) if n not in ledger][: args.n]
+    print(f"sweeping {len(todo)} entries ({len(ledger)} already in ledger, "
+          f"{len(QUERIES)} total)", flush=True)
+
+    for name in todo:
+        b = QUERIES[name].builder
+        s01 = timed_min2(spark, b, SF01, 32, args.budget)
+        s10 = timed_min2(spark, b, SF10_DIR, 64, args.budget)
+        rec: dict = {"sf01": s01, "sf10": s10, "round": args.round_tag}
+        if isinstance(s01, float) and isinstance(s10, float) and s01 > 0:
+            rec["ratio"] = round(s10 / s01, 1)
+            rec["flag"] = rec["ratio"] > FLAG_RATIO
+        else:
+            rec["ratio"] = None
+            rec["flag"] = True  # timeout/error at either scale = investigate
+        ledger[name] = rec
+        save_ledger(ledger)  # persist per entry: a crash loses nothing
+        print(f"{name}: sf0.1={s01} sf10={s10} ratio={rec['ratio']} "
+              f"flag={rec['flag']}", flush=True)
+
+    flags = {k: v for k, v in ledger.items() if v.get("flag")}
+    print("\n== flagged ==")
+    for k, v in sorted(flags.items()):
+        print(f"{k}: {v}")
+    print(f"== ledger now {len(ledger)}/{len(QUERIES)} entries, "
+          f"{len(flags)} flagged ==")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
