@@ -35,6 +35,18 @@ def n_numeric_tokens(text: Column) -> Column:
 
 
 def _count_in(text: Column, wordlist: tuple[str, ...]) -> Column:
+    """Occurrences of any ``wordlist`` token.  The HOF filter is the
+    right form here DESPITE its per-element lambda dispatch: the r13
+    sf10 audit tried the "native" respell Σ_w (|toks| -
+    |array_remove(toks, w)|) and it measured ~10x SLOWER at sf10 (each
+    array_remove materializes a fresh copy of the token array, and the
+    enlarged tree de-optimized the stage).  The scale lever for
+    consumers is EVALUATION COUNT, not per-eval cost: derived ratios
+    referenced by several downstream expressions get re-inlined by
+    projection collapse / filter pushdown (HOFs are excluded from
+    codegen subexpression elimination), so compute them ONCE per row
+    and carry them through an aggregation boundary — see
+    ``llm_prep_pipeline``'s quality stage."""
     toks = F.split(text, " ")
     return F.size(F.filter(toks, lambda t: t.isin(*wordlist)))
 

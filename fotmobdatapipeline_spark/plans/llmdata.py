@@ -3063,15 +3063,30 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str):
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    canon = (
-        docs.select("doc_id", norm.alias("norm"))
-        .groupBy("norm")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
+    # stop/div are functions of the grouping key, so computing them
+    # PRE-shuffle and carrying them through the aggregate (any_value of
+    # an all-equal group is deterministic) is value-identical — and it
+    # pins their evaluation count at ONE per input row.  Computed after
+    # the agg they get re-inlined by projection collapse + filter
+    # pushdown into every consumer (band's CASE references each twice,
+    # the band filter doubles it again = 4 evaluations of an
+    # interpreted-HOF ratio; the r13 sf10 audit measured this entry at
+    # 95 s, ~55 s of it exactly these re-evaluations).
     stop = T.stopword_ratio(F.col("norm"))
     div = T.distinct_word_ratio(F.col("norm"))
+    canon = (
+        docs.select("doc_id", norm.alias("norm"), stop.alias("stop"), div.alias("div"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("stop").alias("stop"),
+            F.any_value("div").alias("div"),
+        )
+    )
     kept = canon.select(
-        "doc_id", "norm", T.quality_band(stop, div).alias("band")
+        "doc_id",
+        "norm",
+        T.quality_band(F.col("stop"), F.col("div")).alias("band"),
     ).filter(F.col("band") != "low")
     chunks = kept.select(
         "doc_id", "band", F.explode(chunk_windows(F.col("norm"))).alias("c")
@@ -5699,8 +5714,10 @@ _SQL_GOPHER_KEEP = f"""
       FROM src
     )
     SELECT c.source, c.band, c.n_docs, c.n_tokens,
-           sqrt(CAST(s.pass_docs AS DOUBLE)) / t.denom AS target_share,
-           CASE WHEN c.band = 'pass' THEN
+           CASE WHEN t.denom = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE sqrt(CAST(s.pass_docs AS DOUBLE)) / t.denom
+           END AS target_share,
+           CASE WHEN c.band = 'pass' AND t.denom <> 0 THEN
              LEAST(CAST(1.0 AS DOUBLE),
                (sqrt(CAST(s.pass_docs AS DOUBLE)) / t.denom)
                  * (CAST(t.total_pass_tokens AS DOUBLE) / CAST(2.0 AS DOUBLE))
@@ -5751,8 +5768,14 @@ def mixture_quality_plan(spark: SparkSession, sf_dir: str):
         F.sum("pass_tokens").alias("total_pass_tokens"),
     )
     share = F.sqrt(F.col("pass_docs").cast("double")) / F.col("denom")
+    # denom = 0 (NO source has a passing doc) is a legitimate degenerate
+    # input — the r13 sf10 audit hit it on a synthetic corpus whose
+    # vocabulary words contain digits, failing every doc on the Gopher
+    # digit-ratio rule — and the PLAN artifact must come back with zero
+    # shares, not an ANSI divide-by-zero (oracle guards identically).
+    share_safe = F.when(F.col("denom") != 0.0, share).otherwise(F.lit(0.0))
     keep_rate = F.when(
-        F.col("band") == "pass",
+        (F.col("band") == "pass") & (F.col("denom") != 0.0),
         F.least(
             F.lit(1.0),
             share
@@ -5768,7 +5791,7 @@ def mixture_quality_plan(spark: SparkSession, sf_dir: str):
             "band",
             "n_docs",
             "n_tokens",
-            share.alias("target_share"),
+            share_safe.alias("target_share"),
             keep_rate.alias("keep_rate"),
         )
     )
