@@ -892,20 +892,61 @@ def verified_lsh_dups(
     Candidate pairs that share no shingle at all (32-bit band-key
     collisions) drop out in the verify join — LSH false positives cost
     a lookup, never a wrong answer.
+
+    The verify stage is PAIR-DRIVEN: each candidate pair's intersection
+    is counted by joining the pair list with the two sides' exploded
+    shingle sets (cands ⋈ ex on doc_a, then ⋈ ex on (doc_b, shingle)),
+    so verify work is Σ_pairs |sh_a| + |sh_a ∩ sh_b| — linear in the
+    (band-df-capped) candidate count at any corpus size.  The r13 sf10
+    audit caught the previous form (``jaccard_pairs`` over the in-play
+    doc subset) hiding a quadratic term: in-play DOCS grow linearly
+    with the corpus, so hot shingles *within the subset* still produced
+    df²/2 posting-list pairs that the candidate join then threw away
+    (131.7 s at sf10 in the old form; see SCALE.md round 13 for the
+    measured pair-driven wall — value-identical either way).
+    ``cands`` and ``ex`` are lazily checkpointed: both feed 2-3 plan
+    branches, and recomputing the band join / shingle explode per
+    branch is pure waste at corpus scale (jaccard_pairs doc, same
+    doctrine).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
     cands = lsh_band_pairs(
         sigs, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band,
         max_band_df=max_band_df,
-    )
+    ).localCheckpoint(eager=False)
     in_play = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sub = df.join(in_play, id_col, "left_semi")
-    scored = jaccard_pairs(sub, text_col, id_col)
-    return scored.join(cands, ["doc_a", "doc_b"])
+    ex = (
+        df.join(in_play, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col))).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        cands.join(ex.withColumnsRenamed({id_col: "doc_a"}), "doc_a")
+        .join(ex.withColumnsRenamed({id_col: "doc_b"}), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
 
 
 def decontaminate(

@@ -416,6 +416,171 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """:func:`semantic_dedup` for corpus-sized k — same output, same
+    values bit-for-bit (pinned by
+    test_semantic_dedup_cells_bit_equals_jvm), computed SIMD-side.
+
+    Why it exists: the JVM form's per-pair cosine is a higher-order
+    ``aggregate`` fold that Catalyst evaluates by per-element lambda
+    dispatch (~0.7 µs/pair measured in the r13 streaming profile), and
+    unrolling the fold de-optimizes (HotSpot JIT size limits —
+    streaming/similarity.py:202).  At production sizing (k grown with
+    the corpus so cells stay ~10^3-10^4, the SemDeDup/LAION discipline)
+    the assignment pass is rows x k dots and the pair pass is
+    cells x (N/k)^2/2 dots — both pure arithmetic, both ~100x faster
+    vectorized.  The r13 sf10 audit measured the difference: 200k
+    vectors, k=8 (suite sizing) TIMED OUT at 300 s in the JVM form;
+    this form at k=400 finishes in seconds.
+
+    Shape: one Arrow ``mapInPandas`` stage assigns cells (numpy probe
+    loop, vectorized across rows, sequential across dimensions), then
+    one ``applyInPandas`` per cell sorts by id and takes each row's max
+    cosine over SMALLER-id cell-mates via a blocked lower-triangle
+    matrix pass (``block_rows`` bounds peak memory at
+    block_rows x cell_size doubles).  Exactly two shuffles: none in
+    assignment (map-side), one hash exchange on cell for the pair pass.
+
+    Bit-exactness (the semantic_dedup_local doctrine,
+    streaming/similarity.py:208): every reduction is vectorized ACROSS
+    rows/pairs but sequential ACROSS dimensions in float64 after exact
+    float32 widening, so each scalar accumulator evolves through the
+    identical IEEE-754 sequence as ``dot``'s left-to-right fold; the
+    assignment tie-break (ascending cell id, strict improvement)
+    replicates ``ivf_assign``'s ``min(struct(neg, cell))``; ``max``
+    over doubles is order-independent.  Same non-zero-norm
+    precondition as the JVM path.
+
+    Scale bound: centroids are collected and broadcast (k x dim doubles
+    — broadcast-sized by the same contract as ``ivf_assign``); the
+    corpus itself never leaves executors.  Cell size is bounded by
+    k-sizing, so the per-group pandas frame is ~10^4 rows, and AQE's
+    skew handling is unnecessary (cells are quantizer-balanced).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    crows = sorted(
+        (int(r[centroid_id_col]), [float(x) for x in r[vec_col]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    cell_ids = [cid for cid, _ in crows]
+    cmat = np.array([c for _, c in crows], dtype=np.float64)
+    cnorms_l = []
+    for _, comps in crows:
+        acc = 0.0
+        for c in comps:
+            acc = acc + float(c) * float(c)
+        cnorms_l.append(math.sqrt(acc))
+    cnorms = np.array(cnorms_l, dtype=np.float64)
+    bc = vectors.sparkSession.sparkContext.broadcast((cell_ids, cmat, cnorms))
+    dim = cmat.shape[1]
+    tau_f = float(tau)
+    vc, idc = vec_col, id_col
+
+    def assign(batches):
+        b_cell_ids, b_cmat, b_cnorms = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {idc: pd.Series([], dtype="int64"),
+                     "nrm": pd.Series([], dtype="float64"),
+                     vc: pd.Series([], dtype="object"),
+                     "cell": pd.Series([], dtype="int64")}
+                )
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float32).astype(np.float64) for x in pdf[vc]]
+            )
+            nrm_sq = np.zeros(n)
+            for i in range(dim):
+                nrm_sq = nrm_sq + v[:, i] * v[:, i]
+            nrm = np.sqrt(nrm_sq)
+            best_neg = np.full(n, np.inf)
+            best_cell = np.zeros(n, dtype=np.int64)
+            for j, cid in enumerate(b_cell_ids):
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc = acc + v[:, i] * b_cmat[j, i]
+                neg = -(acc / (nrm * b_cnorms[j]))
+                upd = neg < best_neg  # strict: ties keep the lower cell
+                best_neg = np.where(upd, neg, best_neg)
+                best_cell = np.where(upd, cid, best_cell)
+            yield pd.DataFrame(
+                {idc: pdf[idc].to_numpy(), "nrm": nrm, vc: pdf[vc].to_numpy(),
+                 "cell": best_cell}
+            )
+
+    assign_schema = StructType(
+        [
+            StructField(idc, LongType()),
+            StructField("nrm", DoubleType()),
+            vectors.schema[vc],
+            StructField("cell", LongType()),
+        ]
+    )
+    assigned = vectors.select(idc, vc).mapInPandas(assign, assign_schema)
+
+    out_schema = StructType(
+        [
+            StructField(idc, LongType()),
+            StructField("cell", LongType()),
+            StructField("max_sim_prior", DoubleType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def per_cell(pdf):
+        pdf = pdf.sort_values(idc, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        v = np.stack(
+            [np.asarray(x, dtype=np.float32).astype(np.float64) for x in pdf[vc]]
+        )
+        nrm = pdf["nrm"].to_numpy()
+        best = np.full(n, np.nan)
+        for lo in range(1, n, block_rows):
+            hi = min(lo + block_rows, n)
+            b = hi - lo
+            m = hi - 1  # priors for row r are rows [0, r); max prior index hi-2
+            acc = np.zeros((b, m))
+            tmp = np.empty((b, m))
+            vb = v[lo:hi]
+            for i in range(dim):
+                np.multiply.outer(vb[:, i], v[:m, i], out=tmp)
+                acc += tmp
+            cos = acc / np.multiply.outer(nrm[lo:hi], nrm[:m])
+            mask = np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+            best[lo:hi] = np.where(mask, cos, -np.inf).max(axis=1)
+        msp = pd.array(best, dtype="Float64")
+        if n:
+            msp[0] = pd.NA  # the cell's lowest id has no prior
+        kept = msp.isna() | (msp < tau_f)
+        return pd.DataFrame(
+            {idc: pdf[idc].to_numpy(), "cell": pdf["cell"].to_numpy(),
+             "max_sim_prior": msp, "kept": kept}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
 def inertia(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -1621,6 +1621,27 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str):
     return S.semantic_dedup(emb, centroids, tau=_SEMDEDUP_TAU)
 
 
+# Same semantics, same oracle, SIMD execution: the corpus-sized-k scale
+# path (operators/similarity.py::semantic_dedup_cells — numpy cell
+# assignment + blocked per-cell lower-triangle max, bit-identical to the
+# JVM join by the sequential-across-dimensions accumulation doctrine).
+# Registered as its own entry so the DRIVER attests the numpy path's
+# value-equality, not only the in-repo pin test: the r13 sf10 audit
+# showed the JVM form's per-pair interpreted fold timing out at 200k
+# vectors (k=8 cells of 25k), while this form finishes in seconds at
+# production sizing — see SCALE.md round 13.
+@register(
+    "dedup_semantic_cells",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "kmeans", "semdedup", "arrow"),
+    doc="SemDeDup via the numpy cell-blocked scale path (same oracle).",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = _trained_centroids(spark, sf_dir, k=8, iterations=3)
+    return S.semantic_dedup_cells(emb, centroids, tau=_SEMDEDUP_TAU)
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup pairs: sign-LSH bucket self-join + exact cosine
 # re-score — the scale path for embedding-cosine dedup (the cross join

@@ -1361,6 +1361,50 @@ def test_semantic_dedup_invariants(spark):
             assert not lo[r["vec_id"]], "tau=0.2 must drop everything tau=0.35 drops"
 
 
+def test_semantic_dedup_cells_bit_equals_jvm(spark):
+    """The numpy batch form (semantic_dedup_cells — the corpus-sized-k
+    scale path the r13 sf10 audit forced: k=8 at 200k vectors TIMED OUT
+    in the JVM join) must produce EXACTLY the JVM form's rows: cell
+    assignment, max_sim_prior DOUBLE (bit-compared via struct pack),
+    and verdict, across taus where both verdicts occur.  Its reductions
+    are vectorized across rows/pairs but sequential across dimensions,
+    so every accumulator evolves through dot()'s IEEE-754 sequence —
+    the semantic_dedup_local doctrine applied to the batch operator."""
+    import struct
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+        semantic_dedup_cells,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    cents = kmeans_lloyd(emb, k=4, iterations=2)
+    n = emb.count()
+    survivors = {}
+    for tau in (0.2, 0.3, 0.35):
+        jvm = {
+            r["vec_id"]: (r["cell"], bits(r["max_sim_prior"]), r["kept"])
+            for r in semantic_dedup(emb, cents, tau=tau).collect()
+        }
+        cells = {
+            r["vec_id"]: (r["cell"], bits(r["max_sim_prior"]), r["kept"])
+            for r in semantic_dedup_cells(
+                emb, cents, tau=tau, block_rows=37
+            ).collect()
+        }
+        assert cells == jvm, f"tau={tau}: numpy batch form diverged from JVM"
+        survivors[tau] = sum(1 for v in jvm.values() if v[2])
+    # Non-vacuous: both verdicts occur at the middle tau, and block_rows
+    # far below the cell size exercises the blocked triangle path.
+    assert 0 < survivors[0.3] < n, "only one verdict occurred"
+
+
 def test_intradoc_dedup_hand_computed(spark):
     """A doc repeating its own sentence loses the later copies; a
     sentence shared ACROSS docs survives in both (unlike the corpus-wide

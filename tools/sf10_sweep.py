@@ -142,6 +142,11 @@ def main() -> int:
         s01 = timed_min2(spark, b, SF01, 32, args.budget)
         s10 = timed_min2(spark, b, SF10_DIR, 64, args.budget)
         rec: dict = {"sf01": s01, "sf10": s10, "round": args.round_tag}
+        # Re-measuring an entry must not erase its recorded resolution
+        # (a documented cardinality bound or a pointer to the fix).
+        old = ledger.get(name)
+        if isinstance(old, dict) and old.get("note"):
+            rec["note"] = old["note"]
         if isinstance(s01, float) and isinstance(s10, float) and s01 > 0:
             rec["ratio"] = round(s10 / s01, 1)
             rec["flag"] = rec["ratio"] > FLAG_RATIO
