@@ -1215,6 +1215,105 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# The PRODUCTION form of the recall calibration: both the exact-Jaccard
+# truth tier and the LSH candidate tier run on a deterministic ~3/16
+# md5 doc-sample (md5 is the repo's cross-engine hash — bit-identical
+# text in Spark and DuckDB).  Recall estimation needs statistical
+# power, not the corpus: truth-tier pair volume scales with rate² per
+# shingle (df_sample ≈ rate·df), so the 18.75% sample does ~3.5% of the
+# full-corpus truth work — the r13 sf10 audit measured the full-corpus
+# form at 81 s (31.7×, sublinear but heavy; see SCALE.md round 13), and
+# this is the shape you'd actually schedule at 100 TB.  The sample is
+# content-stable (hash of doc_id), so the reported curve is
+# reproducible across engines, partitionings, and reruns.
+# --------------------------------------------------------------------------
+_SQL_TOK_SAMPLED = (
+    "SELECT doc_id, string_split(text, ' ') AS t FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
+)
+
+
+@register(
+    "dedup_recall_sampled",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK_SAMPLED}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s)
+             WHERE df <= {_RECALL_TRUTH_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS j
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_lsh_sigs}
+      FROM tok
+    ),
+    bands AS (
+      {_lsh_bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    lab AS (
+      SELECT CAST(FLOOR(t.j * 10) AS INT) AS jbin,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall,
+           {_SQL_P_THEORY} AS p_theory
+    FROM lab GROUP BY jbin
+    """,
+    tags=("dedup", "lsh", "jaccard", "calibration", "recall", "sampling"),
+    doc="LSH recall calibration on a deterministic md5 doc-sample (production form).",
+)
+def dedup_recall_sampled(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    )
+    truth = D.jaccard_pairs(docs, max_df=_RECALL_TRUTH_CAP).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j")
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=_LSH_HASHES)
+    cand = D.lsh_band_pairs(
+        sigs, num_hashes=_LSH_HASHES, rows_per_band=1, max_band_df=_LSH_BAND_DF
+    ).withColumn("hit", F.lit(1))
+    lab = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("j") * 10).cast("int").alias("jbin"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    jmid = (F.col("jbin").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    miss = F.lit(1.0) - jmid
+    prod = miss
+    for _ in range(_LSH_HASHES - 1):
+        prod = prod * miss
+    p_theory = F.lit(1.0) - prod
+    return lab.groupBy("jbin").agg(
+        F.count("*").alias("n_truth"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("recall"),
+    ).withColumn("p_theory", p_theory)
+
+
+# --------------------------------------------------------------------------
 # Asymmetric n-gram CONTAINMENT: |A∩B| / |A| per ordered (contained,
 # container) pair — catches a small doc quoted whole inside a large one,
 # which symmetric Jaccard dilutes toward 0 (the winnowing copy-pairs
