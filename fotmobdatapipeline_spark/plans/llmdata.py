@@ -1362,6 +1362,63 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# The df-CAPPED containment report — the scale path for the entry above.
+# The uncapped form is the lossless exact tier: every shingle's posting
+# list emits df²/2 pairs, intrinsically quadratic in hot-shingle df (the
+# r13 sf10 audit measured it at 141 s / 47.4× on 100× data).  Capping
+# df bounds per-shingle fan-out at cap²/2 at ANY corpus size — the same
+# `max_df` contract as jaccard_pairs: exact containment in the capped
+# shingle universe, with per-doc sizes recomputed over surviving
+# shingles (stop-shingles carry no quote-detection signal).
+# --------------------------------------------------------------------------
+_CONTAIN_DF_CAP = 50
+
+
+@register(
+    "text_containment_capped",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOK}),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s)
+             WHERE df <= {_CONTAIN_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT doc_a AS contained, doc_b AS container, common FROM common
+      UNION ALL
+      SELECT doc_b, doc_a, common FROM common
+    )
+    SELECT d.contained, d.container, CAST(d.common AS BIGINT) AS common,
+           CAST(d.common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.contained
+    ORDER BY containment DESC, contained ASC, container ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard", "containment", "capped"),
+    doc="Top-20 containment pairs in the df-capped shingle universe (scale path).",
+)
+def text_containment_capped(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        D.containment_pairs(docs, max_df=_CONTAIN_DF_CAP)
+        .select(
+            "contained",
+            "container",
+            F.col("common").cast("long").alias("common"),
+            "containment",
+        )
+        .orderBy(F.desc("containment"), F.asc("contained"), F.asc("container"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Hot-band observability: the top bands by occupancy with their df and
 # the is_hot verdict vs the catalog cap — the report that SIZES
 # _LSH_BAND_DF (the df-cap sizing twin of text_stopshingle_discovery).
@@ -3257,7 +3314,13 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str):
     t = F.col("text")
 
     def n_matches(pat: str):
-        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("int")
+        # regexp_count, not size(regexp_extract_all): identical
+        # non-overlapping match count from the same engine/pattern, but
+        # without materializing every match string — the r13 sf10 audit
+        # measured the extract_all form at 34.3 s / 90.2x (map-side
+        # linear, allocation-bound; the ratio is also inflated by the
+        # 0.38 s sf0.1 overhead floor).
+        return F.regexp_count(t, F.lit(pat)).cast("int")
 
     return docs.select(
         "doc_id",
