@@ -3315,11 +3315,13 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str):
 
     def n_matches(pat: str):
         # regexp_count, not size(regexp_extract_all): identical
-        # non-overlapping match count from the same engine/pattern, but
-        # without materializing every match string — the r13 sf10 audit
-        # measured the extract_all form at 34.3 s / 90.2x (map-side
-        # linear, allocation-bound; the ratio is also inflated by the
-        # 0.38 s sf0.1 overhead floor).
+        # non-overlapping match count from the same engine/pattern
+        # without materializing every match string.  Measured honestly
+        # in the r13 sf10 audit: 34.3 -> 32.5 s — the cost is the four
+        # full-text regex SCANS themselves, not allocation, so the
+        # entry is documented-bound instead: map-side only, zero
+        # shuffles, linear in rows (~65 µs/doc for 4 passes), with the
+        # 40x+ ratio an artifact of the ~0.5 s sf0.1 overhead floor.
         return F.regexp_count(t, F.lit(pat)).cast("int")
 
     return docs.select(
