@@ -893,21 +893,26 @@ def verified_lsh_dups(
     collisions) drop out in the verify join — LSH false positives cost
     a lookup, never a wrong answer.
 
-    The verify stage is PAIR-DRIVEN: each candidate pair's intersection
-    is counted by joining the pair list with the two sides' exploded
-    shingle sets (cands ⋈ ex on doc_a, then ⋈ ex on (doc_b, shingle)),
-    so verify work is Σ_pairs |sh_a| + |sh_a ∩ sh_b| — linear in the
-    (band-df-capped) candidate count at any corpus size.  The r13 sf10
-    audit caught the previous form (``jaccard_pairs`` over the in-play
-    doc subset) hiding a quadratic term: in-play DOCS grow linearly
-    with the corpus, so hot shingles *within the subset* still produced
-    df²/2 posting-list pairs that the candidate join then threw away
-    (131.7 s at sf10 in the old form; see SCALE.md round 13 for the
-    measured pair-driven wall — value-identical either way).
-    ``cands`` and ``ex`` are lazily checkpointed: both feed 2-3 plan
-    branches, and recomputing the band join / shingle explode per
-    branch is pure waste at corpus scale (jaccard_pairs doc, same
-    doctrine).
+    The verify stage is PAIR-DRIVEN: each candidate pair fetches the
+    two sides' PACKED distinct-shingle arrays by two equi-joins and
+    counts the intersection per row (``array_intersect`` over two
+    already-distinct arrays), so verify does |cands| join rows — linear
+    in the (band-df-capped) candidate count at any corpus size — and
+    the per-row intersection is hash-set O(|sh_a| + |sh_b|) inside
+    codegen.  The r13 sf10 audit drove this shape through two wrong
+    ones, both measured at 200k-doc/4.4M-candidate scale:
+    (1) ``jaccard_pairs`` over the in-play doc SUBSET (131.7 s) —
+    in-play docs grow linearly with the corpus, so hot shingles within
+    the subset still produced df²/2 posting-list pairs the candidate
+    join then threw away; (2) candidate ⋈ EXPLODED shingles on
+    (doc, shingle) (141.7 s) — same join bytes as this form but
+    Σ_pairs |sh_a| ≈ 250M shuffled rows plus a 250M-row pair-keyed
+    aggregate, where this form shuffles the same bytes as 4.4M packed
+    rows and aggregates nothing (see SCALE.md round 13 for the final
+    measured wall).  ``cands`` and ``sets`` are lazily checkpointed:
+    each feeds 2-3 plan branches, and recomputing the band join /
+    shingle build per branch is pure waste at corpus scale
+    (jaccard_pairs doc, same doctrine).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
     cands = lsh_band_pairs(
@@ -919,24 +924,24 @@ def verified_lsh_dups(
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    ex = (
+    sets = (
         df.join(in_play, id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col))).alias("s"),
-        )
+        .select(F.col(id_col), word_shingles(F.col(text_col)).alias("sh"))
         .localCheckpoint(eager=False)
     )
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    common = (
-        cands.join(ex.withColumnsRenamed({id_col: "doc_a"}), "doc_a")
-        .join(ex.withColumnsRenamed({id_col: "doc_b"}), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
     return (
-        common.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
+        cands.join(
+            sets.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"
+        )
+        .join(sets.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(F.col("common") > 0)
         .select(
             "doc_a",
             "doc_b",
