@@ -398,7 +398,14 @@ def main() -> int:
     query_runs: dict[str, list[float]] = {}
     total = 0.0  # sum of reported (min-of-n) times
     elapsed = 0.0  # true wall across all runs — drives the budget guard
-    tiebreak_budget = float(os.environ.get("SPARK_GRAFT_TIEBREAK_BUDGET", "60"))
+    # Default raised 60 → 180 s (VERDICT r13 #5): the 60 s budget denied
+    # 24/100 headline (35/346 full-suite) entries their third sample —
+    # exactly the entries whose first two runs disagreed >5%, i.e. the
+    # noisiest entries were the least-sampled.  r13's full-suite
+    # tie-break demand was ~110 s of thirds (60.3 s spent + ~48 s for
+    # the denied entries' min walls), so 180 s covers the observed worst
+    # case with margin while still bounding the churning-box pathology.
+    tiebreak_budget = float(os.environ.get("SPARK_GRAFT_TIEBREAK_BUDGET", "180"))
     tiebreak_spent = 0.0
     tiebreaks_run = 0
     tiebreaks_skipped = 0

@@ -464,8 +464,18 @@ def semantic_dedup_cells(
     corpus itself never leaves executors.  Cell size is bounded by
     k-sizing, so the per-group pandas frame is ~10^4 rows, and AQE's
     skew handling is unnecessary (cells are quantizer-balanced).
+
+    Broadcast lifetime: the centroid broadcast is created per call and
+    stays registered for the session lifetime (it must outlive the
+    returned LAZY DataFrame, so eager unpersist would be wrong).  Each
+    is k x (dim+2) doubles — model-sized, so even hundreds of calls in
+    a long session hold ~MBs; callers looping over taus on one centroid
+    set should hoist this call, not the action, if that ever matters.
     """
     import math
+
+    if block_rows < 1:
+        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
 
     import numpy as np
     import pandas as pd
@@ -500,10 +510,12 @@ def semantic_dedup_cells(
         for pdf in batches:
             n = len(pdf)
             if n == 0:
+                # Reuse the incoming (empty) id/vec columns so the id
+                # dtype matches whatever type the source column carries.
                 yield pd.DataFrame(
-                    {idc: pd.Series([], dtype="int64"),
+                    {idc: pdf[idc],
                      "nrm": pd.Series([], dtype="float64"),
-                     vc: pd.Series([], dtype="object"),
+                     vc: pdf[vc],
                      "cell": pd.Series([], dtype="int64")}
                 )
                 continue
@@ -515,7 +527,11 @@ def semantic_dedup_cells(
                 nrm_sq = nrm_sq + v[:, i] * v[:, i]
             nrm = np.sqrt(nrm_sq)
             best_neg = np.full(n, np.inf)
-            best_cell = np.zeros(n, dtype=np.int64)
+            # Seed with the LOWEST centroid id (not literal 0) so an
+            # all-NaN cosine row (zero-norm vector, outside the stated
+            # precondition) degrades to the same cell the JVM
+            # min(struct(neg, cell)) path picks for any id set.
+            best_cell = np.full(n, b_cell_ids[0], dtype=np.int64)
             for j, cid in enumerate(b_cell_ids):
                 acc = np.zeros(n)
                 for i in range(dim):
@@ -529,9 +545,13 @@ def semantic_dedup_cells(
                  "cell": best_cell}
             )
 
+    # Derive the id field from the source schema (mirrors the vector
+    # column) — the JVM semantic_dedup accepts any orderable id type,
+    # so hardcoding LongType here would silently assume bigint ids.
+    id_field = StructField(idc, vectors.schema[idc].dataType)
     assign_schema = StructType(
         [
-            StructField(idc, LongType()),
+            id_field,
             StructField("nrm", DoubleType()),
             vectors.schema[vc],
             StructField("cell", LongType()),
@@ -541,7 +561,7 @@ def semantic_dedup_cells(
 
     out_schema = StructType(
         [
-            StructField(idc, LongType()),
+            id_field,
             StructField("cell", LongType()),
             StructField("max_sim_prior", DoubleType()),
             StructField("kept", BooleanType()),

@@ -1405,6 +1405,42 @@ def test_semantic_dedup_cells_bit_equals_jvm(spark):
     assert 0 < survivors[0.3] < n, "only one verdict occurred"
 
 
+def test_semantic_dedup_cells_string_ids_and_guards(spark):
+    """r13 ADVICE: the Arrow schemas must derive the id type from the
+    source column (the JVM form accepts any orderable id) — a string id
+    must round-trip with verdicts identical to the JVM form under the
+    same lexicographic ordering; and block_rows < 1 must raise rather
+    than silently keep everything (range(1, n, -1) is empty)."""
+    import pytest
+
+    from fotmobdatapipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+        semantic_dedup_cells,
+    )
+    from fotmobdatapipeline_spark.sources.registry import read_table
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings").limit(60)
+    cents = kmeans_lloyd(emb, k=3, iterations=1)
+    sid = emb.selectExpr(
+        "format_string('id%05d', vec_id) AS vec_id", "embedding"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup_cells(sid, cents, tau=0.3).collect()
+    }
+    want = {
+        f"id{r['vec_id']:05d}": (r["cell"], r["kept"])
+        for r in semantic_dedup(emb, cents, tau=0.3).collect()
+    }
+    # format_string is order-isomorphic to the long ids here, so cells
+    # AND verdicts must agree exactly with the bigint-id JVM run.
+    assert got == want
+    with pytest.raises(ValueError, match="block_rows"):
+        semantic_dedup_cells(emb, cents, tau=0.3, block_rows=-5)
+
+
 def test_intradoc_dedup_hand_computed(spark):
     """A doc repeating its own sentence loses the later copies; a
     sentence shared ACROSS docs survives in both (unlike the corpus-wide
