@@ -879,7 +879,10 @@ def _neardup_stream_bench(spark, sf_dir: str, target_rows: int = 100_000) -> dic
     return out
 
 
-def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dict:
+def _semantic_stream_bench(
+    spark, sf_dir: str, target_rows: int = 50_000,
+    max_files_per_trigger: int = 8,
+) -> dict:
     """Streaming SEMANTIC dedup throughput (the round-6 tier): an
     embedding ingest feed (the sf embeddings table replicated) drained
     through the stateless cell-assign + corpus-probe filter against a
@@ -933,10 +936,11 @@ def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dic
         emb.limit(64).repartition(32), cents, index, tau=0.3
     ).write.format("noop").mode("overwrite").save()
 
+    n_batches = -(-64 // max_files_per_trigger)  # 64 staged files
     t0 = time.perf_counter()
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(f"{staged}/files")
     )
     out_df = semantic_dedup_local(stream, cents, index, tau=0.3)
@@ -950,13 +954,13 @@ def _semantic_stream_bench(spark, sf_dir: str, target_rows: int = 50_000) -> dic
     q.stop()
     wall = round(time.perf_counter() - t0, 3)
     print(
-        f"# semantic_stream {wall:.3f}s ({n_rows} rows / 8 batches)",
+        f"# semantic_stream {wall:.3f}s ({n_rows} rows / {n_batches} batches)",
         file=sys.stderr,
     )
     shutil.rmtree(staged, ignore_errors=True)
     return {
         "rows": n_rows,
-        "n_batches": 8,
+        "n_batches": n_batches,
         "wall_sec": wall,
         "rows_per_sec": round(n_rows / wall),
     }

@@ -26,15 +26,26 @@ documented cardinality bound, or a fix.  A per-entry watchdog cancels
 anything past --budget seconds (default 300) and records TIMEOUT —
 an automatic flag.
 
+Regression gating (VERDICT r13 #3): every ledger row carries a
+``plan_hash`` — a session-normalized fingerprint of the entry's
+formatted physical plan at sf0.1.  Each sweep run recomputes all
+fingerprints (analysis-only, ~seconds) and re-queues entries whose
+plan changed since their measurement, plus any new entries, so the
+ledger tracks the code instead of being a one-shot snapshot.
+``--backfill-hashes`` is the one-time migration for pre-hash rows.
+
 Usage: python tools/sf10_sweep.py [--n 40] [--budget 300]
                                   [--entries name1,name2,...]
+                                  [--backfill-hashes]
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
+import re
 import sys
 import threading
 import time
@@ -45,6 +56,50 @@ LEDGER = os.path.join(HERE, "sf10_ledger.json")
 SF01 = "/root/testdata/sf0.1"
 SF10_DIR = "/tmp/spark_graft_synth_sf10"
 FLAG_RATIO = 30.0
+# Any entry past NOTE_RATIO must carry a resolution note in the ledger
+# even if unflagged (VERDICT r13 #4: dedup_ngram_jaccard sat at 28.5x —
+# just under the 30x flag — with no note, so the "zero unexplained"
+# claim depended on a threshold hiding the next-worst entry).
+NOTE_RATIO = 25.0
+
+# Plan-fingerprint normalization: expression ids, codegen/adaptive plan
+# ids and exchange reuse ids vary per session; everything else in the
+# formatted explain is a function of the plan shape, which is exactly
+# what the sf10 measurement depends on.
+_FP_NORM = (
+    (re.compile(r"#\d+L?"), "#x"),
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    (re.compile(r"\[id=#?\d+\]"), "[id=x]"),
+    (re.compile(r"ReusedExchange \[\d+\]"), "ReusedExchange [x]"),
+)
+
+
+def plan_fingerprint(df) -> str:
+    """16-hex-digit hash of the session-normalized formatted physical
+    plan — the staleness key for ledger rows (VERDICT r13 #3: the sf10
+    audit is a snapshot; a plan change must re-queue its entry, the way
+    the r13 LSH-verify fix changed dedup_lsh_verified 131.7 -> 104.5 s
+    and was only caught because the audit happened to be in flight)."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for rx, rep in _FP_NORM:
+        s = rx.sub(rep, s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def all_fingerprints(spark, queries, sf_dir: str = SF01) -> dict:
+    """name -> fingerprint (or 'ERR ...') for every catalog entry,
+    built at sf0.1 (analysis only — nothing is executed, though
+    builders that train model state driver-side do pay that cost
+    once per process; the shared-subtree memos absorb repeats)."""
+    fps: dict = {}
+    for name in sorted(queries):
+        try:
+            fps[name] = plan_fingerprint(queries[name].builder(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - per-entry isolation
+            fps[name] = f"ERR {type(e).__name__}: {str(e)[:80]}"
+    return fps
 
 
 def load_ledger() -> dict:
@@ -104,7 +159,16 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=40)
     ap.add_argument("--budget", type=float, default=300.0)
     ap.add_argument("--entries", default="")
-    ap.add_argument("--round", dest="round_tag", default="r13")
+    ap.add_argument("--round", dest="round_tag", default="r14")
+    ap.add_argument(
+        "--backfill-hashes",
+        action="store_true",
+        help="record the current plan fingerprint on ledger rows that "
+        "lack one, WITHOUT re-measuring (one-time migration: the r13 "
+        "ledger predates plan hashing; rows measured before a hash "
+        "exists are assumed current-code, which held when this ran — "
+        "no r14 change altered a catalog plan shape)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -125,15 +189,46 @@ def main() -> int:
     tune_session(spark)
     _load_all()
 
+    ledger = load_ledger()
+    t0 = time.perf_counter()
+    fps = all_fingerprints(spark, QUERIES)
+    print(f"plan fingerprints: {len(fps)} in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    if args.backfill_hashes:
+        n_set = 0
+        for name, rec in ledger.items():
+            if name in fps and not rec.get("plan_hash"):
+                rec["plan_hash"] = fps[name]
+                n_set += 1
+        save_ledger(ledger)
+        print(f"backfilled plan_hash on {n_set} rows "
+              f"({len(ledger)} total)", flush=True)
+        spark.stop()
+        return 0
+
     t0 = time.perf_counter()
     generate_scale_tables(spark, 10, SF10_DIR, partitions=64, doc_vocab=170)
     print(f"sf10 generate/verify: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    ledger = load_ledger()
     if args.entries:
         todo = [n for n in args.entries.split(",") if n in QUERIES]
     else:
-        todo = [n for n in sorted(QUERIES) if n not in ledger][: args.n]
+        # New entries first, then STALE ones — rows whose recorded plan
+        # fingerprint no longer matches the current plan (the code
+        # changed since the measurement; VERDICT r13 #3).
+        new = [n for n in sorted(QUERIES) if n not in ledger]
+        stale = [
+            n for n in sorted(ledger)
+            if n in QUERIES
+            and ledger[n].get("plan_hash")
+            and n in fps
+            and fps[n] != ledger[n]["plan_hash"]
+        ]
+        todo = (new + stale)[: args.n]
+        if stale:
+            print(f"stale (plan changed since measurement): {stale}",
+                  flush=True)
     print(f"sweeping {len(todo)} entries ({len(ledger)} already in ledger, "
           f"{len(QUERIES)} total)", flush=True)
 
@@ -142,6 +237,8 @@ def main() -> int:
         s01 = timed_min2(spark, b, SF01, 32, args.budget)
         s10 = timed_min2(spark, b, SF10_DIR, 64, args.budget)
         rec: dict = {"sf01": s01, "sf10": s10, "round": args.round_tag}
+        if name in fps and not fps[name].startswith("ERR"):
+            rec["plan_hash"] = fps[name]
         # Re-measuring an entry must not erase its recorded resolution
         # (a documented cardinality bound or a pointer to the fix).
         old = ledger.get(name)
@@ -162,8 +259,17 @@ def main() -> int:
     print("\n== flagged ==")
     for k, v in sorted(flags.items()):
         print(f"{k}: {v}")
+    unnoted = sorted(
+        k for k, v in ledger.items()
+        if isinstance(v.get("ratio"), (int, float))
+        and v["ratio"] > NOTE_RATIO and not v.get("note")
+    )
+    if unnoted:
+        print(f"== NEEDS NOTE (ratio > {NOTE_RATIO:g}x, no resolution "
+              f"recorded): {unnoted} ==")
     print(f"== ledger now {len(ledger)}/{len(QUERIES)} entries, "
-          f"{len(flags)} flagged ==")
+          f"{len(flags)} flagged, {len(unnoted)} unnoted past "
+          f"{NOTE_RATIO:g}x ==")
     spark.stop()
     return 0
 
