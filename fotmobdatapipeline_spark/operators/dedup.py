@@ -748,12 +748,17 @@ def connected_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # LAZY checkpoint (r14): the jump self-join below reads
+        # ``propagated`` twice; without this the neighbor-min join is
+        # duplicated into both sides and runs twice per round (2x
+        # data-scale waste).  Lazy = plan truncated now, RDD computed
+        # once inside the next job, no dedicated materialization job.
         propagated = labels.join(
             neighbor_min, labels.v == neighbor_min.src, "left"
         ).select(
             "v",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-        )
+        ).localCheckpoint(eager=False)
         # Pointer jumping: follow my label to ITS label (labels are vertex
         # ids, so every label resolves) — halves chain lengths per round.
         x, y = propagated.alias("x"), propagated.alias("y")

