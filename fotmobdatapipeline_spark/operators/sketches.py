@@ -443,11 +443,21 @@ def bloom_prefilter(
         raise ValueError(
             f"input columns {clash} collide with bloom_prefilter internals"
         )
-    out = df
+    # One md5 per row (r14): the per-position chunks below all slice the
+    # SAME digest, but building each position from _bloom_positions would
+    # re-evaluate md5 once per hash inside separate projections (the
+    # joins break whole-stage subexpression elimination) — 3x the hash
+    # cost on the fact side for identical bits.
+    out = df.withColumn(
+        "__bp_h", F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    )
     hits = []
-    for j, p in enumerate(
-        _bloom_positions(F.col(key_col), m_bits, n_hashes, salt)
-    ):
+    positions = [
+        F.conv(F.substring(F.col("__bp_h"), j * 8 + 1, 8), 16, 10)
+        .cast("bigint") % m_bits
+        for j in range(n_hashes)
+    ]
+    for j, p in enumerate(positions):
         out = (
             out.withColumn(f"__bp_p{j}", p)
             .withColumn(f"__bp_w{j}", (F.col(f"__bp_p{j}") / 32).cast("int"))
@@ -477,7 +487,7 @@ def bloom_prefilter(
     )
     drop = [
         f"__bp_{t}{j}" for j in range(n_hashes) for t in ("p", "w", "m", "b")
-    ]
+    ] + ["__bp_h"]
     return out.drop(*drop)
 
 AMS_DEPTH = 5

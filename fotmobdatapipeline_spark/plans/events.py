@@ -5299,21 +5299,19 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str):
     cells = h.join(rk, "ho").select(
         "rk0", F.col("x").alias("y"), F.lit(1).cast("bigint").alias("m")
     )
-    cells = cells.localCheckpoint(eager=False)  # two kernel passes
     c_inc = dominated_pair_weight(cells, "rk0", "y", "m", n_ranks, out_col="c_inc")
-    c_dec = dominated_pair_weight(
-        cells.select("rk0", (-F.col("y")).alias("y"), "m"),
-        "rk0",
-        "y",
-        "m",
-        n_ranks,
-        out_col="c_dec",
-    )
-    nrow = h.agg(F.count("*").cast("bigint").alias("n"))
-    ties = (
+    # ONE kernel pass (r14): hours are rank-distinct, so every ordered
+    # pair is increasing, decreasing, or an x-tie — c_dec follows from
+    # the exact integer identity c_dec = n(n-1)/2 - tie_pairs - c_inc
+    # (the same identity events_kendall_tau already rides), replacing
+    # the second full dominance kernel over negated y.  n, the variance
+    # tie term, and the tie-pair count all come from a single grouped
+    # pass over h (t*(t-1) is even, so the div 2 is exact).
+    stats = (
         h.groupBy("x")
         .agg(F.count("*").cast("bigint").alias("t"))
         .agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n"),
             F.coalesce(
                 F.sum(
                     F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
@@ -5321,16 +5319,22 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str):
                 F.lit(0),
             )
             .cast("bigint")
-            .alias("tt")
+            .alias("tt"),
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
         )
     )
+    c_dec = (
+        F.expr("n * (n - 1) div 2") - F.col("tp") - F.col("c_inc")
+    ).cast("bigint")
     m = (
-        nrow.crossJoin(F.broadcast(c_inc))
-        .crossJoin(F.broadcast(c_dec))
-        .crossJoin(F.broadcast(ties))
+        stats.crossJoin(F.broadcast(c_inc))
         .select(
             "n",
-            (F.col("c_inc") - F.col("c_dec")).cast("bigint").alias("s_stat"),
+            (F.col("c_inc") - c_dec).cast("bigint").alias("s_stat"),
             (
                 F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
                 - F.col("tt")
