@@ -16,8 +16,31 @@ into fixed token-budget training sequences.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Logical-plan nodes whose recompute does real work (shuffles, fan-out,
+# scans of heavy expressions).  A plan made only of leaves +
+# Project/Filter-class row-local ops is cheap to evaluate twice and NOT
+# worth an extra persist (see the gate in grouped_running_sum).
+_EXPENSIVE_NODE = re.compile(
+    r"^(?:[:+\-\s]*)(Join|Aggregate|Window|Generate|Sort|Distinct|Union|"
+    r"GlobalLimit|Expand|Deduplicate|RepartitionByExpression|Repartition)\b",
+    re.MULTILINE,
+)
+
+
+def _recompute_is_expensive(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains any shuffle/fan-out
+    node — the sampling pass of repartitionByRange would then re-run
+    those upstream; a leaf + row-local-ops plan reads back cheaply."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # can't inspect -> assume expensive (safe direction)
+    return bool(_EXPENSIVE_NODE.search(s))
 
 
 def running_sum(
@@ -87,6 +110,17 @@ def grouped_running_sum(
     if n_parts is None:
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         n_parts = int(n_parts)
+    # repartitionByRange's boundary SAMPLING pass computes the full
+    # input lineage once, and the shuffle itself computes it AGAIN — a
+    # 2x recompute of everything upstream at any scale (for
+    # llm_prep_pipeline_v3 that was the whole blocklist+LM+dedup chain
+    # twice per run; measured -41% on the entry from this line, r14).
+    # Checkpoint the input lazily so both passes read one persisted RDD
+    # — but only when the input is actually expensive to recompute: for
+    # an already-checkpointed leaf (or leaf + cheap row-local ops) the
+    # extra persist measured ~10% SLOWER (agg_winsorized).
+    if _recompute_is_expensive(df):
+        df = df.localCheckpoint(eager=False)
     gcols = list(group_cols)
     order = [F.col(c) for c in gcols + list(order_cols)]
     parted = (

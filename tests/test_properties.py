@@ -2637,3 +2637,48 @@ def test_session_sweepline_matches_bruteforce(spark):
     assert got["peak_concurrency"] == peak
     assert got["peak_start_us"] == peak_t
     assert got["covered_us"] == covered
+
+
+def test_prefix_recompute_gate_classifies_plans(spark):
+    """r14: grouped_running_sum checkpoints its INPUT before the
+    repartitionByRange (whose boundary-sampling pass recomputes the full
+    input lineage) only when that lineage contains shuffle/fan-out
+    nodes; a checkpointed leaf or leaf + row-local ops must NOT pay an
+    extra persist.  Pin the gate's classification on both plan classes
+    and the value-identity of the expensive-input path."""
+    from pyspark.sql import functions as F
+
+    from fotmobdatapipeline_spark.operators.prefix import (
+        _recompute_is_expensive,
+        grouped_running_sum,
+    )
+
+    base = spark.range(200).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+    )
+    leaf = base.localCheckpoint(eager=False)
+    assert not _recompute_is_expensive(leaf)
+    assert not _recompute_is_expensive(leaf.select("g", "k", "v"))
+    assert not _recompute_is_expensive(leaf.filter(F.col("v") > 1))
+    agg = base.groupBy("g", "k").agg(F.sum("v").alias("v"))
+    assert _recompute_is_expensive(agg)
+    assert _recompute_is_expensive(leaf.join(leaf.select(F.col("g").alias("g2")),
+                                             F.col("g") == F.col("g2")))
+
+    # Value identity through the gated path (aggregate input -> the
+    # operator checkpoints it) vs the plain-window truth.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = sorted(
+        agg.withColumn("running", F.sum("v").over(w))
+        .select("g", "k", "running").collect()
+    )
+    got = sorted(
+        grouped_running_sum(agg, ["g"], ["k"], "v")
+        .select("g", "k", "running").collect()
+    )
+    assert got == want
