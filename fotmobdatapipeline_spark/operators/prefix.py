@@ -121,6 +121,40 @@ def grouped_running_sum(
     # extra persist measured ~10% SLOWER (agg_winsorized).
     if _recompute_is_expensive(df):
         df = df.localCheckpoint(eager=False)
+    return grouped_running_sums(
+        df,
+        group_cols,
+        order_cols,
+        [value_col],
+        out_cols=[out_col],
+        n_parts=n_parts,
+        reliable_checkpoint=reliable_checkpoint,
+        _input_gated=True,
+    )
+
+
+def grouped_running_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    n_parts: int | None = None,
+    reliable_checkpoint: bool = False,
+    _input_gated: bool = False,
+) -> DataFrame:
+    """Per-group running totals of SEVERAL value columns in one pass —
+    the same two-phase scan as :func:`grouped_running_sum`, paying the
+    range shuffle, sort, checkpoint and offsets join ONCE for all
+    columns (r14: three chained single-column scans over the same order
+    key were three full shuffles of the same rows)."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must pair up")
+    if n_parts is None:
+        n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        n_parts = int(n_parts)
+    if not _input_gated and _recompute_is_expensive(df):
+        df = df.localCheckpoint(eager=False)
     gcols = list(group_cols)
     order = [F.col(c) for c in gcols + list(order_cols)]
     parted = (
@@ -143,7 +177,11 @@ def grouped_running_sum(
     # sums.  Deterministic scan inputs masked this; a full-outer-join
     # input exposed it (drift_value_ks, round 5).  One materialization
     # = one set of boundaries = offsets that match their rows.
-    local = parted.withColumn("_local_run", F.sum(F.col(value_col)).over(w_local))
+    local = parted
+    for vc, oc in zip(value_cols, out_cols):
+        local = local.withColumn(
+            f"_local_run_{oc}", F.sum(F.col(vc)).over(w_local)
+        )
     local = (
         local.checkpoint(eager=False)
         if reliable_checkpoint
@@ -161,16 +199,29 @@ def grouped_running_sum(
     )
     offsets = (
         local.groupBy("_pid", *gcols)
-        .agg(F.sum(value_col).alias("_part_total"))
-        .withColumn("_offset", F.coalesce(F.sum("_part_total").over(w_off), F.lit(0)))
-        .select("_pid", *gcols, "_offset")
+        .agg(*[F.sum(vc).alias(f"_part_total_{oc}")
+               for vc, oc in zip(value_cols, out_cols)])
     )
-    return (
-        local.join(F.broadcast(offsets), ["_pid", *gcols])
-        .withColumn(out_col, (F.col("_local_run") + F.col("_offset")).cast("long"))
-        # Drop ALL helpers — a leaked _offset makes chained running_sum
-        # calls (two cumulative columns over the same order) ambiguous.
-        .drop("_pid", "_local_run", "_offset")
+    for oc in out_cols:
+        offsets = offsets.withColumn(
+            f"_offset_{oc}",
+            F.coalesce(F.sum(f"_part_total_{oc}").over(w_off), F.lit(0)),
+        )
+    offsets = offsets.select(
+        "_pid", *gcols, *[f"_offset_{oc}" for oc in out_cols]
+    )
+    out = local.join(F.broadcast(offsets), ["_pid", *gcols])
+    for oc in out_cols:
+        out = out.withColumn(
+            oc,
+            (F.col(f"_local_run_{oc}") + F.col(f"_offset_{oc}")).cast("long"),
+        )
+    # Drop ALL helpers — a leaked _offset makes chained running_sum
+    # calls (two cumulative columns over the same order) ambiguous.
+    return out.drop(
+        "_pid",
+        *[f"_local_run_{oc}" for oc in out_cols],
+        *[f"_offset_{oc}" for oc in out_cols],
     )
 
 

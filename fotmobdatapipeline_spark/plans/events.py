@@ -1210,7 +1210,6 @@ def drift_event_type_shares(spark: SparkSession, sf_dir: str):
     doc="Exact two-sample KS statistic vs the baseline snapshot (integer sup-distance).",
 )
 def drift_value_ks(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.operators.prefix import running_sum
 
     cur = (
         read_table(spark, sf_dir, "events")
@@ -1231,8 +1230,12 @@ def drift_value_ks(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=False)
     )
-    c1 = running_sum(m, ["v"], "nc", out_col="cnc")
-    cum = running_sum(c1, ["v"], "nb", out_col="cnb")
+    # ONE two-phase scan for both cumulative columns (r14): the chained
+    # single-column form paid the range shuffle + sort + offsets twice
+    # over the same (v)-ordered rows for bit-identical sums.
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sums
+
+    cum = grouped_running_sums(m, [], ["v"], ["nc", "nb"], ["cnc", "cnb"])
     tot = m.agg(
         F.sum("nc").alias("nct"), F.sum("nb").alias("nbt")
     )
@@ -4519,7 +4522,6 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str):
     "argmin tie-break.",
 )
 def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.operators.prefix import running_sum
 
     ev = read_table(spark, sf_dir, "events")
     h = (
@@ -4533,9 +4535,14 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str):
         .withColumn("_one", F.lit(1))
         .localCheckpoint(eager=False)  # two consumers: prefix chain + totals
     )
-    pre = running_sum(h, ["ho"], "_one", out_col="i")
-    pre = running_sum(pre, ["ho"], "x", out_col="p")
-    pre = running_sum(pre, ["ho"], "x2", out_col="q").drop("_one")
+    # ONE two-phase scan for all three cumulative columns (r14): the
+    # chained form paid the range shuffle + sort + checkpoint + offsets
+    # three times over the same (ho)-ordered rows.
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sums
+
+    pre = grouped_running_sums(
+        h, [], ["ho"], ["_one", "x", "x2"], ["i", "p", "q"]
+    ).drop("_one")
     tot = h.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("pn"),
@@ -5686,7 +5693,6 @@ def events_attribution_position(spark: SparkSession, sf_dir: str):
     "integer.",
 )
 def events_session_sweepline(spark: SparkSession, sf_dir: str):
-    from fotmobdatapipeline_spark.operators.prefix import running_sum
 
     ev = read_table(spark, sf_dir, "events")
     sess = (
@@ -5701,13 +5707,19 @@ def events_session_sweepline(spark: SparkSession, sf_dir: str):
         .groupBy("t")
         .agg(F.sum("d").cast("bigint").alias("net"))
     )
-    # Two chained prefix scans over the boundary table (rank, then
-    # running concurrency); the global LEAD is a rank -> rank+1 hash
-    # self-join — never a partition-less window at any boundary count.
-    ranked = running_sum(
-        deltas.withColumn("one", F.lit(1)), ["t"], "one", out_col="rnk"
-    )
-    run = running_sum(ranked, ["t"], "net", out_col="active").localCheckpoint(
+    # One two-phase prefix scan over the boundary table yields BOTH the
+    # rank and the running concurrency; the global LEAD is a rank ->
+    # rank+1 hash self-join — never a partition-less window at any
+    # boundary count.
+    # r14: rank and running concurrency in ONE two-phase scan (the
+    # chained form paid the range shuffle + offsets twice over the same
+    # (t)-ordered boundary rows).
+    from fotmobdatapipeline_spark.operators.prefix import grouped_running_sums
+
+    run = grouped_running_sums(
+        deltas.withColumn("one", F.lit(1)), [], ["t"], ["one", "net"],
+        ["rnk", "active"],
+    ).localCheckpoint(
         eager=False
     )  # three consumers: peak, argmin, covered join
     nxt = run.select((F.col("rnk") - 1).alias("rnk"), F.col("t").alias("next_t"))
