@@ -268,6 +268,14 @@ def _shingle_pair_commons(
             .filter(F.size("ids") > 1)
         )
     else:
+        # NOTE (r14, measured): do NOT checkpoint kept despite its two
+        # consumers — both live in ONE final plan, where Spark reuses
+        # the posting-list aggregate's exchange (ReusedExchange), so a
+        # persist of the fat id-arrays is pure overhead (+40% on
+        # dedup_recall_report when tried).  Lazy-checkpoint dedup pays
+        # only across SEPARATE actions (iterative rounds) or for
+        # repartitionByRange's sampling pass, which exchange reuse
+        # cannot cover.
         kept = (
             sh.groupBy("s")
             .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -49,18 +49,25 @@ def count_min_table(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (sketch_row, bucket, cnt) with cnt = number of
     input rows whose key hashes to that bucket in that row.  One hash
     aggregate; the partial/final pair caps the shuffle at depth*width
-    rows per map task regardless of input size."""
+    rows per map task regardless of input size.
+
+    ``weight_col`` (r14): build from PRE-AGGREGATED (key, weight) rows —
+    cnt becomes SUM(weight), bit-identical to hashing the raw rows (a
+    bucket's count is the sum of its keys' counts) while paying the
+    depth x md5 hashing per DISTINCT key instead of per raw row."""
     # NULL keys are ignored across the whole sketch family (matching the
     # null semantics of Spark's native sketch aggregates) — a NULL would
     # otherwise hash to a NULL bucket/register row and corrupt estimates.
+    cols = [F.col(key_col).cast("string").alias("__k")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("__w"))
     keyed = _with_rows(
-        df.select(F.col(key_col).cast("string").alias("__k")).filter(
-            F.col("__k").isNotNull()
-        ),
+        df.select(*cols).filter(F.col("__k").isNotNull()),
         depth,
     )
     return (
@@ -68,7 +75,11 @@ def count_min_table(
             "bucket", _bucket(F.col("__k"), F.col("sketch_row"), width, salt)
         )
         .groupBy("sketch_row", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt")
+            if weight_col is None
+            else F.sum("__w").alias("cnt")
+        )
     )
 
 

@@ -3777,13 +3777,18 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str):
 
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("k"))
-    cms = count_min_table(tok, "k")
-    top = (
-        tok.groupBy("k")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("k"))
-        .limit(10)
-    )
+    # r14: collapse the token stream to vocab-sized exact counts ONCE,
+    # then build the sketch from the weighted counts (count_min_table's
+    # weight_col path — bucket counts are sums of their keys' counts, so
+    # the sketch is bit-identical) and reuse the same counts for the
+    # exact top-10.  Before: the corpus was tokenized twice and the
+    # sketch hashed depth x every raw token instead of depth x vocab.
+    # (No checkpoint: both consumers share ONE final plan, where the
+    # count aggregate's exchange is reused — a persist measured 2.4x
+    # slower than letting ReusedExchange do it.)
+    tok_counts = tok.groupBy("k").agg(F.count("*").alias("exact_n"))
+    cms = count_min_table(tok_counts, "k", weight_col="exact_n")
+    top = tok_counts.orderBy(F.desc("exact_n"), F.asc("k")).limit(10)
     return cms_estimate(cms, top, "k").select(
         F.col("k").alias("word"),
         "exact_n",
@@ -6807,10 +6812,24 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("k")
-    ).localCheckpoint(eager=False)
-    full = count_min_table(tok, "k")
-    a = count_min_table(tok.filter(F.col("doc_id") < 250), "k")
-    b = count_min_table(tok.filter(F.col("doc_id") >= 250), "k")
+    )
+    # r14: collapse the token stream to per-(word, half) exact counts
+    # once, then build all three sketches from the weighted counts
+    # (count_min_table weight_col — bucket counts are sums of their
+    # keys' counts, bit-identical).  Before: 3 sketches x depth x every
+    # raw token through md5; now depth x vocab(x2 halves).
+    # (No checkpoint: the three sketch consumers share one final plan —
+    # the count aggregate's exchange is reused; see cms_heavy_hitters.)
+    side_counts = tok.groupBy("k", (F.col("doc_id") < 250).alias("__in_a")).agg(
+        F.count("*").alias("__w")
+    )
+    full = count_min_table(side_counts, "k", weight_col="__w")
+    a = count_min_table(
+        side_counts.filter(F.col("__in_a")), "k", weight_col="__w"
+    )
+    b = count_min_table(
+        side_counts.filter(~F.col("__in_a")), "k", weight_col="__w"
+    )
     merged = (
         a.unionByName(b)
         .groupBy("sketch_row", "bucket")
