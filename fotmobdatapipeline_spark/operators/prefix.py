@@ -32,15 +32,26 @@ _EXPENSIVE_NODE = re.compile(
 )
 
 
+# A file-source leaf in the analyzed plan ("Relation [...] parquet" /
+# csv / json); LogicalRDD (checkpointed) and LocalRelation leaves do NOT
+# match — a subtree whose every leaf is already persisted re-evaluates
+# as one cheap pass over executor-local blocks.
+_FILE_RELATION = re.compile(r"^[:+\-\s]*Relation ?\[", re.MULTILINE)
+
+
 def _recompute_is_expensive(df: DataFrame) -> bool:
-    """True when the analyzed logical plan contains any shuffle/fan-out
-    node — the sampling pass of repartitionByRange would then re-run
-    those upstream; a leaf + row-local-ops plan reads back cheaply."""
+    """True when the analyzed logical plan contains a shuffle/fan-out
+    node AND reads a file source somewhere below it — the sampling pass
+    of repartitionByRange would then re-run real upstream work.  A plan
+    over checkpointed-RDD/local leaves (even with joins above them, e.g.
+    the dominance kernel's level expansion over persisted cells) or a
+    leaf + row-local-ops plan reads back cheaply and is not worth an
+    extra persist."""
     try:
         s = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return True  # can't inspect -> assume expensive (safe direction)
-    return bool(_EXPENSIVE_NODE.search(s))
+    return bool(_EXPENSIVE_NODE.search(s)) and bool(_FILE_RELATION.search(s))
 
 
 def running_sum(

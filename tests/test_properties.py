@@ -2653,18 +2653,29 @@ def test_prefix_recompute_gate_classifies_plans(spark):
         grouped_running_sum,
     )
 
-    base = spark.range(200).select(
-        (F.col("id") % 5).alias("g"), F.col("id").alias("k"),
-        (F.col("id") % 7 + 1).alias("v"),
-    )
+    pq = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    base = pq.select(
+        (F.col("l_orderkey") % 5).alias("g"),
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_linenumber") % 7 + 1).alias("v"),
+    ).limit(200)
     leaf = base.localCheckpoint(eager=False)
     assert not _recompute_is_expensive(leaf)
     assert not _recompute_is_expensive(leaf.select("g", "k", "v"))
     assert not _recompute_is_expensive(leaf.filter(F.col("v") > 1))
+    # Shuffle/fan-out over a FILE source: expensive (the sampling pass
+    # would re-run the scan + aggregate).
     agg = base.groupBy("g", "k").agg(F.sum("v").alias("v"))
     assert _recompute_is_expensive(agg)
-    assert _recompute_is_expensive(leaf.join(leaf.select(F.col("g").alias("g2")),
-                                             F.col("g") == F.col("g2")))
+    assert _recompute_is_expensive(base.join(
+        base.select(F.col("g").alias("g2")), F.col("g") == F.col("g2")))
+    # The same shapes over already-persisted leaves re-evaluate as one
+    # cheap pass over executor-local blocks: NOT worth an extra persist
+    # (the dominance kernel's level expansion over checkpointed cells).
+    assert not _recompute_is_expensive(
+        leaf.groupBy("g").agg(F.sum("v").alias("v")))
+    assert not _recompute_is_expensive(leaf.join(
+        leaf.select(F.col("g").alias("g2")), F.col("g") == F.col("g2")))
 
     # Value identity through the gated path (aggregate input -> the
     # operator checkpoints it) vs the plain-window truth.
