@@ -357,7 +357,11 @@ def bigram_lm_nll(
         )
         .groupBy("doc_id", "__r", "bu", "bb")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+        # No checkpoint (r14, measured): all three consumers (uni, bi,
+        # scored) live in ONE final plan, so the groupBy exchange here is
+        # ReusedExchange'd — persisting the per-(doc, bucket) counts on
+        # top of that measured ~10% slower on lm_perplexity_rank and
+        # llm_prep_pipeline_v3.
     )
     uni = per_doc.filter(F.col("__r")).groupBy("bu").agg(F.sum("cnt").alias("cu"))
     bi = per_doc.filter(F.col("__r")).groupBy("bb").agg(F.sum("cnt").alias("cb"))
