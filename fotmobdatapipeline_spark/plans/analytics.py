@@ -795,6 +795,17 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     fact_old, fact_new, dim_old, dim_new = _join_view_snapshots(orders, customer)
+    # r14 scan audit: the four synthetic snapshots feed the old view,
+    # both snapshot_diffs and the maintenance operator with DIFFERENT
+    # column demand per consumer, so ReusedExchange never fires and the
+    # plan scanned orders 9x / customer 6x.  In production these are
+    # four materialized CDC snapshots read once; the lazy checkpoints
+    # model exactly that (one derivation pass per snapshot, every
+    # consumer reads the persisted frame).
+    fact_old = fact_old.localCheckpoint(eager=False)
+    fact_new = fact_new.localCheckpoint(eager=False)
+    dim_old = dim_old.localCheckpoint(eager=False)
+    dim_new = dim_new.localCheckpoint(eager=False)
 
     view_old = fact_old.join(dim_old, "ck")
     fact_diff = snapshot_diff(

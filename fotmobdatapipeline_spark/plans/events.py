@@ -803,10 +803,19 @@ def funnel_conversion(ev, steps=("view", "click", "purchase")):
     """The funnel proper (also exercised on hand-built frames in tests):
     strict ordered three-step conversion over (user_id, event_type, ts)."""
     s1, s2, s3 = steps
+    # Each step frontier has TWO consumers (the next step's join and its
+    # own count), and the count-only consumer prunes the min(ts) column
+    # away — the two aggregate subtrees then canonicalize differently,
+    # ReusedExchange does NOT fire, and the plan scanned the events
+    # table SIX times instead of three (r14 scan audit).  A lazy
+    # checkpoint per frontier makes every consumer read one persisted
+    # narrow (user, ts) frame: one type-filtered scan per step at any
+    # scale.
     v = (
         ev.filter(F.col("event_type") == s1)
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == s2)
@@ -814,6 +823,7 @@ def funnel_conversion(ev, steps=("view", "click", "purchase")):
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == s3)
