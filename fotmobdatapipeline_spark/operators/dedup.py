@@ -761,10 +761,17 @@ def connected_dup_clusters(
         # duplicated into both sides and runs twice per round (2x
         # data-scale waste).  Lazy = plan truncated now, RDD computed
         # once inside the next job, no dedicated materialization job.
+        # ``old`` (the round-start label) rides along so the convergence
+        # check below is a FILTER over the freshly checkpointed frame —
+        # r14 ran a full (new_labels x labels) join per round just to
+        # count changes, a second data-scale pass per round (r15,
+        # guide §2.4).  One extra bigint per row through the jump join
+        # buys the join's removal.
         propagated = labels.join(
             neighbor_min, labels.v == neighbor_min.src, "left"
         ).select(
             "v",
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         ).localCheckpoint(eager=False)
         # Pointer jumping: follow my label to ITS label (labels are vertex
@@ -774,18 +781,15 @@ def connected_dup_clusters(
             x.join(y, F.col("x.label") == F.col("y.v"))
             .select(
                 F.col("x.v").alias("v"),
+                F.col("x.old").alias("old"),
                 F.least(F.col("x.label"), F.col("y.label")).alias("label"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -131,7 +131,14 @@ def grouped_running_sum(
     # an already-checkpointed leaf (or leaf + cheap row-local ops) the
     # extra persist measured ~10% SLOWER (agg_winsorized).
     if _recompute_is_expensive(df):
-        df = df.localCheckpoint(eager=False)
+        # Honor the availability contract (ADVICE r14): the gated input
+        # checkpoint must not reintroduce executor-local blocks into the
+        # lineage when the caller opted into reliable checkpointing.
+        df = (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
     return grouped_running_sums(
         df,
         group_cols,
@@ -165,7 +172,11 @@ def grouped_running_sums(
         n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         n_parts = int(n_parts)
     if not _input_gated and _recompute_is_expensive(df):
-        df = df.localCheckpoint(eager=False)
+        df = (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
     gcols = list(group_cols)
     order = [F.col(c) for c in gcols + list(order_cols)]
     parted = (

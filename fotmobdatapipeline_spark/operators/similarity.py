@@ -672,7 +672,15 @@ def power_iteration_top_component(
     lam = 0.0
     d = len(v)
     for _ in range(iterations):
-        varr = F.array(*[F.lit(x) for x in v])
+        # ONE array literal, not CreateArray of d double literals (r15):
+        # primitive literals are INLINED into the generated code, so a
+        # per-round v produced a brand-new codegen source every round —
+        # d fresh Janino compilations' worth of fixed cost per query.
+        # An ArrayType literal is attached as a REFERENCE object, the
+        # generated source is byte-identical across rounds, and Spark's
+        # codegen cache (keyed on source) reuses the compiled class.
+        # Same values, same sequential fold, bit-identical result.
+        varr = F.lit(v)
         s = dot(F.col(vec_col), varr)
         sums = (
             vectors.select(s.alias("s"), F.posexplode(vec_col).alias("dim", "val"))

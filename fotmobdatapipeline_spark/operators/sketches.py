@@ -454,6 +454,12 @@ def bloom_prefilter(
         raise ValueError(
             f"input columns {clash} collide with bloom_prefilter internals"
         )
+    if n_hashes > 4:
+        # md5 yields only four 8-hex chunks; a fifth substring would be
+        # empty -> conv('') is NULL -> every row silently reads
+        # maybe_member=false (false NEGATIVES).  Same guard as
+        # _bloom_positions; fail loudly instead (ADVICE r14).
+        raise ValueError("n_hashes > 4 not supported (md5 has 4 chunks)")
     # One md5 per row (r14): the per-position chunks below all slice the
     # SAME digest, but building each position from _bloom_positions would
     # re-evaluate md5 once per hash inside separate projections (the

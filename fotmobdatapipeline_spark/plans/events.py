@@ -5291,8 +5291,9 @@ def events_ab_ratio_delta(spark: SparkSession, sf_dir: str):
     FROM m
     """,
     tags=("events", "time-series", "stats"),
-    doc="Mann-Kendall trend test on hourly revenue: exact S via the "
-    "distributed dominance kernel (both directions), rational variance, "
+    doc="Mann-Kendall trend test on hourly revenue: exact S via ONE "
+    "dominance-kernel pass (c_dec from the integer identity "
+    "n(n-1)/2 - tie_pairs - c_inc), rational variance, "
     "continuity-corrected z.",
 )
 def events_mann_kendall(spark: SparkSession, sf_dir: str):
@@ -5307,7 +5308,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str):
         )
         .groupBy("ho")
         .agg(F.sum("c").cast("bigint").alias("x"))
-        .localCheckpoint(eager=True)  # consumers: rank, ties, n, 2x kernel
+        .localCheckpoint(eager=True)  # consumers: rank, stats pass, 1x kernel
     )
     n_ranks = h.count()
     rk = running_sum(

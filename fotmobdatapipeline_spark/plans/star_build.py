@@ -132,12 +132,16 @@ def run_star_build(
     fact = build_fact_df(spark, sf_dir, dims)
     paths = {name: f"{out_dir}/{name}" for name in dims}
     paths["sales_fact"] = f"{out_dir}/sales_fact"
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futures = [
+    # Fact submitted FIRST and the pool sized to every writer: if
+    # build_dims ever grows a dim, the fact write must never queue
+    # behind the dim writes (that would restore the dims-then-fact
+    # serialization this overlap removes — ADVICE r14).
+    with ThreadPoolExecutor(max_workers=len(dims) + 1) as pool:
+        futures = [pool.submit(write_parquet, fact, paths["sales_fact"])]
+        futures.extend(
             pool.submit(write_parquet, df, paths[name])
             for name, df in dims.items()
-        ]
-        futures.append(pool.submit(write_parquet, fact, paths["sales_fact"]))
+        )
         for f in futures:
             f.result()
 

@@ -2652,8 +2652,9 @@ def test_prefix_recompute_gate_classifies_plans(spark):
         _recompute_is_expensive,
         grouped_running_sum,
     )
+    from tests.conftest import SF_ORACLE
 
-    pq = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    pq = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
     base = pq.select(
         (F.col("l_orderkey") % 5).alias("g"),
         F.col("l_orderkey").alias("k"),

@@ -1,0 +1,67 @@
+"""Round-15 scan-count audit (VERDICT r14 #7): count per-table
+``Scan parquet`` nodes in each named entry's FORMATTED physical plan.
+Entries with >=3 scans of one table either re-read by design
+(estimate-vs-exact, recall curves) or hide a dedupable subtree that
+column pruning keeps ReusedExchange from covering (the r14
+events_funnel_conversion / cdc_incremental_join_view finding).
+
+Usage: python tools/r15_scan_audit.py <entry> [entry ...]   (or 'all')
+Writes tools/r15_scan_audit.json: {entry: {table: n_scans}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    from fotmobdatapipeline_spark.plans.catalog import query_map
+    from fotmobdatapipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_MASTER", f"local[{cpus}]")
+    spark = get_spark(app_name="r15-scan-audit", shuffle_partitions=int(cpus))
+    qmap = query_map()
+    names = sys.argv[1:]
+    if names == ["all"]:
+        names = sorted(qmap)
+    out: dict[str, dict[str, int]] = {}
+    pat = re.compile(r"Scan parquet\s*\S*?([a-z_]+)\.parquet")
+    for name in names:
+        try:
+            df = qmap[name](spark, SF_DIR)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:
+            out[name] = {"__error__": str(e)[:120]}
+            continue
+        counts: dict[str, int] = {}
+        for m in pat.finditer(plan):
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        # Fallback: count bare scan nodes when the path regex misses.
+        if not counts:
+            n = len(re.findall(r"Scan parquet", plan))
+            if n:
+                counts["__unattributed__"] = n
+        out[name] = counts
+        flagged = {t: c for t, c in counts.items() if c >= 3}
+        print(f"# {name}: {counts}" + ("  <== >=3" if flagged else ""), flush=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "r15_scan_audit.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"# written to {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
