@@ -86,6 +86,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k portable min-hash values per document.
 
@@ -105,9 +106,15 @@ def minhash_signatures(
 
     Documents with fewer than ``shingle_n`` words produce no shingles
     and are dropped (explode of an empty array).
+
+    ``shingles`` (r15): a pre-computed exploded (id_col, s) frame —
+    MUST be exactly ``df``'s shingle explode.  Lets a caller that also
+    shingles the same corpus elsewhere (the recall report's exact-truth
+    tier) tokenize ONCE and share the persisted frame (guide §2.4 /
+    §8: one fingerprint pass feeding every decision).
     """
     n_salts = (num_hashes + 3) // 4
-    sh = df.select(
+    sh = shingles if shingles is not None else df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     hashed = sh.select(
@@ -200,6 +207,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Tier 4: exact n-gram Jaccard for every shingle-sharing pair.
     Output (doc_a, doc_b, common, jaccard); only pairs with ≥1 shared
@@ -228,7 +236,9 @@ def jaccard_pairs(
     falls back to a shuffled equi-join when it isn't — same treatment
     as the RP verify pipeline (similarity.py) and ppjoin's verify side.
     """
-    sizes, common = _shingle_pair_commons(df, text_col, id_col, shingle_n, max_df)
+    sizes, common = _shingle_pair_commons(
+        df, text_col, id_col, shingle_n, max_df, shingles=shingles
+    )
     return (
         common.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"}), "doc_b")
@@ -250,17 +260,34 @@ def _shingle_pair_commons(
     id_col: str,
     shingle_n: int,
     max_df: int | None,
+    shingles: DataFrame | None = None,
 ):
     """Shared core of the exact pair tier (jaccard_pairs /
     containment_pairs): ONE shuffle of the exploded shingles (groupBy
     shingle -> sorted posting list), map-side in-group pair generation,
     one pair-keyed aggregate.  Returns (sizes, common): per-doc shingle
     counts over the (optionally df-capped) shingle universe, and the
-    per-pair shared-shingle counts."""
-    sh = df.select(
+    per-pair shared-shingle counts.  ``shingles``: optional pre-computed
+    (id_col, s) explode of the same corpus (see minhash_signatures)."""
+    sh = shingles if shingles is not None else df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     if max_df is None:
+        # Two consumers with DIFFERENT aggregation keys (sizes groups by
+        # doc, postings by shingle), so exchange/stage reuse can never
+        # cover the shared tokenize+explode — the r15 runtime audit of
+        # dedup_ngram_jaccard's final adaptive plan showed the corpus
+        # scanned and exploded twice (only the per-doc sizes broadcast
+        # was reused).  One lazy checkpoint = one tokenize pass; at
+        # 100 TB this trades ~3x-corpus executor-local blocks for a
+        # second full decode of the text column (guide §8).  Local walls
+        # at sf0.1 sit inside the noise band either way (A/B r15); the
+        # win is the scan count.  The capped path below is different:
+        # both consumers read the `kept` aggregate, runtime reuse fires
+        # there (2 Reused nodes in its final adaptive plan), and
+        # checkpointing it measured +40% (r14) — left alone.
+        if shingles is None:
+            sh = sh.localCheckpoint(eager=False)
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         postings = (
             sh.groupBy("s")

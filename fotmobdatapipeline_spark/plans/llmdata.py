@@ -166,11 +166,33 @@ def _session_key(spark: SparkSession) -> str:
     return app
 
 
+def _shingles_shared(spark: SparkSession, sf_dir: str):
+    """ONE exploded (doc_id, shingle) frame per session, lazily
+    checkpointed (r15, VERDICT r14 #5): the minhash/LSH side and the
+    recall report's exact-Jaccard truth tier shingle the SAME corpus
+    with the same n, but their downstreams aggregate differently
+    (groupBy doc vs groupBy shingle), so ReusedExchange can never cover
+    the duplicated tokenize+explode — without this the corpus is
+    tokenized once per consumer.  At 100 TB the persisted frame is the
+    guide-§8 fingerprint pass: ~3x corpus bytes of executor-local
+    blocks instead of a second full decode of the text column."""
+    key = (_session_key(spark), sf_dir, "shingles", 3)
+    if key not in _SUBTREE_MEMO:
+        from fotmobdatapipeline_spark.operators.dedup import word_shingles
+
+        docs = read_table(spark, sf_dir, "documents")
+        _SUBTREE_MEMO[key] = docs.select(
+            F.col("doc_id"), F.explode(word_shingles(F.col("text"), 3)).alias("s")
+        ).localCheckpoint(eager=False)
+    return _SUBTREE_MEMO[key]
+
+
 def _lsh_pairs_shared(spark: SparkSession, sf_dir: str):
     key = (_session_key(spark), sf_dir, "lsh_pairs", _LSH_HASHES, _LSH_BAND_DF)
     if key not in _SUBTREE_MEMO:
         sigs = D.minhash_signatures(
-            read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES
+            read_table(spark, sf_dir, "documents"), num_hashes=_LSH_HASHES,
+            shingles=_shingles_shared(spark, sf_dir),
         )
         _SUBTREE_MEMO[key] = D.lsh_band_pairs(
             sigs, num_hashes=_LSH_HASHES, rows_per_band=1,
@@ -1189,7 +1211,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str):
     # Truth side df-capped: exact Jaccard in the capped shingle
     # universe (see the block comment above) — the audit's own fan-out
     # is bounded at _RECALL_TRUTH_CAP^2/2 per shingle at any sf.
-    truth = D.jaccard_pairs(docs, max_df=_RECALL_TRUTH_CAP).select(
+    # r15: the truth tier reads the SAME shared shingle frame the LSH
+    # side's signatures are built from — one tokenize pass per session
+    # instead of one per side (VERDICT r14 #5).
+    truth = D.jaccard_pairs(
+        docs, max_df=_RECALL_TRUTH_CAP,
+        shingles=_shingles_shared(spark, sf_dir),
+    ).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j")
     )
     cand = _lsh_pairs_shared(spark, sf_dir).withColumn("hit", F.lit(1))

@@ -42,6 +42,11 @@ def get_spark(
         # injection with thresholds overridden.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # NOTE (r15, measured): raising spark.sql.codegen.cache.maxEntries
+        # (static conf, default 100) was tried for the 100-query bench
+        # session and measured FLAT on the slowest-32 subset (195.4 s at
+        # 100 vs 203.4 s at 4096 — inside the box band).  Left at the
+        # default; revisit only with a measurement that moves.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

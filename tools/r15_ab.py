@@ -23,9 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _timed_noop(df) -> float:
+def _timed_noop(build) -> float:
+    """Times BUILD + noop write — the builder runs inside the timed
+    region exactly like bench.py's timed_run (iterative entries do all
+    their work in the builder)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -41,10 +44,10 @@ def run_ab(spark, name: str, build, setup_a, setup_b, rounds: int = 3):
     for i in range(rounds):
         setup_a()
         spark.sparkContext.setJobDescription(f"{name}: A round {i}")
-        a_runs.append(_timed_noop(build()))
+        a_runs.append(_timed_noop(build))
         setup_b()
         spark.sparkContext.setJobDescription(f"{name}: B round {i}")
-        b_runs.append(_timed_noop(build()))
+        b_runs.append(_timed_noop(build))
         print(f"# {name} round {i}: A={a_runs[-1]:.3f}s B={b_runs[-1]:.3f}s",
               flush=True)
     setup_a()
@@ -233,6 +236,75 @@ def main() -> int:
             run_ab(spark, "textrank", build, setup_a, setup_b, rounds)
         finally:
             G.pagerank = new_impl
+
+    elif exp == "recall":
+        # dedup_recall_report: A = shared shingle frame (r15), B = each
+        # side tokenizes independently (r14 shape).  Memo cleared per
+        # run so every run pays the full LSH + truth build (the
+        # fresh-session / driver-correctness shape).
+        from pyspark.sql import functions as F
+
+        from fotmobdatapipeline_spark.operators.dedup import word_shingles
+        from fotmobdatapipeline_spark.plans import llmdata
+        from fotmobdatapipeline_spark.plans.catalog import query_map
+
+        qmap = query_map()
+        shared_impl = llmdata._shingles_shared
+
+        def independent_shingles(spark_, sf_dir_):
+            docs = read_table(spark_, sf_dir_, "documents")
+            return docs.select(
+                F.col("doc_id"),
+                F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+            )
+
+        def build():
+            llmdata._SUBTREE_MEMO.clear()
+            return qmap["dedup_recall_report"](spark, SF_DIR)
+
+        def setup_a():
+            llmdata._shingles_shared = shared_impl
+
+        def setup_b():
+            llmdata._shingles_shared = independent_shingles
+
+        try:
+            run_ab(spark, "recall", build, setup_a, setup_b, rounds)
+        finally:
+            llmdata._shingles_shared = shared_impl
+
+    elif exp == "ngram":
+        # Uncapped posting tier: A = lazy-checkpointed shingle explode
+        # (r15), B = explode duplicated into sizes + postings (r14).
+        from pyspark.sql import DataFrame
+
+        from fotmobdatapipeline_spark.plans.catalog import query_map
+
+        qmap = query_map()
+        real_ckpt = DataFrame.localCheckpoint
+        mode = {"suppress": False}
+
+        def patched(self, eager=True):
+            if mode["suppress"] and not eager:
+                return self  # r14 shape: no input checkpoint
+            return real_ckpt(self, eager=eager)
+
+        entry = sys.argv[3] if len(sys.argv) > 3 else "dedup_ngram_jaccard"
+
+        def build():
+            return qmap[entry](spark, SF_DIR)
+
+        def setup_a():
+            mode["suppress"] = False
+
+        def setup_b():
+            mode["suppress"] = True
+
+        DataFrame.localCheckpoint = patched
+        try:
+            run_ab(spark, "ngram:" + entry, build, setup_a, setup_b, rounds)
+        finally:
+            DataFrame.localCheckpoint = real_ckpt
 
     elif exp == "starbuild":
         # A = overlapped fact+dim writes (current); B = serial dims then

@@ -33,7 +33,7 @@ def main() -> int:
     if names == ["all"]:
         names = sorted(qmap)
     out: dict[str, dict[str, int]] = {}
-    pat = re.compile(r"Scan parquet\s*\S*?([a-z_]+)\.parquet")
+    pat = re.compile(r"([a-z_0-9]+)\.parquet")
     for name in names:
         try:
             df = qmap[name](spark, SF_DIR)
@@ -44,13 +44,23 @@ def main() -> int:
             out[name] = {"__error__": str(e)[:120]}
             continue
         counts: dict[str, int] = {}
-        for m in pat.finditer(plan):
-            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
-        # Fallback: count bare scan nodes when the path regex misses.
-        if not counts:
-            n = len(re.findall(r"Scan parquet", plan))
-            if n:
-                counts["__unattributed__"] = n
+        # Formatted plans put the file path on the Location: line of
+        # each scan block; attribute each "Scan parquet" node to the
+        # next Location line's table file.
+        lines = plan.splitlines()
+        pending = 0
+        for ln in lines:
+            # Count only the detail-block headings "(N) Scan parquet"
+            # — the tree summary repeats every scan once more.
+            if re.match(r"^\(\d+\) Scan parquet", ln.strip()):
+                pending += 1
+            elif pending and "Location" in ln:
+                m = pat.search(ln)
+                t = m.group(1) if m else "__unattributed__"
+                counts[t] = counts.get(t, 0) + 1
+                pending -= 1
+        if pending:
+            counts["__unattributed__"] = counts.get("__unattributed__", 0) + pending
         out[name] = counts
         flagged = {t: c for t, c in counts.items() if c >= 3}
         print(f"# {name}: {counts}" + ("  <== >=3" if flagged else ""), flush=True)
