@@ -357,14 +357,30 @@ def bigram_lm_nll(
         )
         .groupBy("doc_id", "__r", "bu", "bb")
         .agg(F.count("*").alias("cnt"))
-        # No checkpoint (r14, measured): all three consumers (uni, bi,
-        # scored) live in ONE final plan, so the groupBy exchange here is
-        # ReusedExchange'd — persisting the per-(doc, bucket) counts on
-        # top of that measured ~10% slower on lm_perplexity_rank and
-        # llm_prep_pipeline_v3.
+        # No checkpoint on per_doc (r14, measured): persisting the
+        # per-(doc, bucket) counts measured ~10% slower on
+        # lm_perplexity_rank and llm_prep_pipeline_v3.  (The r14 note
+        # claimed ReusedExchange dedups the three consumers; the r15
+        # runtime audit showed it does NOT — the __r / NOT __r filters
+        # push below the aggregate into the scans, so the subtrees
+        # diverge and the corpus was decoded once per consumer.)
     )
-    uni = per_doc.filter(F.col("__r")).groupBy("bu").agg(F.sum("cnt").alias("cu"))
-    bi = per_doc.filter(F.col("__r")).groupBy("bb").agg(F.sum("cnt").alias("cb"))
+    # ONE pass over the ref slice (r15): the model's unigram and bigram
+    # tables are rollups of a joint per-(bu, bb) count — integer sums
+    # regrouped, exactly equal to aggregating the ref slice twice —
+    # so the ref corpus is decoded once, not twice.  The joint table is
+    # model-sized (<= distinct observed (bu, bb) pairs); the lazy
+    # checkpoint keeps its two rollup consumers from re-running the
+    # ref-slice aggregate.  Corpus decodes for the whole scorer: 3 -> 2
+    # (model pass + scoring pass).
+    ref_joint = (
+        per_doc.filter(F.col("__r"))
+        .groupBy("bu", "bb")
+        .agg(F.sum("cnt").alias("cj"))
+        .localCheckpoint(eager=False)
+    )
+    uni = ref_joint.groupBy("bu").agg(F.sum("cj").alias("cu"))
+    bi = ref_joint.groupBy("bb").agg(F.sum("cj").alias("cb"))
     a, b = float(alpha), float(buckets)
     term = -F.log(
         (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(a))

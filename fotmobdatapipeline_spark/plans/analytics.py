@@ -494,6 +494,13 @@ def dq_null_profile(spark: SparkSession, sf_dir: str):
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str):
     orders = read_table(spark, sf_dir, "orders")
     old, new = _order_snapshots(orders)
+    # The OLD snapshot feeds both the base aggregate and the diff join;
+    # their column/filter demand differs, so stage reuse never covered
+    # it (r15 runtime audit: orders scanned for each consumer).  One
+    # lazy checkpoint = the old snapshot derived once — exactly how a
+    # production consumer reads a materialized CDC snapshot (the r14
+    # cdc_incremental_join_view treatment).  NEW has one consumer.
+    old = old.localCheckpoint(eager=False)
     base = old.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum("total").alias("s")
     )

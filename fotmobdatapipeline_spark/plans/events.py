@@ -1147,15 +1147,22 @@ _DRIFT_BASELINE_DIR = os.environ.get(
     doc="Event-type mix vs the pinned baseline snapshot: shares and deltas per type.",
 )
 def drift_event_type_shares(spark: SparkSession, sf_dir: str):
+    # Lazy checkpoints (r15): each side's total is a rollup of its
+    # event-type-sized count frame, but the differing column demand kept
+    # stage reuse from firing (runtime audit: 4 events scans for 2
+    # tables).  The frames are tiny (one row per event type); one
+    # checkpoint each halves the scans.  Integer sums regrouped: exact.
     cur = (
         read_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count("*").alias("n_cur"))
+        .localCheckpoint(eager=False)
     )
     base = (
         read_table(spark, _DRIFT_BASELINE_DIR, "events")
         .groupBy("event_type")
         .agg(F.count("*").alias("n_base"))
+        .localCheckpoint(eager=False)
     )
     tc = cur.agg(F.sum("n_cur").alias("tc"))
     tb = base.agg(F.sum("n_base").alias("tb"))

@@ -2527,7 +2527,17 @@ def length_outlier_stats(
 )
 def audit_lang_source_chi2(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    # One corpus pass (r15): the three marginals are rollups of the
+    # contingency-table-sized `cells` frame, but their differing column
+    # demand kept exchange/stage reuse from firing (runtime audit: 4
+    # distinct documents scans, 0 Reused nodes).  `cells` is tiny
+    # (langs x sources rows) — a lazy checkpoint makes all four
+    # consumers read it once.  Integer sums regrouped: values exact.
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
     rows_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("n_lang"))
     cols_t = cells.groupBy("source").agg(F.sum("n_obs").alias("n_source"))
     tot = cells.agg(F.sum("n_obs").alias("n"))
