@@ -1004,6 +1004,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ANY
     word n-gram with the evaluation set (the overlap that inflates eval
@@ -1013,12 +1015,21 @@ def decontaminate(
     the corpus is never shuffled.
 
     Output: (id, is_contaminated) for every training document.
+
+    ``train_shingles`` / ``eval_shingles`` (r15): pre-exploded
+    (id_col, s) frames for each side — must be exactly that side's
+    shingle explode.  Lets a plan that already maintains a shared
+    shingle frame (plans/llmdata._shingles_shared) decode the corpus
+    text once for both sides instead of once per side.
     """
     ev = (
-        eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
-        .distinct()
-    )
-    tr = train.select(
+        eval_shingles.select("s")
+        if eval_shingles is not None
+        else eval_df.select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+        )
+    ).distinct()
+    tr = train_shingles if train_shingles is not None else train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     hits = tr.join(F.broadcast(ev), "s", "left_semi").select(id_col).distinct()
@@ -1132,7 +1143,14 @@ def incremental_dedup_flags(
     corpus_fps = (
         corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
     )
-    bfp = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    # bfp feeds the verdict join AND the first-in-batch aggregate;
+    # runtime stage reuse does not cover the pair (r15 audit: 3 distinct
+    # text decodes for the entry, 0 Reused), so without the checkpoint
+    # every batch doc is fingerprinted twice.  The frame is (id, fp) —
+    # no text — and batch-sized.
+    bfp = batch.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    ).localCheckpoint(eager=False)
     first_in_batch = bfp.groupBy("fp").agg(F.min(id_col).alias("__first_id"))
     hits = corpus_fps.withColumn("__in_corpus", F.lit(True))
     return (
@@ -1154,6 +1172,8 @@ def contamination_matrix(
     id_col: str = "doc_id",
     group_col: str = "source",
     shingle_n: int = 3,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Severity-graded decontamination report per corpus slice: for each
     ``group_col`` value (source/domain/dump), how many training docs
@@ -1171,17 +1191,25 @@ def contamination_matrix(
     where *_shared count distinct shared shingles per doc.
     """
     ev = (
-        eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
-        .distinct()
-    )
-    tr = train.select(
+        eval_shingles.select("s")
+        if eval_shingles is not None
+        else eval_df.select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+        )
+    ).distinct()
+    # The shingle side carries only (id, s) — group_col is functionally
+    # dependent on the doc id, so grouping shared counts by id alone is
+    # value-identical and lets a pre-exploded shared shingle frame
+    # (which has no group column) serve this operator too (r15).  The
+    # group label attaches on the per-doc join below, which reads only
+    # (id, group) — no text decode.
+    tr = train_shingles if train_shingles is not None else train.select(
         F.col(id_col),
-        F.col(group_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     shared = (
         tr.join(F.broadcast(ev), "s", "left_semi")
-        .groupBy(id_col, group_col)
+        .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
     per_doc = (

@@ -4263,7 +4263,15 @@ def decontaminate_train(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    return D.decontaminate(train, eval_df)
+    # Both sides' shingles are filters of the shared per-session
+    # shingle frame (r15): one corpus text decode instead of one per
+    # side (the id-only train scan remains, cheap).
+    sh = _shingles_shared(spark, sf_dir)
+    return D.decontaminate(
+        train, eval_df,
+        train_shingles=sh.filter(F.col("doc_id") % 50 != 0),
+        eval_shingles=sh.filter(F.col("doc_id") % 50 == 0),
+    )
 
 
 @register(
@@ -4292,7 +4300,12 @@ def decontaminate_matrix(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    return D.contamination_matrix(train, eval_df)
+    sh = _shingles_shared(spark, sf_dir)
+    return D.contamination_matrix(
+        train, eval_df,
+        train_shingles=sh.filter(F.col("doc_id") % 50 != 0),
+        eval_shingles=sh.filter(F.col("doc_id") % 50 == 0),
+    )
 
 
 # --------------------------------------------------------------------------
