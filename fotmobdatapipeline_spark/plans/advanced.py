@@ -571,11 +571,42 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str):
             .select(F.lit(name).alias("fk"), "n_orphans")
         )
 
+    # ONE lineitem scan for its three FK probes (r15): chained
+    # broadcast LEFT joins against the DISTINCT parent keys, orphan =
+    # parent key NULL after the join — with de-duplicated keys this is
+    # exactly the anti-join count (a left join on unique keys cannot
+    # multiply rows), and the fact table is read once instead of once
+    # per FK (runtime audit: 3 lineitem scans, 0 Reused).  The
+    # .distinct() keeps the semantics honest even on a parent that
+    # violates PK uniqueness; the parent sides are broadcast-sized dims.
+    okey = orders.select("o_orderkey").distinct()
+    pkey = part.select("p_partkey").distinct()
+    skey = supplier.select("s_suppkey").distinct()
+    li_probes = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(F.broadcast(okey), li["l_orderkey"] == okey["o_orderkey"], "left")
+        .join(F.broadcast(pkey), li["l_partkey"] == pkey["p_partkey"], "left")
+        .join(F.broadcast(skey), li["l_suppkey"] == skey["s_suppkey"], "left")
+        .agg(
+            F.count_if(F.col("o_orderkey").isNull()).alias("no_orders"),
+            F.count_if(F.col("p_partkey").isNull()).alias("no_part"),
+            F.count_if(F.col("s_suppkey").isNull()).alias("no_supplier"),
+        )
+        # One row, three union-branch consumers: checkpoint so the
+        # lineitem aggregate runs once, not once per branch.
+        .localCheckpoint(eager=False)
+    )
+
+    def li_row(name, col):
+        return li_probes.select(
+            F.lit(name).alias("fk"), F.col(col).alias("n_orphans")
+        )
+
     return (
-        orphans(li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem->orders")
+        li_row("lineitem->orders", "no_orders")
         .unionByName(orphans(orders, customer.select("c_custkey"), "o_custkey", "c_custkey", "orders->customer"))
-        .unionByName(orphans(li, part.select("p_partkey"), "l_partkey", "p_partkey", "lineitem->part"))
-        .unionByName(orphans(li, supplier.select("s_suppkey"), "l_suppkey", "s_suppkey", "lineitem->supplier"))
+        .unionByName(li_row("lineitem->part", "no_part"))
+        .unionByName(li_row("lineitem->supplier", "no_supplier"))
     )
 
 

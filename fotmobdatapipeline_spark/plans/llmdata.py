@@ -5982,9 +5982,13 @@ def mixture_quality_plan(spark: SparkSession, sf_dir: str):
         F.when(keep, F.lit("pass")).otherwise(F.lit("fail")).alias("band"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
+    # Lazy checkpoint (r15): cells is (source x band)-sized, but its
+    # three consumers (the final join, src, tot-via-src) have differing
+    # column demand so stage reuse never fired — runtime audit: 3
+    # documents scans, only 1 reused.  One checkpoint = one corpus pass.
     cells = banded.groupBy("source", "band").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     src = cells.groupBy("source").agg(
         F.sum(F.when(F.col("band") == "pass", F.col("n_docs")).otherwise(0)).alias(
             "pass_docs"
@@ -6869,11 +6873,15 @@ def sketch_cms_merge(spark: SparkSession, sf_dir: str):
     # (count_min_table weight_col — bucket counts are sums of their
     # keys' counts, bit-identical).  Before: 3 sketches x depth x every
     # raw token through md5; now depth x vocab(x2 halves).
-    # (No checkpoint: the three sketch consumers share one final plan —
-    # the count aggregate's exchange is reused; see cms_heavy_hitters.)
+    # Lazy checkpoint (r15): the r14 note claimed the count aggregate's
+    # exchange is reused across the three sketch consumers — the
+    # runtime audit showed it is NOT (the __in_a / NOT __in_a filters
+    # are on a GROUPING key, so they push below the aggregate into the
+    # scan and the subtrees diverge: 3 documents scans, 0 Reused).
+    # The frame is vocab x 2 rows; one checkpoint = one corpus pass.
     side_counts = tok.groupBy("k", (F.col("doc_id") < 250).alias("__in_a")).agg(
         F.count("*").alias("__w")
-    )
+    ).localCheckpoint(eager=False)
     full = count_min_table(side_counts, "k", weight_col="__w")
     a = count_min_table(
         side_counts.filter(F.col("__in_a")), "k", weight_col="__w"
